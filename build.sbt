@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Many distinct whole-stage-codegen classes across the query catalog can
+  // exhaust the default JIT code cache (compiler silently disabled → 30-70x
+  // slowdowns on random queries). Size it for the full catalog.
+  "-XX:ReservedCodeCacheSize=512m",
 )

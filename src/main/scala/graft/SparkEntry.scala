@@ -1,13 +1,404 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Sentiment, TextFns}
+import graft.operators.{Analytics, Risk}
+
+/** Driver contract (SURVEY.md §7): one named query per implemented operator
+  * from SURVEY.md §2, each with an equivalent DuckDB oracle SQL where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Conventions shared by every (query, oracle) pair — the driver hash-compares
+  * values column-by-column, so both sides must agree bit-for-bit:
+  *  - column names identical on both sides;
+  *  - counts cast to BIGINT in DuckDB (its SUM on integers widens to HUGEINT);
+  *  - fractional literals cast to DOUBLE in DuckDB (it parses `0.05` as
+  *    DECIMAL, Spark as DOUBLE);
+  *  - order-dependent double aggregates (avg/sum/stddev over doubles) are
+  *    rounded on both sides; purely row-level double arithmetic is left
+  *    exact (IEEE ops on identical operands are bit-identical);
+  *  - every query pins a deterministic total ORDER BY on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  type QFn = (SparkSession, String) => DataFrame
+
+  private case class Q(name: String, fn: QFn, oracle: Option[String])
+
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    Sentiment.score(Tables.documents(s, d))
+
+  private def trendsOf(s: SparkSession, d: String): DataFrame =
+    Analytics.dailyTrends(Tables.events(s, d))
+
+  /** DuckDB CTE for the A4 trends frame (kept in sync with
+    * [[Analytics.dailyTrends]]). No leading WITH — composed into query SQL. */
+  private val trendsCteSql: String =
+    """trends AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+      |    CAST(SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS positive,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS negative,
+      |    CAST(SUM(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT) AS neutral,
+      |    CAST(COUNT(*) AS BIGINT) AS total
+      |  FROM events GROUP BY 1)""".stripMargin
+
+  /** DuckDB CTEs for the A11 trend-risk single row (mirrors [[Risk.trendRisk]]).
+    * Requires `trends` CTE in scope; exposes `trisk`. */
+  private val trendRiskCteSql: String =
+    """tr AS (SELECT *, row_number() OVER (ORDER BY date DESC) AS rn FROM trends),
+      |tragg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_dates,
+      |    CAST(SUM(CASE WHEN rn <= 14 THEN negative ELSE 0 END) AS BIGINT) AS recent_negative,
+      |    CAST(SUM(CASE WHEN rn <= 14 THEN total ELSE 0 END) AS BIGINT) AS recent_total,
+      |    CAST(SUM(CASE WHEN rn BETWEEN 15 AND 28 THEN negative ELSE 0 END) AS BIGINT) AS prev_negative,
+      |    CAST(SUM(CASE WHEN rn BETWEEN 15 AND 28 THEN total ELSE 0 END) AS BIGINT) AS prev_total,
+      |    CAST(SUM(CASE WHEN rn <= 3 THEN negative ELSE 0 END) AS BIGINT) AS last3_negative,
+      |    CAST(SUM(CASE WHEN rn <= 3 THEN total ELSE 0 END) AS BIGINT) AS last3_total
+      |  FROM tr),
+      |tratio AS (
+      |  SELECT *,
+      |    CASE WHEN recent_total > 0 THEN CAST(recent_negative AS DOUBLE)/CAST(recent_total AS DOUBLE) END AS recent_neg_ratio,
+      |    CASE WHEN prev_total > 0 THEN CAST(prev_negative AS DOUBLE)/CAST(prev_total AS DOUBLE) END AS prev_neg_ratio,
+      |    CASE WHEN last3_total > 0 THEN CAST(last3_negative AS DOUBLE)/CAST(last3_total AS DOUBLE) END AS last3_neg_ratio
+      |  FROM tragg),
+      |trisk AS (
+      |  SELECT *,
+      |    CASE WHEN n_dates < 7 THEN CAST(1.0 AS DOUBLE)
+      |         WHEN recent_total = 0 THEN CAST(1.0 AS DOUBLE)
+      |         WHEN n_dates >= 28 AND prev_total > 0 AND recent_neg_ratio > prev_neg_ratio * CAST(1.5 AS DOUBLE) THEN CAST(1.4 AS DOUBLE)
+      |         WHEN n_dates >= 28 AND prev_total > 0 AND recent_neg_ratio > prev_neg_ratio * CAST(1.2 AS DOUBLE) THEN CAST(1.2 AS DOUBLE)
+      |         WHEN n_dates >= 28 AND prev_total > 0 AND recent_neg_ratio < prev_neg_ratio * CAST(0.7 AS DOUBLE) THEN CAST(0.9 AS DOUBLE)
+      |         WHEN last3_total > 0 AND last3_neg_ratio > CAST(0.3 AS DOUBLE) THEN CAST(1.3 AS DOUBLE)
+      |         ELSE CAST(1.0 AS DOUBLE) END AS trend_multiplier
+      |  FROM tratio),
+      |trisk2 AS (
+      |  SELECT *,
+      |    CASE WHEN trend_multiplier >= CAST(1.3 AS DOUBLE) THEN 'Significantly deteriorating'
+      |         WHEN trend_multiplier >= CAST(1.1 AS DOUBLE) THEN 'Moderately deteriorating'
+      |         WHEN trend_multiplier <= CAST(0.95 AS DOUBLE) THEN 'Improving'
+      |         ELSE 'Stable' END AS trend_status
+      |  FROM trisk)""".stripMargin
+
+  /** DuckDB CTE producing the word stream of A8 (mirrors
+    * [[Analytics.wordCounts]]); exposes `words(lang, source, word)`. */
+  private val wordsCteSql: String = {
+    val stop = Analytics.StopWords.map(w => s"'$w'").mkString("(", ",", ")")
+    s"""words AS (
+       |  SELECT lang, source, unnest(list_filter(
+       |    string_split(trim(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace(lower(text),
+       |        'http\\S+|www\\.\\S+', ' ', 'g'),
+       |        '@\\w+|#\\w+', ' ', 'g'),
+       |        '[^a-z\\s]', ' ', 'g'),
+       |      '\\s+', ' ', 'g')), ' '),
+       |    w -> w <> '' AND length(w) > 2 AND w NOT IN $stop)) AS word
+       |  FROM documents)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Query catalog
+  // ------------------------------------------------------------------
+
+  private lazy val catalog: Seq[Q] = Seq(
+
+    Q("p1_quality_filter",
+      (s, d) => scoredDocs(s, d)
+        .filter(col("original_score") >= 0.3 && col("n_chars") >= 30)
+        .select("doc_id", "text", "sentiment", "original_score")
+        .orderBy("doc_id"),
+      Some(Sentiment.oracleCte +
+        """ SELECT doc_id, text, sentiment, original_score FROM scored
+          | WHERE original_score >= CAST(0.3 AS DOUBLE) AND n_chars >= 30
+          | ORDER BY doc_id""".stripMargin)),
+
+    Q("a1_sentiment_distribution",
+      (s, d) => Analytics.sentimentDistribution(scoredDocs(s, d)),
+      Some(Sentiment.oracleCte +
+        """ SELECT sentiment, CAST(count(*) AS BIGINT) AS cnt
+          | FROM sent GROUP BY sentiment ORDER BY sentiment""".stripMargin)),
+
+    Q("a2_source_distribution",
+      (s, d) => Analytics.distributionWithPct(Tables.documents(s, d), "source"),
+      Some(
+        """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY source)
+          |SELECT source, cnt,
+          |  ROUND(cnt * CAST(100.0 AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE), 6) AS pct
+          |FROM c ORDER BY source""".stripMargin)),
+
+    Q("a3_minmax_normalize",
+      (s, d) => Analytics.normalizeScores(scoredDocs(s, d))
+        .select("doc_id", "sentiment", "original_score", "normalized_score")
+        .orderBy("doc_id"),
+      Some(Sentiment.oracleCte +
+        """ SELECT doc_id, sentiment, original_score,
+          |   CASE WHEN mx = mn THEN CAST(0.5 AS DOUBLE)
+          |        ELSE (original_score - mn) / (mx - mn) END AS normalized_score
+          | FROM (SELECT *,
+          |         min(original_score) OVER (PARTITION BY sentiment) AS mn,
+          |         max(original_score) OVER (PARTITION BY sentiment) AS mx
+          |       FROM scored)
+          | ORDER BY doc_id""".stripMargin)),
+
+    Q("a4_daily_trends",
+      (s, d) => trendsOf(s, d),
+      Some(s"WITH $trendsCteSql SELECT * FROM trends ORDER BY date")),
+
+    Q("a5_trends_summary",
+      (s, d) => Analytics.trendsSummary(trendsOf(s, d)),
+      Some(s"""WITH $trendsCteSql
+              |SELECT CAST(count(*) AS BIGINT) AS total_dates,
+              |  min(date) AS start_date, max(date) AS end_date,
+              |  CAST(SUM(total) AS BIGINT) AS total_reviews,
+              |  CAST(SUM(positive) AS BIGINT) AS total_positive,
+              |  CAST(SUM(negative) AS BIGINT) AS total_negative,
+              |  CAST(SUM(neutral) AS BIGINT) AS total_neutral
+              |FROM trends""".stripMargin)),
+
+    Q("a6_confidence_stats",
+      (s, d) => Analytics.confidenceStats(scoredDocs(s, d), col("n_chars") >= 200),
+      Some(Sentiment.oracleCte +
+        """ SELECT CAST(count(*) AS BIGINT) AS total_samples,
+          |   ROUND(avg(confidence), 6) AS avg_confidence,
+          |   ROUND(stddev_samp(confidence), 6) AS std_confidence,
+          |   min(confidence) AS min_confidence,
+          |   max(confidence) AS max_confidence,
+          |   ROUND(avg(original_score), 6) AS avg_original_score,
+          |   CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS candidates_count
+          | FROM scored""".stripMargin)),
+
+    Q("a7_confidence_histogram",
+      (s, d) => Analytics.histogram(scoredDocs(s, d), "confidence", 30),
+      Some(Sentiment.oracleCte +
+        """, b AS (SELECT min(confidence) AS mn, max(confidence) AS mx FROM sent)
+          | SELECT CAST(CASE WHEN b.mx = b.mn THEN 0
+          |   ELSE LEAST(FLOOR((confidence - b.mn) / ((b.mx - b.mn) / CAST(30.0 AS DOUBLE))), 29)
+          |   END AS BIGINT) AS bin,
+          |   CAST(count(*) AS BIGINT) AS cnt
+          | FROM sent, b GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    Q("a8_word_frequency",
+      (s, d) => Analytics.topWords(Tables.documents(s, d), "text", 15),
+      Some(s"""WITH $wordsCteSql
+              |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              |FROM words GROUP BY word ORDER BY cnt DESC, word LIMIT 15""".stripMargin)),
+
+    Q("a9_top_words_per_lang",
+      (s, d) => Analytics.topWordsPerGroup(Tables.documents(s, d), "text", "lang", 5),
+      Some(s"""WITH $wordsCteSql,
+              |wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY lang, word),
+              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS INT) AS rn FROM wc)
+              |SELECT lang, word, cnt, rn FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
+    Q("a10_daily_ratio",
+      (s, d) => Analytics.dailyRatio(trendsOf(s, d)),
+      Some(s"""WITH $trendsCteSql
+              |SELECT date, CAST(positive - negative AS DOUBLE) / CAST(total AS DOUBLE) AS sentiment_ratio
+              |FROM trends ORDER BY date""".stripMargin)),
+
+    Q("a11_trend_risk",
+      (s, d) => Risk.trendRisk(trendsOf(s, d)),
+      Some(s"""WITH $trendsCteSql,
+              |$trendRiskCteSql
+              |SELECT n_dates, recent_negative, recent_total, prev_negative, prev_total,
+              |  last3_negative, last3_total, recent_neg_ratio, prev_neg_ratio,
+              |  last3_neg_ratio, trend_multiplier, trend_status
+              |FROM trisk2""".stripMargin)),
+
+    Q("f5_date_extract",
+      (s, d) => {
+        val dt = to_date(col("o_orderdate"))
+        val raw = when(col("o_orderkey") % 3 === 0,
+          concat(lit("Date of visit: "), date_format(dt, "MMMM"), lit(" "),
+            dayofmonth(dt).cast("string"), lit(", "), year(dt).cast("string")))
+          .when(col("o_orderkey") % 3 === 1,
+            concat(lit("seen on "), date_format(dt, "yyyy-MM-dd"), lit(" ok")))
+          .otherwise(lit("no date available"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), raw.as("raw_text"))
+          .withColumn("visit_date", TextFns.extractDateStr(col("raw_text")))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""WITH raw AS (
+              |  SELECT o_orderkey,
+              |    CASE WHEN o_orderkey % 3 = 0 THEN
+              |      'Date of visit: ' || monthname(CAST(o_orderdate AS DATE)) || ' ' ||
+              |      CAST(day(CAST(o_orderdate AS DATE)) AS VARCHAR) || ', ' ||
+              |      CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR)
+              |    WHEN o_orderkey % 3 = 1 THEN
+              |      'seen on ' || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' ok'
+              |    ELSE 'no date available' END AS raw_text
+              |  FROM orders)
+              |SELECT o_orderkey, raw_text, ${TextFns.extractDateSql("raw_text")} AS visit_date
+              |FROM raw ORDER BY o_orderkey""".stripMargin)),
+
+    Q("o1_topk_by_score",
+      (s, d) => Analytics.topKByScore(scoredDocs(s, d), 100),
+      Some(Sentiment.oracleCte +
+        """ SELECT doc_id, original_score, sentiment FROM scored
+          | ORDER BY original_score DESC, doc_id LIMIT 100""".stripMargin)),
+
+    Q("o2_orderby_nulls_first",
+      (s, d) => {
+        val dt = to_date(col("o_orderdate"))
+        val raw = when(col("o_orderkey") % 3 === 1,
+          concat(lit("seen on "), date_format(dt, "yyyy-MM-dd"), lit(" ok")))
+          .otherwise(lit("no date available"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), TextFns.extractDateStr(raw).as("visit_date"))
+          .orderBy(col("visit_date").asc_nulls_first, col("o_orderkey"))
+          .limit(500)
+      },
+      Some("""WITH raw AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 3 = 1
+             |      THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             |      ELSE NULL END AS visit_date
+             |  FROM orders)
+             |SELECT o_orderkey, visit_date FROM raw
+             |ORDER BY visit_date ASC NULLS FIRST, o_orderkey LIMIT 500""".stripMargin)),
+
+    Q("o5_argmax_per_group",
+      (s, d) => Analytics.argmaxPerGroup(scoredDocs(s, d)),
+      Some(Sentiment.oracleCte +
+        """, r AS (SELECT sentiment, doc_id, confidence,
+          |    row_number() OVER (PARTITION BY sentiment ORDER BY confidence DESC, doc_id) AS rn
+          |  FROM sent)
+          | SELECT sentiment, doc_id, confidence FROM r WHERE rn = 1 ORDER BY sentiment""".stripMargin)),
+
+    Q("u2_dedup_first_occurrence",
+      (s, d) => Analytics.dedupFirstOccurrence(Tables.documents(s, d), "text", "doc_id"),
+      Some("""SELECT text, CAST(min(doc_id) AS BIGINT) AS first_id, CAST(count(*) AS BIGINT) AS n_dups
+             |FROM documents WHERE length(text) > 20
+             |GROUP BY text ORDER BY first_id""".stripMargin)),
+
+    Q("f11_insurance_risk",
+      (s, d) => Risk.insuranceRisk(scoredDocs(s, d), trendsOf(s, d)),
+      Some(Sentiment.oracleCte + ",\n" + trendsCteSql + ",\n" +
+        trendRiskCteSql +
+        """,
+          |dist AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS total_samples,
+          |    CAST(SUM(CASE WHEN sentiment = 'POSITIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |    CAST(SUM(CASE WHEN sentiment = 'NEGATIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+          |    CAST(SUM(CASE WHEN sentiment = 'NEUTRAL' THEN 1 ELSE 0 END) AS BIGINT) AS n_neu,
+          |    ROUND(avg(confidence), 9) AS avg_confidence,
+          |    ROUND(stddev_samp(confidence), 9) AS std_confidence,
+          |    min(confidence) AS min_confidence
+          |  FROM sent),
+          |base AS (
+          |  SELECT dist.*, trisk2.trend_multiplier, trisk2.trend_status,
+          |    CAST(n_pos AS DOUBLE) / CAST(total_samples AS DOUBLE) AS pos_r,
+          |    CAST(n_neg AS DOUBLE) / CAST(total_samples AS DOUBLE) AS neg_r,
+          |    CAST(n_neu AS DOUBLE) / CAST(total_samples AS DOUBLE) AS neu_r
+          |  FROM dist CROSS JOIN trisk2),
+          |mults AS (
+          |  SELECT *,
+          |    CASE WHEN pos_r > CAST(0.85 AS DOUBLE)
+          |      THEN (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) * CAST(0.85 AS DOUBLE)
+          |         WHEN pos_r > CAST(0.75 AS DOUBLE)
+          |      THEN (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) * CAST(0.95 AS DOUBLE)
+          |         ELSE (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) END AS sent_mult,
+          |    CASE WHEN std_confidence > CAST(0.2 AS DOUBLE)
+          |      THEN (CAST(1.5 AS DOUBLE) - avg_confidence * CAST(0.5 AS DOUBLE)) * CAST(1.1 AS DOUBLE)
+          |      ELSE (CAST(1.5 AS DOUBLE) - avg_confidence * CAST(0.5 AS DOUBLE)) END AS conf_mult,
+          |    CASE WHEN total_samples < 50 THEN CAST(1.3 AS DOUBLE)
+          |         WHEN total_samples < 100 THEN CAST(1.15 AS DOUBLE)
+          |         ELSE CAST(1.0 AS DOUBLE) END AS sample_mult
+          |  FROM base),
+          |sc AS (
+          |  SELECT *,
+          |    neg_r * CAST(200.0 AS DOUBLE)
+          |    + CASE WHEN pos_r < CAST(0.6 AS DOUBLE) THEN (CAST(0.6 AS DOUBLE) - pos_r) * CAST(50.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          |    + CASE WHEN avg_confidence < CAST(0.9 AS DOUBLE) THEN (CAST(0.9 AS DOUBLE) - avg_confidence) * CAST(100.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          |    + CASE WHEN total_samples < 100 THEN (CAST(100.0 AS DOUBLE) - CAST(total_samples AS DOUBLE)) / CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          |    + CASE WHEN trend_multiplier > CAST(1.0 AS DOUBLE) THEN (trend_multiplier - CAST(1.0 AS DOUBLE)) * CAST(25.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          |    AS score
+          |  FROM mults),
+          |fin AS (SELECT *, LEAST(CAST(FLOOR(score) AS BIGINT), 100) AS risk_score FROM sc)
+          |SELECT
+          |  ROUND(CAST(5000.0 AS DOUBLE) * sent_mult * conf_mult * sample_mult * trend_multiplier, 2) AS insurance_cost,
+          |  CASE WHEN risk_score >= 70 THEN 'Critical'
+          |       WHEN risk_score >= 50 THEN 'High'
+          |       WHEN risk_score >= 30 THEN 'Medium'
+          |       ELSE 'Low' END AS risk_level,
+          |  risk_score,
+          |  ROUND(pos_r * CAST(100.0 AS DOUBLE), 1) AS positive_percentage,
+          |  ROUND(neg_r * CAST(100.0 AS DOUBLE), 1) AS negative_percentage,
+          |  ROUND(neu_r * CAST(100.0 AS DOUBLE), 1) AS neutral_percentage,
+          |  ROUND(sent_mult, 2) AS sentiment_multiplier,
+          |  ROUND(avg_confidence, 3) AS average_confidence,
+          |  ROUND(std_confidence, 3) AS confidence_std,
+          |  ROUND(min_confidence, 3) AS min_confidence,
+          |  ROUND(conf_mult, 2) AS confidence_multiplier,
+          |  total_samples,
+          |  ROUND(sample_mult, 2) AS sample_multiplier,
+          |  ROUND(trend_multiplier, 2) AS trend_multiplier,
+          |  trend_status
+          |FROM fin""".stripMargin)),
+
+    Q("st_hourly_windows",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  event_type, CAST(count(*) AS BIGINT) AS cnt, ROUND(SUM(value), 6) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    Q("h1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+             |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+             |  ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2) AS sum_disc_price,
+             |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+             |  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+             |  ROUND(AVG(l_discount), 6) AS avg_disc,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("h3_top_customers_by_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin))
+  )
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.distributionWithPct(
+      Sentiment.score(Tables.documents(spark, "/root/testdata/sf0.001")), "sentiment")
+
+  def queries: Map[String, QFn] = catalog.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic lexicon sentiment scorer — the engine seam replacing the
+  * reference's DistilBERT inference stage (V4, ref
+  * `Context_analyzer_RoBERTa_fun.py:520-532`, `:623-647`).
+  *
+  * All downstream semantics are preserved exactly and are model-agnostic:
+  *  - F8 3-class thresholding (`:170-197`): keep the raw 2-class label when
+  *    confidence exceeds the threshold, else NEUTRAL;
+  *  - F7 `compute_original_score` (`:200-247`);
+  *  - A3 per-sentiment min-max normalization (`:250-279`);
+  *  - A1/A4 distribution and trend aggregations.
+  *
+  * The scorer itself is a pure composed column expression (no UDF): it is
+  * codegen'd, partition-parallel, and expressible in ANSI SQL so the DuckDB
+  * oracle can verify every downstream operator. A real model (e.g. an
+  * external transformer endpoint) would slot in at [[score]] via
+  * `mapPartitions` batch inference without touching anything downstream.
+  */
+object Sentiment {
+  /** Lexicon over the synthetic corpus vocabulary (TESTDATA.md documents). */
+  val PositiveWords: Seq[String] = Seq("fast", "small", "value")
+  val NegativeWords: Seq[String] = Seq("slow", "big", "dup")
+  /** F7 keyword list used for rows classified NEUTRAL. */
+  val NeutralWords: Seq[String] = Seq("batch", "stream", "window")
+  /** F8 threshold (ref `Context_analyzer_RoBERTa_fun.py:170-197`). */
+  val ConfidenceThreshold = 0.8
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Adds the sentiment-pipeline columns to `df`:
+    * `wc INT, pos_hits INT, neg_hits INT, raw_label STRING,
+    * confidence DOUBLE, sentiment STRING, original_score DOUBLE`.
+    *
+    * Single narrow projection — no shuffle, fully pipelined with the scan.
+    */
+  def score(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val withCounts = df
+      .withColumn("__toks", TextFns.tokens(col(textCol)))
+      .withColumn("wc", size(col("__toks")))
+      .withColumn("pos_hits", hits(col("__toks"), PositiveWords))
+      .withColumn("neg_hits", hits(col("__toks"), NegativeWords))
+      .drop("__toks")
+    // Calibrated-classifier-shaped confidence: 0.5 baseline, grows with
+    // lexicon-polarity dominance, small deterministic length dither for
+    // spread; capped at 0.99. Chosen so the F8 threshold (0.8) yields all
+    // three classes on the synthetic corpus.
+    val confidence = least(lit(0.99),
+      lit(0.5) + lit(0.12) * abs(col("pos_hits") - col("neg_hits")).cast("double") +
+        lit(0.01) * (col("wc") % 5).cast("double"))
+    withCounts
+      .withColumn("raw_label",
+        when(col("pos_hits") >= col("neg_hits"), lit("POSITIVE")).otherwise(lit("NEGATIVE")))
+      .withColumn("confidence", confidence)
+      .withColumn("sentiment",
+        when(col("confidence") > lit(ConfidenceThreshold), col("raw_label"))
+          .otherwise(lit("NEUTRAL")))
+      .withColumn("original_score",
+        originalScore(col(textCol), col("wc"), col("sentiment")))
+  }
+
+  /** F7 `compute_original_score` (ref `Context_analyzer_RoBERTa_fun.py:200-247`):
+    * 0.0 when word count <= 4 (the reference's sentence-length floor); else
+    * `0.05*(wc-4) + 0.1 * |keywords of the row's sentiment class present as
+    * substrings of the text|`. */
+  def originalScore(text: Column, wc: Column, sentiment: Column): Column = {
+    def kwPresent(words: Seq[String]): Column =
+      words.map(w => when(text.contains(w), 1).otherwise(0)).reduce(_ + _)
+    val k = when(sentiment === "POSITIVE", kwPresent(PositiveWords))
+      .when(sentiment === "NEGATIVE", kwPresent(NegativeWords))
+      .otherwise(kwPresent(NeutralWords))
+    when(wc <= 4, lit(0.0))
+      .otherwise(lit(0.05) * (wc - lit(4)).cast("double") + lit(0.1) * k.cast("double"))
+  }
+
+  // --------------------------------------------------------------------
+  // DuckDB oracle rendering — kept in this object so the SQL and the
+  // column expressions can never drift apart. Every fractional literal is
+  // cast to DOUBLE (DuckDB parses `0.05` as DECIMAL, Spark as DOUBLE; the
+  // arithmetic must be bit-identical for the driver's hash compare).
+  // --------------------------------------------------------------------
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private def likeSum(col: String, words: Seq[String]): String =
+    words.map(w => s"(CASE WHEN $col LIKE '%$w%' THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** WITH-clause prefix computing the scored `documents` pipeline; exposes
+    * CTEs `sent` (through 3-class sentiment) and `scored` (+original_score).
+    */
+  val oracleCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |         list_filter(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+       |                     t -> t <> '') AS tokens
+       |  FROM documents
+       |), sent0 AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |         CAST(len(tokens) AS INT) AS wc,
+       |         CAST(len(list_filter(tokens, t -> t IN ${inList(PositiveWords)})) AS INT) AS pos_hits,
+       |         CAST(len(list_filter(tokens, t -> t IN ${inList(NegativeWords)})) AS INT) AS neg_hits
+       |  FROM toks
+       |), sent1 AS (
+       |  SELECT *,
+       |         CASE WHEN pos_hits >= neg_hits THEN 'POSITIVE' ELSE 'NEGATIVE' END AS raw_label,
+       |         LEAST(CAST(0.99 AS DOUBLE),
+       |               CAST(0.5 AS DOUBLE) + CAST(0.12 AS DOUBLE) * CAST(abs(pos_hits - neg_hits) AS DOUBLE) +
+       |               CAST(0.01 AS DOUBLE) * CAST(wc % 5 AS DOUBLE)) AS confidence
+       |  FROM sent0
+       |), sent AS (
+       |  SELECT *, CASE WHEN confidence > CAST($ConfidenceThreshold AS DOUBLE)
+       |                 THEN raw_label ELSE 'NEUTRAL' END AS sentiment
+       |  FROM sent1
+       |), scored AS (
+       |  SELECT *, CASE WHEN wc <= 4 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(0.05 AS DOUBLE) * CAST(wc - 4 AS DOUBLE) + CAST(0.1 AS DOUBLE) * CAST(
+       |      CASE WHEN sentiment = 'POSITIVE' THEN ${likeSum("text", PositiveWords)}
+       |           WHEN sentiment = 'NEGATIVE' THEN ${likeSum("text", NegativeWords)}
+       |           ELSE ${likeSum("text", NeutralWords)} END AS DOUBLE)
+       |    END AS original_score
+       |  FROM sent
+       |)""".stripMargin
+}

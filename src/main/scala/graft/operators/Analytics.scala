@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window / top-k operators (SURVEY.md §2.4, §2.5, §2.6).
+  *
+  * Scale notes (100 TB north star):
+  *  - every groupBy here aggregates with map-side partial aggregation
+  *    (Spark's default HashAggregate pair), so the shuffle carries one row
+  *    per key per task, not per input row;
+  *  - global (un-partitioned) window functions are only ever applied to
+  *    already-aggregated inputs that are O(|keys|), never to raw fact rows;
+  *  - top-k uses `orderBy + limit`, which Catalyst plans as
+  *    `TakeOrderedAndProject` — per-partition heaps + driver merge, no
+  *    global sort.
+  */
+object Analytics {
+
+  /** A1 sentiment distribution (ref `Context_analyzer_RoBERTa_fun.py:724-728`). */
+  def sentimentDistribution(scored: DataFrame): DataFrame =
+    scored.groupBy("sentiment").agg(count(lit(1)).as("cnt")).orderBy("sentiment")
+
+  /** A2/A12 distribution + percent-of-total (ref `:590-595`;
+    * `chatbot_analyzer.py:140-153`). The window sum runs over the
+    * already-aggregated counts (|distinct keys| rows), not the input. */
+  def distributionWithPct(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val total = sum(col("cnt")).over(Window.partitionBy())
+    counts
+      .withColumn("pct", round(col("cnt") * lit(100.0) / total.cast("double"), 6))
+      .orderBy(key)
+  }
+
+  /** A3 per-sentiment min-max normalization
+    * (ref `Context_analyzer_RoBERTa_fun.py:250-279`): within each sentiment
+    * group map `original_score` to [0,1]; degenerate groups (max == min)
+    * collapse to the constant 0.5. */
+  def normalizeScores(scored: DataFrame, valueCol: String = "original_score",
+                      groupCol: String = "sentiment"): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+    val mn = min(col(valueCol)).over(w)
+    val mx = max(col(valueCol)).over(w)
+    scored.withColumn("normalized_score",
+      when(mx === mn, lit(0.5)).otherwise((col(valueCol) - mn) / (mx - mn)))
+  }
+
+  /** Event-class → sentiment-class mapping for the trends analog (the
+    * reference counts POSITIVE/NEGATIVE/NEUTRAL per visit day,
+    * `Context_analyzer_RoBERTa_fun.py:687-705`; we count signup+purchase /
+    * error / click+view per event day). */
+  val PositiveEvents: Seq[String] = Seq("signup", "purchase")
+  val NegativeEvents: Seq[String] = Seq("error")
+  val NeutralEvents: Seq[String] = Seq("click", "view")
+
+  /** A4 daily trend pivot (ref `:687-705`): one row per day, counts per
+    * class + total, ordered by day. Single shuffle on the date key;
+    * conditional sums instead of `pivot` (no second pass to collect pivot
+    * values, and the three classes are fixed by semantics). */
+  def dailyTrends(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("date_d"))
+      .agg(
+        sum(when(col("event_type").isin(PositiveEvents: _*), 1L).otherwise(0L)).as("positive"),
+        sum(when(col("event_type").isin(NegativeEvents: _*), 1L).otherwise(0L)).as("negative"),
+        sum(when(col("event_type").isin(NeutralEvents: _*), 1L).otherwise(0L)).as("neutral"),
+        count(lit(1)).as("total"))
+      .select(date_format(col("date_d"), "yyyy-MM-dd").as("date"),
+        col("positive"), col("negative"), col("neutral"), col("total"))
+      .orderBy("date")
+
+  /** A5 trends grand summary (ref `:798-811`): single row. */
+  def trendsSummary(trends: DataFrame): DataFrame =
+    trends.agg(
+      count(lit(1)).as("total_dates"),
+      min(col("date")).as("start_date"),
+      max(col("date")).as("end_date"),
+      sum(col("total")).as("total_reviews"),
+      sum(col("positive")).as("total_positive"),
+      sum(col("negative")).as("total_negative"),
+      sum(col("neutral")).as("total_neutral"))
+
+  /** A10 daily sentiment ratio (ref `vizualization.py:183-184`):
+    * `(positive - negative) / total` per day. */
+  def dailyRatio(trends: DataFrame): DataFrame =
+    trends.select(col("date"),
+      ((col("positive") - col("negative")).cast("double") / col("total").cast("double"))
+        .as("sentiment_ratio"))
+      .orderBy("date")
+
+  /** A6 confidence/score statistics (ref `vizualization.py:308-324`).
+    * pandas `std` is sample stddev (ddof=1) → `stddev_samp`. Averages of
+    * doubles are rounded: their partial-sum order differs per engine. */
+  def confidenceStats(scored: DataFrame, candidateCol: Column): DataFrame =
+    scored.agg(
+      count(lit(1)).as("total_samples"),
+      round(avg(col("confidence")), 6).as("avg_confidence"),
+      round(stddev_samp(col("confidence")), 6).as("std_confidence"),
+      min(col("confidence")).as("min_confidence"),
+      max(col("confidence")).as("max_confidence"),
+      round(avg(col("original_score")), 6).as("avg_original_score"),
+      sum(when(candidateCol, 1L).otherwise(0L)).as("candidates_count"))
+
+  /** A7 fixed-width histogram (ref `vizualization.py:67`, `:288-297`):
+    * `bins` equal buckets between the global min and max; the max value
+    * lands in the last bucket. Global min/max come from a broadcast
+    * single-row aggregate, so the binning pass stays shuffle-free. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    val bounds = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    val width = (col("mx") - col("mn")) / lit(bins.toDouble)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col(valueCol) - col("mn")) / width), lit(bins - 1L))))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+  }
+
+  /** The reference's word-frequency stoplist concept
+    * (`vizualization.py:259` has a 69-word English list; here pinned to the
+    * corpus' own function words so the operator has bite on the synthetic
+    * vocabulary). */
+  val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** A8 word frequency (ref `vizualization.py:208-261`): tokenize the
+    * cleaned text, drop stopwords and words <= 2 chars, count. One shuffle
+    * on the word key with map-side combine. */
+  def wordCounts(df: DataFrame, textCol: String,
+                 extraGroupCols: Seq[String] = Nil): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(graft.functions.TextFns.wordcloudClean(col(textCol)))
+    val exploded = df
+      .select(extraGroupCols.map(col) :+ explode(toks).as("word"): _*)
+      .filter(!col("word").isin(StopWords: _*) && length(col("word")) > 2)
+    exploded.groupBy((extraGroupCols :+ "word").map(col): _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** A8 top-N words overall (`TakeOrderedAndProject`, deterministic via the
+    * word tiebreak). */
+  def topWords(df: DataFrame, textCol: String, n: Int): DataFrame =
+    wordCounts(df, textCol).orderBy(col("cnt").desc, col("word")).limit(n)
+
+  /** A9 top-k per group (ref `vizualization.py:265-285`): rank inside each
+    * group with a deterministic tiebreak, keep k. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** A9 instance: top-k words per group column. */
+  def topWordsPerGroup(df: DataFrame, textCol: String, groupCol: String,
+                       k: Int): DataFrame =
+    topKPerGroup(wordCounts(df, textCol, Seq(groupCol)),
+      Seq(groupCol), Seq(col("cnt").desc, col("word")), k)
+      .orderBy(col(groupCol), col("rn"))
+
+  /** O1 order-by + limit (ref `:441,477-478`): `TakeOrderedAndProject`;
+    * tiebreak column pinned for cross-engine determinism. */
+  def topKByScore(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("original_score").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "original_score", "sentiment")
+
+  /** O5 argmax per group (ref `pdf_generation/pdf_sections.py:354-355`):
+    * highest-confidence row per sentiment, deterministic tiebreak. */
+  def argmaxPerGroup(scored: DataFrame): DataFrame =
+    topKPerGroup(scored, Seq("sentiment"),
+      Seq(col("confidence").desc, col("doc_id")), 1)
+      .select("sentiment", "doc_id", "confidence")
+      .orderBy("sentiment")
+
+  /** U2 exact dedup keeping first occurrence (ref `extract_text_fun.py:234-243`):
+    * group by text, keep min id — one shuffle, no window over raw rows. */
+  def dedupFirstOccurrence(df: DataFrame, textCol: String, idCol: String,
+                           minLen: Int = 20): DataFrame =
+    df.filter(length(col(textCol)) > minLen)
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("first_id"), count(lit(1)).as("n_dups"))
+      .orderBy("first_id")
+}
