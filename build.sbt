@@ -22,7 +22,11 @@ val jdk17AddOpens = Seq(
   "java.base/java.util.concurrent.atomic",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
-).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++ Seq(
+  // spark-submit also injects this (JavaModuleOptions); without it the
+  // netlib BLAS loader's probe for the vector API can degenerate into
+  // per-call classloading inside MLlib distance loops.
+  "--add-modules=jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sentiment, TextFns}
-import graft.operators.{Analytics, Risk}
+import graft.operators.{Analytics, Dedup, Multimodal, Risk, Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY.md §7): one named query per implemented operator
   * from SURVEY.md §2, each with an equivalent DuckDB oracle SQL where the
@@ -96,6 +96,40 @@ object SparkEntry {
        |    w -> w <> '' AND length(w) > 2 AND w NOT IN $stop)) AS word
        |  FROM documents)""".stripMargin
   }
+
+  // ---- DuckDB vector/shingle SQL fragments (fold order mirrors the
+  // Spark zip_with/aggregate left folds for bit parity) ----
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (x, y) -> x + y))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  private val evecCteSql =
+    "evec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  /** Mirrors [[Similarity.lshBucket]]. */
+  private def lshBucketSql(vcol: String, planes: Int, dim: Int): String =
+    (0 until planes).map { j =>
+      val w = Similarity.planeWeights(j, dim)
+        .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(vcol, w)} > CAST(0.0 AS DOUBLE) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  /** Mirrors [[Dedup.shingles]] over the `tokens` column of the `toks` CTE. */
+  private def shinglesSql(n: Int): String =
+    s"list_distinct(CASE WHEN len(tokens) >= $n THEN " +
+      s"list_transform(range(1, len(tokens) - $n + 2), i -> array_to_string(list_slice(tokens, i, i + ${n - 1}), ' ')) " +
+      s"ELSE CAST([] AS VARCHAR[]) END)"
+
+  /** CTE `dsh(doc_id, sh)`: exploded distinct shingles of documents
+    * (requires the `toks` CTE from [[Sentiment.oracleCte]]). */
+  private def dshCteSql(n: Int): String =
+    s"dsh AS (SELECT doc_id, unnest(${shinglesSql(n)}) AS sh FROM toks)"
 
   // ------------------------------------------------------------------
   // Query catalog
@@ -389,7 +423,214 @@ object SparkEntry {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_custkey, c_name
-             |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin))
+             |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    Q("p8_confidence_filter",
+      (s, d) => scoredDocs(s, d)
+        .filter(col("confidence") >= 0.7)
+        .select("doc_id", "sentiment", "confidence")
+        .orderBy("doc_id"),
+      Some(Sentiment.oracleCte +
+        """ SELECT doc_id, sentiment, confidence FROM sent
+          | WHERE confidence >= CAST(0.7 AS DOUBLE) ORDER BY doc_id""".stripMargin)),
+
+    Q("f9_truncate",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.truncateWithEllipsis(col("text"), 100).as("display_text"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...' ELSE text END AS display_text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("o3_deterministic_shuffle",
+      // O3 (ref :606): deterministic permutation; row order is engine-defined,
+      // so no cross-engine oracle — the driver records a rows-only check.
+      (s, d) => Tables.documents(s, d)
+        .orderBy(rand(42), col("doc_id"))
+        .select("doc_id", "text")
+        .limit(50),
+      None),
+
+    Q("o4_head_per_group",
+      (s, d) => Analytics.topKPerGroup(scoredDocs(s, d),
+        Seq("sentiment"), Seq(col("doc_id")), 50)
+        .select("sentiment", "doc_id", "rn")
+        .orderBy("sentiment", "rn"),
+      Some(Sentiment.oracleCte +
+        """, r AS (SELECT sentiment, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY sentiment ORDER BY doc_id) AS INT) AS rn
+          |  FROM sent)
+          | SELECT sentiment, doc_id, rn FROM r WHERE rn <= 50 ORDER BY sentiment, rn""".stripMargin)),
+
+    Q("dl_distinct_limit",
+      (s, d) => Tables.documents(s, d)
+        .select("source").distinct().orderBy("source").limit(5),
+      Some("SELECT DISTINCT source FROM documents ORDER BY source LIMIT 5")),
+
+    Q("j1_containment_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.containmentAntiJoin(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", n = 4)
+      },
+      Some(Sentiment.oracleCte +
+        s""", ${dshCteSql(4)},
+           |cand AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+           |candsh AS (SELECT doc_id, sh FROM dsh WHERE doc_id % 2 = 1),
+           |exsh AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 2 = 0),
+           |hit AS (SELECT DISTINCT c.doc_id FROM candsh c JOIN exsh e USING (sh))
+           |SELECT doc_id FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+           |ORDER BY doc_id""".stripMargin)),
+
+    Q("dd_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "text", "doc_id", n = 3, minJaccard = 0.1),
+      Some(Sentiment.oracleCte +
+        s""", ${dshCteSql(3)},
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+           |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+           |  FROM inter
+           |  JOIN sizes sa ON inter.id_a = sa.doc_id
+           |  JOIN sizes sb ON inter.id_b = sb.doc_id)
+           |SELECT * FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dd_minhash_neardup",
+      // MinHash+LSH is engine-hash-based (xxhash64) — not reproducible in
+      // DuckDB; correctness is covered by the recall unit test
+      // (DedupSpec) against constructed near-duplicates.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val variants = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat_ws(" ",
+              slice(TextFns.tokens(col("text")), lit(1),
+                greatest(size(TextFns.tokens(col("text"))) - 8, lit(4)))).as("text"))
+        Dedup.minhashNearDupPairs(
+          docs.select("doc_id", "text").unionByName(variants),
+          "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5)
+      },
+      None),
+
+    Q("dd_simhash_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val variants = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat_ws(" ",
+              slice(TextFns.tokens(col("text")), lit(1),
+                greatest(size(TextFns.tokens(col("text"))) - 4, lit(4)))).as("text"))
+        Dedup.simhashNearDupPairs(
+          docs.select("doc_id", "text").unionByName(variants),
+          "text", "doc_id", maxHamming = 12)
+      },
+      None),
+
+    Q("dd_embedding_neardup",
+      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4),
+      Some(s"""WITH $evecCteSql,
+              |p AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    ${cosineSql("a.v", "b.v")} AS cos
+              |  FROM evec a JOIN evec b ON a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p
+              |WHERE cos > CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("sim_bruteforce_topk",
+      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 0, k = 10),
+      Some(s"""WITH $evecCteSql,
+              |q AS (SELECT v AS qv FROM evec WHERE vec_id = 0)
+              |SELECT vec_id, ROUND(${cosineSql("v", "qv")}, 6) AS cos
+              |FROM evec, q WHERE vec_id <> 0
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("sim_lsh_ann",
+      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0, k = 10,
+        planes = 12, dim = 64),
+      Some(s"""WITH $evecCteSql,
+              |b AS (SELECT vec_id, v, ${lshBucketSql("v", 12, 64)} AS bucket FROM evec),
+              |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+              |SELECT vec_id, bucket, ROUND(${cosineSql("v", "qv")}, 6) AS cos
+              |FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("ta_text_profile",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.languageId(col("text")).as("pred_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some {
+        val langHits = TextAnalysis.LangLexicons.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString("(", ",", ")")
+          s"len(list_filter(list_transform(tokens, t -> lower(t)), t -> t IN $inList)) AS h_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangLexicons.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("GREATEST(", ", ", ")")
+        val predCase = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        Sentiment.oracleCte +
+          s""", lh AS (SELECT doc_id, lang, text, tokens, $langHits FROM toks),
+             |lb AS (SELECT *, $best AS best FROM lh)
+             |SELECT doc_id, lang,
+             |  $predCase AS pred_lang,
+             |  ROUND(
+             |    LEAST(CAST(1.0 AS DOUBLE), CAST(len(tokens) AS DOUBLE) / CAST(50.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             |    + LEAST(CAST(1.0 AS DOUBLE),
+             |        CAST(len(list_filter(tokens, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+             |        / CAST(GREATEST(len(tokens), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+             |    + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             |      / CAST(GREATEST(length(text), 1) AS DOUBLE) * CAST(0.3 AS DOUBLE), 9) AS quality,
+             |  CAST(len(tokens) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpeish_tokens,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(tokens, t -> CAST(length(t) * 17 + ascii(substr(t, 1, 1)) AS BIGINT))),
+             |    (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint
+             |FROM lb ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("mm_media_features",
+      (s, d) => Multimodal.featureStats(s, Tables.documents(s, d)),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+             |    CAST(length(text) AS BIGINT) AS n_bytes,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             |      (h, b) -> (h * 31 + b) % 1000000007) AS checksum
+             |  FROM documents)
+             |SELECT media_kind, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum
+             |FROM m GROUP BY media_kind ORDER BY media_kind""".stripMargin)),
+
+    Q("v3_representatives",
+      // V1-V3 MLlib pipeline: cluster structure is seed/partitioning
+      // dependent (SURVEY §7.4) — verified by structural invariants in
+      // RepresentativesSpec, not a SQL oracle.
+      (s, d) => graft.ml.Representatives.representatives(scoredDocs(s, d)),
+      None),
+
+    Q("st2_stream_hourly",
+      // Structured-streaming execution of the hourly-window aggregation;
+      // the oracle is the BATCH answer — stream/batch equivalence is the
+      // correctness contract.
+      (s, d) => graft.streaming.Streams.runToCompletion(s, d),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  event_type, CAST(count(*) AS BIGINT) AS cnt, ROUND(SUM(value), 6) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */

@@ -9,10 +9,18 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        // Materialize in parallel first; a bare coalesce(1).write would pull
+        // the entire plan into a single task. Coalescing from the cached
+        // partitions preserves partition order, so sorted output stays sorted.
+        val df = fn(spark, sfDir).persist()
+        df.count()
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        df.unpersist()
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Family (exact → approximate, all shuffle-on-key, no all-pairs scans
+  * except the explicitly-exact baselines):
+  *  - exact: hash groupBy on text ([[Analytics.dedupFirstOccurrence]]);
+  *  - n-gram Jaccard: exact set-similarity via shingle self-join;
+  *  - containment anti-join: the reference's J1 semantics
+  *    (ref `extract_text_fun.py:57-85`) generalized to shingles;
+  *  - MinHash + LSH banding: the 100 TB near-dup path — signatures in one
+  *    narrow pass, candidate pairs via band-bucket join, exact-Jaccard
+  *    verification on candidates only;
+  *  - SimHash: 64-bit fingerprint + banded Hamming candidate join.
+  */
+object Dedup {
+
+  /** Distinct n-token shingles of the cleaned text (empty array when the
+    * text has fewer than n tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFns.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exploded (id, shingle) stream. */
+  private def shingleStream(df: DataFrame, textCol: String, idCol: String,
+                            n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+
+  /** Exact n-gram Jaccard similarity pairs with similarity > minJaccard.
+    * One shuffle on the shingle key to form candidate pairs (only pairs
+    * sharing >= 1 shingle are ever materialized), then pure arithmetic.
+    * `maxDf` drops shingles occurring in more than that many docs before
+    * pairing — the standard hot-key guard at scale (0 = off). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, minJaccard: Double,
+                        maxDf: Long = 0L): DataFrame = {
+    val sh0 = shingleStream(df, textCol, idCol, n)
+    val sh = if (maxDf > 0) {
+      val hot = sh0.groupBy("sh").count().filter(col("count") > maxDf).select("sh")
+      sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    } else sh0
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") > minJaccard)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** J1 containment anti-join (ref `extract_text_fun.py:57-85`, shingle
+    * generalization of the sentence probe): keep candidates sharing no
+    * shingle with the existing corpus. Two shuffles (distinct + semi join),
+    * never an all-pairs scan. */
+  def containmentAntiJoin(candidates: DataFrame, existing: DataFrame,
+                          textCol: String, idCol: String, n: Int): DataFrame = {
+    val candSh = shingleStream(candidates, textCol, idCol, n)
+    val exSh = existing.select(explode(shingles(col(textCol), n)).as("sh")).distinct()
+    val hit = candSh.join(exSh, Seq("sh"), "left_semi").select(idCol).distinct()
+    candidates.join(hit, Seq(idCol), "left_anti")
+      .select(col(idCol)).orderBy(idCol)
+  }
+
+  /** MinHash signatures as a dataflow: explode the (id, shingle) stream
+    * once, then k `min(xxhash64(i, sh))` aggregates in a single groupBy.
+    * Array-lambda formulations re-evaluate the shingle construction per
+    * hash (interpreted HOFs have no common-subexpression elimination);
+    * this shape computes shingles exactly once and the k mins run inside
+    * codegen'd hash aggregation. Docs with fewer than n tokens produce no
+    * signature row (they cannot shingle-collide by definition).
+    * Returns (id, h0..h{k-1}). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = shingleStream(df, textCol, idCol, n)
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy(col(idCol).as("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: band the k-entry signature into
+    * `bands` groups of k/bands rows; docs colliding on any banded hash
+    * become candidates; candidates are verified with exact n-gram Jaccard
+    * > minJaccard. The only joins are on band-hash and shingle keys —
+    * this is the shape that survives 100 TB. */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          n: Int = 4, k: Int = 32, bands: Int = 16,
+                          minJaccard: Double = 0.6): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minhashSignatures(df, textCol, idCol, n, k)
+    val bandCols = (0 until bands).map(b =>
+      hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandCols: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bandhash"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandhash") === col("y.bandhash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // exact-Jaccard verification on candidates only; the second join keys
+    // on (id, shingle) so only true intersections materialize — keying on
+    // id alone would build a |sh(a)| x |sh(b)| cartesian per pair.
+    val sh = shingleStream(df, textCol, idCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") > minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash fingerprints as a dataflow (same rationale as
+    * [[minhashSignatures]]): explode tokens once, hash each once, then 64
+    * signed-bit sums in one codegen'd aggregation; bit b of the
+    * fingerprint is the sign of sum over tokens of ±1 according to bit b
+    * of xxhash64(token). Returns (id, fp). */
+  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFns.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b"))
+    val fp = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    toks.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), fp.as("fp"))
+  }
+
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
+    * 16-bit chunks; docs agreeing on any chunk are candidates (catches all
+    * pairs within Hamming distance 3 by pigeonhole); verify exact Hamming
+    * <= maxHamming via bit_count. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(df, textCol, idCol)
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("id"), col("fp"), col("pos").as("band"), col("col").as("chunk"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+}

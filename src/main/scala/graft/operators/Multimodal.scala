@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, decoded/feature-extracted in batched `mapPartitions`.
+  *
+  * The testdata carries no real media and this container has no codec
+  * libraries, so the decode step is a DETERMINISTIC STUB (byte-level
+  * checksum + strided byte samples standing in for pixels/samples). The
+  * Spark-side shape is the real deliverable and is exactly what a real
+  * decoder plugs into:
+  *  - schema: (id, kind, payload binary) → (id, kind, n_bytes, checksum,
+  *    features array<float>);
+  *  - per-partition batching (codec APIs amortize per-batch, like a GPU
+  *    or JNI decode call);
+  *  - narrow map — no shuffle; feature aggregation afterwards is a normal
+  *    groupBy.
+  */
+object Multimodal {
+
+  /** Attach a payload + media-kind column. Payload is the UTF-8 text bytes
+    * (deterministic stand-in for image/audio/video bytes). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("media_kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("payload", col("text").cast("binary"))
+
+  /** Batched decode + feature extraction. Real codecs would replace
+    * `decodeBatch`; everything around it (encoders, batch shape, schema)
+    * stays. */
+  def extractFeatures(spark: SparkSession, payloads: DataFrame,
+                      batchSize: Int = 64, featureDim: Int = 8): DataFrame = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("media_kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch => // amortized per-batch decode
+          batch.map { case (id, kind, bytes) =>
+            val checksum =
+              bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xffL)) % 1000000007L)
+            val features = Array.tabulate(featureDim) { i =>
+              if (bytes.isEmpty) 0f
+              else (bytes((i * 7919) % bytes.length) & 0xff).toFloat
+            }
+            (id, kind, bytes.length.toLong, checksum, features)
+          }
+        }
+      }
+      .toDF("doc_id", "media_kind", "n_bytes", "checksum", "features")
+  }
+
+  /** Per-kind rollup over the extracted features (count, bytes, checksum
+    * sum — the checksum aggregate is oracle-checkable because the stub is
+    * deterministic byte arithmetic). */
+  def featureStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractFeatures(spark, withPayload(docs))
+      .groupBy("media_kind")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("checksum")).as("sum_checksum"))
+      .orderBy("media_kind")
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions — per-row, shuffle-free, SQL-oracle-expressible.
+  */
+object TextAnalysis {
+
+  /** Function-word lexicons per language (tiny n-gram-free heuristic; the
+    * operator is the engine surface, the lexicons are config). Iteration
+    * order is the deterministic tie-break priority. */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "and", "is", "of", "a"),
+    "es" -> Seq("el", "los", "es", "y", "una"),
+    "fr" -> Seq("le", "les", "est", "et", "une"))
+
+  /** Language-ID: argmax of per-language function-word hits over the
+    * token stream; all-zero rows → "und". Ties resolve to the first
+    * language in [[LangLexicons]] order. */
+  def languageId(text: Column): Column = {
+    val toks = TextFns.tokens(lower(text))
+    val hits = LangLexicons.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword share + alpha
+    * share (the reference's quality idea — ref
+    * `Context_analyzer_RoBERTa_fun.py:200-247` scores on length+keywords —
+    * widened to the standard pretraining-corpus heuristics). */
+  def qualityScore(text: Column): Column = {
+    val toks = TextFns.tokens(text)
+    val wc = size(toks)
+    val lengthTerm = least(lit(1.0), wc.cast("double") / lit(50.0))
+    val stopHits = size(filter(toks, t => t.isin(Analytics.StopWords: _*)))
+    val stopTerm = least(lit(1.0),
+      stopHits.cast("double") / greatest(wc, lit(1)).cast("double") * lit(5.0))
+    val alphaChars = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val alphaTerm = alphaChars.cast("double") / greatest(length(text), lit(1)).cast("double")
+    round(lengthTerm * lit(0.4) + stopTerm * lit(0.3) + alphaTerm * lit(0.3), 9)
+  }
+
+  /** Token-count pair: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs, digit runs, single other non-space chars). */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def whitespaceTokenCount(text: Column): Column = size(TextFns.tokens(text)).cast("long")
+  def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  /** Polynomial rolling-hash fingerprint over the token stream, engine-
+    * portable (no engine hash functions): fold
+    * h = (h*31 + len(t)*17 + ascii(t[0])) mod 1e9+7. Keeps every
+    * intermediate below 2^63 so BIGINT arithmetic agrees across engines. */
+  def fingerprint(text: Column): Column = {
+    val vs = transform(TextFns.tokens(text),
+      t => (length(t) * lit(17) + ascii(substring(t, 1, 1))).cast("long"))
+    aggregate(vs, lit(0L), (h, v) => pmod(h * lit(31L) + v, lit(1000000007L)))
+  }
+}

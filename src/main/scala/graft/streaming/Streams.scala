@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-streaming restatement of the trend aggregations (SURVEY.md
+  * §2.10: the reference is batch-only; this is the engine's incremental
+  * path for the same semantics).
+  */
+object Streams {
+
+  /** Raw parquet schema of the events table (ts read as nano-long, see
+    * [[graft.Tables.events]]). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory (file-arrival micro-batches). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling 1-hour event-time window counts per event type, with a
+    * 2-hour watermark bounding state (A4's semantics, incremental). */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Runs the hourly-count stream over a static directory to completion
+    * (memory sink) and returns the final table — used by tests to prove
+    * stream/batch equivalence. */
+  def runToCompletion(spark: SparkSession, dir: String,
+                      queryName: String = "stream_out"): DataFrame = {
+    val q = hourlyEventCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("A7 histogram: fixed-width bins, max value lands in last bin") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10).map(_.toDouble).toDF("x")
+    val out = Analytics.histogram(df, "x", 5).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+    assert(out == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("A4/A5 trends: totals reconcile with the events table") {
+    val trends = Analytics.dailyTrends(Tables.events(spark, sf0001))
+    val summary = Analytics.trendsSummary(trends).collect()(0)
+    assert(summary.getAs[Long]("total_reviews") == 1000L)
+    assert(summary.getAs[Long]("total_positive") + summary.getAs[Long]("total_negative") +
+      summary.getAs[Long]("total_neutral") == 1000L)
+    assert(summary.getAs[String]("start_date") <= summary.getAs[String]("end_date"))
+  }
+
+  test("U2 dedup keeps first occurrence with dup count") {
+    val docs = df1(Seq(
+      (5L, "this text appears more than once here"),
+      (2L, "this text appears more than once here"),
+      (9L, "a unique and sufficiently long text entry")))
+    val out = Analytics.dedupFirstOccurrence(docs, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("first_id"), r.getAs[Long]("n_dups")))
+    assert(out.toSet == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("A8 word frequency: stoplist and short words removed") {
+    val docs = df1(Seq((1L, "the the the banana banana it is of a xy")))
+    val words = Analytics.topWords(docs, "text", 10).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
+    assert(words == Map("banana" -> 2L))
+  }
+
+  test("A9 top-k per group respects group boundaries and tiebreaks") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g1", "b", 5L), ("g1", "a", 5L), ("g1", "c", 1L), ("g2", "z", 9L))
+      .toDF("g", "w", "cnt")
+    val out = Analytics.topKPerGroup(df, Seq("g"), Seq(col("cnt").desc, col("w")), 2)
+      .select("g", "w", "rn").collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(("g1", "a", 1), ("g1", "b", 2), ("g2", "z", 1)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("shingles: sliding n-token windows, distinct, short-text empty") {
+    assert(evalText("a b c d e")(Dedup.shingles(col("text"), 4)) ==
+      Seq("a b c d", "b c d e"))
+    assert(evalText("a b c")(Dedup.shingles(col("text"), 4)) == Seq())
+    assert(evalText("x y x y x y")(Dedup.shingles(col("text"), 2)) == Seq("x y", "y x"))
+  }
+
+  test("n-gram Jaccard: hand-computed pair") {
+    // 3-shingles {123,234,345} vs {123,234,346}: inter 2, union 4 → 0.5
+    val docs = df1(Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w6"), (3L, "zz yy xx ww vv")))
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, minJaccard = 0.1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
+    assert(out(0).getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("J1 containment anti-join: candidates sharing a shingle are dropped") {
+    val existing = df1(Seq((0L, "the quick brown fox jumps over the lazy dog")))
+    val candidates = df1(Seq(
+      (1L, "something quick brown fox jumps entirely new"), // shares "quick brown fox jumps"
+      (3L, "completely different words in this one here")))
+    val kept = Dedup.containmentAntiJoin(candidates, existing, "text", "doc_id", n = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L))
+  }
+
+  test("MinHash LSH finds constructed near-duplicates with verified Jaccard") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 50).map(j => s"tok${(i * 31 + j * 7) % 97}").mkString(" "))
+    }
+    // near-dup: drop the last token → J = 46/(47+46-46)... high
+    val dups = base.map { case (id, t) => (id + 1000L, t.split(" ").dropRight(1).mkString(" ")) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      n = 4, k = 32, bands = 8, minJaccard = 0.5).collect()
+    val found = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    assert(expected.intersect(found).size >= 18, s"recall too low: found $found")
+    assert(pairs.forall(_.getAs[Double]("jaccard") > 0.5))
+  }
+
+  test("SimHash: identical texts collide at Hamming 0") {
+    val docs = df1(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated content about other things entirely")))
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
+    assert(pairs(0).getAs[Int]("hamming") == 0)
+  }
+}

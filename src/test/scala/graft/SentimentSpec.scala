@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sentiment
+import graft.operators.Analytics
+
+class SentimentSpec extends SparkSpec {
+
+  private def scoreOf(text: String) = {
+    val s = spark
+    import s.implicits._
+    Sentiment.score(Seq((1L, text)).toDF("doc_id", "text")).collect()(0)
+  }
+
+  test("lexicon scorer: positive dominance → POSITIVE with high confidence") {
+    val r = scoreOf("fast fast fast fast small value ok ok")
+    assert(r.getAs[String]("raw_label") == "POSITIVE")
+    assert(r.getAs[String]("sentiment") == "POSITIVE")
+    // pos=6, neg=0, wc=8 → min(0.99, 0.5 + 0.72 + 0.03) = 0.99
+    assert(math.abs(r.getAs[Double]("confidence") - 0.99) < 1e-12)
+  }
+
+  test("lexicon scorer: negative dominance → NEGATIVE") {
+    val r = scoreOf("slow slow big big dup and more words here")
+    assert(r.getAs[String]("sentiment") == "NEGATIVE")
+  }
+
+  test("F8 thresholding: weak polarity → NEUTRAL (keeps raw label)") {
+    val r = scoreOf("just some plain words")
+    assert(r.getAs[String]("sentiment") == "NEUTRAL")
+    assert(Set("POSITIVE", "NEGATIVE").contains(r.getAs[String]("raw_label")))
+  }
+
+  test("F7 original score: wc <= 4 floor, then 0.05/word + 0.1/keyword") {
+    assert(scoreOf("one two three four").getAs[Double]("original_score") == 0.0)
+    // wc=10, POSITIVE (6 pos hits), contains fast+small+value → 0.05*6 + 0.1*3
+    val r = scoreOf("fast fast fast fast fast small value pad pad pad")
+    assert(r.getAs[String]("sentiment") == "POSITIVE")
+    assert(math.abs(r.getAs[Double]("original_score") - (0.05 * 6 + 0.1 * 3)) < 1e-12)
+  }
+
+  test("A3 normalization: [0,1] within group, degenerate group → 0.5") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("POSITIVE", 1.0), ("POSITIVE", 2.0), ("POSITIVE", 3.0),
+      ("NEGATIVE", 7.0), ("NEGATIVE", 7.0)
+    ).toDF("sentiment", "original_score")
+    val out = Analytics.normalizeScores(df)
+      .select("sentiment", "original_score", "normalized_score")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      ("POSITIVE", 1.0, 0.0), ("POSITIVE", 2.0, 0.5), ("POSITIVE", 3.0, 1.0),
+      ("NEGATIVE", 7.0, 0.5), ("NEGATIVE", 7.0, 0.5)))
+  }
+
+  test("F8 totality: every corpus row lands in one of the three classes") {
+    val classes = Sentiment.score(Tables.documents(spark, sf0001))
+      .select("sentiment").distinct().collect().map(_.getString(0)).toSet
+    assert(classes.subsetOf(Set("POSITIVE", "NEGATIVE", "NEUTRAL")))
+    assert(classes.size == 3) // calibrated to populate all three on testdata
+  }
+}

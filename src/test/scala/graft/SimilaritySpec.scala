@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecsDf(rows: Seq[(Long, Seq[Double])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: identical → 1, orthogonal → 0 (expression and UDF agree)") {
+    val df = vecsDf(Seq((1L, Seq(1.0, 2.0, 3.0))))
+      .withColumn("b", col("embedding"))
+      .withColumn("o", typedLit(Seq(0.0, 0.0, 0.0) :+ 0.0))
+    val r = df.select(
+      Similarity.cosine(col("embedding"), col("b")).as("self"),
+      Similarity.dot(col("embedding"), typedLit(Seq(-2.0, 1.0, 0.0))).as("orth"),
+      (Similarity.dotFast(col("embedding"), col("b")) -
+        Similarity.dot(col("embedding"), col("b"))).as("diff")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0) // UDF fold == expression fold, bit-exact
+  }
+
+  test("brute-force top-k matches a driver-side reference computation") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Similarity.bruteForceTopK(emb, queryId = 0, k = 5)
+      .collect().map(r => r.getAs[Long]("vec_id"))
+    // reference: collect and compute in plain Scala
+    val all = emb.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(v, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("LSH ANN returns same-bucket vectors ranked by cosine") {
+    val out = Similarity.lshTopK(Tables.embeddings(spark, sf0001), queryId = 0, k = 10)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("vec_id") != 0L))
+    val buckets = out.map(_.getAs[Long]("bucket")).toSet
+    assert(buckets.size == 1) // single probed bucket
+    val cosines = out.map(_.getAs[Double]("cos"))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+  }
+
+  test("cosine near-dup pairs: ordered ids, threshold respected") {
+    val out = Similarity.cosineNearDupPairs(Tables.embeddings(spark, sf0001), 0.4).collect()
+    assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(out.forall(_.getAs[Double]("cos") > 0.4))
+  }
+}
