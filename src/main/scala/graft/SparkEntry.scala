@@ -623,6 +623,90 @@ object SparkEntry {
       (s, d) => graft.ml.Representatives.representatives(scoredDocs(s, d)),
       None),
 
+    Q("f6_categorize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val text2 = when(col("doc_id") % 4 === 0, concat(lit("I visited this place and "), col("text")))
+          .when(col("doc_id") % 4 === 1, concat(lit("rating 5 stars for "), col("text")))
+          .when(col("doc_id") % 4 === 2, concat(lit("the menu here includes "), col("text")))
+          .otherwise(col("text"))
+        docs.select(col("doc_id"), graft.sources.Html.categorize(text2).as("category"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0 THEN 'I visited this place and ' || text
+             |         WHEN doc_id % 4 = 1 THEN 'rating 5 stars for ' || text
+             |         WHEN doc_id % 4 = 2 THEN 'the menu here includes ' || text
+             |         ELSE text END AS t2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN regexp_matches(lower(t2), 'review|visited|stayed|came here|experience') THEN 'reviews'
+             |       WHEN regexp_matches(lower(t2), 'rating|stars|score') AND regexp_matches(t2, '[0-9]') THEN 'ratings'
+             |       WHEN regexp_matches(lower(t2), 'menu|cuisine|location|hours|about') THEN 'descriptions'
+             |       ELSE 'other_text' END AS category
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("o6_top_confidence",
+      (s, d) => scoredDocs(s, d)
+        .orderBy(col("confidence").desc, col("doc_id"))
+        .select("doc_id", "sentiment", "confidence")
+        .limit(5),
+      Some(Sentiment.oracleCte +
+        """ SELECT doc_id, sentiment, confidence FROM sent
+          | ORDER BY confidence DESC, doc_id LIMIT 5""".stripMargin)),
+
+    Q("u1_union_passes",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 3 === 0).select(lit(0).as("pass_id"), col("doc_id"))
+          .unionByName(
+            docs.filter(col("doc_id") % 3 === 1).select(lit(1).as("pass_id"), col("doc_id")))
+          .orderBy("pass_id", "doc_id")
+      },
+      Some("""SELECT CAST(0 AS INT) AS pass_id, doc_id FROM documents WHERE doc_id % 3 = 0
+             |UNION ALL
+             |SELECT CAST(1 AS INT) AS pass_id, doc_id FROM documents WHERE doc_id % 3 = 1
+             |ORDER BY pass_id, doc_id""".stripMargin)),
+
+    Q("s10_block_reparse",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val blob = docs.agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("doc_id").as("k"),
+              format_string("[Review %d]\n%s", col("doc_id"), col("text")).as("v")))),
+            x => x.getField("v")), "\n").as("blob"))
+        blob.select(explode(split(col("blob"), "\n")).as("line"))
+          .filter(!col("line").rlike("^\\[Review \\d+\\]$") && length(col("line")) > 30)
+          .orderBy("line")
+      },
+      Some("""WITH blob AS (
+             |  SELECT string_agg('[Review ' || doc_id || ']' || chr(10) || text, chr(10) ORDER BY doc_id) AS b
+             |  FROM documents),
+             |lines AS (SELECT unnest(string_split(b, chr(10))) AS line FROM blob)
+             |SELECT line FROM lines
+             |WHERE NOT regexp_matches(line, '^\[Review \d+\]$') AND length(line) > 30
+             |ORDER BY line""".stripMargin)),
+
+    Q("ep3_chat_context",
+      (s, d) => operators.Serving.chatContext(
+        scoredDocs(s, d),
+        Analytics.topWords(Tables.documents(s, d), "text", 15)),
+      Some(Sentiment.oracleCte + s",\n$wordsCteSql," +
+        """
+          |dcnt AS (SELECT sentiment, CAST(count(*) AS BIGINT) AS cnt FROM sent GROUP BY sentiment),
+          |dl AS (SELECT sentiment, cnt,
+          |   CAST(ROUND(cnt * CAST(1000.0 AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE), 0) AS BIGINT) AS pm
+          |   FROM dcnt),
+          |dctx AS (SELECT string_agg(sentiment || ': ' || cnt || ' (' || (pm // 10) || '.' || (pm % 10) || '%)', ', ' ORDER BY sentiment) AS distribution_ctx FROM dl),
+          |wtop AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY word ORDER BY cnt DESC, word LIMIT 15),
+          |wctx AS (SELECT string_agg(word || ' (' || cnt || ')', ', ' ORDER BY cnt DESC, word) AS top_words_ctx FROM wtop),
+          |ex AS (SELECT sentiment, text, doc_id,
+          |   row_number() OVER (PARTITION BY sentiment ORDER BY confidence DESC, doc_id) AS rn FROM sent),
+          |ectx AS (SELECT string_agg(sentiment || ': ' || substr(text, 1, 80), ', ' ORDER BY sentiment) AS examples_ctx FROM ex WHERE rn = 1)
+          |SELECT distribution_ctx, top_words_ctx, examples_ctx FROM dctx, wctx, ectx""".stripMargin)),
+
     Q("st2_stream_hourly",
       // Structured-streaming execution of the hourly-window aggregation;
       // the oracle is the BATCH answer — stream/batch equivalence is the

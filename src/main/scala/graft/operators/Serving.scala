@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EP3 serving-layer assembly (SURVEY.md §3 EP3, §2.9 L3): the reference's
+  * chatbot builds a deterministic context prompt from the engine outputs
+  * (distribution + top words + top examples, ref
+  * `chatbot_analyzer.py:120-182`); the LLM call itself is out of engine
+  * scope, the assembly is a pure aggregation and is oracle-checked.
+  *
+  * Number formatting note: percentages are rendered via integer permille
+  * arithmetic (never double→string, which differs across engines).
+  */
+object Serving {
+
+  private def joinedLines(sortKey: Column, line: Column): Column =
+    array_join(transform(sort_array(collect_list(struct(sortKey.as("k"), line.as("v")))),
+      s => s.getField("v")), ", ")
+
+  /** Single-row context frame: distribution_ctx, top_words_ctx, examples_ctx. */
+  def chatContext(scored: DataFrame, topWords: DataFrame): DataFrame = {
+    val total = Window.partitionBy()
+    val dist = scored.groupBy("sentiment").agg(count(lit(1)).as("cnt"))
+      .withColumn("pm", round(col("cnt") * lit(1000.0) / sum("cnt").over(total), 0).cast("long"))
+      .withColumn("line", concat(col("sentiment"), lit(": "), col("cnt"),
+        lit(" ("), (col("pm") / 10).cast("long"), lit("."), pmod(col("pm"), lit(10)), lit("%)")))
+      .agg(joinedLines(col("sentiment"), col("line")).as("distribution_ctx"))
+
+    val words = topWords
+      .withColumn("line", concat(col("word"), lit(" ("), col("cnt"), lit(")")))
+      .agg(joinedLines(struct((-col("cnt")).as("nc"), col("word")), col("line"))
+        .as("top_words_ctx"))
+
+    val w = Window.partitionBy("sentiment").orderBy(col("confidence").desc, col("doc_id"))
+    val examples = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("line", concat(col("sentiment"), lit(": "), substring(col("text"), 1, 80)))
+      .agg(joinedLines(col("sentiment"), col("line")).as("examples_ctx"))
+
+    broadcast(dist).crossJoin(broadcast(words)).crossJoin(broadcast(examples))
+  }
+}

@@ -1,14 +1,15 @@
 package graft.tools
 import graft._
 
+/** Plan-audit probe: dumps formatted plans for representative queries. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "probe")
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime
-      val c = SparkEntry.queries("dd_embedding_neardup")(spark, d).count()
-      println(f"[probe] dd_embedding run$i: ${(System.nanoTime - t0) / 1e9}%.2fs ($c rows)")
+    val spark = Sessions.local("8", "probe")
+    val d = "/root/testdata/sf0.01"
+    for (n <- Seq("p1_quality_filter", "h1_pricing_summary", "h3_top_customers_by_revenue",
+                  "a4_daily_trends", "o1_topk_by_score", "dd_ngram_jaccard")) {
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, d).explain("formatted")
     }
     spark.stop()
   }
