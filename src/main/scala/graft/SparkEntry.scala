@@ -707,6 +707,29 @@ object SparkEntry {
           |ectx AS (SELECT string_agg(sentiment || ': ' || substr(text, 1, 80), ', ' ORDER BY sentiment) AS examples_ctx FROM ex WHERE rn = 1)
           |SELECT distribution_ctx, top_words_ctx, examples_ctx FROM dctx, wctx, ectx""".stripMargin)),
 
+    Q("ev_sessionize",
+      (s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d)),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+             |g AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+             |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM g),
+             |c AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+             |SELECT user_id, session_id,
+             |  CAST(min(us) AS BIGINT) AS session_start_us,
+             |  CAST(max(us) AS BIGINT) AS session_end_us,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  ROUND(SUM(value), 6) AS sum_value
+             |FROM c GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    Q("ev_salted_agg",
+      // skew-safe two-phase aggregation; oracle is the direct GROUP BY —
+      // the salted plan must be algebraically identical
+      (s, d) => Analytics.saltedSum(Tables.events(s, d), "user_id", "value", salts = 8),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, ROUND(SUM(value), 6) AS sum_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("st2_stream_hourly",
       // Structured-streaming execution of the hourly-window aggregation;
       // the oracle is the BATCH answer — stream/batch equivalence is the

@@ -171,6 +171,20 @@ object Analytics {
       .select("sentiment", "doc_id", "confidence")
       .orderBy("sentiment")
 
+  /** Skew-safe two-phase aggregation (count + sum): phase 1 aggregates on
+    * (key, salt) so one hot key spreads over `salts` reducers, phase 2
+    * combines the tiny partials. Result is algebraically identical to the
+    * direct groupBy (the oracle checks it); the salt is derived from the
+    * physical partition so no extra column is shuffled in. */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
+                salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__cnt"), sum(col(valueCol)).as("__sum"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__cnt")).as("cnt"), round(sum(col("__sum")), 6).as("sum_value"))
+      .orderBy(keyCol)
+
   /** U2 exact dedup keeping first occurrence (ref `extract_text_fun.py:234-243`):
     * group by text, keep min id — one shuffle, no window over raw rows. */
   def dedupFirstOccurrence(df: DataFrame, textCol: String, idCol: String,

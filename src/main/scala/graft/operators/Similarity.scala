@@ -28,26 +28,31 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  // Tight-loop UDF twins of dot/norm for the hot pairwise paths: Spark's
-  // higher-order array functions are CodegenFallback (interpreted per
-  // element), which is 50-100x slower on millions of pairs. The UDFs use
-  // the SAME ascending left fold, so results are bit-identical to the
-  // expression forms and to the DuckDB oracle's list_reduce.
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+  // Native codegen'd twins of dot/norm for the hot pairwise paths (see
+  // graft.plans.VectorExpressions): Spark's higher-order array functions
+  // are CodegenFallback (interpreted per element) — 50-100x slower on
+  // millions of pairs — and a Scala UDF still pays per-row dispatch +
+  // Seq materialization. All forms use the SAME ascending left fold, so
+  // results are bit-identical to each other and to the DuckDB oracle's
+  // list_reduce (SimilaritySpec asserts this).
+  def dotFast(a: Column, b: Column): Column = graft.plans.VectorExpressions.dotNative(a, b)
+  def normFast(a: Column): Column = graft.plans.VectorExpressions.l2NormNative(a)
+
+  /** UDF forms kept as the reference implementation for the three-way
+    * equality test (expression vs UDF vs native). */
+  private[graft] val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { acc += a(i) * b(i); i += 1 }
     acc
   }
-  private val normUdf = udf { a: Seq[Double] =>
+  private[graft] val normUdf = udf { a: Seq[Double] =>
     var acc = 0.0
     var i = 0
     while (i < a.length) { acc += a(i) * a(i); i += 1 }
     math.sqrt(acc)
   }
-  def dotFast(a: Column, b: Column): Column = dotUdf(a, b)
-  def normFast(a: Column): Column = normUdf(a)
 
   /** Cosine similarity (V3's measure, ref
     * `Context_analyzer_RoBERTa_fun.py:87-133`). */

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.VectorExpressions
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("native dot/norm agree bit-exactly with HOF expression and UDF forms") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("w", reverse(col("v")))
+    val diffs = e.select(
+      (VectorExpressions.dotNative(col("v"), col("w")) -
+        Similarity.dot(col("v"), col("w"))).as("d1"),
+      (VectorExpressions.dotNative(col("v"), col("w")) -
+        Similarity.dotUdf(col("v"), col("w"))).as("d2"),
+      (VectorExpressions.l2NormNative(col("v")) -
+        Similarity.normUdf(col("v"))).as("d3"))
+      .agg(sum(abs(col("d1"))), sum(abs(col("d2"))), sum(abs(col("d3"))))
+      .collect()(0)
+    assert(diffs.getDouble(0) == 0.0 && diffs.getDouble(1) == 0.0 && diffs.getDouble(2) == 0.0)
+  }
+
+  test("native expressions run inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(Similarity.toDoubleArray(col("embedding")).as("v"))
+      .select(VectorExpressions.dotNative(col("v"), col("v")).as("d"))
+    // the `*(n)` prefix marks a WholeStageCodegen stage; the graft_dot
+    // projection must carry it (CodegenFallback expressions don't)
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dot.*"), plan)
+    // and they evaluate correctly through the generated path
+    assert(e.agg(min(col("d"))).collect()(0).getDouble(0) > 0.0)
+  }
+
+  test("SQL registration: graft_dot / graft_l2norm callable from SQL") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_l2norm(array(3.0d, 4.0d)) AS n").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+  }
+}
