@@ -88,14 +88,20 @@ object Representatives {
     * subset is filtered once from the cached scored frame). */
   def representatives(scored: DataFrame, k: Int = 10, seed: Long = 42): DataFrame = {
     val classes = Seq("NEGATIVE", "NEUTRAL", "POSITIVE")
-    classes.map { cls =>
-      forClass(
-        scored.filter(col("sentiment") === cls)
-          .select("doc_id", "text", "confidence"), k, seed)
+    // cache the projected input once: the per-class loop + KMeans passes
+    // would otherwise recompute the whole upstream pipeline per class
+    val base = scored.select("doc_id", "text", "confidence", "sentiment").persist()
+    val out = classes.map { cls =>
+      forClass(base.filter(col("sentiment") === cls)
+        .select("doc_id", "text", "confidence"), k, seed)
         .withColumn("sentiment", lit(cls))
     }.filter(!_.isEmpty)
       .reduce(_ unionByName _)
       .select("sentiment", "doc_id", "text", "confidence", "cluster_id", "cluster_size")
       .orderBy("sentiment", "cluster_id")
+    val materialized = out.cache()
+    materialized.count() // force before unpersisting the input
+    base.unpersist()
+    materialized
   }
 }
