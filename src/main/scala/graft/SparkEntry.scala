@@ -563,6 +563,24 @@ object SparkEntry {
               |FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_ivf_ann",
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), queryId = 20, k = 10),
+      Some(s"""WITH $evecCteSql,
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, v, nrm, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |q AS (SELECT v AS qv, nrm AS qnrm, cell AS qcell FROM asg WHERE vec_id = 20)
+              |SELECT vec_id, cell, ROUND(${dotSql("v", "qv")} / (nrm * qnrm), 6) AS cos
+              |FROM asg, q WHERE vec_id <> 20 AND cell = qcell
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     Q("ta_text_profile",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),

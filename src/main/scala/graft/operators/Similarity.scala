@@ -107,6 +107,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN (nprobe=1): coarse-quantize every vector to its
+    * nearest of `nCells` centroid vectors (here the deterministic choice:
+    * the vectors with vec_id < nCells — a real deployment would train
+    * them with KMeans), probe only the query's cell, exact-rank inside.
+    * The cell id is a column: at 100 TB the corpus is written
+    * `partitionBy(cell)` and a probe is one partition's scan + heap. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCells: Int = 16): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // assign: argmax cosine to centroid, ties to lowest cell id
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cell").as("qcell"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline
     * (the LSH-prefiltered variant is [[Dedup.minhashNearDupPairs]]'s
     * pattern applied to [[lshBucket]]; at 100 TB you never run all-pairs).

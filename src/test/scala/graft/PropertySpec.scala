@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Analytics, Risk}
+
+/** Property-based invariants (SURVEY §5 strategy: normalization bounds &
+  * degenerate case, threshold totality, trend-multiplier domain), driven
+  * by ScalaCheck generators with fixed seeds (no scalatestplus bridge in
+  * the offline dependency set — sampling is explicit). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("A3 property: normalized scores in [0,1]; extremes map to 0/1; degenerate → 0.5") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+    for (xs <- samples(gen, 10) :+ List(7.5, 7.5, 7.5)) {
+      val s = spark
+      import s.implicits._
+      val df = xs.map(x => ("G", x)).toDF("sentiment", "original_score")
+      val out = Analytics.normalizeScores(df).select("normalized_score")
+        .collect().map(_.getDouble(0))
+      assert(out.forall(v => v >= 0.0 && v <= 1.0), s"out of bounds for $xs")
+      if (xs.distinct.size == 1) assert(out.forall(_ == 0.5))
+      else { assert(out.contains(0.0)); assert(out.contains(1.0)) }
+    }
+  }
+
+  test("A11 property: trend multiplier always in its documented domain") {
+    val dayGen = for {
+      neg <- Gen.chooseNum(0L, 20L)
+      other <- Gen.chooseNum(0L, 20L)
+    } yield (neg, neg + other)
+    val gen = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, dayGen))
+    for (days <- samples(gen, 10)) {
+      val s = spark
+      import s.implicits._
+      val trends = days.zipWithIndex.map { case ((neg, total), i) =>
+        (f"2024-d$i%03d", total - neg, neg, 0L, total)
+      }.toDF("date", "positive", "negative", "neutral", "total")
+      val m = Risk.trendRisk(trends).collect()(0).getAs[Double]("trend_multiplier")
+      assert(Set(0.9, 1.0, 1.2, 1.3, 1.4).contains(m), s"multiplier $m for $days")
+    }
+  }
+
+  test("F8 property: any (pos, neg) hit combination yields exactly one class") {
+    val gen = for {
+      pos <- Gen.chooseNum(0, 30)
+      neg <- Gen.chooseNum(0, 30)
+    } yield (pos, neg)
+    val s = spark
+    import s.implicits._
+    val rows = samples(gen, 20).zipWithIndex.map { case ((pos, neg), i) =>
+      (i.toLong, (List.fill(pos)("fast") ++ List.fill(neg)("slow") ++ List("pad")).mkString(" "))
+    }
+    val out = graft.functions.Sentiment.score(rows.toDF("doc_id", "text")).collect()
+    for (r <- out) {
+      val sentiment = r.getAs[String]("sentiment")
+      val conf = r.getAs[Double]("confidence")
+      assert(Set("POSITIVE", "NEGATIVE", "NEUTRAL").contains(sentiment))
+      assert(conf >= 0.5 && conf <= 0.99)
+      if (sentiment != "NEUTRAL") assert(conf > 0.8)
+    }
+  }
+}
