@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.{DotProduct, L2Norm}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions at session build time
+  * (`spark.sql.extensions=graft.GraftExtensions`, set by
+  * [[Sessions.local]]). A cluster deployment gets the same functions in
+  * every session — including pure-SQL users — without driver-side
+  * registration calls. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
+      (exprs: Seq[Expression]) => L2Norm(exprs.head)))
+  }
+}

@@ -15,6 +15,7 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

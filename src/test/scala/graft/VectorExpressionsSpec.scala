@@ -34,8 +34,8 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.agg(min(col("d"))).collect()(0).getDouble(0) > 0.0)
   }
 
-  test("SQL registration: graft_dot / graft_l2norm callable from SQL") {
-    VectorExpressions.register(spark)
+  test("SQL registration via SparkSessionExtensions: graft_dot / graft_l2norm") {
+    // no manual register(): Sessions.local wires graft.GraftExtensions
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
         "graft_l2norm(array(3.0d, 4.0d)) AS n").collect()(0)
