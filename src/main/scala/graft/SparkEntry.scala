@@ -212,6 +212,29 @@ object SparkEntry {
           |   CAST(count(*) AS BIGINT) AS cnt
           | FROM sent, b GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    Q("a7b_histogram_per_group",
+      (s, d) => Analytics.histogramPerGroup(scoredDocs(s, d), "sentiment", "confidence", 20),
+      Some(Sentiment.oracleCte +
+        """, b AS (SELECT sentiment, confidence,
+          |    min(confidence) OVER (PARTITION BY sentiment) AS mn,
+          |    max(confidence) OVER (PARTITION BY sentiment) AS mx
+          |  FROM sent)
+          | SELECT sentiment,
+          |   CAST(CASE WHEN mx = mn THEN 0
+          |     ELSE LEAST(FLOOR((confidence - mn) / ((mx - mn) / CAST(20.0 AS DOUBLE))), 19)
+          |     END AS BIGINT) AS bin,
+          |   CAST(count(*) AS BIGINT) AS cnt
+          | FROM b GROUP BY 1, 2 ORDER BY sentiment, bin""".stripMargin)),
+
+    Q("ad_distinct_counts",
+      // exact half is oracled; the HLL++ sketch half is engine-specific
+      // (cross-engine sketch parity is not a meaningful contract) and is
+      // bounds-checked in AnalyticsSpec instead.
+      (s, d) => Analytics.distinctCounts(Tables.events(s, d), "event_type", "user_id")
+        .select("event_type", "exact_distinct"),
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("a8_word_frequency",
       (s, d) => Analytics.topWords(Tables.documents(s, d), "text", 15),
       Some(s"""WITH $wordsCteSql

@@ -117,6 +117,33 @@ object Analytics {
       .orderBy("bin")
   }
 
+  /** A7 variant (ref `vizualization.py:288-297`): fixed-width histogram
+    * per group, bounds from per-group min/max window (the window runs over
+    * the raw rows but carries only two doubles per group). */
+  def histogramPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                        bins: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+    val mn = min(col(valueCol)).over(w)
+    val mx = max(col(valueCol)).over(w)
+    val width = (mx - mn) / lit(bins.toDouble)
+    df.withColumn("bin",
+        when(mx === mn, lit(0L))
+          .otherwise(least(floor((col(valueCol) - mn) / width), lit(bins - 1L))))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt"))
+      .orderBy(groupCol, "bin")
+  }
+
+  /** Sketch-based distinct counting for the 100 TB path (SURVEY §7.2 M7):
+    * HyperLogLog++ `approx_count_distinct` next to the exact count —
+    * the exact side is the oracle-checkable half, the sketch side is what
+    * actually runs at scale (fixed memory per group). */
+  def distinctCounts(df: DataFrame, groupCol: String, valueCol: String,
+                     rsd: Double = 0.02): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+      countDistinct(col(valueCol)).as("exact_distinct"),
+      approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+      .orderBy(groupCol)
+
   /** The reference's word-frequency stoplist concept
     * (`vizualization.py:259` has a 69-word English list; here pinned to the
     * corpus' own function words so the operator has bite on the synthetic

@@ -14,6 +14,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("per-group histogram: bins partition each group's rows") {
+    val s = spark
+    import s.implicits._
+    val df = ((0 until 10).map(i => ("a", i.toDouble)) ++ Seq(("b", 5.0), ("b", 5.0)))
+      .toDF("g", "x")
+    val out = Analytics.histogramPerGroup(df, "g", "x", 5).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
+    assert(out.filter(_._1 == "a").map(_._3).sum == 10)
+    assert(out.filter(_._1 == "b").toSeq == Seq(("b", 0L, 2L))) // degenerate group → bin 0
+  }
+
+  test("approx distinct tracks exact within the configured error bound") {
+    val out = Analytics.distinctCounts(Tables.events(spark, sf0001), "event_type", "user_id")
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val approx = r.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15, s"approx $approx vs exact $exact")
+    }
+  }
+
   test("A4/A5 trends: totals reconcile with the events table") {
     val trends = Analytics.dailyTrends(Tables.events(spark, sf0001))
     val summary = Analytics.trendsSummary(trends).collect()(0)
