@@ -9,14 +9,24 @@ object Bench {
     // the per-query minimum: the bench grades engine throughput, and this
     // host shows transient multi-second kernel stalls that would otherwise
     // land on random queries.
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    def measure(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Some operators persist() a reused intermediate (e.g. the dedup
+    // shingle stream). Clear the cache before each pass so every measured
+    // run pays full cost including cache population — only the reuse
+    // WITHIN one query execution counts as a win.
+    def measure(): Seq[(String, Double)] = {
+      spark.catalog.clearCache()
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
     val m1 = measure().toMap
     val results = measure().map { case (name, t) => name -> math.min(t, m1(name)) }

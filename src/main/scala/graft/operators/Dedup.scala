@@ -20,21 +20,33 @@ import graft.functions.TextFns
   */
 object Dedup {
 
-  /** Distinct n-token shingles of the cleaned text (empty array when the
-    * text has fewer than n tokens). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextFns.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** Distinct n-token shingles from an already-materialized token-array
+    * column, via the native codegen'd [[graft.plans.ShingleArray]]
+    * expression. The composed-HOF formulation
+    * (`array_distinct(transform(sequence…, i -> concat_ws(slice…)))`) is
+    * semantically identical but interpreter-bound: HOFs are
+    * CodegenFallback, and an interpreted lambda re-evaluates every subtree
+    * it references per array element (measured 180 s → ~3 s for the sf0.1
+    * minhash bench). Keep `toks` an attribute reference so the tokenizer
+    * runs once per row. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    graft.plans.ShingleArray.shingles(toks, n)
 
-  /** Exploded (id, shingle) stream. */
+  /** Distinct n-token shingles of the cleaned text (empty array when the
+    * text has fewer than n tokens). Convenience form for single-use
+    * expressions; hot paths go through [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextFns.tokens(text), n)
+
+  /** Exploded (id, shingle) stream. Three projection steps so the
+    * optimizer cannot collapse the tokenizer back into the HOF lambda
+    * (CollapseProject keeps the boundary because `toks` is non-cheap and
+    * referenced three times by the shingle expression). */
   private def shingleStream(df: DataFrame, textCol: String, idCol: String,
                             n: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), shinglesFromTokens(col("toks"), n).as("shs"))
+      .select(col(idCol), explode(col("shs")).as("sh"))
 
   /** Exact n-gram Jaccard similarity pairs with similarity > minJaccard.
     * One shuffle on the shingle key to form candidate pairs (only pairs
@@ -45,10 +57,14 @@ object Dedup {
                         n: Int, minJaccard: Double,
                         maxDf: Long = 0L): DataFrame = {
     val sh0 = shingleStream(df, textCol, idCol, n)
-    val sh = if (maxDf > 0) {
+    val shUncached = if (maxDf > 0) {
       val hot = sh0.groupBy("sh").count().filter(col("count") > maxDf).select("sh")
       sh0.join(broadcast(hot), Seq("sh"), "left_anti")
     } else sh0
+    // the shingle stream feeds three plan branches (sizes + both join
+    // sides); persist so the corpus is shingled once — at 100 TB this is
+    // the intermediate you would checkpoint to cluster storage anyway
+    val sh = shUncached.persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("sh"))
     val b = sh.select(col(idCol).as("id_b"), col("sh"))
@@ -105,7 +121,13 @@ object Dedup {
                           minJaccard: Double = 0.6): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = minhashSignatures(df, textCol, idCol, n, k)
+    // one shingling pass serves signatures, sizes, and both verification
+    // join sides — persist it (the checkpointable intermediate at scale)
+    val sh = shingleStream(df, textCol, idCol, n).persist()
+    // signature and set size in the same hash aggregation: one shuffle
+    val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sigs = sh.groupBy(col(idCol).as("id"))
+      .agg(count(lit(1)).as("sz"), sigAggs: _*)
     val bandCols = (0 until bands).map(b =>
       hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
     val banded = sigs.select(col("id"),
@@ -120,8 +142,7 @@ object Dedup {
     // exact-Jaccard verification on candidates only; the second join keys
     // on (id, shingle) so only true intersections materialize — keying on
     // id alone would build a |sh(a)| x |sh(b)| cartesian per pair.
-    val sh = shingleStream(df, textCol, idCol, n)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sizes = sigs.select(col("id").as(idCol), col("sz"))
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))

