@@ -644,12 +644,18 @@ object SparkEntry {
 
     Q("mm_media_features",
       (s, d) => Multimodal.featureStats(s, Tables.documents(s, d)),
+      // byte-exact vs Spark's UTF-8 `cast(text as binary)`: iterate the
+      // encode() blob's bytes via its hex dump — an ascii(substr()) loop
+      // would walk code points and diverge on any non-ASCII document
       Some("""WITH m AS (
              |  SELECT doc_id, text,
              |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
-             |    CAST(length(text) AS BIGINT) AS n_bytes,
+             |    lower(hex(encode(text))) AS hx,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             |      list_transform(range(0, CAST(octet_length(encode(text)) AS INT)), i ->
+             |        CAST(16*(strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)
+             |           + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS BIGINT))),
              |      (h, b) -> (h * 31 + b) % 1000000007) AS checksum
              |  FROM documents)
              |SELECT media_kind, CAST(count(*) AS BIGINT) AS cnt,

@@ -37,11 +37,22 @@ object Representatives {
     if (n == 0.0) 0.0 else dot / n
   }
 
+  /** Output schema of [[forClass]] / [[representatives]] minus the
+    * `sentiment` tag column. */
+  private val outputSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("confidence", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cluster_size", org.apache.spark.sql.types.LongType)))
+
   /** Representatives for one class subset. Expects columns
-    * (doc_id, text, confidence). */
+    * (doc_id, text, confidence). An empty input yields an empty frame WITH
+    * the output schema, so unions over class subsets stay well-typed. */
   def forClass(df: DataFrame, k: Int = 10, seed: Long = 42): DataFrame = {
     val n = df.count()
-    if (n == 0) return df.sparkSession.emptyDataFrame
+    if (n == 0) return df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], outputSchema)
     if (n < k) // ref :87-133 small-input bypass
       return df.withColumn("cluster_id", lit(0))
         .withColumn("cluster_size", lit(n))
@@ -91,12 +102,14 @@ object Representatives {
     // cache the projected input once: the per-class loop + KMeans passes
     // would otherwise recompute the whole upstream pipeline per class
     val base = scored.select("doc_id", "text", "confidence", "sentiment").persist()
+    // every forClass result carries the output schema (even when empty),
+    // so the union is always well-typed — no isEmpty probe jobs, no
+    // reduce-on-empty edge case
     val out = classes.map { cls =>
       forClass(base.filter(col("sentiment") === cls)
         .select("doc_id", "text", "confidence"), k, seed)
         .withColumn("sentiment", lit(cls))
-    }.filter(!_.isEmpty)
-      .reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
       .select("sentiment", "doc_id", "text", "confidence", "cluster_id", "cluster_size")
       .orderBy("sentiment", "cluster_id")
     val materialized = out.cache()

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY §7.3:
   * preference order (b) — a custom `Expression` with `doGenCode` beats a
@@ -23,24 +24,51 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // null also on length mismatch / null element (see nullSafeEval), so the
+  // result can be null even when both inputs are non-null
+  override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got (${l.sql}, ${r.sql})")
+    }
+
+  // Null semantics mirror the composed twin
+  // `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`:
+  // zip_with pads the shorter array with null and a null product nulls the
+  // running sum, so a length mismatch or any null element yields NULL.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int ${ev.value}_n = $a.numElements();
          |double ${ev.value}_acc = 0.0;
-         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-         |  ${ev.value}_acc += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+         |if ($b.numElements() != ${ev.value}_n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |    if ($a.isNullAt(${ev.value}_i) || $b.isNullAt(${ev.value}_i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    ${ev.value}_acc += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+         |  }
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin)
@@ -56,13 +84,25 @@ case class L2Norm(child: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_l2norm"
+  override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+
+  // Null semantics mirror `sqrt(aggregate(transform(a, x -> x * x), 0.0,
+  // (acc, v) -> acc + v))`: any null element nulls the sum.
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var acc = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i); acc += v * v; i += 1
+    }
     math.sqrt(acc)
   }
 
@@ -72,6 +112,7 @@ case class L2Norm(child: Expression)
          |int ${ev.value}_n = $a.numElements();
          |double ${ev.value}_acc = 0.0;
          |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |  if ($a.isNullAt(${ev.value}_i)) { ${ev.isNull} = true; break; }
          |  double ${ev.value}_v = $a.getDouble(${ev.value}_i);
          |  ${ev.value}_acc += ${ev.value}_v * ${ev.value}_v;
          |}

@@ -47,32 +47,67 @@ object Sessionize {
   }
 
   /** Incremental sessionization: emits each session when the gap that
-    * closes it is observed; the open session per user stays in state. */
-  def sessionizeStateful(events: DataFrame, gapUs: Long = DefaultGapUs): Dataset[Session] = {
+    * closes it is observed; the open session per user stays in state.
+    *
+    * Ordering contract: events are sorted by event time WITHIN each
+    * micro-batch; exact [[sessionizeBatch]] parity additionally requires
+    * in-order arrival ACROSS batches. Bounded cross-batch disorder is
+    * tolerated: an event older than the open session's end but no older
+    * than `session_start - gap` merges into the session (extending its
+    * bounds); an event older than that reorder budget is emitted
+    * immediately as its own single-event session rather than corrupting
+    * the open one.
+    *
+    * With `eventTimeTimeout = true` (requires a watermark on `ts`), each
+    * user's final open session is flushed once the watermark passes
+    * `session_end + gap` — without it, `NoTimeout` means the last session
+    * per user is never emitted (state outlives the query). */
+  def sessionizeStateful(events: DataFrame, gapUs: Long = DefaultGapUs,
+                         eventTimeTimeout: Boolean = false): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (eventTimeTimeout) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      // keep `ts` alongside the µs projection: it carries the watermark
+      // tag, which must reach the stateful operator for EventTimeTimeout
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"), col("ts"))
       .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val evs = it.toIndexedSeq.sortBy(_.us)
-          val out = ArrayBuffer.empty[Session]
-          var cur = state.getOption
-          for (e <- evs) {
-            cur match {
-              case Some(s) if e.us - s.lastUs <= gapUs =>
-                cur = Some(s.copy(lastUs = e.us, n = s.n + 1, sum = s.sum + e.value))
-              case Some(s) =>
-                out += Session(uid, s.startUs, s.lastUs, s.n, s.sum)
-                cur = Some(SessState(e.us, e.us, 1, e.value))
-              case None =>
-                cur = Some(SessState(e.us, e.us, 1, e.value))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.startUs, s.lastUs, s.n, s.sum))
+          } else {
+            val evs = it.toIndexedSeq.sortBy(_.us)
+            val out = ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            for (e <- evs) {
+              cur match {
+                case Some(s) if e.us - s.lastUs <= gapUs && e.us >= s.startUs - gapUs =>
+                  // forward extension, or bounded out-of-order: merge
+                  cur = Some(SessState(math.min(s.startUs, e.us),
+                    math.max(s.lastUs, e.us), s.n + 1, s.sum + e.value))
+                case Some(s) if e.us < s.startUs - gapUs =>
+                  // late beyond the reorder budget: emit standalone, keep state
+                  out += Session(uid, e.us, e.us, 1, e.value)
+                case Some(s) =>
+                  out += Session(uid, s.startUs, s.lastUs, s.n, s.sum)
+                  cur = Some(SessState(e.us, e.us, 1, e.value))
+                case None =>
+                  cur = Some(SessState(e.us, e.us, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              if (eventTimeTimeout)
+                state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

@@ -29,4 +29,15 @@ class RepresentativesSpec extends SparkSpec {
       }
     }
   }
+
+  test("all classes empty: returns an empty, correctly-typed frame (no crash)") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String, Double, String)]
+      .toDF("doc_id", "text", "confidence", "sentiment")
+    val reps = Representatives.representatives(empty)
+    assert(reps.columns.toSeq ==
+      Seq("sentiment", "doc_id", "text", "confidence", "cluster_id", "cluster_size"))
+    assert(reps.count() == 0)
+  }
 }

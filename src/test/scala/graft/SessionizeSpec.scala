@@ -44,4 +44,63 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed == closed)
     assert(streamed.nonEmpty)
   }
+
+  test("stateful sessionization: bounded out-of-order merges, far-late emits standalone") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000000L // µs
+    val min = 60L * 1000000
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)](s)
+    val df = mem.toDF().toDF("user_id", "usv", "value")
+      .withColumn("ts", timestamp_micros(col("usv"))).drop("usv")
+    val q = Sessionize.sessionizeStateful(df)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_ooo_out").start()
+    // batch 1: open session [base, base+10m]
+    mem.addData((1L, base, 1.0), (1L, base + 10 * min, 2.0))
+    q.processAllAvailable()
+    // batch 2: out-of-order event inside the session bounds (merges), plus
+    // one >gap older than session start (emitted standalone)
+    mem.addData((1L, base + 5 * min, 4.0), (1L, base - 60 * min, 8.0))
+    q.processAllAvailable()
+    // batch 3: gap closes the session -> emitted with merged aggregates
+    mem.addData((1L, base + 60 * min, 16.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_ooo_out")
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(rows == Set(
+      Seq(1L, base - 60 * min, base - 60 * min, 1L, 8.0),  // far-late standalone
+      Seq(1L, base, base + 10 * min, 3L, 7.0)))            // merged session
+  }
+
+  test("stateful sessionization with event-time timeout flushes final open sessions") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000000L // µs
+    val min = 60L * 1000000
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)](s)
+    val df = mem.toDF().toDF("user_id", "usv", "value")
+      .withColumn("ts", timestamp_micros(col("usv"))).drop("usv")
+      .withWatermark("ts", "0 seconds")
+    val q = Sessionize.sessionizeStateful(df, eventTimeTimeout = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_timeout_out").start()
+    mem.addData((1L, base, 1.0), (1L, base + 5 * min, 2.0))
+    q.processAllAvailable()
+    // another user's much-later event advances the watermark...
+    mem.addData((2L, base + 120 * min, 4.0))
+    q.processAllAvailable()
+    // ...and the next batch evaluates timeouts against it
+    mem.addData((2L, base + 121 * min, 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_timeout_out")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(_.toSeq).toSet
+    // user 1's open session [base, base+5m] flushed by timeout (watermark
+    // base+120m > base+5m+30m gap)
+    assert(rows.contains(Seq(1L, base, base + 5 * min, 2L)))
+  }
 }

@@ -34,6 +34,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.agg(min(col("d"))).collect()(0).getDouble(0) > 0.0)
   }
 
+  test("null semantics match the zip_with/aggregate twins: null element or length mismatch -> NULL") {
+    val rows = spark.sql(
+      """SELECT v, w FROM VALUES
+        |  (array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |  (array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)),
+        |  (array(1.0d, 2.0d), array(3.0d)),
+        |  (CAST(NULL AS ARRAY<DOUBLE>), array(3.0d)) AS t(v, w)""".stripMargin)
+    val both = rows.select(
+      graft.plans.VectorExpressions.dotNative(col("v"), col("w")).as("native"),
+      Similarity.dot(col("v"), col("w")).as("hof"),
+      graft.plans.VectorExpressions.l2NormNative(col("v")).as("nnative"),
+      Similarity.norm(col("v")).as("nhof")).collect()
+    for (r <- both) {
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.isNullAt(2) == r.isNullAt(3), r.toString)
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3))
+    }
+    assert(both.count(_.isNullAt(0)) == 3) // null element, length mismatch, null array
+  }
+
+  test("SQL type check: wrong-typed input raises AnalysisException, not a runtime cast error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array('a'), array('b'))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot") || e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("SQL registration via SparkSessionExtensions: graft_dot / graft_l2norm") {
     // no manual register(): Sessions.local wires graft.GraftExtensions
     val r = spark.sql(
