@@ -58,10 +58,18 @@ object Representatives {
         .withColumn("cluster_size", lit(n))
         .select("doc_id", "text", "confidence", "cluster_id", "cluster_size")
 
+    // The iterative fits (CountVectorizer vocab, IDF, ~20 KMeans rounds)
+    // each launch jobs over every partition; for a class subset far below
+    // one partition-worth per core, per-task overhead dominates. Pack the
+    // subset into few partitions sized ~8k rows each (at 100 TB the input
+    // arrives already right-sized and this coalesce is a no-op cap).
+    val parts = math.max(1, math.min(df.rdd.getNumPartitions, n / 8192 + 1)).toInt
+    val dfp = df.coalesce(parts)
+
     val tok = new RegexTokenizer().setInputCol("text").setOutputCol("toks")
       .setPattern("\\s+")
     val ngram = new NGram().setN(2).setInputCol("toks").setOutputCol("bigrams")
-    val withToks = ngram.transform(tok.transform(df))
+    val withToks = ngram.transform(tok.transform(dfp))
       .withColumn("terms", concat(col("toks"), col("bigrams")))
     val cv = new CountVectorizer().setInputCol("terms").setOutputCol("tf")
       .setVocabSize(1000).setMinDF(4).setMaxDF(0.8 * n)
@@ -87,11 +95,17 @@ object Representatives {
     val wSize = Window.partitionBy("cluster_id")
     val wRank = Window.partitionBy("cluster_id")
       .orderBy(col("cos").desc, col("doc_id"))
-    withCos
+    val reps = withCos
       .withColumn("cluster_size", count(lit(1)).over(wSize))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") === 1)
       .select("doc_id", "text", "confidence", "cluster_id", "cluster_size")
+    // ≤ k (=10) rows: materialize locally so the cached feature frame can
+    // be released now instead of leaking per class
+    val local = reps.collect().toSeq
+    feats.unpersist()
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(local, 1), outputSchema)
   }
 
   /** Per-sentiment representatives over the scored frame (the reference's
@@ -104,12 +118,19 @@ object Representatives {
     val base = scored.select("doc_id", "text", "confidence", "sentiment").persist()
     // every forClass result carries the output schema (even when empty),
     // so the union is always well-typed — no isEmpty probe jobs, no
-    // reduce-on-empty edge case
-    val out = classes.map { cls =>
+    // reduce-on-empty edge case. The three fits are independent job
+    // sequences on small subsets; run them concurrently so their many
+    // short jobs interleave on the scheduler instead of serializing.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futs = classes.map { cls => Future {
       forClass(base.filter(col("sentiment") === cls)
         .select("doc_id", "text", "confidence"), k, seed)
         .withColumn("sentiment", lit(cls))
-    }.reduce(_ unionByName _)
+    } }
+    val out = Await.result(Future.sequence(futs), Duration.Inf)
+      .reduce(_ unionByName _)
       .select("sentiment", "doc_id", "text", "confidence", "cluster_id", "cluster_size")
       .orderBy("sentiment", "cluster_id")
     val materialized = out.cache()
