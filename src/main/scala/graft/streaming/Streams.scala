@@ -43,12 +43,21 @@ object Streams {
     * stream/batch equivalence. */
   def runToCompletion(spark: SparkSession, dir: String,
                       queryName: String = "stream_out"): DataFrame = {
-    val q = hourlyEventCounts(readEvents(spark, dir))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
+    // Stateful-stream partitioning is pinned at query start from
+    // spark.sql.shuffle.partitions; each partition instantiates its own
+    // state store, and store setup dwarfs the per-batch work for this
+    // window count (the keyspace is hours x event_type — tiny). Pin a
+    // small state partition count for the query, then restore.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      hourlyEventCounts(readEvents(spark, dir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
