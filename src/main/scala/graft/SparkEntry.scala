@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sentiment, TextFns}
-import graft.operators.{Analytics, Dedup, Multimodal, Risk, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOf, Dedup, Multimodal, Risk, Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY.md §7): one named query per implemented operator
   * from SURVEY.md §2, each with an equivalent DuckDB oracle SQL where the
@@ -784,7 +784,96 @@ object SparkEntry {
       (s, d) => graft.streaming.Streams.runToCompletion(s, d),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
              |  event_type, CAST(count(*) AS BIGINT) AS cnt, ROUND(SUM(value), 6) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    Q("st3_stream_dedup",
+      // streaming dropDuplicates over the events stream unioned with
+      // itself (every id arrives twice); oracle = the plain batch counts,
+      // so the dedup is what's being proven.
+      (s, d) => graft.streaming.Streams.runDedupToCompletion(s, d),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("aj_asof_purchase",
+      // as-of join (union-tag + window formulation, no theta join) cross-
+      // checked against DuckDB's native ASOF JOIN: for every event, the
+      // user's most recent purchase at-or-before it.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        val purchases = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        AsOf.asOfJoin(ev, purchases, "user_id", "us", col("us"), "last_purchase_us")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE event_type = 'purchase')
+             |SELECT ev.event_id, ev.user_id, ev.us, p.us AS last_purchase_us
+             |FROM ev ASOF LEFT JOIN p ON ev.user_id = p.user_id AND ev.us >= p.us
+             |ORDER BY event_id""".stripMargin)),
+
+    Q("qt_quantiles",
+      // exact interpolated percentiles (oracled vs quantile_cont); the
+      // approx_percentile sketch twins are engine-specific and
+      // bounds-checked in AnalyticsSpec (same split as ad_distinct_counts)
+      (s, d) => Analytics.quantiles(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .select("l_returnflag", "p25", "p50", "p75", "p90", "p99"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_extendedprice, CAST(0.25 AS DOUBLE)), 6) AS p25,
+             |  ROUND(quantile_cont(l_extendedprice, CAST(0.5 AS DOUBLE)), 6) AS p50,
+             |  ROUND(quantile_cont(l_extendedprice, CAST(0.75 AS DOUBLE)), 6) AS p75,
+             |  ROUND(quantile_cont(l_extendedprice, CAST(0.9 AS DOUBLE)), 6) AS p90,
+             |  ROUND(quantile_cont(l_extendedprice, CAST(0.99 AS DOUBLE)), 6) AS p99
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("h5_regional_revenue",
+      // TPC-H Q5 shape: two big shuffled joins (orders⋈lineitem⋈customer)
+      // plus broadcast dims (supplier at this SF, nation, region); the
+      // local-supplier condition c_nationkey = s_nationkey rides the
+      // supplier join.
+      (s, d) => {
+        val j = Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+            col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        j.groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2) AS revenue,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    Q("ag_rollup",
+      // ROLLUP grouping sets: per (event_type, day), per event_type, and
+      // grand total in one pass; NULL ordering pinned on both sides
+      (s, d) => Tables.events(s, d)
+        .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+        .rollup("event_type", "date")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("date")),
+      Some("""SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY ROLLUP(event_type, date)
+             |ORDER BY event_type NULLS FIRST, date NULLS FIRST""".stripMargin))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */

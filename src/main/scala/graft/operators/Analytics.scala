@@ -144,6 +144,22 @@ object Analytics {
       approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
       .orderBy(groupCol)
 
+  /** Per-group quantiles: the exact interpolated percentiles (oracled
+    * against DuckDB `quantile_cont`) plus `approx_percentile` sketch twins
+    * (engine-specific KLL-style sketch — bounds-checked in tests, not
+    * oracle-compared; at 100 TB the sketch is the path, single-pass and
+    * mergeable, while exact percentile sorts each group). */
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
+                qs: Seq[Double]): DataFrame = {
+    val exact = qs.map(q =>
+      round(percentile(col(valueCol), lit(q)), 6).as(s"p${(q * 100).round}"))
+    val approx = qs.map(q =>
+      percentile_approx(col(valueCol), lit(q), lit(10000))
+        .as(s"approx_p${(q * 100).round}"))
+    df.groupBy(col(groupCol)).agg(exact.head, (exact.tail ++ approx): _*)
+      .orderBy(groupCol)
+  }
+
   /** The reference's word-frequency stoplist concept
     * (`vizualization.py:259` has a 69-word English list; here pinned to the
     * corpus' own function words so the operator has bite on the synthetic

@@ -38,6 +38,36 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact deduplication: `dropDuplicates` on the id column
+    * keeps one state entry per id (with a watermark the state would be
+    * GC'd; unbounded here since the run is finite). The input is the
+    * events stream unioned with itself — every id arrives twice, so the
+    * per-type counts prove the dedup (oracle = plain batch counts). */
+  def dedupedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Runs [[dedupedTypeCounts]] over a doubled read of the directory to
+    * completion (memory sink) and returns the final table. */
+  def runDedupToCompletion(spark: SparkSession, dir: String,
+                           queryName: String = "stream_dedup_out"): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      dedupedTypeCounts(readEvents(spark, dir).unionByName(readEvents(spark, dir)))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Runs the hourly-count stream over a static directory to completion
     * (memory sink) and returns the final table — used by tests to prove
     * stream/batch equivalence. */

@@ -36,6 +36,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles track exact within sketch accuracy") {
+    val out = Analytics.quantiles(Tables.lineitem(spark, sf0001), "l_returnflag",
+      "l_extendedprice", Seq(0.25, 0.5, 0.75)).collect()
+    assert(out.nonEmpty)
+    for (r <- out; p <- Seq("25", "50", "75")) {
+      val exact = r.getAs[Double](s"p$p")
+      val approx = r.getAs[Double](s"approx_p$p")
+      // accuracy 10000 → rank error <= n/10000; values are well-spread, so
+      // a loose 5% relative bound suffices as a sketch sanity check
+      assert(math.abs(approx - exact) / math.abs(exact) <= 0.05,
+        s"p$p approx $approx vs exact $exact")
+    }
+  }
+
   test("A4/A5 trends: totals reconcile with the events table") {
     val trends = Analytics.dailyTrends(Tables.events(spark, sf0001))
     val summary = Analytics.trendsSummary(trends).collect()(0)

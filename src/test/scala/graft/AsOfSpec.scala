@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+
+  test("as-of join: most recent at-or-before match per key, null when none") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L), // user 10
+      (4L, 20L, 150L),                                   // user 20: no match
+      (5L, 30L, 200L))                                   // user 30: equal-ts match
+      .toDF("event_id", "user_id", "us")
+    val right = Seq(
+      (10L, 100L), (10L, 200L), (10L, 400L), // user 10 purchases
+      (30L, 200L))                           // user 30 purchase at equal ts
+      .toDF("user_id", "us")
+    val out = AsOf.asOfJoin(left, right, "user_id", "us", col("us"), "asof_us")
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        if (r.isNullAt(r.fieldIndex("asof_us"))) -1L else r.getAs[Long]("asof_us")))
+    assert(out.toSeq == Seq(
+      (1L, 100L),  // equal ts matches (<=)
+      (2L, 200L),  // most recent prior, not the later 400
+      (3L, 200L),
+      (4L, -1L),   // no right rows for key
+      (5L, 200L))) // equal ts on a different key
+  }
+
+  test("as-of join: single shuffle, no join operator in the plan") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "us")
+    val right = Seq((10L, 50L)).toDF("user_id", "us")
+    val plan = AsOf.asOfJoin(left, right, "user_id", "us", col("us"), "asof_us")
+      .queryExecution.executedPlan.toString
+    // the union-tag formulation must not degenerate into any join
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+}
