@@ -15,17 +15,21 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // Some operators persist() a reused intermediate (e.g. the dedup
-    // shingle stream). Clear the cache before each pass so every measured
-    // run pays full cost including cache population — only the reuse
-    // WITHIN one query execution counts as a win.
+    // shingle stream). Clear the cache after every query so (a) each
+    // measured run pays full cost including cache population — only reuse
+    // WITHIN one query execution counts as a win — and (b) persisted
+    // blocks never accumulate across the catalog (block-manager pressure
+    // was inflating late queries in full-catalog runs).
     def measure(): Seq[(String, Double)] = {
-      spark.catalog.clearCache()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> t
       }
     }
     val m1 = measure().toMap

@@ -862,6 +862,82 @@ object SparkEntry {
              |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    Q("a13_moving_avg",
+      // 7-day trailing moving average over the daily trend frame — window
+      // frame (rowsBetween) over an already-aggregated O(days) input
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("date").rowsBetween(-6, 0)
+        trendsOf(s, d)
+          .withColumn("ma7_total", round(avg(col("total")).over(w), 6))
+          .withColumn("ma7_neg_ratio",
+            round(avg(col("negative").cast("double") / col("total")).over(w), 6))
+          .select("date", "total", "ma7_total", "ma7_neg_ratio")
+          .orderBy("date")
+      },
+      Some(s"""WITH $trendsCteSql
+              |SELECT date, total,
+              |  ROUND(AVG(CAST(total AS DOUBLE)) OVER w, 6) AS ma7_total,
+              |  ROUND(AVG(CAST(negative AS DOUBLE) / CAST(total AS DOUBLE)) OVER w, 6) AS ma7_neg_ratio
+              |FROM trends
+              |WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              |ORDER BY date""".stripMargin)),
+
+    Q("a4b_pivot_trends",
+      // the same A4 semantics via the pivot() relational operator (fixed
+      // pivot values -> no extra distinct-values job; one shuffle)
+      (s, d) => Tables.events(s, d)
+        .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("date")
+        .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+        .count().na.fill(0L)
+        .orderBy("date"),
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+             |FROM events GROUP BY 1 ORDER BY date""".stripMargin)),
+
+    Q("u3_set_ops",
+      // native EXCEPT / INTERSECT surface (SURVEY §2.6: free in Spark):
+      // sources present in short docs but absent from long docs, plus the
+      // intersection size as a second column block
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val short = docs.filter(col("n_chars") < 250).select("source")
+        val long = docs.filter(col("n_chars") >= 250).select("source")
+        val exceptOnly = short.except(long).withColumn("op", lit("except"))
+        val intersectBoth = short.intersect(long).withColumn("op", lit("intersect"))
+        exceptOnly.unionByName(intersectBoth).orderBy("op", "source")
+      },
+      Some("""WITH s AS (SELECT source FROM documents WHERE n_chars < 250),
+             |l AS (SELECT source FROM documents WHERE n_chars >= 250),
+             |e AS (SELECT source, 'except' AS op FROM (SELECT source FROM s EXCEPT SELECT source FROM l)),
+             |i AS (SELECT source, 'intersect' AS op FROM (SELECT source FROM s INTERSECT SELECT source FROM l))
+             |SELECT source, op FROM e UNION ALL SELECT source, op FROM i
+             |ORDER BY op, source""".stripMargin)),
+
+    Q("o7_ntile_deciles",
+      // ntile + percent_rank ranking surface over the scored frame
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("original_score"), col("doc_id"))
+        scoredDocs(s, d)
+          .select(col("doc_id"), col("original_score"),
+            ntile(10).over(w).as("decile"),
+            round(percent_rank().over(w), 6).as("pct_rank"))
+          .orderBy("doc_id")
+      },
+      Some(Sentiment.oracleCte +
+        """ SELECT doc_id, original_score,
+          |   CAST(ntile(10) OVER w AS INT) AS decile,
+          |   ROUND(percent_rank() OVER w, 6) AS pct_rank
+          | FROM scored
+          | WINDOW w AS (ORDER BY original_score, doc_id)
+          | ORDER BY doc_id""".stripMargin)),
+
     Q("ag_rollup",
       // ROLLUP grouping sets: per (event_type, day), per event_type, and
       // grand total in one pass; NULL ordering pinned on both sides

@@ -38,4 +38,48 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("a4_daily_trends")
     assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string>"), p)
   }
+
+  test("partitioned layout: a partition-key filter prunes files at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sf0001)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val read = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = read.queryExecution.executedPlan.toString
+    // the lang predicate must be a PartitionFilter (metadata-only), never
+    // a data filter — at 100 TB this is "scan one directory, not all"
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+    assert(read.count() > 0)
+  }
+
+  test("bucketed tables: co-partitioned join plans with no shuffle exchange") {
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_scores")
+    // drop leaves no trace for registered tables, but a previously-failed
+    // run can orphan the managed location; clear both
+    for (t <- Seq("b_docs", "b_scores")) {
+      val f = new java.io.File(warehouse, t)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val scores = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    docs.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("b_docs")
+    scores.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("b_scores")
+    // at sf0.001 the planner would (correctly) broadcast the tiny side and
+    // skip bucketing; disable broadcast to surface the both-sides-big plan
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (joined, p) = try {
+      val j = spark.table("b_docs").join(spark.table("b_scores"), "doc_id")
+      (j, j.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // both sides arrive bucketed on the join key: sort-merge join with NO
+    // shuffle exchange — the co-located join layout for repeated joins at scale
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(joined.count() == docs.count())
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_scores")
+  }
 }
