@@ -786,6 +786,18 @@ object SparkEntry {
              |  event_type, CAST(count(*) AS BIGINT) AS cnt, ROUND(SUM(value), 6) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    Q("st4_stream_join",
+      // stream-stream interval join (watermarks on both sides bound the
+      // join state); oracle = the equivalent batch interval join
+      (s, d) => graft.streaming.Streams.runStreamJoinToCompletion(s, d)
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE event_type = 'error'),
+             |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE event_type = 'purchase')
+             |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM e JOIN p ON e.user_id = p.user_id
+             |  AND p.us <= e.us AND p.us >= e.us - 3600000000
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+
     Q("st3_stream_dedup",
       // streaming dropDuplicates over the events stream unioned with
       // itself (every id arrives twice); oracle = the plain batch counts,

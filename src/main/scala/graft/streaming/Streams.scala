@@ -68,6 +68,46 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: each error event joined to the same
+    * user's purchases in the preceding hour. Both sides watermarked; the
+    * join condition's time bounds let Spark GC join state past
+    * `watermark - interval` (unbounded state otherwise). Output is a
+    * per-user count so the oracle stays compact. */
+  def errorsAfterPurchase(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
+  /** Runs [[errorsAfterPurchase]] to completion and aggregates to
+    * per-user pair counts (append mode; the join emits matched pairs). */
+  def runStreamJoinToCompletion(spark: SparkSession, dir: String,
+                                queryName: String = "stream_join_out"): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      errorsAfterPurchase(readEvents(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions.{count => cnt}
+    spark.table(queryName)
+      .groupBy(col("e_user").as("user_id"))
+      .agg(cnt(lit(1)).as("n_pairs"))
+  }
+
   /** Runs the hourly-count stream over a static directory to completion
     * (memory sink) and returns the final table — used by tests to prove
     * stream/batch equivalence. */

@@ -12,4 +12,32 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-stream interval join == batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.runStreamJoinToCompletion(spark, sf0001, "streams_join_spec_out")
+      .collect().map(_.toSeq).toSet
+
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val e = ev.filter(col("event_type") === "error").select(col("user_id"), col("us").as("e_us"))
+    val p = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("us").as("p_us"))
+    val batch = e.join(p, Seq("user_id"))
+      .filter(col("p_us") <= col("e_us") && col("p_us") >= col("e_us") - 3600000000L)
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup over doubled input == plain batch counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.runDedupToCompletion(spark, sf0001, "streams_dedup_spec_out")
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
