@@ -63,6 +63,53 @@ object Sentiment {
         originalScore(col(textCol), col("wc"), col("sentiment")))
   }
 
+  /** The V4 inference seam made concrete: batched `mapPartitions` scoring
+    * with a pluggable `batchScore` (texts → (raw_label, confidence) per
+    * text). This is where a real model slots in — the batching mirrors the
+    * reference's batch-100 inference loop (ref
+    * `Context_analyzer_RoBERTa_fun.py:623-647`) and amortizes model-call /
+    * JNI / HTTP overhead per batch; everything downstream (F8 thresholding,
+    * F7 original_score, A1-A12) is identical to [[score]] and untouched.
+    * With [[lexiconBatchScorer]] the output is bit-identical to the
+    * expression path (equivalence-tested in SentimentSpec). */
+  def scoreWithModel(df: DataFrame,
+                     batchScore: Seq[String] => Seq[(String, Double)],
+                     textCol: String = "text",
+                     batchSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val outSchema = df.schema
+      .add("raw_label", StringType).add("confidence", DoubleType)
+    val idx = df.schema.fieldIndex(textCol)
+    val inferred = df.toDF().mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => // amortized per-batch model call
+        val scores = batchScore(batch.map(_.getString(idx)))
+        batch.lazyZip(scores).map { case (r, (label, conf)) =>
+          Row.fromSeq(r.toSeq :+ label :+ conf)
+        }
+      }
+    }(Encoders.row(outSchema))
+    inferred
+      .withColumn("wc", size(TextFns.tokens(col(textCol))))
+      .withColumn("sentiment",
+        when(col("confidence") > lit(ConfidenceThreshold), col("raw_label"))
+          .otherwise(lit("NEUTRAL")))
+      .withColumn("original_score",
+        originalScore(col(textCol), col("wc"), col("sentiment")))
+  }
+
+  /** Driver-side reference scorer for [[scoreWithModel]]: the same lexicon
+    * arithmetic as the [[score]] column expressions, same fp order. */
+  val lexiconBatchScorer: Seq[String] => Seq[(String, Double)] = texts =>
+    texts.map { t =>
+      val toks = t.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+      val p = toks.count(PositiveWords.contains(_))
+      val n = toks.count(NegativeWords.contains(_))
+      val conf = math.min(0.99,
+        0.5 + 0.12 * math.abs(p - n).toDouble + 0.01 * (toks.length % 5).toDouble)
+      (if (p >= n) "POSITIVE" else "NEGATIVE", conf)
+    }
+
   /** F7 `compute_original_score` (ref `Context_analyzer_RoBERTa_fun.py:200-247`):
     * 0.0 when word count <= 4 (the reference's sentence-length floor); else
     * `0.05*(wc-4) + 0.1 * |keywords of the row's sentiment class present as

@@ -60,4 +60,15 @@ class SentimentSpec extends SparkSpec {
     assert(classes.subsetOf(Set("POSITIVE", "NEGATIVE", "NEUTRAL")))
     assert(classes.size == 3) // calibrated to populate all three on testdata
   }
+
+  test("V4 seam: mapPartitions batch scorer is bit-identical to the expression path") {
+    val docs = Tables.documents(spark, sf0001)
+    val cols = Seq("doc_id", "raw_label", "confidence", "sentiment", "original_score")
+    val viaExpr = Sentiment.score(docs)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val viaModel = Sentiment.scoreWithModel(docs, Sentiment.lexiconBatchScorer)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(viaModel == viaExpr)
+    assert(viaModel.nonEmpty)
+  }
 }
