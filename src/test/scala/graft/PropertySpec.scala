@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Analytics, Risk}
+import graft.operators.{Analytics, AsOf, Risk}
 
 /** Property-based invariants (SURVEY §5 strategy: normalization bounds &
   * degenerate case, threshold totality, trend-multiplier domain), driven
@@ -25,6 +25,34 @@ class PropertySpec extends SparkSpec {
       assert(out.forall(v => v >= 0.0 && v <= 1.0), s"out of bounds for $xs")
       if (xs.distinct.size == 1) assert(out.forall(_ == 0.5))
       else { assert(out.contains(0.0)); assert(out.contains(1.0)) }
+    }
+  }
+
+  test("as-of property: union-tag formulation == naive theta-join argmax") {
+    import org.apache.spark.sql.functions._
+    val evGen = for {
+      key <- Gen.chooseNum(1L, 4L)
+      t <- Gen.chooseNum(0L, 50L)
+    } yield (key, t)
+    val caseGen = for {
+      ls <- Gen.nonEmptyListOf(evGen)
+      rs <- Gen.listOf(evGen)
+    } yield (ls, rs)
+    val s = spark
+    import s.implicits._
+    for (((ls, rs), i) <- samples(caseGen, 8).zipWithIndex) {
+      val left = ls.zipWithIndex.map { case ((k, t), j) => (j.toLong, k, t) }
+        .toDF("event_id", "k", "t")
+      val right = rs.toDF("k", "t")
+      val viaWindow = AsOf.asOfJoin(left, right, "k", "t", col("t"), "asof_t")
+        .collect().map(r => (r.getLong(0), Option(r.get(3)))).toMap
+      // naive reference: theta join + per-left-row max of matching right times
+      val naive = left.as("l").join(right.as("r"),
+          col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+        .groupBy(col("l.event_id"))
+        .agg(max(col("r.t")).as("asof_t"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(viaWindow == naive, s"case $i: $ls vs $rs")
     }
   }
 
