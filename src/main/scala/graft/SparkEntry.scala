@@ -527,6 +527,37 @@ object SparkEntry {
            |SELECT * FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dd_components",
+      // connected components + canonical member over the (deterministic,
+      // itself-oracled) n-gram Jaccard pair graph; the Spark side is
+      // iterative min-label propagation, the oracle a recursive CTE
+      (s, d) => Dedup.canonicalComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, minJaccard = 0.1)),
+      Some(Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", ${dshCteSql(3)},
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+           |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT id_a, id_b,
+           |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+           |  FROM inter
+           |  JOIN sizes sa ON inter.id_a = sa.doc_id
+           |  JOIN sizes sb ON inter.id_b = sb.doc_id),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)),
+           |reach AS (
+           |  SELECT src AS id, dst AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+           |SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id
+           |ORDER BY id""".stripMargin)),
+
     Q("dd_minhash_neardup",
       // MinHash+LSH is engine-hash-based (xxhash64) — not reproducible in
       // DuckDB; correctness is covered by the recall unit test

@@ -158,6 +158,49 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair graph + canonical member
+    * selection — the step a dedup pipeline runs after pair generation:
+    * every document in a component collapses to the component's minimum
+    * id. Iterative min-label propagation (each round: every node takes
+    * the min label in its closed neighborhood), a Pregel-style loop in
+    * plain DataFrame joins: per round one shuffle on the node id; rounds
+    * needed = graph diameter (near-dup components are shallow — dup
+    * clusters are cliques or short chains). Labels persist per round and
+    * the loop stops when no label changes. At 100 TB the same loop runs
+    * with checkpointing every few rounds to truncate lineage.
+    *
+    * Returns (id, canonical) for every node appearing in `pairs`. */
+  def canonicalComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    // labels only ever decrease under min-propagation, so the label sum is
+    // strictly monotone until the fixpoint — one aggregate per round is a
+    // sufficient convergence probe (no extra old-vs-new join pass)
+    var prevSum = BigDecimal(labels.agg(sum(col("lbl"))).collect()(0).getLong(0))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      val nextSum = BigDecimal(next.agg(sum(col("lbl"))).collect()(0).getLong(0))
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("canonical")).orderBy("id")
+  }
+
   /** 64-bit SimHash fingerprints as a dataflow (same rationale as
     * [[minhashSignatures]]): explode tokens once, hash each once, then 64
     * signed-bit sums in one codegen'd aggregation; bit b of the

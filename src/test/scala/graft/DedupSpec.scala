@@ -48,6 +48,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") > 0.5))
   }
 
+  test("connected components: chain, clique, and singleton-pair canonicals") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11,12} clique; {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("SimHash: identical texts collide at Hamming 0") {
     val docs = df1(Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
