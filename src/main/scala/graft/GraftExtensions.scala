@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotProduct, L2Norm}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.plans.{DotProduct, L2Norm, ShingleArray}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions at session build time
@@ -22,5 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (exprs: Seq[Expression]) => L2Norm(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, _) => ShingleArray(exprs.head, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles(tokens, n): n must be an integer literal, got $other")
+      }))
   }
 }

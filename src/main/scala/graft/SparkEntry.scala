@@ -673,6 +673,57 @@ object SparkEntry {
              |FROM lb ORDER BY doc_id""".stripMargin
       }),
 
+    Q("ta_chunking",
+      // LLM-pipeline context-window packing: 24-token chunks, 8-token
+      // overlap; chunk 0 always exists, so short docs survive whole
+      (s, d) => TextAnalysis.chunkTokens(Tables.documents(s, d),
+          "text", "doc_id", chunkSize = 24, overlap = 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some(Sentiment.oracleCte +
+        """, ch AS (
+          |  SELECT doc_id, tokens,
+          |    unnest(range(0, GREATEST(CAST(1 AS BIGINT),
+          |      CAST(ceil(CAST(len(tokens) - 8 AS DOUBLE) / CAST(16.0 AS DOUBLE)) AS BIGINT)))) AS chunk_id
+          |  FROM toks)
+          |SELECT doc_id, chunk_id,
+          |  array_to_string(list_slice(tokens, chunk_id * 16 + 1, chunk_id * 16 + 24), ' ') AS chunk
+          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Q("ta_redact",
+      // PII-style scrub: emails, URLs, long digit runs -> typed
+      // placeholders (RE2-safe patterns shared with the oracle)
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.redact(concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or "),
+            lit("https://ex.com/"), col("doc_id"), lit(" id "),
+            (col("doc_id") * 1000003 + 123456789).cast("string"))).as("redacted"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ' ||
+             |          'https://ex.com/' || CAST(doc_id AS VARCHAR) || ' id ' ||
+             |          CAST(doc_id * 1000003 + 123456789 AS VARCHAR),
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      'https?://[^\s]+|www\.[^\s]+', '<URL>', 'g'),
+             |    '\d{6,}', '<NUM>', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("p9_dataset_split",
+      // deterministic, RNG-free train/val/test assignment from the stable
+      // id (Knuth multiplicative hash into [0,100), 80/10/10)
+      (s, d) => Tables.documents(s, d)
+        .groupBy(TextAnalysis.datasetSplit(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("split"),
+      Some("""SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+             |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
+
     Q("mm_media_features",
       (s, d) => Multimodal.featureStats(s, Tables.documents(s, d)),
       // byte-exact vs Spark's UTF-8 `cast(text as binary)`: iterate the

@@ -65,4 +65,43 @@ object TextAnalysis {
       t => (length(t) * lit(17) + ascii(substring(t, 1, 1))).cast("long"))
     aggregate(vs, lit(0L), (h, v) => pmod(h * lit(31L) + v, lit(1000000007L)))
   }
+
+  /** Training-data chunking: overlapping token windows of `size` tokens
+    * with stride `size - overlap` — the context-window packing step of an
+    * LLM data pipeline. One generator per doc (narrow, shuffle-free);
+    * chunk 0 always exists (short docs yield their whole text), later
+    * chunks only where a full stride fits. Returns (…, chunk_id, chunk). */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toksDf = df.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+    val nChunks = greatest(lit(1L),
+      ceil((size(col("toks")) - lit(overlap)).cast("double") / lit(stride)).cast("long"))
+    toksDf
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+          .as("chunk"))
+  }
+
+  /** PII-style redaction for training corpora: emails, URLs, and long
+    * digit runs replaced by typed placeholder tokens. Order matters (URLs
+    * can contain digit runs); the regexes are RE2-safe so the same
+    * patterns run in the DuckDB oracle. */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+|www\\.[^\\s]+", "<URL>")
+    regexp_replace(url, "\\d{6,}", "<NUM>")
+  }
+
+  /** Deterministic train/val/test assignment from the stable id — no RNG,
+    * reproducible across engines and runs: Knuth multiplicative hash of
+    * the id into [0,100), split 80/10/10. */
+  def datasetSplit(id: Column): Column = {
+    val bucket = pmod(id * lit(2654435761L), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
 }

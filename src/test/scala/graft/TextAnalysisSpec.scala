@@ -33,4 +33,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a != c)
     assert(a >= 0 && a < 1000000007L)
   }
+
+  test("chunking: overlap windows cover every token; short docs survive whole") {
+    val s = spark
+    import s.implicits._
+    val doc = (1 to 25).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(df, "text", "doc_id", chunkSize = 10, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // stride 6: chunks start at tokens 1, 7, 13, 19
+    assert(doc1.length == 4)
+    assert(doc1.head.startsWith("t1 ") && doc1(1).startsWith("t7 "))
+    // every token appears in some chunk
+    val covered = doc1.flatMap(_.split(" ")).toSet
+    assert((1 to 25).forall(i => covered.contains(s"t$i")))
+    // consecutive chunks share the 4-token overlap
+    assert(doc1.head.split(" ").takeRight(4).toSeq == doc1(1).split(" ").take(4).toSeq)
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c")))
+  }
+
+  test("redact: emails, urls, digit runs replaced; order-of-application safe") {
+    val out = evalText("mail a.b+c@x-y.co visit https://a.b/c?d=1234567 ref 123456789 ok 12345")(
+      TextAnalysis.redact(col("text"))).asInstanceOf[String]
+    assert(out == "mail <EMAIL> visit <URL> ref <NUM> ok 12345", out)
+  }
+
+  test("dataset split: deterministic, total, roughly 80/10/10") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).toDF("doc_id")
+    val counts = df.groupBy(TextAnalysis.datasetSplit(col("doc_id")).as("split"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    assert(counts("test") > 50 && counts("test") < 150)
+  }
 }

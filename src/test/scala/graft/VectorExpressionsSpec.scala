@@ -62,12 +62,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_dot") || e.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
-  test("SQL registration via SparkSessionExtensions: graft_dot / graft_l2norm") {
+  test("SQL registration via SparkSessionExtensions: graft_dot / graft_l2norm / graft_shingles") {
     // no manual register(): Sessions.local wires graft.GraftExtensions
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
         "graft_l2norm(array(3.0d, 4.0d)) AS n").collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 5.0)
+    val sh = spark.sql("SELECT graft_shingles(array('a','b','c','b','c'), 2) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c b"))
   }
 }
