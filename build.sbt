@@ -33,6 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Many distinct whole-stage-codegen classes across the query catalog can
   // exhaust the default JIT code cache (compiler silently disabled → 30-70x
-  // slowdowns on random queries). Size it for the full catalog.
-  "-XX:ReservedCodeCacheSize=512m",
+  // slowdowns on random queries). 512m sufficed for 47 queries; the 61-query
+  // catalog x 3 bench passes needs more headroom.
+  "-XX:ReservedCodeCacheSize=1g",
 )
