@@ -27,10 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case Literal(n: Int, _) => ShingleArray(exprs.head, n)
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(toks, Literal(n: Int, _)) => ShingleArray(toks, n)
         case other => throw new IllegalArgumentException(
-          s"graft_shingles(tokens, n): n must be an integer literal, got $other")
+          "graft_shingles(tokens, n) expects exactly (array<string>, integer literal), " +
+            s"got ${other.length} argument(s)")
       }))
   }
 }

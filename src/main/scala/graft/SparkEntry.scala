@@ -718,8 +718,8 @@ object SparkEntry {
         .groupBy(TextAnalysis.datasetSplit(col("doc_id")).as("split"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("split"),
-      Some("""SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-             |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      Some("""SELECT CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+             |            WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
              |            ELSE 'test' END AS split,
              |  CAST(count(*) AS BIGINT) AS cnt
              |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
@@ -884,7 +884,8 @@ object SparkEntry {
       // streaming dropDuplicates over the events stream unioned with
       // itself (every id arrives twice); oracle = the plain batch counts,
       // so the dedup is what's being proven.
-      (s, d) => graft.streaming.Streams.runDedupToCompletion(s, d),
+      (s, d) => graft.streaming.Streams.runDedupToCompletion(s, d)
+        .orderBy("event_type"),
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

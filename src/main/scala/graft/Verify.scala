@@ -19,6 +19,10 @@ object Verify {
         df.count()
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         df.unpersist()
+        // operators may persist() reused intermediates (dedup shingle
+        // stream, component labels); drop them so 60+ queries in one
+        // session don't accumulate block-manager pressure
+        spark.catalog.clearCache()
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -29,8 +29,11 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_tag", lit(1)).withColumn("_pl", lit(null).cast(
       right.select(payload).schema.head.dataType))
-    val r = right.select(col(keyCol), col(timeCol)).withColumn("_tag", lit(0))
-      .withColumn("_pl", payload)
+    // resolve the payload against the FULL right frame before projecting —
+    // selecting (key, time) first would drop the columns a struct payload
+    // or any non-time payload references
+    val r = right.withColumn("_pl", payload)
+      .select(col(keyCol), col(timeCol), lit(0).as("_tag"), col("_pl"))
     val unioned = l.select((Seq(col(keyCol), col(timeCol), col("_tag"), col("_pl")) ++
         leftCols.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)

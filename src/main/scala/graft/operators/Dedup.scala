@@ -30,7 +30,11 @@ object Dedup {
     * minhash bench). Keep `toks` an attribute reference so the tokenizer
     * runs once per row. */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    graft.plans.ShingleArray.shingles(toks, n)
+    // null token arrays yield [] (the composed-HOF contract this replaced:
+    // `when(size(null) >= n, ...)` fell through to the empty-array branch),
+    // while the native expression null-propagates — coalesce restores it
+    coalesce(graft.plans.ShingleArray.shingles(toks, n),
+      array().cast("array<string>"))
 
   /** Distinct n-token shingles of the cleaned text (empty array when the
     * text has fewer than n tokens). Convenience form for single-use
@@ -174,32 +178,52 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
+    // localCheckpoint (not persist): the pointer-jumping self-join doubles
+    // the LOGICAL plan every round — caching alone keeps the exponential
+    // lineage and planning/explain OOMs after ~6 rounds; checkpointing
+    // truncates it (the cluster-storage checkpoint cadence at 100 TB)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+      .withColumn("lbl", col("id")).localCheckpoint()
     // labels only ever decrease under min-propagation, so the label sum is
     // strictly monotone until the fixpoint — one aggregate per round is a
-    // sufficient convergence probe (no extra old-vs-new join pass)
-    var prevSum = BigDecimal(labels.agg(sum(col("lbl"))).collect()(0).getLong(0))
-    var converged = false
+    // sufficient convergence probe (no extra old-vs-new join pass).
+    // SUM over zero rows is NULL: an edgeless input is already converged.
+    var prevSum = labelSum(labels)
+    var converged = prevSum.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst_id"),
           col("dst") === col("dst_id"))
         .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
-      val nextSum = BigDecimal(next.agg(sum(col("lbl"))).collect()(0).getLong(0))
-      labels.unpersist()
+      // pointer jumping (path halving): also take the label OF my label —
+      // effective diameter halves per round, so convergence is
+      // O(log diameter) and maxIter=20 covers any realistic component
+      val next = propagated.as("x")
+        .join(propagated.select(col("id").as("lid"), col("lbl").as("lbl2")).as("y"),
+          col("x.lbl") === col("y.lid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.lbl"), coalesce(col("lbl2"), col("x.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"canonicalComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds 2^maxIter; raise maxIter")
     edges.unpersist()
     labels.select(col("id"), col("lbl").as("canonical")).orderBy("id")
   }
+
+  private def labelSum(df: DataFrame): Option[Long] =
+    Option(df.agg(sum(col("lbl"))).collect()(0)).filterNot(_.isNullAt(0))
+      .map(_.getLong(0))
 
   /** 64-bit SimHash fingerprints as a dataflow (same rationale as
     * [[minhashSignatures]]): explode tokens once, hash each once, then 64

@@ -99,9 +99,12 @@ object TextAnalysis {
 
   /** Deterministic train/val/test assignment from the stable id — no RNG,
     * reproducible across engines and runs: Knuth multiplicative hash of
-    * the id into [0,100), split 80/10/10. */
+    * the id into [0,100), split 80/10/10. The id is reduced mod 1e9+7
+    * BEFORE the multiply so the product stays under 2^63 for any BIGINT
+    * id — a raw multiply would wrap in Spark but error in ANSI engines,
+    * silently breaking cross-engine determinism at large ids. */
   def datasetSplit(id: Column): Column = {
-    val bucket = pmod(id * lit(2654435761L), lit(100L))
+    val bucket = pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(100L))
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 }

@@ -61,7 +61,12 @@ object Sessionize {
     * With `eventTimeTimeout = true` (requires a watermark on `ts`), each
     * user's final open session is flushed once the watermark passes
     * `session_end + gap` — without it, `NoTimeout` means the last session
-    * per user is never emitted (state outlives the query). */
+    * per user is never emitted (state outlives the query). Note the mode
+    * trade-off: in EventTimeTimeout mode the ENGINE drops events behind
+    * the watermark before they reach this operator (standard Structured
+    * Streaming late-data filtering), so the bounded-disorder merge below
+    * only sees events inside the watermark budget; NoTimeout mode sees
+    * everything and handles arbitrary lateness itself. */
   def sessionizeStateful(events: DataFrame, gapUs: Long = DefaultGapUs,
                          eventTimeTimeout: Boolean = false): Dataset[Session] = {
     val spark = events.sparkSession
@@ -103,8 +108,14 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              if (eventTimeTimeout)
-                state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+              if (eventTimeTimeout) {
+                // a far-late batch can leave lastUs+gap behind the current
+                // watermark; Spark rejects a timeout below the watermark,
+                // so clamp (the session then times out on the next batch)
+                val target = (s.lastUs + gapUs) / 1000L
+                val floor = state.getCurrentWatermarkMs() + 1
+                state.setTimeoutTimestamp(math.max(target, floor))
+              }
             }
             out.iterator
           }

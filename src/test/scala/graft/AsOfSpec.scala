@@ -29,6 +29,18 @@ class AsOfSpec extends SparkSpec {
       (5L, 200L))) // equal ts on a different key
   }
 
+  test("as-of join: struct payload carrying non-time right-side columns") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 300L)).toDF("event_id", "user_id", "us")
+    val right = Seq((10L, 50L, 9.99), (10L, 200L, 19.99)).toDF("user_id", "us", "price")
+    val out = AsOf.asOfJoin(left, right, "user_id", "us",
+      struct(col("us").as("t"), col("price")), "last_purchase")
+      .orderBy("event_id").collect()
+    assert(out(0).getStruct(out(0).fieldIndex("last_purchase")).getDouble(1) == 9.99)
+    assert(out(1).getStruct(out(1).fieldIndex("last_purchase")).getDouble(1) == 19.99)
+  }
+
   test("as-of join: single shuffle, no join operator in the plan") {
     val s = spark
     import s.implicits._

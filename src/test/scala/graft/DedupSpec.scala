@@ -60,6 +60,20 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: empty pair set yields empty result, long chains converge") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.canonicalComponents(empty).count() == 0)
+    // 40-node chain: diameter 39 >> 20 rounds of plain propagation, but
+    // pointer jumping converges in O(log d)
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 40)
+    assert(out.forall(_._2 == 1L), out.filterNot(_._2 == 1L).take(5).toSeq.toString)
+  }
+
   test("SimHash: identical texts collide at Hamming 0") {
     val docs = df1(Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

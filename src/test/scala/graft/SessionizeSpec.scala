@@ -103,4 +103,39 @@ class SessionizeSpec extends SparkSpec {
     // base+120m > base+5m+30m gap)
     assert(rows.contains(Seq(1L, base, base + 5 * min, 2L)))
   }
+
+  test("event-time timeout: engine drops events behind the watermark; query survives") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000000L // µs
+    val min = 60L * 1000000
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)](s)
+    val df = mem.toDF().toDF("user_id", "usv", "value")
+      .withColumn("ts", timestamp_micros(col("usv"))).drop("usv")
+      .withWatermark("ts", "0 seconds")
+    val q = Sessionize.sessionizeStateful(df, eventTimeTimeout = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late_wm_out").start()
+    // advance the watermark far ahead with user 2
+    mem.addData((2L, base + 300 * min, 1.0))
+    q.processAllAvailable()
+    // user 1's only event is far behind the watermark: in EventTimeTimeout
+    // mode the ENGINE filters late rows before the stateful operator, so
+    // no state is created and the query must keep running
+    mem.addData((1L, base, 2.0))
+    q.processAllAvailable()
+    mem.addData((2L, base + 400 * min, 4.0))
+    q.processAllAvailable()
+    mem.addData((2L, base + 500 * min, 8.0))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, q.exception.toString)
+    q.stop()
+    val rows = spark.table("sess_late_wm_out")
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(_.toSeq).toSet
+    // the dropped event produced nothing for user 1; user 2's gap-closed
+    // sessions are all that exist
+    assert(!rows.exists(_.head == 1L), rows.toString)
+    assert(rows.nonEmpty)
+  }
 }
