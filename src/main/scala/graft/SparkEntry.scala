@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sentiment, TextFns}
-import graft.operators.{Analytics, AsOf, Dedup, Multimodal, Risk, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOf, Dedup, Multimodal, RangeJoin, Risk, Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY.md §7): one named query per implemented operator
   * from SURVEY.md §2, each with an equivalent DuckDB oracle SQL where the
@@ -1044,7 +1044,125 @@ object SparkEntry {
       Some("""SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
              |  CAST(count(*) AS BIGINT) AS cnt
              |FROM events GROUP BY ROLLUP(event_type, date)
-             |ORDER BY event_type NULLS FIRST, date NULLS FIRST""".stripMargin))
+             |ORDER BY event_type NULLS FIRST, date NULLS FIRST""".stripMargin)),
+
+    Q("ag_cube",
+      // CUBE grouping sets: all four (returnflag x linestatus) slices in
+      // one pass — same single-shuffle grouping-set expansion as ROLLUP
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 6).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+             |  ROUND(SUM(l_extendedprice), 6) AS sum_price
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    Q("st5_sliding_windows",
+      // sliding (hopping) event-time windows: 2-hour duration, 1-hour
+      // slide — every event lands in exactly two windows; the oracle
+      // expands the membership explicitly (unnest over the two offsets)
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH x AS (
+             |  SELECT strftime(make_timestamp(
+             |      epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) - k * 3600000000),
+             |      '%Y-%m-%d %H:%M:%S') AS window_start,
+             |    event_type, value
+             |  FROM events, (SELECT unnest([0, 1]) AS k) ks)
+             |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |  ROUND(SUM(value), 6) AS sum_value
+             |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    Q("rj_interval_join",
+      // bucketed range join (no equi key): purchases falling inside the 20
+      // busiest error hours' [-30min, +90min] incident windows. The equi
+      // key is manufactured by 15-minute bucketing (RangeJoin) — a naive
+      // BETWEEN join would plan a broadcast nested loop.
+      (s, d) => {
+        val hourUs = 3600000000L
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+        val errHours = ev.filter(col("event_type") === "error")
+          .groupBy(expr(s"us DIV ${hourUs}L").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("hr"))
+        val intervals = errHours
+          .select(col("hr"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= 20)
+          .select((col("hr") * hourUs - 1800000000L).as("w_start"),
+            (col("hr") * hourUs + 5400000000L).as("w_end"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("us"), col("value"))
+        RangeJoin.bucketedIntervalJoin(purchases, intervals,
+            "us", "w_start", "w_end", bucketWidth = 900000000L)
+          .groupBy("w_start")
+          .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 6).as("sum_value"))
+          .orderBy("w_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+             |eh AS (
+             |  SELECT us // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM e WHERE event_type = 'error' GROUP BY 1),
+             |top AS (
+             |  SELECT hr FROM (
+             |    SELECT hr, row_number() OVER (ORDER BY cnt DESC, hr) AS rn FROM eh)
+             |  WHERE rn <= 20),
+             |iv AS (
+             |  SELECT hr * 3600000000 - 1800000000 AS w_start,
+             |         hr * 3600000000 + 5400000000 AS w_end FROM top),
+             |p AS (SELECT us, value FROM e WHERE event_type = 'purchase')
+             |SELECT w_start, CAST(count(*) AS BIGINT) AS n_purchases,
+             |  ROUND(SUM(value), 6) AS sum_value
+             |FROM iv JOIN p ON p.us BETWEEN iv.w_start AND iv.w_end
+             |GROUP BY w_start ORDER BY w_start""".stripMargin)),
+
+    Q("ev_salted_join",
+      // skew-salted equi join: event_type has 5 values — the canonical
+      // hot-key join. The dim side replicates across 8 salts; the result
+      // must be row-identical to the plain join (the oracle).
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val weights = Seq(("click", 1.0), ("error", -2.0), ("purchase", 10.0),
+          ("signup", 5.0), ("view", 0.5)).toDF("event_type", "weight")
+        val fact = Tables.events(s, d).select("event_id", "event_type", "value")
+        Analytics.saltedJoin(fact, weights, "event_type", col("event_id"), salts = 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("value") * col("weight")), 6).as("weighted_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH w(event_type, weight) AS (VALUES
+             |  ('click', CAST(1.0 AS DOUBLE)), ('error', CAST(-2.0 AS DOUBLE)),
+             |  ('purchase', CAST(10.0 AS DOUBLE)), ('signup', CAST(5.0 AS DOUBLE)),
+             |  ('view', CAST(0.5 AS DOUBLE)))
+             |SELECT e.event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |  ROUND(SUM(e.value * w.weight), 6) AS weighted_value
+             |FROM events e JOIN w USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    Q("mm_frame_sample",
+      // multimodal frame-sampling plumbing: metadata -> frame index list
+      // (sequence + explode, all narrow) -> stub per-frame decode; the
+      // index arithmetic and rollup are integer-exact, hence oracled
+      (s, d) => Multimodal.frameSampleSummary(Tables.documents(s, d)),
+      Some("""WITH v AS (
+             |  SELECT doc_id, GREATEST(n_chars * 2 // 5, 1) AS n_frames
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |f AS (
+             |  SELECT doc_id, unnest(range(0, n_frames, 8)) AS frame_idx FROM v)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+             |  CAST(max(frame_idx) AS BIGINT) AS last_frame,
+             |  CAST(SUM((doc_id * 131 + frame_idx * 7919) % 1000000007) AS BIGINT) AS sum_checksum
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */

@@ -228,6 +228,28 @@ object Analytics {
       .agg(sum(col("__cnt")).as("cnt"), round(sum(col("__sum")), 6).as("sum_value"))
       .orderBy(keyCol)
 
+  /** Skew-safe equi join: the fact side's join keys are skewed (a few hot
+    * keys would pin whole shuffle partitions on single tasks), and the dim
+    * side is small-per-key but too hot to leave unsalted. Each fact row
+    * gets a deterministic salt in [0, salts); the dim side is replicated
+    * once per salt value; the join runs on (key, salt) so one hot key
+    * spreads across `salts` reducers. Result is row-identical to the plain
+    * join (every fact row still meets every matching dim row exactly once
+    * — its salt replica). This is the manual form of what AQE skew-join
+    * splitting does adaptively; baked-in salting also covers the cases AQE
+    * cannot see (first shuffle of a stage, pre-AQE-statistics).
+    *
+    * `saltSrc` must be deterministic per fact row (e.g. a row id) so
+    * retried tasks re-derive the same salt. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 saltSrc: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(saltSrc), lit(salts.toLong)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact.join(saltedDim, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** U2 exact dedup keeping first occurrence (ref `extract_text_fun.py:234-243`):
     * group by text, keep min id — one shuffle, no window over raw rows. */
   def dedupFirstOccurrence(df: DataFrame, textCol: String, idCol: String,

@@ -175,8 +175,13 @@ object Dedup {
     *
     * Returns (id, canonical) for every node appearing in `pairs`. */
   def canonicalComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize in ONE pass over `pairs` via explode — a union of two
+    // selects would evaluate the (expensive: shingle join + aggregation)
+    // pair pipeline twice, once per branch
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
     // localCheckpoint (not persist): the pointer-jumping self-join doubles
     // the LOGICAL plan every round — caching alone keeps the exponential

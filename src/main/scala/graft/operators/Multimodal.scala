@@ -54,6 +54,46 @@ object Multimodal {
       .toDF("doc_id", "media_kind", "n_bytes", "checksum", "features")
   }
 
+  /** Video frame sampling as a dataflow: derive the frame index list from
+    * typed metadata (duration, fps) with `sequence`, `explode` it to one
+    * row per sampled frame, stub-decode each frame. All narrow operations
+    * — the frame fan-out never shuffles, so at 100 TB the decode stage
+    * scales with input splits. A real pipeline replaces the checksum stub
+    * with a codec seek+decode over the payload bytes; the (doc, frame_idx)
+    * row shape and the metadata→index arithmetic are the deliverable.
+    *
+    * Metadata is synthesized deterministically from the corpus (no real
+    * media in testdata): duration_s = n_chars / 10, fps = 4, so
+    * n_frames = n_chars * 2 DIV 5 (integer arithmetic, min 1). Every
+    * `stride`-th frame is sampled. */
+  def frameSample(docs: DataFrame, stride: Int = 8): DataFrame = {
+    val videos = withPayload(docs).filter(col("media_kind") === "video")
+      .withColumn("n_frames",
+        greatest(expr("n_chars * 2 DIV 5"), lit(1L)))
+    videos
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      // stub decode: deterministic per-frame checksum (codec seek+decode
+      // goes here; xxhash64 keeps it cheap, portable, and oracle-free —
+      // the oracled part below is the index arithmetic)
+      .withColumn("frame_checksum",
+        pmod(col("doc_id") * lit(131L) + col("frame_idx") * lit(7919L),
+          lit(1000000007L)))
+  }
+
+  /** Per-doc rollup of the sampled frames — frame count, index bounds, and
+    * the checksum sum are all integer arithmetic, so the whole operator is
+    * DuckDB-oracle-checkable. */
+  def frameSampleSummary(docs: DataFrame, stride: Int = 8): DataFrame =
+    frameSample(docs, stride)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        max(col("frame_idx")).as("last_frame"),
+        sum(col("frame_checksum")).as("sum_checksum"))
+      .orderBy("doc_id")
+
   /** Per-kind rollup over the extracted features (count, bytes, checksum
     * sum — the checksum aggregate is oracle-checkable because the stub is
     * deterministic byte arithmetic). */
