@@ -1149,6 +1149,63 @@ object SparkEntry {
              |FROM events e JOIN w USING (event_type)
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    Q("st6_stream_sessionize",
+      // flatMapGroupsWithState sessionization in the correctness gate:
+      // NoTimeout emits exactly the gap-closed sessions, so the oracle is
+      // the batch sessionization minus each user's final (still-open)
+      // session
+      (s, d) => graft.streaming.Streams.runSessionizeToCompletion(s, d)
+        .orderBy("user_id", "session_start_us"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+             |g AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+             |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM g),
+             |c AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s),
+             |sess AS (
+             |  SELECT user_id, session_id,
+             |    CAST(min(us) AS BIGINT) AS session_start_us,
+             |    CAST(max(us) AS BIGINT) AS session_end_us,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    ROUND(SUM(value), 6) AS sum_value
+             |  FROM c GROUP BY user_id, session_id)
+             |SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+             |FROM sess
+             |QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    Q("u4_upsert",
+      // keyed snapshot upsert (MERGE without a table format): updates
+      // replace same-key base rows, new keys append, the rest survive;
+      // one anti-join shuffle
+      (s, d) => {
+        val base = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        val updates = base.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit("patched").as("source"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .unionByName(base.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              lit("appended").as("source"), (col("doc_id") % 500L).as("n_chars")))
+        Analytics.upsertByKey(base, updates, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+             |upd AS (
+             |  SELECT doc_id, 'patched' AS source, n_chars + 1000 AS n_chars
+             |  FROM base WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, 'appended', doc_id % 500
+             |  FROM base WHERE doc_id % 13 = 0),
+             |merged AS (
+             |  SELECT * FROM upd
+             |  UNION ALL
+             |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd))
+             |SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM merged GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("mm_frame_sample",
       // multimodal frame-sampling plumbing: metadata -> frame index list
       // (sequence + explode, all narrow) -> stub per-frame decode; the

@@ -250,6 +250,17 @@ object Analytics {
     saltedFact.join(saltedDim, Seq(keyCol, "__salt")).drop("__salt")
   }
 
+  /** Keyed snapshot upsert (the MERGE pattern without a table format):
+    * rows in `updates` replace same-key rows in `base`; unmatched base
+    * rows survive; new keys append. One anti-join shuffle on the key —
+    * at 100 TB both sides arrive bucketed by the key, making the
+    * anti-join co-located, and the output is the next snapshot written
+    * back with the same bucketing. Assumes `updates` has at most one row
+    * per key (upstream dedup — e.g. [[dedupFirstOccurrence]]). */
+  def upsertByKey(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(keyCol), Seq(keyCol), "left_anti"))
+
   /** U2 exact dedup keeping first occurrence (ref `extract_text_fun.py:234-243`):
     * group by text, keep min id — one shuffle, no window over raw rows. */
   def dedupFirstOccurrence(df: DataFrame, textCol: String, idCol: String,

@@ -108,6 +108,31 @@ object Streams {
       .agg(cnt(lit(1)).as("n_pairs"))
   }
 
+  /** Runs [[Sessionize.sessionizeStateful]] (NoTimeout) over the events
+    * directory to completion. Emitted rows are every session CLOSED by an
+    * observed gap; each user's final session stays open in state by
+    * definition of NoTimeout, so the batch-equivalence oracle is the
+    * batch sessionization minus each user's last session. */
+  def runSessionizeToCompletion(spark: SparkSession, dir: String,
+                                queryName: String = "stream_sessionize_out"): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      Sessionize.sessionizeStateful(readEvents(spark, dir))
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+  }
+
   /** Runs the hourly-count stream over a static directory to completion
     * (memory sink) and returns the final table — used by tests to prove
     * stream/batch equivalence. */

@@ -59,6 +59,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(summary.getAs[String]("start_date") <= summary.getAs[String]("end_date"))
   }
 
+  test("upsert by key: updates replace, new keys append, unmatched base survives") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("k", "v")
+    val out = graft.operators.Analytics.upsertByKey(base, updates, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // idempotent: upserting the same updates again changes nothing
+    val again = graft.operators.Analytics.upsertByKey(
+      graft.operators.Analytics.upsertByKey(base, updates, "k"), updates, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(again == out)
+  }
+
   test("U2 dedup keeps first occurrence with dup count") {
     val docs = df1(Seq(
       (5L, "this text appears more than once here"),

@@ -13,6 +13,21 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful stream sessionization == batch sessions minus final open per user") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Streams.runSessionizeToCompletion(spark, sf0001, "streams_spec_sess")
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy("user_id")
+    val batch = graft.streaming.Sessionize.sessionizeBatch(Tables.events(spark, sf0001))
+      .withColumn("max_sess", max(col("session_id")).over(w))
+      .filter(col("session_id") < col("max_sess"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join == batch interval join") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.runStreamJoinToCompletion(spark, sf0001, "streams_join_spec_out")
