@@ -491,6 +491,31 @@ object SparkEntry {
         .select("source").distinct().orderBy("source").limit(5),
       Some("SELECT DISTINCT source FROM documents ORDER BY source LIMIT 5")),
 
+    Q("o9_topk_heap",
+      // per-group top-k via the native bounded-heap aggregate
+      // (graft.plans.TopKByScore): partial aggregation caps the shuffle at
+      // k rows per (task, group) where the window formulation (o4-o6)
+      // shuffles and sorts every row; same deterministic
+      // (score DESC, doc_id ASC) order as the row_number oracle
+      (s, d) => {
+        val top = scoredDocs(s, d)
+          .groupBy("sentiment")
+          .agg(graft.plans.TopK.topKByScore(
+            col("confidence"), col("doc_id"),
+            struct(col("doc_id"), col("confidence")), 5).as("top"))
+        top.select(col("sentiment"), posexplode(col("top")))
+          .select(col("sentiment"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.doc_id").as("doc_id"), col("col.confidence").as("confidence"))
+          .orderBy("sentiment", "rank")
+      },
+      Some(Sentiment.oracleCte +
+        """, r AS (SELECT sentiment, doc_id, confidence,
+          |    CAST(row_number() OVER (
+          |      PARTITION BY sentiment ORDER BY confidence DESC, doc_id) AS INT) AS rank
+          |  FROM sent)
+          | SELECT sentiment, rank, doc_id, confidence FROM r WHERE rank <= 5
+          | ORDER BY sentiment, rank""".stripMargin)),
+
     Q("j1_containment_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
