@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.plans.{DotProduct, L2Norm, ShingleArray}
+import graft.plans.{DotProduct, L2Norm, ShingleArray, TopKByScore}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions at session build time
@@ -32,6 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           "graft_shingles(tokens, n) expects exactly (array<string>, integer literal), " +
             s"got ${other.length} argument(s)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(score, tie, payload, Literal(k: Int, _)) =>
+          TopKByScore(score, tie, payload, k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          "graft_top_k(score, tiebreak, payload, k) expects k as an integer " +
+            s"literal, got ${other.length} argument(s)")
       }))
   }
 }

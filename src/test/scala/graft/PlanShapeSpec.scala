@@ -39,6 +39,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string>"), p)
   }
 
+  test("rj: bucketed interval join plans an equi hash join, never a nested loop") {
+    val p = plan("rj_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+    // the naive formulation is the nested loop — prove the contrast
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "us")
+    val intervals = Seq((1L, 0L, 10L)).toDF("iid", "w_start", "w_end")
+    val naive = graft.operators.RangeJoin
+      .naiveIntervalJoin(points, intervals, "us", "w_start", "w_end")
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("CartesianProduct"), naive)
+  }
+
+  test("o9: heap top-k aggregate keeps a partial stage before the exchange") {
+    val p = plan("o9_topk_heap")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_top_k"), p)
+    assert(!p.contains("Window"), p) // no full-sort window machinery
+  }
+
   test("partitioned layout: a partition-key filter prunes files at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, sf0001)

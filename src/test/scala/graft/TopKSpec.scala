@@ -54,6 +54,17 @@ class TopKSpec extends SparkSpec {
     assert(out("b") == Seq((4L, 0.5)))
   }
 
+  test("SQL registration: graft_top_k usable from pure SQL") {
+    val s = spark
+    import s.implicits._
+    Seq(("a", 1L, 0.9), ("a", 2L, 0.7), ("a", 3L, 0.8))
+      .toDF("g", "id", "score").createOrReplaceTempView("topk_sql_in")
+    val out = spark.sql(
+      "SELECT g, graft_top_k(score, id, id, 2) AS top FROM topk_sql_in GROUP BY g")
+      .collect()(0)
+    assert(out.getSeq[Long](1) == Seq(1L, 3L))
+  }
+
   test("plans as ObjectHashAggregate with a partial stage (map-side heaps)") {
     val s = spark
     import s.implicits._
