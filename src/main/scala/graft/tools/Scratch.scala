@@ -1,7 +1,5 @@
 package graft.tools
 import graft._
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 /** Throwaway profiling harness (not part of the shipped surface). */
 object Scratch {
@@ -12,23 +10,11 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
-    val scored = functions.Sentiment.score(Tables.documents(spark, d))
-    val w = Window.partitionBy("sentiment")
-      .orderBy(col("confidence").desc, col("doc_id"))
-    def viaWindow() = scored
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
-      .select("sentiment", "doc_id", "confidence")
-    def viaHeap() = scored.groupBy("sentiment")
-      .agg(graft.plans.TopK.topKByScore(col("confidence"), col("doc_id"),
-        struct(col("doc_id"), col("confidence")), 50).as("top"))
-      .select(col("sentiment"), explode(col("top")).as("e"))
-      .select(col("sentiment"), col("e.doc_id"), col("e.confidence"))
-    // warmup both
-    viaWindow().count(); viaHeap().count()
-    for (_ <- 1 to 3) {
-      time("window-top50")(viaWindow().count())
-      time("heap-top50")(viaHeap().count())
-    }
+    // warmup
+    graft.streaming.Streams.runStreamJoinToCompletion(spark, d, "wj0").count()
+    for (i <- 1 to 3)
+      time(s"st4-run$i")(
+        graft.streaming.Streams.runStreamJoinToCompletion(spark, d, s"wj$i").count())
     spark.stop()
   }
 }

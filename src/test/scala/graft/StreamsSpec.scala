@@ -13,6 +13,31 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch snapshot maintenance: latest row per key across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/snap"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)](s)
+    val stream = mem.toDF().toDF("user_id", "us", "state")
+    def latestPerKey(b: org.apache.spark.sql.DataFrame) = b
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("state"))).as("m"))
+      .select(col("user_id"), col("m.us").as("us"), col("m.state").as("state"))
+    val q = Streams.maintainSnapshot(stream, "user_id", dir, latestPerKey,
+      "streams_spec_snap")
+    mem.addData((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
+    q.processAllAvailable()
+    // batch 2: update user 1, stale row for user 2 wins nothing, new user 3
+    mem.addData((1L, 30L, "c"), (3L, 1L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"), r.getAs[String]("state")))
+      .toSet
+    assert(out == Set((1L, 30L, "c"), (2L, 5L, "x"), (3L, 1L, "z")))
+  }
+
   test("stateful stream sessionization == batch sessions minus final open per user") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
