@@ -1174,6 +1174,24 @@ object SparkEntry {
              |FROM events e JOIN w USING (event_type)
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    Q("f14_json_props",
+      // semi-structured surface: parse the events.props JSON column with
+      // a declared schema (from_json -> struct, codegen'd JacksonParser;
+      // no UDF) and aggregate the extracted field per event type
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
+             |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("st6_stream_sessionize",
       // flatMapGroupsWithState sessionization in the correctness gate:
       // NoTimeout emits exactly the gap-closed sessions, so the oracle is
