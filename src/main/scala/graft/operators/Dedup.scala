@@ -186,9 +186,14 @@ object Dedup {
     // localCheckpoint (not persist): the pointer-jumping self-join doubles
     // the LOGICAL plan every round — caching alone keeps the exponential
     // lineage and planning/explain OOMs after ~6 rounds; checkpointing
-    // truncates it (the cluster-storage checkpoint cadence at 100 TB)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // truncates it (the cluster-storage checkpoint cadence at 100 TB).
+    // Init = the first propagation round for free: one aggregation over
+    // the symmetric edges gives every node min(id, min neighbor) — for
+    // clique-shaped dup components that is already the fixpoint and the
+    // loop only runs its confirming round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("lbl"))
+      .localCheckpoint()
     // labels only ever decrease under min-propagation, so the label sum is
     // strictly monotone until the fixpoint — one aggregate per round is a
     // sufficient convergence probe (no extra old-vs-new join pass).

@@ -4,17 +4,20 @@ import graft._
 /** Throwaway profiling harness (not part of the shipped surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "scratch")
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    val spark = Sessions.local("8", "scratch")
+    val d = "/root/testdata/sf0.001"
+    val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
+      "st4_stream_join", "st6_stream_sessionize")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!streaming(name)) {
+        try {
+          val p = fn(spark, d).queryExecution.executedPlan.toString
+          val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(p.contains)
+          if (bad.nonEmpty) println(s"[scratch] $name: ${bad.mkString(",")}")
+        } catch { case e: Throwable => println(s"[scratch] $name: ERROR ${e.getMessage}") }
+      }
     }
-    // warmup
-    graft.streaming.Streams.runStreamJoinToCompletion(spark, d, "wj0").count()
-    for (i <- 1 to 3)
-      time(s"st4-run$i")(
-        graft.streaming.Streams.runStreamJoinToCompletion(spark, d, s"wj$i").count())
+    println("[scratch] sweep done")
     spark.stop()
   }
 }

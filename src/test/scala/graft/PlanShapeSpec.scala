@@ -62,6 +62,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p) // no full-sort window machinery
   }
 
+  test("global sweep: no accidental nested-loop/cartesian join in any batch query") {
+    // Every BroadcastNestedLoopJoin in the catalog must be on this list —
+    // each is an intentional O(n x tiny) shape, not an accident:
+    //   a7/f11/ep3: fact rows x ONE broadcast row (global aggregate frame)
+    //   sim_bruteforce: corpus x the single query vector
+    //   sim_ivf: corpus x 16 broadcast centroids (IVF assignment is
+    //            all-vectors-to-all-centroids by definition) + single-row probe
+    //   dd_embedding_neardup: the documented exact all-pairs baseline
+    val allowed = Set("a7_confidence_histogram", "f11_insurance_risk",
+      "ep3_chat_context", "sim_bruteforce_topk", "sim_ivf_ann",
+      "dd_embedding_neardup")
+    // streaming fns execute on invocation; their stateful plans are
+    // covered by their own oracles/tests
+    val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
+      "st4_stream_join", "st6_stream_sessionize")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !streaming(name) && !allowed(name) =>
+        val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+        name -> Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(p.contains)
+    }.filter(_._2.nonEmpty)
+    assert(offenders.isEmpty, offenders.toString)
+  }
+
   test("partitioned layout: a partition-key filter prunes files at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, sf0001)
