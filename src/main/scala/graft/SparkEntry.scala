@@ -1174,6 +1174,27 @@ object SparkEntry {
              |FROM events e JOIN w USING (event_type)
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    Q("o8_stratified_sample",
+      // deterministic hash-based stratified downsampling (the
+      // reproducible sampleBy): en downsampled to 20%, zh to 50%, the
+      // rest kept at 80% — a pure narrow filter, no RNG, so the exact
+      // same sample falls out of any engine (hence a full DuckDB oracle
+      // where seeded-RNG sampleBy could only ever be rows-only)
+      (s, d) => TextAnalysis.hashStratifiedSample(
+          Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.2, "zh" -> 0.5), defaultFraction = 0.8)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang"),
+      Some("""WITH s AS (
+             |  SELECT * FROM documents
+             |  WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
+             |    CASE WHEN lang = 'en' THEN 200
+             |         WHEN lang = 'zh' THEN 500 ELSE 800 END)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM s GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("f14_json_props",
       // semi-structured surface: parse the events.props JSON column with
       // a declared schema (from_json -> struct, codegen'd JacksonParser;

@@ -107,4 +107,26 @@ object TextAnalysis {
     val bucket = pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(100L))
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
+
+  /** Deterministic stratified downsampling — the reproducible form of
+    * `df.stat.sampleBy` a training pipeline wants (e.g. downsample
+    * overrepresented languages): keep a row iff its id's hash bucket (the
+    * same mod-reduced Knuth scheme as [[datasetSplit]], per-mille
+    * resolution) falls under the stratum's fraction. No RNG, so the
+    * sample is identical across engines, runs, retries, and cluster
+    * sizes, and is a pure narrow filter — at 100 TB it pushes into the
+    * scan stage and costs nothing beyond the read. Strata absent from
+    * `fractions` use `defaultFraction`. */
+  def hashStratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           strataCol: String, fractions: Map[String, Double],
+                           defaultFraction: Double): org.apache.spark.sql.DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val bucket = pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L), lit(1000L))
+    val threshold = fractions.foldLeft(lit((defaultFraction * 1000).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * 1000).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
 }

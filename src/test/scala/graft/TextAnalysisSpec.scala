@@ -70,4 +70,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts("val") > 50 && counts("val") < 150)
     assert(counts("test") > 50 && counts("test") < 150)
   }
+
+  test("hash stratified sample: per-stratum fractions, deterministic, subset-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val sampled = TextAnalysis.hashStratifiedSample(
+      df, "doc_id", "lang", Map("en" -> 0.1), defaultFraction = 0.6)
+    val counts = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") > 50 && counts("en") < 150, counts.toString)   // ~100 of 1000
+    assert(counts("de") > 1050 && counts("de") < 1350, counts.toString) // ~1200 of 2000
+    // deterministic: identical row set on re-evaluation
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.hashStratifiedSample(
+      df, "doc_id", "lang", Map("en" -> 0.1), defaultFraction = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // monotone: lowering a fraction yields a SUBSET (hash thresholding,
+    // not an independent redraw) — the property that makes sample sizes
+    // tunable without churning the corpus between pipeline runs
+    val smaller = TextAnalysis.hashStratifiedSample(
+      df, "doc_id", "lang", Map("en" -> 0.1), defaultFraction = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(ids1))
+  }
 }
