@@ -1003,6 +1003,32 @@ object SparkEntry {
               |WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
               |ORDER BY date""".stripMargin)),
 
+    Q("a14_range_frame",
+      // time-based RANGE window frame: the trailing-7-day average keyed on
+      // the actual day distance, not row position. The input is gapped
+      // deliberately (every 3rd day dropped) so RANGE and ROWS frames
+      // genuinely diverge — a ROWS frame would silently average over more
+      // than 7 calendar days across the gaps.
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("day_num").rangeBetween(-6, 0)
+        trendsOf(s, d)
+          .withColumn("day_num", datediff(to_date(col("date")), lit("1970-01-01")))
+          .filter(col("day_num") % 3 =!= 0)
+          .withColumn("r7_total", round(avg(col("total")).over(w), 6))
+          .select("date", "total", "r7_total")
+          .orderBy("date")
+      },
+      Some(s"""WITH $trendsCteSql,
+              |g AS (
+              |  SELECT date, total, date_diff('day', DATE '1970-01-01', CAST(date AS DATE)) AS day_num
+              |  FROM trends)
+              |SELECT date, total,
+              |  ROUND(AVG(CAST(total AS DOUBLE)) OVER
+              |    (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS r7_total
+              |FROM g WHERE day_num % 3 <> 0
+              |ORDER BY date""".stripMargin)),
+
     Q("a4b_pivot_trends",
       // the same A4 semantics via the pivot() relational operator (fixed
       // pivot values -> no extra distinct-values job; one shuffle)
