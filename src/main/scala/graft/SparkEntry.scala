@@ -476,10 +476,20 @@ object SparkEntry {
       None),
 
     Q("o4_head_per_group",
-      (s, d) => Analytics.topKPerGroup(scoredDocs(s, d),
-        Seq("sentiment"), Seq(col("doc_id")), 50)
-        .select("sentiment", "doc_id", "rn")
-        .orderBy("sentiment", "rn"),
+      // head-k per group via the native bounded-heap aggregate — the
+      // row_number window form would sort every fact row into one task
+      // per sentiment (3 partitions); the heap caps the shuffle at k rows
+      // per (task, group). Order doc_id ASC = (-doc_id) DESC under the
+      // heap's (score DESC, tie ASC) contract.
+      (s, d) => {
+        val top = scoredDocs(s, d).groupBy("sentiment")
+          .agg(graft.plans.TopK.topKByScore(
+            (-col("doc_id")).cast("double"), col("doc_id"), col("doc_id"), 50).as("top"))
+        top.select(col("sentiment"), posexplode(col("top")))
+          .select(col("sentiment"), col("col").as("doc_id"),
+            (col("pos") + 1).cast("int").as("rn"))
+          .orderBy("sentiment", "rn")
+      },
       Some(Sentiment.oracleCte +
         """, r AS (SELECT sentiment, doc_id,
           |    CAST(row_number() OVER (PARTITION BY sentiment ORDER BY doc_id) AS INT) AS rn
@@ -1066,14 +1076,22 @@ object SparkEntry {
              |ORDER BY op, source""".stripMargin)),
 
     Q("o7_ntile_deciles",
-      // ntile + percent_rank ranking surface over the scored frame
+      // ntile + percent_rank WITHOUT the unpartitioned window (which
+      // plans a single-task WindowExec over the whole corpus): rank rows
+      // with the distributed two-phase global rank, then both ranking
+      // functions are pure arithmetic over (rank, n). Bucket sizing
+      // matches SQL ntile exactly: first n%10 buckets get one extra row.
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("original_score"), col("doc_id"))
-        scoredDocs(s, d)
-          .select(col("doc_id"), col("original_score"),
-            ntile(10).over(w).as("decile"),
-            round(percent_rank().over(w), 6).as("pct_rank"))
+        val ranked = Analytics.withGlobalRank(scoredDocs(s, d),
+          Seq(col("original_score"), col("doc_id")), "rank")
+        ranked.select(col("doc_id"), col("original_score"),
+          expr("CAST(CASE WHEN rank <= (__n % 10) * (__n DIV 10 + 1) " +
+            "THEN (rank - 1) DIV (__n DIV 10 + 1) + 1 " +
+            "ELSE (__n % 10) + (rank - 1 - (__n % 10) * (__n DIV 10 + 1)) DIV (__n DIV 10) + 1 " +
+            "END AS INT)").as("decile"),
+          round(when(col("__n") === 1, lit(0.0))
+            .otherwise((col("rank") - 1).cast("double") /
+              (col("__n") - 1).cast("double")), 6).as("pct_rank"))
           .orderBy("doc_id")
       },
       Some(Sentiment.oracleCte +

@@ -36,14 +36,21 @@ object Analytics {
   /** A3 per-sentiment min-max normalization
     * (ref `Context_analyzer_RoBERTa_fun.py:250-279`): within each sentiment
     * group map `original_score` to [0,1]; degenerate groups (max == min)
-    * collapse to the constant 0.5. */
+    * collapse to the constant 0.5.
+    *
+    * Shape: per-group bounds via `groupBy.agg(min,max)` (map-side partial,
+    * O(|groups|) rows) + a broadcast join back — NOT
+    * `Window.partitionBy(group)`, which would sort every fact row and pin
+    * each group (3 here) onto a single task. */
   def normalizeScores(scored: DataFrame, valueCol: String = "original_score",
                       groupCol: String = "sentiment"): DataFrame = {
-    val w = Window.partitionBy(groupCol)
-    val mn = min(col(valueCol)).over(w)
-    val mx = max(col(valueCol)).over(w)
-    scored.withColumn("normalized_score",
-      when(mx === mn, lit(0.5)).otherwise((col(valueCol) - mn) / (mx - mn)))
+    val bounds = scored.groupBy(groupCol)
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    scored.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("normalized_score",
+        when(col("__mx") === col("__mn"), lit(0.5))
+          .otherwise((col(valueCol) - col("__mn")) / (col("__mx") - col("__mn"))))
+      .drop("__mn", "__mx")
   }
 
   /** Event-class → sentiment-class mapping for the trends analog (the
@@ -118,17 +125,19 @@ object Analytics {
   }
 
   /** A7 variant (ref `vizualization.py:288-297`): fixed-width histogram
-    * per group, bounds from per-group min/max window (the window runs over
-    * the raw rows but carries only two doubles per group). */
+    * per group. Same shape as the global [[histogram]]: per-group bounds
+    * from a tiny aggregate + broadcast join, so the binning pass stays a
+    * narrow map — a `Window.partitionBy(group)` formulation would instead
+    * sort all fact rows into |groups| tasks. */
   def histogramPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                         bins: Int): DataFrame = {
-    val w = Window.partitionBy(groupCol)
-    val mn = min(col(valueCol)).over(w)
-    val mx = max(col(valueCol)).over(w)
-    val width = (mx - mn) / lit(bins.toDouble)
-    df.withColumn("bin",
-        when(mx === mn, lit(0L))
-          .otherwise(least(floor((col(valueCol) - mn) / width), lit(bins - 1L))))
+    val bounds = df.groupBy(groupCol)
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bin",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(floor((col(valueCol) - col("__mn")) / width), lit(bins - 1L))))
       .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("cnt"))
       .orderBy(groupCol, "bin")
   }
@@ -207,12 +216,61 @@ object Analytics {
       .select("doc_id", "original_score", "sentiment")
 
   /** O5 argmax per group (ref `pdf_generation/pdf_sections.py:354-355`):
-    * highest-confidence row per sentiment, deterministic tiebreak. */
+    * highest-confidence row per sentiment, deterministic tiebreak
+    * (confidence DESC, doc_id ASC). `max_by` over a lexicographic struct
+    * key: a declarative aggregate with map-side partial — one candidate
+    * row per (task, group) shuffles, where the `row_number` window form
+    * sorts every fact row into |groups| tasks. */
   def argmaxPerGroup(scored: DataFrame): DataFrame =
-    topKPerGroup(scored, Seq("sentiment"),
-      Seq(col("confidence").desc, col("doc_id")), 1)
-      .select("sentiment", "doc_id", "confidence")
+    scored.groupBy("sentiment")
+      .agg(max_by(struct(col("doc_id"), col("confidence")),
+        struct(col("confidence"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("sentiment"), col("best.doc_id").as("doc_id"),
+        col("best.confidence").as("confidence"))
       .orderBy("sentiment")
+
+  /** Distributed exact global rank — the scale-correct form of
+    * `row_number() OVER (ORDER BY ...)`, which Spark plans as a
+    * SINGLE-partition WindowExec (every row sorts in one task: the
+    * classic 100 TB killer). Standard two-phase global sort instead:
+    *
+    *  1. range-repartition on the order key (parallel sampling sort — the
+    *     same machinery as a distributed ORDER BY);
+    *  2. local `row_number` per range partition (window partitioned by
+    *     `spark_partition_id()` — as many window partitions as the
+    *     cluster has sort partitions, not one);
+    *  3. per-partition counts (O(#partitions) rows) → cumulative offsets
+    *     (global window over the tiny aggregate — allowed by SCALE.md's
+    *     rule) broadcast back; global rank = local rank + offset.
+    *
+    * The range exchange feeds both the fact branch and the counts branch;
+    * Spark's ReuseExchange collapses them into one physical shuffle
+    * (asserted in PlanShapeSpec), so the sampled partition boundaries are
+    * computed once and consistent between the two consumers.
+    *
+    * `order` columns must form a total order (add a unique tiebreak) for
+    * the rank to be deterministic. Appends `rankName` (1-based bigint) and
+    * `__n` (total row count) — callers derive ntile/percent_rank from
+    * them arithmetically and drop `__n`. */
+  def withGlobalRank(df: DataFrame, order: Seq[Column],
+                     rankName: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(order: _*)
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val cum = Window.orderBy("__pid")
+    val offsets = counts
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        cum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__off", "__n")
+    parted.withColumn("__lrn", row_number().over(localW))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankName, col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
+  }
 
   /** Skew-safe two-phase aggregation (count + sum): phase 1 aggregates on
     * (key, salt) so one hot key spreads over `salts` reducers, phase 2

@@ -33,9 +33,13 @@ object Serving {
       .agg(joinedLines(struct((-col("cnt")).as("nc"), col("word")), col("line"))
         .as("top_words_ctx"))
 
-    val w = Window.partitionBy("sentiment").orderBy(col("confidence").desc, col("doc_id"))
-    val examples = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .withColumn("line", concat(col("sentiment"), lit(": "), substring(col("text"), 1, 80)))
+    // argmax per class via max_by (declarative aggregate, map-side
+    // partial) — a row_number window here would sort every fact row into
+    // one task per sentiment class
+    val examples = scored.groupBy("sentiment")
+      .agg(max_by(substring(col("text"), 1, 80),
+        struct(col("confidence"), (-col("doc_id")).as("neg_id"))).as("ex"))
+      .withColumn("line", concat(col("sentiment"), lit(": "), col("ex")))
       .agg(joinedLines(col("sentiment"), col("line")).as("examples_ctx"))
 
     broadcast(dist).crossJoin(broadcast(words)).crossJoin(broadcast(examples))
