@@ -120,6 +120,15 @@ object SparkEntry {
       s"(CASE WHEN ${dotSql(vcol, w)} > CAST(0.0 AS DOUBLE) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
+  /** Mirrors [[Similarity.bandBucket]]: bucket of band `b` over its `r`
+    * hyperplanes. */
+  private def bandBucketSql(vcol: String, b: Int, r: Int, dim: Int): String =
+    (0 until r).map { j =>
+      val w = Similarity.planeWeights(b * r + j, dim)
+        .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(vcol, w)} > CAST(0.0 AS DOUBLE) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
   /** Mirrors [[Dedup.shingles]] over the `tokens` column of the `toks` CTE. */
   private def shinglesSql(n: Int): String =
     s"list_distinct(CASE WHEN len(tokens) >= $n THEN " +
@@ -625,12 +634,25 @@ object SparkEntry {
       None),
 
     Q("dd_embedding_neardup",
-      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4),
+      // LSH-banded near-dup (the scale path) IS the catalog entry: the
+      // only pair-forming join is the (band, bucket) equi-join. The exact
+      // all-pairs baseline lives in SimilaritySpec as the recall oracle.
+      (s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4,
+        planes = 12, bands = 4, dim = 64),
       Some(s"""WITH $evecCteSql,
+              |bd AS (
+              |  SELECT vec_id, 0 AS band, ${bandBucketSql("v", 0, 3, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 1 AS band, ${bandBucketSql("v", 1, 3, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 2 AS band, ${bandBucketSql("v", 2, 3, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 3 AS band, ${bandBucketSql("v", 3, 3, 64)} AS bucket FROM evec),
+              |cand AS (
+              |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              |  FROM bd x JOIN bd y
+              |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
               |p AS (
-              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |    ${cosineSql("a.v", "b.v")} AS cos
-              |  FROM evec a JOIN evec b ON a.vec_id < b.vec_id)
+              |  SELECT id_a, id_b, ${cosineSql("a.v", "b.v")} AS cos
+              |  FROM cand JOIN evec a ON a.vec_id = cand.id_a
+              |            JOIN evec b ON b.vec_id = cand.id_b)
               |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p
               |WHERE cos > CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin)),
 
@@ -834,17 +856,21 @@ object SparkEntry {
              |ORDER BY pass_id, doc_id""".stripMargin)),
 
     Q("s10_block_reparse",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val blob = docs.agg(array_join(
-          transform(
-            sort_array(collect_list(struct(col("doc_id").as("k"),
-              format_string("[Review %d]\n%s", col("doc_id"), col("text")).as("v")))),
-            x => x.getField("v")), "\n").as("blob"))
-        blob.select(explode(split(col("blob"), "\n")).as("line"))
-          .filter(!col("line").rlike("^\\[Review \\d+\\]$") && length(col("line")) > 30)
-          .orderBy("line")
-      },
+      // The reference concatenates `[Review N]\n<text>` blocks into one
+      // corpus string and re-splits it on newlines
+      // (ref `Context_analyzer_RoBERTa_fun.py:282-352`). Because the block
+      // separator IS the split character, splitting the joined corpus
+      // yields exactly the per-document line multiset — so the engine form
+      // splits WITHIN each document (narrow generator, no corpus-sized
+      // single-row blob: a whole-corpus collect_list OOMs one task long
+      // before 100 TB). The oracle keeps the literal blob formulation,
+      // proving the equivalence every run.
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(
+          format_string("[Review %d]\n%s", col("doc_id"), col("text")),
+          "\n")).as("line"))
+        .filter(!col("line").rlike("^\\[Review \\d+\\]$") && length(col("line")) > 30)
+        .orderBy("line"),
       Some("""WITH blob AS (
              |  SELECT string_agg('[Review ' || doc_id || ']' || chr(10) || text, chr(10) ORDER BY doc_id) AS b
              |  FROM documents),
@@ -1082,7 +1108,7 @@ object SparkEntry {
       // functions are pure arithmetic over (rank, n). Bucket sizing
       // matches SQL ntile exactly: first n%10 buckets get one extra row.
       (s, d) => {
-        val ranked = Analytics.withGlobalRank(scoredDocs(s, d),
+        val ranked = Analytics.withGlobalRank(scoredDocs(s, d), "original_score",
           Seq(col("original_score"), col("doc_id")), "rank")
         ranked.select(col("doc_id"), col("original_score"),
           expr("CAST(CASE WHEN rank <= (__n % 10) * (__n DIV 10 + 1) " +

@@ -41,16 +41,21 @@ object Analytics {
     * Shape: per-group bounds via `groupBy.agg(min,max)` (map-side partial,
     * O(|groups|) rows) + a broadcast join back — NOT
     * `Window.partitionBy(group)`, which would sort every fact row and pin
-    * each group (3 here) onto a single task. */
+    * each group (3 here) onto a single task. The join-back is null-safe
+    * (`<=>`), so a NULL group is normalized within its own group exactly
+    * as `Window.partitionBy` would treat it. Precondition: `groupCol` is
+    * low-cardinality (the bounds frame is broadcast — at high cardinality
+    * remove the hint and let AQE pick the join). */
   def normalizeScores(scored: DataFrame, valueCol: String = "original_score",
                       groupCol: String = "sentiment"): DataFrame = {
     val bounds = scored.groupBy(groupCol)
       .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
-    scored.join(broadcast(bounds), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g")
+    scored.join(broadcast(bounds), col(groupCol) <=> col("__g"))
       .withColumn("normalized_score",
         when(col("__mx") === col("__mn"), lit(0.5))
           .otherwise((col(valueCol) - col("__mn")) / (col("__mx") - col("__mn"))))
-      .drop("__mn", "__mx")
+      .drop("__g", "__mn", "__mx")
   }
 
   /** Event-class → sentiment-class mapping for the trends analog (the
@@ -128,13 +133,16 @@ object Analytics {
     * per group. Same shape as the global [[histogram]]: per-group bounds
     * from a tiny aggregate + broadcast join, so the binning pass stays a
     * narrow map — a `Window.partitionBy(group)` formulation would instead
-    * sort all fact rows into |groups| tasks. */
+    * sort all fact rows into |groups| tasks. Null-safe join-back (NULL is
+    * a valid group) and the same low-cardinality-`groupCol` broadcast
+    * precondition as [[normalizeScores]]. */
   def histogramPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                         bins: Int): DataFrame = {
     val bounds = df.groupBy(groupCol)
       .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+      .withColumnRenamed(groupCol, "__g")
     val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
-    df.join(broadcast(bounds), Seq(groupCol))
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"))
       .withColumn("bin",
         when(col("__mx") === col("__mn"), lit(0L))
           .otherwise(least(floor((col(valueCol) - col("__mn")) / width), lit(bins - 1L))))
@@ -234,31 +242,49 @@ object Analytics {
     * SINGLE-partition WindowExec (every row sorts in one task: the
     * classic 100 TB killer). Standard two-phase global sort instead:
     *
-    *  1. range-repartition on the order key (parallel sampling sort — the
-    *     same machinery as a distributed ORDER BY);
-    *  2. local `row_number` per range partition (window partitioned by
-    *     `spark_partition_id()` — as many window partitions as the
-    *     cluster has sort partitions, not one);
-    *  3. per-partition counts (O(#partitions) rows) → cumulative offsets
-    *     (global window over the tiny aggregate — allowed by SCALE.md's
-    *     rule) broadcast back; global rank = local rank + offset.
+    *  1. one tiny sketch pass computes ~#shuffle-partitions quantile cut
+    *     points of `rangeCol` (column-pruned scan, O(#cuts) doubles on the
+    *     driver) — then every row's bucket `__pid` is a PURE FUNCTION of
+    *     its `rangeCol` value against those literal cuts. This is what
+    *     `repartitionByRange` cannot give us: its boundaries are sampled
+    *     per *physical exchange*, so two plan branches consuming the same
+    *     logical shuffle can disagree near boundaries unless ReuseExchange
+    *     happens to fire (it does not here — probed round 3), silently
+    *     corrupting ranks. Literal cuts make every consumer agree by
+    *     construction, with no reliance on exchange reuse, persist, or
+    *     checkpoint.
+    *  2. local `row_number` per bucket (window partitioned by `__pid` —
+    *     as many window partitions as the session has shuffle partitions,
+    *     scaling with the cluster, never one);
+    *  3. per-bucket counts (map-side partial → O(#buckets) rows) →
+    *     cumulative offsets (global window over the tiny aggregate —
+    *     allowed by SCALE.md's rule) broadcast back; global rank =
+    *     local rank + offset.
     *
-    * The range exchange feeds both the fact branch and the counts branch;
-    * Spark's ReuseExchange collapses them into one physical shuffle
-    * (asserted in PlanShapeSpec), so the sampled partition boundaries are
-    * computed once and consistent between the two consumers.
+    * Correctness needs only MONOTONICITY of the bucket function, which
+    * `sum(rangeCol > cut_i)` gives for any cut values: equal keys share a
+    * bucket, larger keys never get a smaller bucket (Spark orders NULL
+    * first — NULLs fail every `>` and land in bucket 0 — and NaN last —
+    * NaN compares greater than everything in Spark SQL, landing in the
+    * top bucket). Skewed or stale cuts only cost balance, never ranks.
     *
-    * `order` columns must form a total order (add a unique tiebreak) for
-    * the rank to be deterministic. Appends `rankName` (1-based bigint) and
-    * `__n` (total row count) — callers derive ntile/percent_rank from
-    * them arithmetically and drop `__n`. */
-  def withGlobalRank(df: DataFrame, order: Seq[Column],
+    * `rangeCol` must be a numeric column and the leading `order` key;
+    * `order` must form a total order (add a unique tiebreak) for the rank
+    * to be deterministic. Appends `rankName` (1-based bigint) and `__n`
+    * (total row count) — callers derive ntile/percent_rank from them
+    * arithmetically and drop `__n`. */
+  def withGlobalRank(df: DataFrame, rangeCol: String, order: Seq[Column],
                      rankName: String): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
+    val cuts = df.stat
+      .approxQuantile(rangeCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(rangeCol) > lit(c), 1).otherwise(0)
+    }
+    val withPid = df.withColumn("__pid", pid)
     val localW = Window.partitionBy("__pid").orderBy(order: _*)
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
     val cum = Window.orderBy("__pid")
     val offsets = counts
       .withColumn("__off", coalesce(
@@ -266,7 +292,7 @@ object Analytics {
       .withColumn("__n", sum(col("__cnt")).over(
         cum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select("__pid", "__off", "__n")
-    parted.withColumn("__lrn", row_number().over(localW))
+    withPid.withColumn("__lrn", row_number().over(localW))
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn(rankName, col("__lrn") + col("__off"))
       .drop("__pid", "__lrn", "__off")

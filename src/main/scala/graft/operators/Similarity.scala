@@ -136,10 +136,52 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline
-    * (the LSH-prefiltered variant is [[Dedup.minhashNearDupPairs]]'s
-    * pattern applied to [[lshBucket]]; at 100 TB you never run all-pairs).
-    */
+  /** Bucket id of band `b` (planes `[b*r, (b+1)*r)`) — the banded split of
+    * [[lshBucket]], so two vectors agree on band `b` iff they agree on the
+    * signs of all `r` of that band's hyperplane projections. */
+  def bandBucket(v: Column, b: Int, r: Int, dim: Int): Column =
+    (0 until r).map { j =>
+      val w = typedLit(planeWeights(b * r + j, dim))
+      when(dotFast(v, w) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs, LSH-banded — the scale path
+    * and the catalog entry: band the `planes` hyperplane signs into
+    * `bands` buckets; pairs agreeing on ANY band's bucket become
+    * candidates (an equi-join on (band, bucket) — the only pair-forming
+    * join, never all-pairs); candidates are verified with exact cosine >
+    * threshold. Deterministic (integer-lattice planes), so the DuckDB
+    * oracle reproduces the same candidate set and the same final pairs.
+    * Approximate by design: pairs above threshold that collide on no band
+    * are missed — [[cosineNearDupPairs]] is the exact baseline the unit
+    * tests measure recall against. At 100 TB the banded stream is written
+    * bucketed-by (band, bucket) and the candidate join is co-located. */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 12,
+                      bands: Int = 4, dim: Int = 64): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val banded = e.select(col("vec_id"),
+        posexplode(array((0 until bands).map(b => bandBucket(col("v"), b, r, dim)): _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cos", dotFast(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline —
+    * kept as the recall oracle for [[lshNearDupPairs]] (unit tests only;
+    * at 100 TB you never run all-pairs). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", normFast(col("v"))) // norms once per vector, not per pair

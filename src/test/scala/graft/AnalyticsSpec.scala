@@ -100,4 +100,21 @@ class AnalyticsSpec extends SparkSpec {
       .select("g", "w", "rn").collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(out == Set(("g1", "a", 1), ("g1", "b", 2), ("g2", "z", 1)))
   }
+
+  test("NULL group keys survive the broadcast-bounds join-back") {
+    val s = spark
+    import s.implicits._
+    // round-3 used a plain inner equi-join on the group column, which
+    // silently dropped NULL-group rows; Window.partitionBy semantics keep
+    // them as their own group
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0), (None, 20.0))
+      .toDF("g", "x")
+    val norm = Analytics.normalizeScores(df, "x", "g")
+      .select("g", "normalized_score").collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+    assert(norm == Set((Some("a"), 0.0), (Some("a"), 1.0), (None, 0.0), (None, 1.0)))
+    val hist = Analytics.histogramPerGroup(df, "g", "x", 2).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(hist.count(_._1.isEmpty) == 2) // NULL group binned, not dropped
+  }
 }

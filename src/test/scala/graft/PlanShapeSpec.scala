@@ -62,6 +62,69 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p) // no full-sort window machinery
   }
 
+  test("o7: distributed global rank has no range exchange and buckets on __pid") {
+    val p = plan("o7_ntile_deciles")
+    // the round-3 shape double-executed a repartitionByRange on the rank
+    // key whose boundaries are resampled per physical exchange (wrong
+    // ranks at scale when the two consumers disagree); the fix derives the
+    // bucket from driver-collected literal cuts, so no range exchange on
+    // the rank key may appear (the single one present is the final
+    // ORDER BY doc_id for output ordering — one consumer, harmless)
+    assert(!p.contains("Exchange rangepartitioning(original_score"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+    // the fact-side row_number window is partitioned on the bucket column,
+    // never an empty (single-task) partition spec
+    assert(p.contains("row_number()"), p)
+    assert("row_number\\(\\) windowspecdefinition\\(__pid".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("global sweep: no Window over un-aggregated fact rows in any batch query") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+    // Streaming catalog entries execute on invocation; their stateful plans
+    // are covered by their own oracles/tests.
+    val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
+      "st4_stream_join", "st6_stream_sessionize")
+    // A window over NOT-yet-aggregated rows is only scale-safe when its
+    // partition key has cardinality that grows with the data (or the
+    // cluster): each window group stays small and groups parallelize.
+    //   __pid    — distributed-rank bucket: cardinality = shuffle partitions
+    //   vec_id   — per-vector argmax in IVF assignment
+    //   user_id  — per-user sessionization
+    //   custkey  — per-customer as-of join
+    // A window partitioned on a low-cardinality data column (sentiment,
+    // lang, ...) — or on nothing — over fact rows pins the corpus onto a
+    // handful of tasks: the single-task-window failure SCALE.md forbids.
+    val highCard = Set("__pid", "vec_id", "doc_id", "user_id", "custkey", "id")
+    def aggBelow(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: Aggregate => (); case _: GlobalLimit => () }.isDefined
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if streaming(name) => Nil
+      case (name, fn) =>
+        fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: LWindow if !aggBelow(w.child) &&
+              !w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).exists(highCard) =>
+            s"$name: Window(partitionBy=${w.partitionSpec.mkString(",")}) over un-aggregated input"
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // negative control — the guard must flag the classic failure shapes:
+    // a window partitioned on a 3-value data column over raw fact rows,
+    // and an unpartitioned window over raw fact rows
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    val fact = Seq((1L, "POSITIVE"), (2L, "NEGATIVE")).toDF("doc_id", "sentiment")
+    for (w <- Seq(W.partitionBy("sentiment").orderBy("doc_id"), W.orderBy("doc_id"))) {
+      val flagged = fact.withColumn("rn", row_number().over(w))
+        .queryExecution.optimizedPlan.collect {
+          case lw: LWindow if !aggBelow(lw.child) &&
+              !lw.partitionSpec.flatMap(_.references.toSeq.map(_.name)).exists(highCard) => ()
+        }
+      assert(flagged.nonEmpty, s"guard failed to flag $w")
+    }
+  }
+
   test("global sweep: no accidental nested-loop/cartesian join in any batch query") {
     // Every BroadcastNestedLoopJoin in the catalog must be on this list —
     // each is an intentional O(n x tiny) shape, not an accident:
@@ -69,10 +132,8 @@ class PlanShapeSpec extends SparkSpec {
     //   sim_bruteforce: corpus x the single query vector
     //   sim_ivf: corpus x 16 broadcast centroids (IVF assignment is
     //            all-vectors-to-all-centroids by definition) + single-row probe
-    //   dd_embedding_neardup: the documented exact all-pairs baseline
     val allowed = Set("a7_confidence_histogram", "f11_insurance_risk",
-      "ep3_chat_context", "sim_bruteforce_topk", "sim_ivf_ann",
-      "dd_embedding_neardup")
+      "ep3_chat_context", "sim_bruteforce_topk", "sim_ivf_ann")
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

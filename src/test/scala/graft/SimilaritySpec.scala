@@ -59,4 +59,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
     assert(out.forall(_.getAs[Double]("cos") > 0.4))
   }
+
+  test("LSH-banded near-dup: subset of exact all-pairs, exact scores, useful recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+    val banded = Similarity.lshNearDupPairs(emb, 0.4).collect()
+    val exactMap = exact.map(r => key(r) -> r.getAs[Double]("cos")).toMap
+    // every banded pair is a true above-threshold pair with the identical
+    // (same fold order) cosine — banding only prunes, never invents
+    banded.foreach { r =>
+      assert(exactMap.get(key(r)).contains(r.getAs[Double]("cos")), key(r))
+    }
+    // recall on the synthetic corpus: near-dup pairs are planted at high
+    // cosine, where sign-LSH collision probability is high
+    assert(exact.nonEmpty)
+    assert(banded.length.toDouble / exact.length >= 0.5,
+      s"recall ${banded.length}/${exact.length}")
+  }
 }
