@@ -129,7 +129,10 @@ object Representatives {
         .select("doc_id", "text", "confidence"), k, seed)
         .withColumn("sentiment", lit(cls))
     } }
-    val out = Await.result(Future.sequence(futs), Duration.Inf)
+    // finite timeout: one wedged fit must fail loudly, not hang the
+    // pipeline forever (the three sub-fits are small; 30 min is orders of
+    // magnitude above any healthy run at bench scales)
+    val out = Await.result(Future.sequence(futs), Duration(30, "min"))
       .reduce(_ unionByName _)
       .select("sentiment", "doc_id", "text", "confidence", "cluster_id", "cluster_size")
       .orderBy("sentiment", "cluster_id")

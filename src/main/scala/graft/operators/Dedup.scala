@@ -67,24 +67,34 @@ object Dedup {
     } else sh0
     // the shingle stream feeds three plan branches (sizes + both join
     // sides); persist so the corpus is shingled once — at 100 TB this is
-    // the intermediate you would checkpoint to cluster storage anyway
+    // the intermediate you would checkpoint to cluster storage anyway.
+    // The cache is RELEASED before returning (see the localCheckpoint
+    // note below): a library operator must not leak executor memory.
     val sh = shUncached.persist()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("id_a"), col("sh"))
-    val b = sh.select(col(idCol).as("id_b"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") > minJaccard)
-      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
-        col("jaccard"))
-      .orderBy("id_a", "id_b")
+    try {
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      val a = sh.select(col(idCol).as("id_a"), col("sh"))
+      val b = sh.select(col(idCol).as("id_b"), col("sh"))
+      val inter = a.join(b, Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val result = inter
+        .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+        .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") > minJaccard)
+        .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+          col("jaccard"))
+        .orderBy("id_a", "id_b")
+      // materialize the (small) verified-pairs result while the shingle
+      // cache is live, then release the cache in the finally: a lazily
+      // returned frame would either leak the cache forever or, uncached,
+      // re-shingle the corpus once per consumer branch. localCheckpoint
+      // blocks are reclaimed by the ContextCleaner once the frame is GC'd.
+      result.localCheckpoint(eager = true)
+    } finally sh.unpersist()
   }
 
   /** J1 containment anti-join (ref `extract_text_fun.py:57-85`, shingle
@@ -126,40 +136,44 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // one shingling pass serves signatures, sizes, and both verification
-    // join sides — persist it (the checkpointable intermediate at scale)
+    // join sides — persist it (the checkpointable intermediate at scale);
+    // released in the finally, same discipline as [[ngramJaccardPairs]]
     val sh = shingleStream(df, textCol, idCol, n).persist()
-    // signature and set size in the same hash aggregation: one shuffle
-    val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    val sigs = sh.groupBy(col(idCol).as("id"))
-      .agg(count(lit(1)).as("sz"), sigAggs: _*)
-    val bandCols = (0 until bands).map(b =>
-      hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
-    val banded = sigs.select(col("id"),
-      posexplode(array(bandCols: _*)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bandhash"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bandhash") === col("y.bandhash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    // exact-Jaccard verification on candidates only; the second join keys
-    // on (id, shingle) so only true intersections materialize — keying on
-    // id alone would build a |sh(a)| x |sh(b)| cartesian per pair.
-    val sizes = sigs.select(col("id").as(idCol), col("sz"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") > minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    try {
+      // signature and set size in the same hash aggregation: one shuffle
+      val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      val sigs = sh.groupBy(col(idCol).as("id"))
+        .agg(count(lit(1)).as("sz"), sigAggs: _*)
+      val bandCols = (0 until bands).map(b =>
+        hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
+      val banded = sigs.select(col("id"),
+        posexplode(array(bandCols: _*)))
+        .select(col("id"), col("pos").as("band"), col("col").as("bandhash"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bandhash") === col("y.bandhash") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+      // exact-Jaccard verification on candidates only; the second join keys
+      // on (id, shingle) so only true intersections materialize — keying on
+      // id alone would build a |sh(a)| x |sh(b)| cartesian per pair.
+      val sizes = sigs.select(col("id").as(idCol), col("sz"))
+      val inter = cand
+        .join(sh.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
+        .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val result = inter
+        .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+        .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") > minJaccard)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+      result.localCheckpoint(eager = true)
+    } finally sh.unpersist()
   }
 
   /** Connected components over a near-dup pair graph + canonical member
@@ -191,6 +205,7 @@ object Dedup {
     // the symmetric edges gives every node min(id, min neighbor) — for
     // clique-shaped dup components that is already the fixpoint and the
     // loop only runs its confirming round.
+    try {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("id"), min(col("dst"))).as("lbl"))
       .localCheckpoint()
@@ -227,8 +242,10 @@ object Dedup {
       throw new IllegalStateException(
         s"canonicalComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds 2^maxIter; raise maxIter")
-    edges.unpersist()
     labels.select(col("id"), col("lbl").as("canonical")).orderBy("id")
+    // the finally also covers the non-convergence throw above — the edge
+    // cache must never outlive the operator
+    } finally edges.unpersist()
   }
 
   private def labelSum(df: DataFrame): Option[Long] =

@@ -145,9 +145,15 @@ final class TopKHeap(k: Int) {
   def offer(score: Double, tie: Long, payload: Any): Unit = {
     if (heap.size < k) heap.offer(Entry(score, tie, payload))
     else {
+      // total-order comparison, SAME relation as the heap comparator:
+      // primitive >/== would disagree with Double.compare on NaN (admitted
+      // under capacity, never evicted, always rejected when full →
+      // arrival-order-dependent results) and on -0.0 vs 0.0. Under
+      // Double.compare NaN sorts greatest — consistent with Spark SQL's
+      // ORDER BY semantics.
       val worst = heap.peek()
-      val better = score > worst.score ||
-        (score == worst.score && tie < worst.tie)
+      val c = java.lang.Double.compare(score, worst.score)
+      val better = c > 0 || (c == 0 && tie < worst.tie)
       if (better) { heap.poll(); heap.offer(Entry(score, tie, payload)) }
     }
   }
@@ -157,11 +163,10 @@ final class TopKHeap(k: Int) {
 
   def entries: Array[Entry] = heap.toArray(Array.empty[Entry])
 
-  /** Payloads in final output order: score DESC, tiebreak ASC. */
+  /** Payloads in final output order: score DESC, tiebreak ASC — via the
+    * same total-order comparator as the heap (NaN-safe). */
   def sortedPayloads: Array[Any] =
-    entries.sortWith((a, b) =>
-      a.score > b.score || (a.score == b.score && a.tie < b.tie))
-      .map(_.payload)
+    entries.sortWith((a, b) => worstFirst.compare(a, b) > 0).map(_.payload)
 }
 
 object TopK {

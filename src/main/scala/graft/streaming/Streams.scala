@@ -147,6 +147,13 @@ object Streams {
   def upsertSnapshotBatch(spark: SparkSession, snapshotDir: String,
                           batchLatest: DataFrame, keyCol: String): Unit = {
     val snap = new java.io.File(snapshotDir)
+    val old = new java.io.File(snapshotDir + ".old")
+    // crash recovery: a previous run that died between "snapshot moved
+    // aside" and "tmp renamed in" leaves only the .old copy — restore it
+    // so no committed state is ever lost (the batch that was being merged
+    // replays: foreachBatch is at-least-once and the merge is idempotent)
+    if (!snap.exists() && old.exists() && !old.renameTo(snap))
+      throw new java.io.IOException(s"snapshot recovery failed: $old -> $snap")
     val cur =
       if (snap.exists()) spark.read.parquet(snapshotDir)
       else spark.createDataFrame(
@@ -155,9 +162,16 @@ object Streams {
     val tmp = new java.io.File(snapshotDir + ".tmp")
     if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     merged.write.parquet(tmp.getPath) // materializes BEFORE the old snapshot moves
-    if (snap.exists()) org.apache.commons.io.FileUtils.deleteDirectory(snap)
-    if (!tmp.renameTo(snap))
+    // swap via rename-aside, never delete-then-rename: at every instant
+    // either the live dir or the .old dir holds a complete snapshot
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (snap.exists() && !snap.renameTo(old))
+      throw new java.io.IOException(s"snapshot swap failed: $snap -> $old")
+    if (!tmp.renameTo(snap)) {
+      old.renameTo(snap) // restore the previous snapshot before failing
       throw new java.io.IOException(s"snapshot swap failed: $tmp -> $snap")
+    }
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
   /** Incremental keyed-snapshot maintenance via `foreachBatch` — the

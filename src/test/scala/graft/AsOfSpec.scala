@@ -41,6 +41,28 @@ class AsOfSpec extends SparkSpec {
     assert(out(1).getStruct(out(1).fieldIndex("last_purchase")).getDouble(1) == 19.99)
   }
 
+  test("as-of join: user columns named like the internals survive; map payload joins") {
+    val s = spark
+    import s.implicits._
+    // user columns deliberately named like the operator's internals — the
+    // round-3 implementation clobbered same-named columns
+    val left = Seq((1L, 10L, 100L, "keep-tag", "keep-pl"))
+      .toDF("event_id", "user_id", "us", "__asof_tag", "__asof_pl")
+    val right = Seq((10L, 50L, 7L)).toDF("user_id", "us", "amount")
+    val out = AsOf.asOfJoin(left, right, "user_id", "us", col("amount"), "asof_amount")
+      .collect()(0)
+    assert(out.getAs[String]("__asof_tag") == "keep-tag")
+    assert(out.getAs[String]("__asof_pl") == "keep-pl")
+    assert(out.getAs[Long]("asof_amount") == 7L)
+    // non-orderable payload (map type): analysis used to fail because the
+    // window sorted by the payload; now the tiebreak is skipped
+    val right2 = Seq((10L, 50L)).toDF("user_id", "us")
+      .withColumn("m", map(lit("k"), lit(1)))
+    val out2 = AsOf.asOfJoin(left.select("event_id", "user_id", "us"), right2,
+      "user_id", "us", col("m"), "asof_m").collect()(0)
+    assert(out2.getAs[Map[String, Int]]("asof_m") == Map("k" -> 1))
+  }
+
   test("as-of join: single shuffle, no join operator in the plan") {
     val s = spark
     import s.implicits._

@@ -84,4 +84,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
     assert(pairs(0).getAs[Int]("hamming") == 0)
   }
+
+  test("pair operators leave no DataFrame cache behind (library hygiene)") {
+    import org.apache.spark.sql.graftbridge.CacheBridge
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf0001)
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 4, minJaccard = 0.6, maxDf = 50)
+    assert(CacheBridge.noCachedPlans(spark), "ngramJaccardPairs leaked a cached plan")
+    Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+    assert(CacheBridge.noCachedPlans(spark), "minhashNearDupPairs leaked a cached plan")
+  }
 }

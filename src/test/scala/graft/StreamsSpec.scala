@@ -80,4 +80,19 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("snapshot swap survives a crash between move-aside and rename-in") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_crash").toString + "/snap"
+    Streams.upsertSnapshotBatch(spark, dir, Seq((1L, "a")).toDF("k", "v"), "k")
+    // simulate the crash window the round-3 delete-then-rename left open:
+    // the live dir is gone, only the moved-aside copy exists
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    assert(!new java.io.File(dir).exists())
+    Streams.upsertSnapshotBatch(spark, dir, Seq((2L, "b")).toDF("k", "v"), "k")
+    val out = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b"))) // pre-crash state recovered, new batch merged
+    assert(!new java.io.File(dir + ".old").exists())
+  }
 }

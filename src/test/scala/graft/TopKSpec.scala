@@ -54,6 +54,34 @@ class TopKSpec extends SparkSpec {
     assert(out("b") == Seq((4L, 0.5)))
   }
 
+  test("heap: NaN and signed-zero scores are arrival-order independent") {
+    import graft.plans.TopKHeap
+    // NaN compares greater than everything under Double.compare (Spark's
+    // ORDER BY relation); -0.0 < 0.0. The round-3 offer() used primitive
+    // >/== which disagrees on both, making full-heap admission depend on
+    // arrival order.
+    val vals = Seq((Double.NaN, 1L), (1.0, 2L), (2.0, 3L), (-0.0, 4L),
+      (0.0, 5L), (Double.NaN, 6L), (3.0, 7L))
+    def run(order: Seq[(Double, Long)]): Seq[Any] = {
+      val h = new TopKHeap(3)
+      order.foreach { case (sc, t) => h.offer(sc, t, t) }
+      h.sortedPayloads.toSeq
+    }
+    val expect = run(vals)
+    assert(expect == Seq(1L, 6L, 7L)) // NaN (tie 1,6) then 3.0
+    vals.permutations.take(120).foreach(p => assert(run(p) == expect, p))
+    // -0.0 vs 0.0 at the admission boundary: tiebreak must apply
+    val zeros = Seq((0.0, 9L), (-0.0, 1L), (0.0, 2L))
+    def runZ(order: Seq[(Double, Long)]): Seq[Any] = {
+      val h = new TopKHeap(2)
+      order.foreach { case (sc, t) => h.offer(sc, t, t) }
+      h.sortedPayloads.toSeq
+    }
+    val zExpect = runZ(zeros)
+    assert(zExpect == Seq(2L, 9L)) // 0.0 > -0.0; ties by id ASC
+    zeros.permutations.foreach(p => assert(runZ(p) == zExpect, p))
+  }
+
   test("SQL registration: graft_top_k usable from pure SQL") {
     val s = spark
     import s.implicits._
