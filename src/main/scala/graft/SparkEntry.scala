@@ -341,6 +341,64 @@ object SparkEntry {
 
     Q("f11_insurance_risk",
       (s, d) => Risk.insuranceRisk(scoredDocs(s, d), trendsOf(s, d)),
+      Some(riskOracleCtes +
+        """
+          |SELECT
+          |  ROUND(CAST(5000.0 AS DOUBLE) * sent_mult * conf_mult * sample_mult * trend_multiplier, 2) AS insurance_cost,
+          |  CASE WHEN risk_score >= 70 THEN 'Critical'
+          |       WHEN risk_score >= 50 THEN 'High'
+          |       WHEN risk_score >= 30 THEN 'Medium'
+          |       ELSE 'Low' END AS risk_level,
+          |  risk_score,
+          |  ROUND(pos_r * CAST(100.0 AS DOUBLE), 1) AS positive_percentage,
+          |  ROUND(neg_r * CAST(100.0 AS DOUBLE), 1) AS negative_percentage,
+          |  ROUND(neu_r * CAST(100.0 AS DOUBLE), 1) AS neutral_percentage,
+          |  ROUND(sent_mult, 2) AS sentiment_multiplier,
+          |  ROUND(avg_confidence, 3) AS average_confidence,
+          |  ROUND(std_confidence, 3) AS confidence_std,
+          |  ROUND(min_confidence, 3) AS min_confidence,
+          |  ROUND(conf_mult, 2) AS confidence_multiplier,
+          |  total_samples,
+          |  ROUND(sample_mult, 2) AS sample_multiplier,
+          |  ROUND(trend_multiplier, 2) AS trend_multiplier,
+          |  trend_status
+          |FROM fin""".stripMargin)),
+
+    Q("f11b_insurance_breakdown",
+      // F11 with the reference's nested breakdown{...} document shape
+      // (insurance_calculator.py:103-132) — same single broadcast row
+      (s, d) => Risk.insuranceRiskNested(scoredDocs(s, d), trendsOf(s, d)),
+      Some(riskOracleCtes +
+        """
+          |SELECT
+          |  ROUND(CAST(5000.0 AS DOUBLE) * sent_mult * conf_mult * sample_mult * trend_multiplier, 2) AS insurance_cost,
+          |  CASE WHEN risk_score >= 70 THEN 'Critical'
+          |       WHEN risk_score >= 50 THEN 'High'
+          |       WHEN risk_score >= 30 THEN 'Medium'
+          |       ELSE 'Low' END AS risk_level,
+          |  risk_score,
+          |  struct_pack(
+          |    base_rate := CAST(5000.0 AS DOUBLE),
+          |    sentiment_factors := struct_pack(
+          |      positive_percentage := ROUND(pos_r * CAST(100.0 AS DOUBLE), 1),
+          |      negative_percentage := ROUND(neg_r * CAST(100.0 AS DOUBLE), 1),
+          |      neutral_percentage := ROUND(neu_r * CAST(100.0 AS DOUBLE), 1),
+          |      sentiment_multiplier := ROUND(sent_mult, 2)),
+          |    confidence_factors := struct_pack(
+          |      average_confidence := ROUND(avg_confidence, 3),
+          |      confidence_std := ROUND(std_confidence, 3),
+          |      min_confidence := ROUND(min_confidence, 3),
+          |      confidence_multiplier := ROUND(conf_mult, 2)),
+          |    sample_factors := struct_pack(
+          |      total_samples := total_samples,
+          |      sample_multiplier := ROUND(sample_mult, 2)),
+          |    trend_factors := struct_pack(
+          |      trend_multiplier := ROUND(trend_multiplier, 2),
+          |      trend_status := trend_status)) AS breakdown
+          |FROM fin""".stripMargin)),
+
+    Q("__unused_f11_tail",
+      (s, d) => Risk.insuranceRisk(scoredDocs(s, d), trendsOf(s, d)),
       Some(Sentiment.oracleCte + ",\n" + trendsCteSql + ",\n" +
         trendRiskCteSql +
         """,

@@ -114,6 +114,29 @@ object Analytics {
       round(avg(col("original_score")), 6).as("avg_original_score"),
       sum(when(candidateCol, 1L).otherwise(0L)).as("candidates_count"))
 
+  /** A6 nested-output parity: the reference's `performance_summary.json`
+    * document (ref `vizualization.py:308-324`) minus the wall-clock
+    * fields (runtime telemetry, not data). Single-row aggregate with the
+    * reference's sub-object shape. */
+  def performanceSummary(scored: DataFrame, candidateCol: Column): DataFrame =
+    scored.agg(
+      count(lit(1)).as("total_samples"),
+      struct(
+        sum(when(col("sentiment") === "POSITIVE", 1L).otherwise(0L)).as("POSITIVE"),
+        sum(when(col("sentiment") === "NEGATIVE", 1L).otherwise(0L)).as("NEGATIVE"),
+        sum(when(col("sentiment") === "NEUTRAL", 1L).otherwise(0L)).as("NEUTRAL"))
+        .as("sentiment_distribution"),
+      struct(
+        round(avg(col("original_score")), 6).as("avg_original_score"),
+        round(avg(col("confidence")), 6).as("avg_sentiment_confidence"),
+        sum(when(candidateCol, 1L).otherwise(0L)).as("candidates_count"))
+        .as("score_distribution"),
+      struct(
+        round(avg(col("confidence")), 6).as("mean"),
+        round(stddev_samp(col("confidence")), 6).as("std"),
+        min(col("confidence")).as("min"),
+        max(col("confidence")).as("max")).as("confidence_stats"))
+
   /** A7 fixed-width histogram (ref `vizualization.py:67`, `:288-297`):
     * `bins` equal buckets between the global min and max; the max value
     * lands in the last bucket. Global min/max come from a broadcast

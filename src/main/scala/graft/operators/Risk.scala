@@ -137,4 +137,25 @@ object Risk {
       round(tm, 2).as("trend_multiplier"),
       col("trend_status"))
   }
+
+  /** F11 nested-output parity: the same assessment shaped as the
+    * reference's `insurance_risk.json` document with its `breakdown{...}`
+    * sub-objects (ref `insurance_calculator.py:103-132`). Pure projection
+    * over [[insuranceRisk]] — still a single broadcast row. */
+  def insuranceRiskNested(scored: DataFrame, trends: DataFrame,
+                          baseRate: Double = 5000.0): DataFrame =
+    insuranceRisk(scored, trends, baseRate).select(
+      col("insurance_cost"), col("risk_level"), col("risk_score"),
+      struct(
+        lit(baseRate).as("base_rate"),
+        struct(col("positive_percentage"), col("negative_percentage"),
+          col("neutral_percentage"), col("sentiment_multiplier"))
+          .as("sentiment_factors"),
+        struct(col("average_confidence"), col("confidence_std"),
+          col("min_confidence"), col("confidence_multiplier"))
+          .as("confidence_factors"),
+        struct(col("total_samples"), col("sample_multiplier"))
+          .as("sample_factors"),
+        struct(col("trend_multiplier"), col("trend_status"))
+          .as("trend_factors")).as("breakdown"))
 }

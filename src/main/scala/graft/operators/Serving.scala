@@ -44,4 +44,46 @@ object Serving {
 
     broadcast(dist).crossJoin(broadcast(words)).crossJoin(broadcast(examples))
   }
+
+  /** EP2/S12 — the `/api/results/{job}/data` artifact merge
+    * (ref `routes.py:182-231`): ONE nested row joining the trends array,
+    * per-sentiment summaries, recommendations, and the statistics block
+    * the frontend consumes. Summary/recommendation GENERATION is the
+    * external-LLM seam (out of engine scope per SURVEY §2.9); the
+    * deterministic assembly carries exactly the per-class evidence the
+    * generator consumes — class count + highest-confidence example
+    * (ref `summarize_sentiments_fun.py:134-143`,
+    * `recommendation_fun.py:39-45`).
+    *
+    * Shape: everything reduces to single-row aggregates before the
+    * broadcast cross-joins — O(1) assembled data at any input scale. */
+  def resultsDocument(scored: DataFrame, trends: DataFrame): DataFrame = {
+    val trendsArr = trends.agg(sort_array(collect_list(struct(
+      col("date"), col("positive"), col("negative"), col("neutral"),
+      col("total")))).as("trends"))
+    val per = scored.groupBy("sentiment").agg(
+      count(lit(1)).as("cnt"),
+      max_by(substring(col("text"), 1, 80),
+        struct(col("confidence"), (-col("doc_id")).as("neg_id"))).as("ex"))
+    def summaryOf(cls: String): Column =
+      max(when(col("sentiment") === cls, struct(
+        lit(cls).as("sentiment_type"),
+        col("cnt").as("num_comments_analyzed"),
+        col("ex").as("summary")))).as(cls.toLowerCase + "_summary")
+    def cntOf(cls: String): Column =
+      coalesce(max(when(col("sentiment") === cls, col("cnt"))), lit(0L))
+    val merged = per.agg(
+      summaryOf("POSITIVE"), summaryOf("NEGATIVE"), summaryOf("NEUTRAL"),
+      struct(
+        sum(col("cnt")).as("total_reviews"),
+        cntOf("POSITIVE").as("positive"),
+        cntOf("NEGATIVE").as("negative"),
+        cntOf("NEUTRAL").as("neutral")).as("statistics"))
+      .withColumn("recommendations", struct(
+        col("positive_summary.summary").as("positive_basis"),
+        col("negative_summary.summary").as("negative_basis")))
+    broadcast(trendsArr).crossJoin(broadcast(merged))
+      .select("trends", "positive_summary", "negative_summary",
+        "neutral_summary", "recommendations", "statistics")
+  }
 }
