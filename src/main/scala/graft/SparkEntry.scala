@@ -81,6 +81,53 @@ object SparkEntry {
       |         ELSE 'Stable' END AS trend_status
       |  FROM trisk)""".stripMargin
 
+  /** DuckDB CTEs shared by the two F11 insurance oracles (mirrors
+    * [[Risk.insuranceRisk]] / [[Risk.insuranceRiskNested]]); composes the
+    * sentiment, trends and trend-risk CTEs and exposes `fin` holding the
+    * single fully-multiplied risk row. */
+  private val riskOracleCtes: String =
+    Sentiment.oracleCte + ",\n" + trendsCteSql + ",\n" + trendRiskCteSql +
+      """,
+        |dist AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total_samples,
+        |    CAST(SUM(CASE WHEN sentiment = 'POSITIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN sentiment = 'NEGATIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(SUM(CASE WHEN sentiment = 'NEUTRAL' THEN 1 ELSE 0 END) AS BIGINT) AS n_neu,
+        |    ROUND(avg(confidence), 9) AS avg_confidence,
+        |    ROUND(stddev_samp(confidence), 9) AS std_confidence,
+        |    min(confidence) AS min_confidence
+        |  FROM sent),
+        |base AS (
+        |  SELECT dist.*, trisk2.trend_multiplier, trisk2.trend_status,
+        |    CAST(n_pos AS DOUBLE) / CAST(total_samples AS DOUBLE) AS pos_r,
+        |    CAST(n_neg AS DOUBLE) / CAST(total_samples AS DOUBLE) AS neg_r,
+        |    CAST(n_neu AS DOUBLE) / CAST(total_samples AS DOUBLE) AS neu_r
+        |  FROM dist CROSS JOIN trisk2),
+        |mults AS (
+        |  SELECT *,
+        |    CASE WHEN pos_r > CAST(0.85 AS DOUBLE)
+        |      THEN (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) * CAST(0.85 AS DOUBLE)
+        |         WHEN pos_r > CAST(0.75 AS DOUBLE)
+        |      THEN (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) * CAST(0.95 AS DOUBLE)
+        |         ELSE (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) END AS sent_mult,
+        |    CASE WHEN std_confidence > CAST(0.2 AS DOUBLE)
+        |      THEN (CAST(1.5 AS DOUBLE) - avg_confidence * CAST(0.5 AS DOUBLE)) * CAST(1.1 AS DOUBLE)
+        |      ELSE (CAST(1.5 AS DOUBLE) - avg_confidence * CAST(0.5 AS DOUBLE)) END AS conf_mult,
+        |    CASE WHEN total_samples < 50 THEN CAST(1.3 AS DOUBLE)
+        |         WHEN total_samples < 100 THEN CAST(1.15 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS sample_mult
+        |  FROM base),
+        |sc AS (
+        |  SELECT *,
+        |    neg_r * CAST(200.0 AS DOUBLE)
+        |    + CASE WHEN pos_r < CAST(0.6 AS DOUBLE) THEN (CAST(0.6 AS DOUBLE) - pos_r) * CAST(50.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |    + CASE WHEN avg_confidence < CAST(0.9 AS DOUBLE) THEN (CAST(0.9 AS DOUBLE) - avg_confidence) * CAST(100.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |    + CASE WHEN total_samples < 100 THEN (CAST(100.0 AS DOUBLE) - CAST(total_samples AS DOUBLE)) / CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |    + CASE WHEN trend_multiplier > CAST(1.0 AS DOUBLE) THEN (trend_multiplier - CAST(1.0 AS DOUBLE)) * CAST(25.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |    AS score
+        |  FROM mults),
+        |fin AS (SELECT *, LEAST(CAST(FLOOR(score) AS BIGINT), 100) AS risk_score FROM sc)""".stripMargin
+
   /** DuckDB CTE producing the word stream of A8 (mirrors
     * [[Analytics.wordCounts]]); exposes `words(lang, source, word)`. */
   private val wordsCteSql: String = {
@@ -395,71 +442,6 @@ object SparkEntry {
           |    trend_factors := struct_pack(
           |      trend_multiplier := ROUND(trend_multiplier, 2),
           |      trend_status := trend_status)) AS breakdown
-          |FROM fin""".stripMargin)),
-
-    Q("__unused_f11_tail",
-      (s, d) => Risk.insuranceRisk(scoredDocs(s, d), trendsOf(s, d)),
-      Some(Sentiment.oracleCte + ",\n" + trendsCteSql + ",\n" +
-        trendRiskCteSql +
-        """,
-          |dist AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS total_samples,
-          |    CAST(SUM(CASE WHEN sentiment = 'POSITIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-          |    CAST(SUM(CASE WHEN sentiment = 'NEGATIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-          |    CAST(SUM(CASE WHEN sentiment = 'NEUTRAL' THEN 1 ELSE 0 END) AS BIGINT) AS n_neu,
-          |    ROUND(avg(confidence), 9) AS avg_confidence,
-          |    ROUND(stddev_samp(confidence), 9) AS std_confidence,
-          |    min(confidence) AS min_confidence
-          |  FROM sent),
-          |base AS (
-          |  SELECT dist.*, trisk2.trend_multiplier, trisk2.trend_status,
-          |    CAST(n_pos AS DOUBLE) / CAST(total_samples AS DOUBLE) AS pos_r,
-          |    CAST(n_neg AS DOUBLE) / CAST(total_samples AS DOUBLE) AS neg_r,
-          |    CAST(n_neu AS DOUBLE) / CAST(total_samples AS DOUBLE) AS neu_r
-          |  FROM dist CROSS JOIN trisk2),
-          |mults AS (
-          |  SELECT *,
-          |    CASE WHEN pos_r > CAST(0.85 AS DOUBLE)
-          |      THEN (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) * CAST(0.85 AS DOUBLE)
-          |         WHEN pos_r > CAST(0.75 AS DOUBLE)
-          |      THEN (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) * CAST(0.95 AS DOUBLE)
-          |         ELSE (CAST(1.0 AS DOUBLE) + neg_r * CAST(2.5 AS DOUBLE) + neu_r * CAST(0.5 AS DOUBLE)) END AS sent_mult,
-          |    CASE WHEN std_confidence > CAST(0.2 AS DOUBLE)
-          |      THEN (CAST(1.5 AS DOUBLE) - avg_confidence * CAST(0.5 AS DOUBLE)) * CAST(1.1 AS DOUBLE)
-          |      ELSE (CAST(1.5 AS DOUBLE) - avg_confidence * CAST(0.5 AS DOUBLE)) END AS conf_mult,
-          |    CASE WHEN total_samples < 50 THEN CAST(1.3 AS DOUBLE)
-          |         WHEN total_samples < 100 THEN CAST(1.15 AS DOUBLE)
-          |         ELSE CAST(1.0 AS DOUBLE) END AS sample_mult
-          |  FROM base),
-          |sc AS (
-          |  SELECT *,
-          |    neg_r * CAST(200.0 AS DOUBLE)
-          |    + CASE WHEN pos_r < CAST(0.6 AS DOUBLE) THEN (CAST(0.6 AS DOUBLE) - pos_r) * CAST(50.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-          |    + CASE WHEN avg_confidence < CAST(0.9 AS DOUBLE) THEN (CAST(0.9 AS DOUBLE) - avg_confidence) * CAST(100.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-          |    + CASE WHEN total_samples < 100 THEN (CAST(100.0 AS DOUBLE) - CAST(total_samples AS DOUBLE)) / CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-          |    + CASE WHEN trend_multiplier > CAST(1.0 AS DOUBLE) THEN (trend_multiplier - CAST(1.0 AS DOUBLE)) * CAST(25.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-          |    AS score
-          |  FROM mults),
-          |fin AS (SELECT *, LEAST(CAST(FLOOR(score) AS BIGINT), 100) AS risk_score FROM sc)
-          |SELECT
-          |  ROUND(CAST(5000.0 AS DOUBLE) * sent_mult * conf_mult * sample_mult * trend_multiplier, 2) AS insurance_cost,
-          |  CASE WHEN risk_score >= 70 THEN 'Critical'
-          |       WHEN risk_score >= 50 THEN 'High'
-          |       WHEN risk_score >= 30 THEN 'Medium'
-          |       ELSE 'Low' END AS risk_level,
-          |  risk_score,
-          |  ROUND(pos_r * CAST(100.0 AS DOUBLE), 1) AS positive_percentage,
-          |  ROUND(neg_r * CAST(100.0 AS DOUBLE), 1) AS negative_percentage,
-          |  ROUND(neu_r * CAST(100.0 AS DOUBLE), 1) AS neutral_percentage,
-          |  ROUND(sent_mult, 2) AS sentiment_multiplier,
-          |  ROUND(avg_confidence, 3) AS average_confidence,
-          |  ROUND(std_confidence, 3) AS confidence_std,
-          |  ROUND(min_confidence, 3) AS min_confidence,
-          |  ROUND(conf_mult, 2) AS confidence_multiplier,
-          |  total_samples,
-          |  ROUND(sample_mult, 2) AS sample_multiplier,
-          |  ROUND(trend_multiplier, 2) AS trend_multiplier,
-          |  trend_status
           |FROM fin""".stripMargin)),
 
     Q("st_hourly_windows",
