@@ -937,6 +937,79 @@ object SparkEntry {
           |ectx AS (SELECT string_agg(sentiment || ': ' || substr(text, 1, 80), ', ' ORDER BY sentiment) AS examples_ctx FROM ex WHERE rn = 1)
           |SELECT distribution_ctx, top_words_ctx, examples_ctx FROM dctx, wctx, ectx""".stripMargin)),
 
+    Q("ep2_results_document",
+      // EP2/S12 — the /api/results/{job}/data artifact merge
+      // (ref routes.py:182-231): one nested row
+      (s, d) => operators.Serving.resultsDocument(scoredDocs(s, d), trendsOf(s, d)),
+      Some(Sentiment.oracleCte + ",\n" + trendsCteSql +
+        """,
+          |tarr AS (SELECT list(struct_pack(date := date, positive := positive,
+          |    negative := negative, neutral := neutral, total := total) ORDER BY date) AS trends
+          |  FROM trends),
+          |exr AS (SELECT sentiment, substr(text, 1, 80) AS ex,
+          |    row_number() OVER (PARTITION BY sentiment ORDER BY confidence DESC, doc_id) AS rn
+          |  FROM sent),
+          |cls AS (SELECT c.sentiment, c.cnt, e.ex
+          |  FROM (SELECT sentiment, CAST(count(*) AS BIGINT) AS cnt FROM sent GROUP BY sentiment) c
+          |  JOIN exr e ON c.sentiment = e.sentiment AND e.rn = 1)
+          |SELECT
+          |  (SELECT trends FROM tarr) AS trends,
+          |  (SELECT struct_pack(sentiment_type := 'POSITIVE', num_comments_analyzed := cnt, summary := ex)
+          |     FROM cls WHERE sentiment = 'POSITIVE') AS positive_summary,
+          |  (SELECT struct_pack(sentiment_type := 'NEGATIVE', num_comments_analyzed := cnt, summary := ex)
+          |     FROM cls WHERE sentiment = 'NEGATIVE') AS negative_summary,
+          |  (SELECT struct_pack(sentiment_type := 'NEUTRAL', num_comments_analyzed := cnt, summary := ex)
+          |     FROM cls WHERE sentiment = 'NEUTRAL') AS neutral_summary,
+          |  struct_pack(
+          |    positive_basis := (SELECT ex FROM cls WHERE sentiment = 'POSITIVE'),
+          |    negative_basis := (SELECT ex FROM cls WHERE sentiment = 'NEGATIVE')) AS recommendations,
+          |  struct_pack(
+          |    total_reviews := (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM cls),
+          |    positive := COALESCE((SELECT cnt FROM cls WHERE sentiment = 'POSITIVE'), CAST(0 AS BIGINT)),
+          |    negative := COALESCE((SELECT cnt FROM cls WHERE sentiment = 'NEGATIVE'), CAST(0 AS BIGINT)),
+          |    neutral := COALESCE((SELECT cnt FROM cls WHERE sentiment = 'NEUTRAL'), CAST(0 AS BIGINT))) AS statistics""".stripMargin)),
+
+    Q("l1_summary_prompts",
+      // L1 — per-class numbered "[Confidence: x.xx] text" summary prompt
+      // (ref summarize_sentiments_fun.py:39-56)
+      (s, d) => operators.Serving.summaryPrompts(scoredDocs(s, d), 10),
+      Some(Sentiment.oracleCte +
+        """,
+          |exr AS (SELECT sentiment, text, confidence,
+          |    row_number() OVER (PARTITION BY sentiment ORDER BY confidence DESC, doc_id) AS rn
+          |  FROM sent),
+          |top AS (SELECT *, CAST(ROUND(confidence * CAST(100.0 AS DOUBLE), 0) AS BIGINT) AS cents
+          |  FROM exr WHERE rn <= 10),
+          |lines AS (SELECT sentiment, rn,
+          |    rn || '. [Confidence: ' || (cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') || '] ' || text AS line
+          |  FROM top),
+          |body AS (SELECT sentiment, string_agg(line, chr(10) || chr(10) ORDER BY rn) AS combined
+          |  FROM lines GROUP BY sentiment)
+          |SELECT sentiment,
+          |  'Analyze the following ' || upper(sentiment) || ' comments from customer reviews and provide a concise summary in EXACTLY 2-3 sentences.' || chr(10) || chr(10)
+          |  || upper(sentiment) || ' COMMENTS:' || chr(10) || combined || chr(10) || chr(10)
+          |  || 'Write a brief summary (2-3 sentences ONLY) explaining what aspects the commenters found ' || lower(sentiment)
+          |  || '. Focus on the main themes and common patterns.' || chr(10) || chr(10) || 'Summary:' AS prompt
+          |FROM body ORDER BY sentiment""".stripMargin)),
+
+    Q("l2_reco_prompt",
+      // L2 — recommendation prompt composed from the results document's
+      // evidence block (ref recommendation_fun.py:39-51; default base
+      // prompt per reference config)
+      (s, d) => operators.Serving.recommendationPrompt(scoredDocs(s, d), trendsOf(s, d),
+        "Provide 3 actionable recommendations for improvement."),
+      Some(Sentiment.oracleCte +
+        """,
+          |exr AS (SELECT sentiment, substr(text, 1, 80) AS ex,
+          |    row_number() OVER (PARTITION BY sentiment ORDER BY confidence DESC, doc_id) AS rn
+          |  FROM sent)
+          |SELECT 'Provide 3 actionable recommendations for improvement.'
+          |  || chr(10) || chr(10) || 'POSITIVE FEEDBACK SUMMARY:' || chr(10)
+          |  || (SELECT ex FROM exr WHERE sentiment = 'POSITIVE' AND rn = 1)
+          |  || chr(10) || chr(10) || 'NEGATIVE FEEDBACK SUMMARY:' || chr(10)
+          |  || (SELECT ex FROM exr WHERE sentiment = 'NEGATIVE' AND rn = 1)
+          |  || chr(10) || chr(10) || 'Please provide 3 actionable recommendations:' AS reco_prompt""".stripMargin)),
+
     Q("ev_sessionize",
       (s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d)),
       Some("""WITH e AS (

@@ -75,7 +75,9 @@ object Serving {
     val merged = per.agg(
       summaryOf("POSITIVE"), summaryOf("NEGATIVE"), summaryOf("NEUTRAL"),
       struct(
-        sum(col("cnt")).as("total_reviews"),
+        // coalesce: an empty input must yield a zero-count statistics
+        // block, not a NULL one (ref routes.py empty-results document)
+        coalesce(sum(col("cnt")), lit(0L)).as("total_reviews"),
         cntOf("POSITIVE").as("positive"),
         cntOf("NEGATIVE").as("negative"),
         cntOf("NEUTRAL").as("neutral")).as("statistics"))
@@ -86,4 +88,59 @@ object Serving {
       .select("trends", "positive_summary", "negative_summary",
         "neutral_summary", "recommendations", "statistics")
   }
+
+  /** Renders a confidence as the reference's `{c:.2f}` (two decimals) via
+    * integer-cent arithmetic — never double→string, which differs across
+    * engines (see F13 conventions). */
+  private def fmt2(c: Column): Column = {
+    val cents = round(c * lit(100.0), 0).cast("long")
+    concat((cents / 100).cast("long"), lit("."),
+      lpad(pmod(cents, lit(100L)).cast("string"), 2, "0"))
+  }
+
+  /** L1 — the per-class summary prompt body (ref
+    * `summarize_sentiments_fun.py:39-56`): the k highest-confidence
+    * comments per sentiment class rendered as a numbered
+    * `i. [Confidence: x.xx] text` list joined by blank lines, wrapped in
+    * the reference's summary-prompt template. The LLM call itself is the
+    * external seam; this assembly is the engine's deterministic output.
+    *
+    * Scale shape: per-class top-k via the bounded-heap [[graft.plans.TopK]]
+    * aggregate (<= k rows per (task, class) shuffled) — never a window over
+    * the fact rows partitioned by a 3-value key. */
+  def summaryPrompts(scored: DataFrame, k: Int = 10): DataFrame = {
+    val top = scored.groupBy("sentiment").agg(
+      graft.plans.TopK.topKByScore(
+        col("confidence"), col("doc_id"),
+        struct(col("confidence"), col("text")), k).as("comments"))
+    val lines = transform(col("comments"), (x, i) =>
+      concat((i + lit(1)).cast("string"), lit(". [Confidence: "),
+        fmt2(x.getField("confidence")), lit("] "), x.getField("text")))
+    top.select(
+      col("sentiment"),
+      concat(
+        lit("Analyze the following "), upper(col("sentiment")),
+        lit(" comments from customer reviews and provide a concise summary in EXACTLY 2-3 sentences.\n\n"),
+        upper(col("sentiment")), lit(" COMMENTS:\n"),
+        array_join(lines, "\n\n"),
+        lit("\n\nWrite a brief summary (2-3 sentences ONLY) explaining what aspects the commenters found "),
+        lower(col("sentiment")),
+        lit(". Focus on the main themes and common patterns.\n\nSummary:")).as("prompt"))
+      .orderBy("sentiment")
+  }
+
+  /** L2 — the recommendation prompt (ref `recommendation_fun.py:39-51`):
+    * composes the caller's base prompt with the positive/negative evidence
+    * carried by [[resultsDocument]]'s `recommendations` block. Single-row,
+    * O(1) assembled data. */
+  def recommendationPrompt(scored: DataFrame, trends: DataFrame,
+      basePrompt: String): DataFrame =
+    resultsDocument(scored, trends).select(
+      concat(
+        lit(basePrompt),
+        lit("\n\nPOSITIVE FEEDBACK SUMMARY:\n"),
+        col("recommendations.positive_basis"),
+        lit("\n\nNEGATIVE FEEDBACK SUMMARY:\n"),
+        col("recommendations.negative_basis"),
+        lit("\n\nPlease provide 3 actionable recommendations:")).as("reco_prompt"))
 }

@@ -133,8 +133,8 @@ class PlanShapeSpec extends SparkSpec {
     //   sim_ivf: corpus x 16 broadcast centroids (IVF assignment is
     //            all-vectors-to-all-centroids by definition) + single-row probe
     val allowed = Set("a7_confidence_histogram", "f11_insurance_risk",
-      "f11b_insurance_breakdown", "ep3_chat_context", "sim_bruteforce_topk",
-      "sim_ivf_ann")
+      "f11b_insurance_breakdown", "ep3_chat_context", "ep2_results_document",
+      "l2_reco_prompt", "sim_bruteforce_topk", "sim_ivf_ann")
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

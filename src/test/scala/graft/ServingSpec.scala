@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Serving
+
+/** EP2 results-document + L1/L2 prompt assembly (ref routes.py:182-231,
+  * summarize_sentiments_fun.py:39-56, recommendation_fun.py:39-51). */
+class ServingSpec extends SparkSpec {
+
+  private def scored(rows: Seq[(Long, String, String, Double)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "sentiment", "confidence")
+  }
+
+  private def trends(rows: Seq[(String, Long, Long, Long, Long)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("date", "positive", "negative", "neutral", "total")
+  }
+
+  private val sampleScored = scored(Seq(
+    (1L, "great product works well", "POSITIVE", 0.95),
+    (2L, "love it absolutely", "POSITIVE", 0.95), // tie → doc_id 1 wins
+    (3L, "terrible broke on day one", "NEGATIVE", 0.88),
+    (4L, "it exists and does things", "NEUTRAL", 0.61)))
+
+  private val sampleTrends = trends(Seq(
+    ("2024-01-02", 5L, 1L, 2L, 8L),
+    ("2024-01-01", 3L, 2L, 1L, 6L)))
+
+  test("resultsDocument: nested shape, per-class evidence, sorted trends") {
+    val row = Serving.resultsDocument(sampleScored, sampleTrends).collect()(0)
+    val tr = row.getSeq[Row](row.fieldIndex("trends"))
+    assert(tr.map(_.getString(0)) == Seq("2024-01-01", "2024-01-02"))
+    val pos = row.getStruct(row.fieldIndex("positive_summary"))
+    assert(pos.getString(0) == "POSITIVE")
+    assert(pos.getLong(1) == 2L)
+    assert(pos.getString(2) == "great product works well") // tiebreak: min doc_id
+    val stats = row.getStruct(row.fieldIndex("statistics"))
+    assert(stats.getLong(stats.fieldIndex("total_reviews")) == 4L)
+    assert(stats.getLong(stats.fieldIndex("positive")) == 2L)
+    assert(stats.getLong(stats.fieldIndex("negative")) == 1L)
+    assert(stats.getLong(stats.fieldIndex("neutral")) == 1L)
+    val reco = row.getStruct(row.fieldIndex("recommendations"))
+    assert(reco.getString(0) == "great product works well")
+    assert(reco.getString(1) == "terrible broke on day one")
+  }
+
+  test("resultsDocument: empty input yields zero-count statistics, not NULL") {
+    val row = Serving.resultsDocument(
+      sampleScored.filter(lit(false)), sampleTrends.filter(lit(false))).collect()(0)
+    val stats = row.getStruct(row.fieldIndex("statistics"))
+    assert(stats.getLong(stats.fieldIndex("total_reviews")) == 0L)
+    assert(stats.getLong(stats.fieldIndex("positive")) == 0L)
+    assert(row.isNullAt(row.fieldIndex("positive_summary")))
+  }
+
+  test("summaryPrompts: reference template, numbered 2-decimal confidence lines") {
+    val out = Serving.summaryPrompts(sampleScored, 10)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("POSITIVE", "NEGATIVE", "NEUTRAL"))
+    val p = out("POSITIVE")
+    assert(p.startsWith("Analyze the following POSITIVE comments from customer " +
+      "reviews and provide a concise summary in EXACTLY 2-3 sentences.\n\n" +
+      "POSITIVE COMMENTS:\n"))
+    // order: confidence DESC then doc_id ASC; numbered from 1; blank-line join
+    assert(p.contains("1. [Confidence: 0.95] great product works well\n\n" +
+      "2. [Confidence: 0.95] love it absolutely"))
+    assert(p.endsWith("explaining what aspects the commenters found positive. " +
+      "Focus on the main themes and common patterns.\n\nSummary:"))
+    assert(out("NEUTRAL").contains("1. [Confidence: 0.61] it exists and does things"))
+  }
+
+  test("summaryPrompts: k bounds the list") {
+    val out = Serving.summaryPrompts(sampleScored, 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("POSITIVE").contains("1. [Confidence: 0.95] great product works well"))
+    assert(!out("POSITIVE").contains("love it absolutely"))
+  }
+
+  test("recommendationPrompt: composes base prompt with pos/neg evidence") {
+    val p = Serving.recommendationPrompt(sampleScored, sampleTrends, "Base.")
+      .collect()(0).getString(0)
+    assert(p == "Base.\n\nPOSITIVE FEEDBACK SUMMARY:\ngreat product works well" +
+      "\n\nNEGATIVE FEEDBACK SUMMARY:\nterrible broke on day one" +
+      "\n\nPlease provide 3 actionable recommendations:")
+  }
+}
