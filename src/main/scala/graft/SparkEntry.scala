@@ -919,6 +919,25 @@ object SparkEntry {
              |WHERE NOT regexp_matches(line, '^\[Review \d+\]$') AND length(line) > 30
              |ORDER BY line""".stripMargin)),
 
+    Q("s4_dom_extract",
+      // S4 (ref extract_text_fun.py:136-245): the full DOM categorized
+      // extraction — title/h1, <p> keyword categorization, review-class
+      // containers, sentence-level dedup — over a deterministic synthetic
+      // page per document. The DOM parse is not SQL-expressible → rows-only
+      // check (o3 precedent); semantic fidelity is pinned by HtmlDomSpec's
+      // golden fixture. Per-doc scalar parse: narrow, no shuffle.
+      (s, d) => sources.Html.categorizedBlocks(
+        Tables.documents(s, d).select(col("doc_id"), concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body><h1>Venue "), col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><div class=\"review-item\">Review: our experience visited here. "),
+          col("text"), lit("</div><script>var x = 1;</script></body></html>"))
+          .as("page")),
+        "page")
+        .orderBy("doc_id", "pos"),
+      None),
+
     Q("ep3_chat_context",
       (s, d) => operators.Serving.chatContext(
         scoredDocs(s, d),

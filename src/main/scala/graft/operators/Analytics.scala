@@ -302,6 +302,16 @@ object Analytics {
     val cuts = df.stat
       .approxQuantile(rangeCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
       .distinct.sorted
+    // Degenerate sketch (empty frame, rangeCol entirely NULL/NaN, or a
+    // single distinct value) yields no cuts: every row lands in bucket 0
+    // and the local window runs single-task. Still CORRECT (monotonicity
+    // is trivial), but unscaled — surface it instead of silently stalling
+    // a 1000-executor job on one core.
+    if (cuts.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"withGlobalRank: no quantile cuts for '$rangeCol' (all NULL/NaN, " +
+          "constant, or empty input) — falling back to a single range " +
+          "bucket; ranks are correct but computed on one task")
     val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col(rangeCol) > lit(c), 1).otherwise(0)
     }

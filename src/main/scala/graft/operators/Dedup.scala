@@ -273,10 +273,21 @@ object Dedup {
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
     * 16-bit chunks; docs agreeing on any chunk are candidates (catches all
     * pairs within Hamming distance 3 by pigeonhole); verify exact Hamming
-    * <= maxHamming via bit_count. */
+    * <= maxHamming via bit_count.
+    *
+    * Recall contract: guaranteed 1.0 only for `maxHamming <= 3` (4 bands,
+    * <= 3 flipped bits cannot touch every band). Larger radii are found
+    * only when the flips happen to spare a band — raise the band count
+    * before raising `maxHamming`. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(df, textCol, idCol)
+                          maxHamming: Int = 3): DataFrame =
+    simhashPairsFromFingerprints(
+      simhashFingerprints(df, textCol, idCol), maxHamming)
+
+  /** Banding + exact-Hamming verify over precomputed (id, fp) rows —
+    * split out so the recall contract is testable on synthetic
+    * fingerprints (DedupSpec). */
+  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int): DataFrame = {
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))

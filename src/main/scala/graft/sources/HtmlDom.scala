@@ -170,7 +170,7 @@ object HtmlDom {
           i = if (end < 0) n else end + 1
           if (RawText(name) && !selfClosed) {
             // raw-text content: everything until the matching close tag
-            val closeAt = html.toLowerCase.indexOf(s"</$name", i)
+            val closeAt = findCloseTag(html, name, i)
             val stop = if (closeAt < 0) n else closeAt
             node.children += html.substring(i, stop)
             val gt = html.indexOf('>', stop)
@@ -184,6 +184,28 @@ object HtmlDom {
     }
     flushText(n)
     root
+  }
+
+  /** Case-insensitive scan for `</name` whose tag name ends there (next
+    * char is '>', whitespace, or '/') — `</scripty>` must not terminate a
+    * script region, and no per-element whole-document lowercase copy. */
+  private def findCloseTag(html: String, name: String, from: Int): Int = {
+    val n = html.length
+    val target = "</" + name
+    val tl = target.length
+    var j = from
+    while (j >= 0 && j < n) {
+      j = html.indexOf('<', j)
+      if (j < 0) return -1
+      if (j + tl <= n && html.regionMatches(true, j, target, 0, tl)) {
+        val after = j + tl
+        if (after >= n || html.charAt(after) == '>' ||
+            html.charAt(after) == '/' || html.charAt(after).isWhitespace)
+          return j
+      }
+      j += 1
+    }
+    -1
   }
 
   /** The reference's pre-pass: drop non-visible elements entirely. */

@@ -50,6 +50,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalRank: all-NULL range column degrades to one bucket, ranks stay correct") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(i => (i, Option.empty[Double])).toDF("doc_id", "score")
+    val out = Analytics.withGlobalRank(df, "score",
+      Seq(col("score").asc, col("doc_id").asc), "rnk")
+    val got = out.select("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("rnk").longValue)).toSet
+    assert(got == (1L to 20L).map(i => (i, i)).toSet)
+  }
+
   test("A4/A5 trends: totals reconcile with the events table") {
     val trends = Analytics.dailyTrends(Tables.events(spark, sf0001))
     val summary = Analytics.trendsSummary(trends).collect()(0)

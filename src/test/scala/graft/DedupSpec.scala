@@ -85,6 +85,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Int]("hamming") == 0)
   }
 
+  test("SimHash banding: recall = 1.0 at the guaranteed radius (Hamming <= 3)") {
+    val s = spark
+    import s.implicits._
+    // Worst-case placements: flips concentrated in one band, spread across
+    // two, and across three different bands — pigeonhole still leaves at
+    // least one of the 4 bands untouched in every case.
+    val base = 0x0123456789abcdefL
+    val variants: Seq[(Long, Long)] = Seq(
+      10L -> base,
+      11L -> (base ^ 1L),                                  // d=1
+      12L -> (base ^ (1L | (1L << 5))),                    // d=2, one band
+      13L -> (base ^ ((1L << 3) | (1L << 19))),            // d=2, two bands
+      14L -> (base ^ (1L | (1L << 7) | (1L << 13))),       // d=3, one band
+      15L -> (base ^ (1L | (1L << 17) | (1L << 34))))      // d=3, three bands
+    val fp = variants.toDF("id", "fp")
+    val got = Dedup.simhashPairsFromFingerprints(fp, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every variant is within radius 3 of base → all pairs with id 10 found
+    assert(Seq(11L, 12L, 13L, 14L, 15L).forall(v => got.contains((10L, v))),
+      s"missing base pairs in $got")
+  }
+
+  test("SimHash banding: distance 4 touching all 4 bands is MISSED (contract boundary)") {
+    val s = spark
+    import s.implicits._
+    val base = 0L
+    val allBands = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val fp = Seq(1L -> base, 2L -> (base ^ allBands)).toDF("id", "fp")
+    // even with maxHamming raised to 4, no band agrees → no candidate:
+    // this pins WHY the default stays at the 4-band pigeonhole radius
+    assert(Dedup.simhashPairsFromFingerprints(fp, maxHamming = 4).count() == 0)
+  }
+
   test("pair operators leave no DataFrame cache behind (library hygiene)") {
     import org.apache.spark.sql.graftbridge.CacheBridge
     spark.catalog.clearCache()

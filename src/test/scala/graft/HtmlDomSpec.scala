@@ -93,6 +93,18 @@ class HtmlDomSpec extends SparkSpec {
       "Review:second body text"))
   }
 
+  test("raw-text close tag: longer tag names and case don't terminate the region") {
+    // </scripty> must NOT close <script>; </SCRIPT > (any case, trailing
+    // space) must
+    val html = "<html><body><script>var a = '</scripty>' + 1;</SCRIPT ><p>" +
+      "visible paragraph text that is long enough to keep</p></body></html>"
+    val root = HtmlDom.decompose(HtmlDom.parse(html))
+    val text = root.text(" ")
+    assert(!text.contains("scripty"), text)
+    assert(!text.contains("var a"), text)
+    assert(text.contains("visible paragraph text"), text)
+  }
+
   test("categorizedBlocks: distributed (category, pos, block) rows") {
     val s = spark
     import s.implicits._
