@@ -677,8 +677,11 @@ object SparkEntry {
       // LSH-banded near-dup (the scale path) IS the catalog entry: the
       // only pair-forming join is the (band, bucket) equi-join. The exact
       // all-pairs baseline lives in SimilaritySpec as the recall oracle.
-      (s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4,
-        planes = 12, bands = 4, dim = 64),
+      // Auto band width: r = log2(n/63) keeps bucket occupancy (and the
+      // candidate join) bounded as data grows; at the sf0.01 correctness
+      // gate n=500 -> r=3, matching this oracle's static banding exactly.
+      (s, d) => Similarity.lshNearDupPairsAuto(Tables.embeddings(s, d), 0.4,
+        targetOccupancy = 63, bands = 4, dim = 64),
       Some(s"""WITH $evecCteSql,
               |bd AS (
               |  SELECT vec_id, 0 AS band, ${bandBucketSql("v", 0, 3, 64)} AS bucket FROM evec
@@ -937,6 +940,35 @@ object SparkEntry {
         "page")
         .orderBy("doc_id", "pos"),
       None),
+
+    Q("s4b_strip_tags",
+      // S4 fast path: the regex strip-tags + title column functions ARE
+      // SQL-expressible, so unlike the DOM pass they get a full
+      // value-compare oracle (script/style removal, tag strip, whitespace
+      // collapse)
+      (s, d) => {
+        val page = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p { color: red; }</style></head><body><h1>Venue "),
+          col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><script>var x = 1;</script></body></html>"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          sources.Html.title(page).as("page_title"),
+          sources.Html.stripTags(page).as("page_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH page AS (SELECT doc_id,
+             |  '<html><head><title>Doc ' || doc_id || '</title><style>p { color: red; }</style></head><body><h1>Venue '
+             |  || doc_id || '</h1><p>' || text || '</p><script>var x = 1;</script></body></html>' AS html
+             |  FROM documents)
+             |SELECT doc_id,
+             |  trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '\s+', ' ', 'g')) AS page_title,
+             |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS page_text
+             |FROM page ORDER BY doc_id""".stripMargin)),
 
     Q("ep3_chat_context",
       (s, d) => operators.Serving.chatContext(

