@@ -1105,6 +1105,16 @@ object SparkEntry {
              |  AND p.us <= e.us AND p.us >= e.us - 3600000000
              |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
 
+    Q("st7_stream_static_join",
+      // stream-static enrichment join: streaming fact x broadcast batch
+      // dimension — no join state, no stream-side shuffle for the join;
+      // oracle = the equivalent batch join + aggregate
+      (s, d) => graft.streaming.Streams.runStreamStaticToCompletion(s, d),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+             |  ROUND(SUM(value), 6) AS sum_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     Q("st3_stream_dedup",
       // streaming dropDuplicates over the events stream unioned with
       // itself (every id arrives twice); oracle = the plain batch counts,

@@ -68,6 +68,40 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join: the streaming fact joined to a
+    * dimension read as a plain batch table. Spark re-plans the static
+    * side each micro-batch and broadcasts it (size permitting), so the
+    * stream side never shuffles for the join and NO join state is kept —
+    * unlike a stream-stream join there is nothing to watermark on the
+    * static side. This is the canonical dimension-enrichment shape at
+    * 100 TB: facts stream, dims stay tables. */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_value"))
+
+  /** Runs [[enrichedSegmentCounts]] to completion (complete mode — the
+    * per-segment aggregate is tiny) and returns the final table. */
+  def runStreamStaticToCompletion(spark: SparkSession, dir: String,
+                                  queryName: String = "stream_static_out"): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      enrichedSegmentCounts(readEvents(spark, dir),
+          spark.read.parquet(s"$dir/customer.parquet"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).orderBy("c_mktsegment")
+  }
+
   /** Stream-stream interval join: each error event joined to the same
     * user's purchases in the preceding hour. Both sides watermarked; the
     * join condition's time bounds let Spark GC join state past

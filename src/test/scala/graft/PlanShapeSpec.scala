@@ -62,6 +62,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p) // no full-sort window machinery
   }
 
+  test("l1: prompt top-k uses the heap aggregate, not a per-class window") {
+    val p = plan("l1_summary_prompts")
+    assert(p.contains("partial_graft_top_k"), p)
+    assert(!p.contains("Window"), p)
+    // only the two needed columns + score inputs reach the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("o7: distributed global rank has no range exchange and buckets on __pid") {
     val p = plan("o7_ntile_deciles")
     // the round-3 shape double-executed a repartitionByRange on the rank
@@ -83,7 +91,7 @@ class PlanShapeSpec extends SparkSpec {
     // Streaming catalog entries execute on invocation; their stateful plans
     // are covered by their own oracles/tests.
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
-      "st4_stream_join", "st6_stream_sessionize")
+      "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join")
     // A window over NOT-yet-aggregated rows is only scale-safe when its
     // partition key has cardinality that grows with the data (or the
     // cluster): each window group stays small and groups parallelize.
@@ -138,7 +146,7 @@ class PlanShapeSpec extends SparkSpec {
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
-      "st4_stream_join", "st6_stream_sessionize")
+      "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !streaming(name) && !allowed(name) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -81,6 +81,20 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join == batch join (no join state kept)") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.runStreamStaticToCompletion(spark, sf0001, "streams_static_spec_out")
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sf0001)
+      .join(Tables.customer(spark, sf0001).select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("snapshot swap survives a crash between move-aside and rename-in") {
     val s = spark
     import s.implicits._
