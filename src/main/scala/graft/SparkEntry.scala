@@ -1077,6 +1077,26 @@ object SparkEntry {
              |FROM c GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    Q("bf_bloom_prefilter_join",
+      // bloom-prefiltered join: dim-key bloom broadcast ahead of the
+      // join prunes the fact shuffle to the matching slice; result is
+      // row-identical to the plain join (the oracle IS the plain join)
+      (s, d) => {
+        val dim = Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+          .select(col("s_suppkey"), col("s_name"))
+        Analytics.bloomPrefilterJoin(
+          Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity"),
+          dim, "l_suppkey", "s_suppkey")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS cnt,
+             |  ROUND(SUM(l_quantity), 6) AS sum_qty
+             |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |WHERE s.s_nationkey < 5
+             |GROUP BY s_name ORDER BY s_name""".stripMargin)),
+
     Q("ev_salted_agg",
       // skew-safe two-phase aggregation; oracle is the direct GROUP BY —
       // the salted plan must be algebraically identical

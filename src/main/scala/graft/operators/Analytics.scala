@@ -367,6 +367,39 @@ object Analytics {
     saltedFact.join(saltedDim, Seq(keyCol, "__salt")).drop("__salt")
   }
 
+  /** Bloom-prefiltered equi join: build a bloom filter of the (small,
+    * selective) dim side's join keys in ONE aggregation, broadcast the
+    * single binary row, and pre-filter the fact side with
+    * `might_contain` BEFORE the join. The result is row-identical to the
+    * plain join — bloom false positives survive the pre-filter but are
+    * dropped by the real join — while the join's shuffle carries only
+    * ~selectivity x |fact| rows. At 100 TB this is the difference
+    * between shuffling the corpus and shuffling the matching slice: a
+    * ~1 MB bloom prunes a TB-scale exchange. This is Spark's AQE runtime
+    * row-level filtering (`spark.sql.optimizer.runtime.bloomFilter`)
+    * made explicit and deterministic — injected even where AQE's
+    * heuristics (stats thresholds, first-shuffle blindness) would skip
+    * it. Uses Spark's own `BloomFilterAggregate`/`BloomFilterMightContain`
+    * expressions over xxhash64 of the key. */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                         dimKey: String, expectedItems: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(dimKey))),
+        Literal(expectedItems), Literal(expectedItems * 8))
+        .toAggregateExpression())
+    // might_contain requires a constant or scalar-subquery bloom side —
+    // the same shape Spark's InjectRuntimeFilter produces
+    val bloomSubquery = ScalarSubquery(
+      dim.agg(bloomAgg.as("__bf")).queryExecution.analyzed)
+    fact.filter(ColumnBridge.column(BloomFilterMightContain(
+        bloomSubquery, ColumnBridge.expression(xxhash64(col(factKey))))))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Keyed snapshot upsert (the MERGE pattern without a table format):
     * rows in `updates` replace same-key rows in `base`; unmatched base
     * rows survive; new keys append. One anti-join shuffle on the key —

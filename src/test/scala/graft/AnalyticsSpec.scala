@@ -50,6 +50,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefiltered join: row-identical to the plain join, filter precedes it") {
+    val s = spark
+    import s.implicits._
+    val fact = (1L to 500L).map(i => (i, i % 50, i * 0.5)).toDF("rid", "k", "v")
+    val dim = Seq((3L, "a"), (17L, "b"), (42L, "c")).toDF("dk", "name")
+    val bloomed = Analytics.bloomPrefilterJoin(fact, dim, "k", "dk")
+    val plain = fact.join(dim, col("k") === col("dk"))
+    assert(bloomed.collect().map(_.toSeq).sorted(Ordering.by((x: Seq[Any]) => x.toString))
+      .sameElements(plain.collect().map(_.toSeq).sorted(Ordering.by((x: Seq[Any]) => x.toString))))
+    // the might_contain filter must sit below the equi join in the plan
+    val p = bloomed.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p)
+    assert(p.indexOf("might_contain") > p.indexOf("HashJoin"), p) // plan prints top-down
+  }
+
   test("withGlobalRank: all-NULL range column degrades to one bucket, ranks stay correct") {
     val s = spark
     import s.implicits._

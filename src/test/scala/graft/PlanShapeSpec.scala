@@ -142,7 +142,8 @@ class PlanShapeSpec extends SparkSpec {
     //            all-vectors-to-all-centroids by definition) + single-row probe
     val allowed = Set("a7_confidence_histogram", "f11_insurance_risk",
       "f11b_insurance_breakdown", "ep3_chat_context", "ep2_results_document",
-      "l2_reco_prompt", "sim_bruteforce_topk", "sim_ivf_ann")
+      "l2_reco_prompt", "sim_bruteforce_topk", "sim_ivf_ann",
+      "bf_bloom_prefilter_join") // single-broadcast-row bloom, never a shuffle
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
