@@ -68,10 +68,15 @@ write("lineitem", """
          * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
   FROM {src} CROSS JOIN (SELECT unnest(range(%d)) AS i) c""" % COPIES)
 
+# ts is written as BIGINT epoch-nanos: the driver's events.parquet is
+# parquet TIMESTAMP(NANOS) which Spark reads as a nano LONG (see
+# Tables.events); duckdb's parquet writer downcasts TIMESTAMP_NS to
+# micros, which would silently change the engine's ingest path.
 write("events", """
   SELECT event_id + c.i*{shift} AS event_id,
          user_id + c.i*{shift} AS user_id,
-         * EXCLUDE (event_id, user_id)
+         CAST(epoch_ns(ts) AS BIGINT) AS ts,
+         * EXCLUDE (event_id, user_id, ts)
   FROM {src} CROSS JOIN (SELECT unnest(range(%d)) AS i) c""" % COPIES)
 
 write("documents", """
