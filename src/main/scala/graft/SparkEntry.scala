@@ -717,6 +717,20 @@ object SparkEntry {
               |FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_lsh_multiprobe",
+      // multiprobe ANN: query bucket + every Hamming-1 neighbor bucket —
+      // planes+1 of 2^planes partitions scanned, candidate set a strict
+      // superset of single-probe
+      (s, d) => Similarity.lshTopKMultiprobe(Tables.embeddings(s, d), queryId = 0,
+        k = 10, planes = 12, dim = 64),
+      Some(s"""WITH $evecCteSql,
+              |b AS (SELECT vec_id, v, ${lshBucketSql("v", 12, 64)} AS bucket FROM evec),
+              |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+              |probes AS (SELECT unnest([qbucket, ${(0 until 12).map(j => s"xor(qbucket, ${1L << j})").mkString(", ")}]) AS pb FROM q)
+              |SELECT vec_id, bucket, ROUND(${cosineSql("v", "qv")}, 6) AS cos
+              |FROM b, q, probes WHERE vec_id <> 0 AND bucket = pb
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     Q("sim_ivf_ann",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), queryId = 20, k = 10),
       Some(s"""WITH $evecCteSql,

@@ -110,6 +110,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multiprobe ANN: probe the query's bucket plus every Hamming-1
+    * neighbor bucket (one sign bit flipped — the planes whose projection
+    * was closest to zero are the likeliest flips, so 1-bit neighbors
+    * recover most of the recall single-probe loses). `planes`+1 buckets
+    * scanned instead of 1: still bucket-pruned at 100 TB (partition
+    * pruning reads planes+1 of 2^planes partitions), recall strictly >=
+    * [[lshTopK]] since the candidate set is a superset. */
+  def lshTopKMultiprobe(emb: DataFrame, queryId: Long, k: Int,
+                        planes: Int = 12, dim: Int = 64): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dim))
+      .withColumn("nrm", normFast(col("v")))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val probes = q.select(col("qv"), col("qnrm"),
+        explode(array(col("qbucket") +:
+          (0 until planes).map(j => col("qbucket").bitwiseXOR(lit(1L << j))): _*))
+          .as("pb"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), col("bucket") === col("pb"))
+      .select(col("vec_id"), col("bucket"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-style ANN (nprobe=1): coarse-quantize every vector to its
     * nearest of `nCells` centroid vectors (here the deterministic choice:
     * the vectors with vec_id < nCells — a real deployment would train

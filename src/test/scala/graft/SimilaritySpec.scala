@@ -54,6 +54,28 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.sameElements(cosines.sortBy(-_)))
   }
 
+  test("multiprobe ANN: candidate buckets within Hamming 1, recall >= single-probe") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val single = Similarity.lshTopK(emb, queryId = 0, k = 10).collect()
+    val multi = Similarity.lshTopKMultiprobe(emb, queryId = 0, k = 10).collect()
+    assert(multi.nonEmpty)
+    // every probed bucket is the query bucket or one bit away
+    val qb = single.head.getAs[Long]("bucket")
+    assert(multi.forall { r =>
+      java.lang.Long.bitCount(r.getAs[Long]("bucket") ^ qb) <= 1
+    })
+    // superset candidates → the k-th best multiprobe cosine dominates
+    val kthSingle = single.map(_.getAs[Double]("cos")).min
+    val kthMulti = multi.map(_.getAs[Double]("cos")).min
+    assert(kthMulti >= kthSingle)
+    // vs ground truth: multiprobe top-k overlap >= single-probe overlap
+    val exact = Similarity.bruteForceTopK(emb, queryId = 0, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    def hits(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("vec_id")).count(exact)
+    assert(hits(multi) >= hits(single))
+  }
+
   test("cosine near-dup pairs: ordered ids, threshold respected") {
     val out = Similarity.cosineNearDupPairs(Tables.embeddings(spark, sf0001), 0.4).collect()
     assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
