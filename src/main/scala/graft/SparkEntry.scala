@@ -187,6 +187,33 @@ object SparkEntry {
   private def dshCteSql(n: Int): String =
     s"dsh AS (SELECT doc_id, unnest(${shinglesSql(n)}) AS sh FROM toks)"
 
+  /** Shared DuckDB CTE chain for the two component queries (mirrors
+    * [[Dedup.ngramJaccardPairs]] + transitive closure): exposes
+    * `reach(id, r)` — every node with its reachable set over the
+    * symmetrized Jaccard>0.1 edge graph. */
+  private lazy val componentsOracleCtes: String =
+    Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", ${dshCteSql(3)},
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON inter.id_a = sa.doc_id
+         |  JOIN sizes sb ON inter.id_b = sb.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)""".stripMargin
+
   // ------------------------------------------------------------------
   // Query catalog
   // ------------------------------------------------------------------
@@ -618,29 +645,28 @@ object SparkEntry {
       (s, d) => Dedup.canonicalComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
           n = 3, minJaccard = 0.1)),
-      Some(Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        s""", ${dshCteSql(3)},
-           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
-           |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |j AS (
-           |  SELECT id_a, id_b,
-           |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-           |  FROM inter
-           |  JOIN sizes sa ON inter.id_a = sa.doc_id
-           |  JOIN sizes sb ON inter.id_b = sb.doc_id),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)
-           |  UNION
-           |  SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)),
-           |reach AS (
-           |  SELECT src AS id, dst AS r FROM edges
-           |  UNION
-           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-           |SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id
-           |ORDER BY id""".stripMargin)),
+      Some(componentsOracleCtes +
+        """
+          |SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id
+          |ORDER BY id""".stripMargin)),
+
+    Q("dd_prune_canonical",
+      // the corpus-pruning step after pair generation: drop every
+      // non-canonical member of each near-dup component (one anti-join
+      // against the small drop set), keep canonicals + untouched docs
+      (s, d) => Dedup.pruneToCanonical(
+        Tables.documents(s, d),
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, minJaccard = 0.1),
+        "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some(componentsOracleCtes +
+        """,
+          |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |WHERE d.doc_id NOT IN (SELECT id FROM canon WHERE id <> canonical)
+          |ORDER BY d.doc_id""".stripMargin)),
 
     Q("dd_minhash_neardup",
       // MinHash+LSH is engine-hash-based (xxhash64) — not reproducible in

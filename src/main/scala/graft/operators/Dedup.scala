@@ -248,6 +248,18 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** End-to-end dedup: drop every non-canonical member of each near-dup
+    * component, keeping canonicals and untouched docs — the corpus-pruning
+    * step a training-data pipeline runs after pair generation. The drop
+    * set is one row per discarded duplicate (small), so the prune is a
+    * single anti-join against it. */
+  def pruneToCanonical(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val drop = canonicalComponents(pairs)
+      .filter(col("id") =!= col("canonical"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   private def labelSum(df: DataFrame): Option[Long] =
     Option(df.agg(sum(col("lbl"))).collect()(0)).filterNot(_.isNullAt(0))
       .map(_.getLong(0))

@@ -85,6 +85,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Int]("hamming") == 0)
   }
 
+  test("pruneToCanonical: drops non-canonical members, keeps canonicals and untouched docs") {
+    val s = spark
+    import s.implicits._
+    val docs = df1(Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "untouched")))
+    // components: {1,2,3} canonical 1; {4} appears in a self-contained pair? no —
+    // pairs: 1-2, 2-3 (chain), so canonical(2)=canonical(3)=1; 4 paired with 2 too
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.pruneToCanonical(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L)) // component {1,2,3,4} -> keep 1; 9 untouched
+  }
+
   test("SimHash banding: recall = 1.0 at the guaranteed radius (Hamming <= 3)") {
     val s = spark
     import s.implicits._
