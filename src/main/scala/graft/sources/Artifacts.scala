@@ -56,4 +56,26 @@ object Artifacts {
       .filter(!col("value").rlike("^\\[Review \\d+\\]$"))
       .filter(length(col("value")) > minLen)
   }
+
+  /** Artifact retention sweep (ref `cleanup_old_jobs.py:13-51`): remove
+    * direct subdirectories of `baseDir` older than `maxAgeDays` (by
+    * mtime), keeping the names in `keep` and hidden entries. Returns the
+    * removed directory names, sorted. `nowMs` is injectable so tests and
+    * replays are deterministic. */
+  def cleanupOldArtifacts(baseDir: String, maxAgeDays: Int = 7,
+                          keep: Set[String] = Set("visualizations"),
+                          nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val base = new java.io.File(baseDir)
+    if (!base.exists()) return Nil
+    val maxAgeMs = maxAgeDays.toLong * 24 * 3600 * 1000
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm))
+      x.delete()
+    }
+    Option(base.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && !keep(f.getName) && !f.getName.startsWith("."))
+      .filter(f => nowMs - f.lastModified() > maxAgeMs)
+      .map { f => rm(f); f.getName }
+      .sorted
+  }
 }

@@ -67,6 +67,27 @@ class ArtifactsSpec extends SparkSpec {
     assert(!first.getAs[String]("flat").contains("junk")) // script content removed
   }
 
+  test("artifact retention sweep: removes only old, unprotected, visible job dirs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    def mkdir(name: String, ageDays: Int): java.io.File = {
+      val f = new java.io.File(base, name)
+      f.mkdirs()
+      new java.io.File(f, "artifact.txt").createNewFile()
+      f.setLastModified(System.currentTimeMillis() - ageDays.toLong * 86400000L)
+      f
+    }
+    mkdir("job-old", 10)
+    mkdir("job-new", 1)
+    mkdir("visualizations", 30)   // protected name
+    mkdir(".hidden", 30)          // hidden entry
+    val removed = sources.Artifacts.cleanupOldArtifacts(base, maxAgeDays = 7)
+    assert(removed == Seq("job-old"))
+    val left = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(left == Set("job-new", "visualizations", ".hidden"))
+    // nonexistent base is a no-op
+    assert(sources.Artifacts.cleanupOldArtifacts(base + "/nope") == Nil)
+  }
+
   test("EP3 context assembly is deterministic and well-formed") {
     val scored = Sentiment.score(Tables.documents(spark, sf0001))
     val ctx = operators.Serving.chatContext(scored,
