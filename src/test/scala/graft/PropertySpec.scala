@@ -56,6 +56,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components property: distributed min-label propagation == driver union-find") {
+    val s = spark
+    import s.implicits._
+    val pairGen = for {
+      a <- Gen.chooseNum(0L, 19L)
+      b <- Gen.chooseNum(0L, 19L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val caseGen = Gen.nonEmptyListOf(pairGen).map(_.distinct)
+    for ((edges, i) <- samples(caseGen, 8).zipWithIndex) {
+      val got = graft.operators.Dedup.canonicalComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain union-find on the driver
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      assert(got == want, s"case $i: $edges")
+    }
+  }
+
   test("A11 property: trend multiplier always in its documented domain") {
     val dayGen = for {
       neg <- Gen.chooseNum(0L, 20L)
