@@ -14,7 +14,7 @@ Design notes (what keeps the scale-up honest):
   also stays linear.
 - region/nation are SF-invariant dimensions (TPC-H convention): 1 copy.
 
-Usage: python3 tools/make_sf1.py [SRC_DIR] [DST_DIR]
+Usage: python3 tools/make_sf1.py [SRC_DIR] [DST_DIR] [COPIES]
 """
 import os
 import sys
@@ -23,7 +23,7 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 SHIFT = 10_000_000
 
 os.makedirs(DST, exist_ok=True)
