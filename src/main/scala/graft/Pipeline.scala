@@ -21,7 +21,9 @@ import graft.sources.Artifacts
   *   V1-V3 representatives → [[ml.Representatives.representatives]];
   *   A6 stats + F11 risk → [[Analytics.confidenceStats]] /
   *   [[Risk.insuranceRisk]];
+  *   L1 summary prompts → [[Serving.summaryPrompts]];
   *   L3 context assembly → [[Serving.chatContext]];
+  *   EP2 results document → [[Serving.resultsDocument]];
   *   S7/S8 sinks → [[Artifacts]].
   */
 object Pipeline {
@@ -33,7 +35,9 @@ object Pipeline {
       stats: DataFrame,
       risk: DataFrame,
       representatives: DataFrame,
-      chatContext: DataFrame)
+      chatContext: DataFrame,
+      resultsDocument: DataFrame,
+      summaryPrompts: DataFrame)
 
   /** Runs the full analysis over a documents+events directory. `scored`
     * is cached: five downstream branches reuse it. */
@@ -51,7 +55,9 @@ object Pipeline {
         if (withRepresentatives) ml.Representatives.representatives(scored)
         else spark.emptyDataFrame,
       chatContext = Serving.chatContext(scored,
-        Analytics.topWords(scored, "text", 15)))
+        Analytics.topWords(scored, "text", 15)),
+      resultsDocument = Serving.resultsDocument(scored, trends),
+      summaryPrompts = Serving.summaryPrompts(scored))
   }
 
   /** Analyze + write the reference's artifact set (S7/S8/S9). */

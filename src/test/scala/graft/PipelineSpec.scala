@@ -14,6 +14,8 @@ class PipelineSpec extends SparkSpec {
     assert(Set("Low", "Medium", "High", "Critical").contains(risk.getAs[String]("risk_level")))
     assert(r.representatives.count() > 0)
     assert(r.chatContext.count() == 1)
+    assert(r.resultsDocument.count() == 1)
+    assert(r.summaryPrompts.count() == 3) // one prompt per sentiment class
     // artifacts on disk
     assert(spark.read.json(s"$out/comments").count() == 500)
     assert(spark.read.json(s"$out/insurance_risk").count() == 1)
