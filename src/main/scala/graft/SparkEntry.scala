@@ -1137,6 +1137,20 @@ object SparkEntry {
              |WHERE s.s_nationkey < 5
              |GROUP BY s_name ORDER BY s_name""".stripMargin)),
 
+    Q("zo_zorder_key",
+      // Z-order layout key (bit-interleave): the sort key that gives
+      // min/max file pruning on BOTH dimensions at write time; pure
+      // integer bit ops, fully oracled
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          functions.ZOrder.zorderKey(
+            col("doc_id").bitwiseAND(lit(0xffffL)),
+            col("n_chars").bitwiseAND(lit(0xffffL))).as("zkey"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  ${functions.ZOrder.zorderKeySql("(doc_id & 65535)", "(n_chars & 65535)")} AS zkey
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("ev_salted_agg",
       // skew-safe two-phase aggregation; oracle is the direct GROUP BY —
       // the salted plan must be algebraically identical
