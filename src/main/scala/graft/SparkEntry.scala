@@ -130,8 +130,8 @@ object SparkEntry {
 
   /** DuckDB CTE producing the word stream of A8 (mirrors
     * [[Analytics.wordCounts]]); exposes `words(lang, source, word)`. */
-  private val wordsCteSql: String = {
-    val stop = Analytics.StopWords.map(w => s"'$w'").mkString("(", ",", ")")
+  private def wordsCte(stopWords: Seq[String]): String = {
+    val stop = stopWords.map(w => s"'$w'").mkString("(", ",", ")")
     s"""words AS (
        |  SELECT lang, source, unnest(list_filter(
        |    string_split(trim(regexp_replace(
@@ -143,6 +143,10 @@ object SparkEntry {
        |    w -> w <> '' AND length(w) > 2 AND w NOT IN $stop)) AS word
        |  FROM documents)""".stripMargin
   }
+
+  /** CTE `words(lang, source, word)` with the catalog's corpus-local
+    * stoplist (mirrors [[Analytics.wordCounts]]). */
+  private val wordsCteSql: String = wordsCte(Analytics.StopWords)
 
   // ---- DuckDB vector/shingle SQL fragments (fold order mirrors the
   // Spark zip_with/aggregate left folds for bit parity) ----
@@ -175,6 +179,26 @@ object SparkEntry {
         .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(vcol, w)} > CAST(0.0 AS DOUBLE) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
+
+  /** Mirrors [[Similarity.bandWidth]] — smallest r >= 3 with
+    * `occupancy * 2^r >= n`, capped at 100/bands — as a pure-integer CASE
+    * chain (no float log2, whose last-ulp behavior differs per engine). */
+  private def autoBandWidthSql(nSql: String, occupancy: Int, bands: Int): String = {
+    val rMax = 100 / bands
+    val arms = (3 until rMax).map(r =>
+      s"WHEN $nSql <= ${occupancy.toLong << r} THEN $r").mkString(" ")
+    s"(CASE $arms ELSE $rMax END)"
+  }
+
+  /** [[bandBucketSql]] with the band width taken from the `params` CTE's
+    * `r` (mirrors [[Similarity.lshNearDupPairsAuto]]'s data-sized width).
+    * Arms cover r = 3..10 — bucket space 63*2^10 ≈ 64k vectors, far above
+    * any verify/bench dataset this oracle will see. */
+  private def autoBandBucketSql(vcol: String, b: Int, dim: Int): String = {
+    val arms = (3 to 10).map(r =>
+      s"WHEN $r THEN ${bandBucketSql(vcol, b, r, dim)}").mkString("\n    ")
+    s"(CASE (SELECT r FROM params) $arms ELSE NULL END)"
+  }
 
   /** Mirrors [[Dedup.shingles]] over the `tokens` column of the `toks` CTE. */
   private def shinglesSql(n: Int): String =
@@ -285,6 +309,26 @@ object SparkEntry {
           |   CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS candidates_count
           | FROM scored""".stripMargin)),
 
+    Q("a6b_performance_summary",
+      // A6 document instance — the reference's performance_summary.json
+      // (ref vizualization.py:308-324) minus the wall-clock fields. Gate
+      // shape: sub-objects flattened to dotted scalar columns;
+      // Analytics.performanceSummary keeps the nested library surface.
+      (s, d) => Analytics.performanceSummaryFlat(scoredDocs(s, d), col("n_chars") >= 200),
+      Some(Sentiment.oracleCte +
+        """ SELECT CAST(count(*) AS BIGINT) AS total_samples,
+          |   CAST(SUM(CASE WHEN sentiment = 'POSITIVE' THEN 1 ELSE 0 END) AS BIGINT) AS sentiment_distribution_positive,
+          |   CAST(SUM(CASE WHEN sentiment = 'NEGATIVE' THEN 1 ELSE 0 END) AS BIGINT) AS sentiment_distribution_negative,
+          |   CAST(SUM(CASE WHEN sentiment = 'NEUTRAL' THEN 1 ELSE 0 END) AS BIGINT) AS sentiment_distribution_neutral,
+          |   ROUND(avg(original_score), 6) AS score_distribution_avg_original_score,
+          |   ROUND(avg(confidence), 6) AS score_distribution_avg_sentiment_confidence,
+          |   CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS score_distribution_candidates_count,
+          |   ROUND(avg(confidence), 6) AS confidence_stats_mean,
+          |   ROUND(stddev_samp(confidence), 6) AS confidence_stats_std,
+          |   min(confidence) AS confidence_stats_min,
+          |   max(confidence) AS confidence_stats_max
+          | FROM scored""".stripMargin)),
+
     Q("a7_confidence_histogram",
       (s, d) => Analytics.histogram(scoredDocs(s, d), "confidence", 30),
       Some(Sentiment.oracleCte +
@@ -323,6 +367,15 @@ object SparkEntry {
       Some(s"""WITH $wordsCteSql
               |SELECT word, CAST(count(*) AS BIGINT) AS cnt
               |FROM words GROUP BY word ORDER BY cnt DESC, word LIMIT 15""".stripMargin)),
+
+    Q("a8b_wordcloud_words",
+      // A8 wordcloud instance (ref vizualization.py:226-233): top-100
+      // frequencies feeding WordCloud(max_words=100), with the reference's
+      // verbatim stoplist rather than the corpus-local one
+      (s, d) => Analytics.wordcloudWords(Tables.documents(s, d), "text", 100),
+      Some(s"""WITH ${wordsCte(Analytics.RefStopWords)}
+              |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              |FROM words GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin)),
 
     Q("a9_top_words_per_lang",
       (s, d) => Analytics.topWordsPerGroup(Tables.documents(s, d), "text", "lang", 5),
@@ -439,9 +492,12 @@ object SparkEntry {
           |FROM fin""".stripMargin)),
 
     Q("f11b_insurance_breakdown",
-      // F11 with the reference's nested breakdown{...} document shape
-      // (insurance_calculator.py:103-132) — same single broadcast row
-      (s, d) => Risk.insuranceRiskNested(scoredDocs(s, d), trendsOf(s, d)),
+      // F11 with the reference's breakdown{...} document
+      // (insurance_calculator.py:103-132) — same single broadcast row.
+      // Gate shape: the breakdown sub-objects flattened to dotted scalar
+      // columns (the gate's pandas hasher cannot hash struct cells);
+      // Risk.insuranceRiskNested keeps the nested library surface.
+      (s, d) => Risk.insuranceRiskBreakdownFlat(scoredDocs(s, d), trendsOf(s, d)),
       Some(riskOracleCtes +
         """
           |SELECT
@@ -451,24 +507,19 @@ object SparkEntry {
           |       WHEN risk_score >= 30 THEN 'Medium'
           |       ELSE 'Low' END AS risk_level,
           |  risk_score,
-          |  struct_pack(
-          |    base_rate := CAST(5000.0 AS DOUBLE),
-          |    sentiment_factors := struct_pack(
-          |      positive_percentage := ROUND(pos_r * CAST(100.0 AS DOUBLE), 1),
-          |      negative_percentage := ROUND(neg_r * CAST(100.0 AS DOUBLE), 1),
-          |      neutral_percentage := ROUND(neu_r * CAST(100.0 AS DOUBLE), 1),
-          |      sentiment_multiplier := ROUND(sent_mult, 2)),
-          |    confidence_factors := struct_pack(
-          |      average_confidence := ROUND(avg_confidence, 3),
-          |      confidence_std := ROUND(std_confidence, 3),
-          |      min_confidence := ROUND(min_confidence, 3),
-          |      confidence_multiplier := ROUND(conf_mult, 2)),
-          |    sample_factors := struct_pack(
-          |      total_samples := total_samples,
-          |      sample_multiplier := ROUND(sample_mult, 2)),
-          |    trend_factors := struct_pack(
-          |      trend_multiplier := ROUND(trend_multiplier, 2),
-          |      trend_status := trend_status)) AS breakdown
+          |  CAST(5000.0 AS DOUBLE) AS breakdown_base_rate,
+          |  ROUND(pos_r * CAST(100.0 AS DOUBLE), 1) AS breakdown_sentiment_factors_positive_percentage,
+          |  ROUND(neg_r * CAST(100.0 AS DOUBLE), 1) AS breakdown_sentiment_factors_negative_percentage,
+          |  ROUND(neu_r * CAST(100.0 AS DOUBLE), 1) AS breakdown_sentiment_factors_neutral_percentage,
+          |  ROUND(sent_mult, 2) AS breakdown_sentiment_factors_sentiment_multiplier,
+          |  ROUND(avg_confidence, 3) AS breakdown_confidence_factors_average_confidence,
+          |  ROUND(std_confidence, 3) AS breakdown_confidence_factors_confidence_std,
+          |  ROUND(min_confidence, 3) AS breakdown_confidence_factors_min_confidence,
+          |  ROUND(conf_mult, 2) AS breakdown_confidence_factors_confidence_multiplier,
+          |  total_samples AS breakdown_sample_factors_total_samples,
+          |  ROUND(sample_mult, 2) AS breakdown_sample_factors_sample_multiplier,
+          |  ROUND(trend_multiplier, 2) AS breakdown_trend_factors_trend_multiplier,
+          |  trend_status AS breakdown_trend_factors_trend_status
           |FROM fin""".stripMargin)),
 
     Q("st_hourly_windows",
@@ -703,17 +754,19 @@ object SparkEntry {
       // LSH-banded near-dup (the scale path) IS the catalog entry: the
       // only pair-forming join is the (band, bucket) equi-join. The exact
       // all-pairs baseline lives in SimilaritySpec as the recall oracle.
-      // Auto band width: r = log2(n/63) keeps bucket occupancy (and the
-      // candidate join) bounded as data grows; at the sf0.01 correctness
-      // gate n=500 -> r=3, matching this oracle's static banding exactly.
+      // Auto band width r = Similarity.bandWidth(n) keeps bucket occupancy
+      // (and the candidate join) bounded as data grows; the oracle derives
+      // r from the SAME integer rule (params CTE + CASE arms), so engine
+      // and oracle cannot diverge on dataset-size drift.
       (s, d) => Similarity.lshNearDupPairsAuto(Tables.embeddings(s, d), 0.4,
         targetOccupancy = 63, bands = 4, dim = 64),
       Some(s"""WITH $evecCteSql,
+              |params AS (SELECT ${autoBandWidthSql("(SELECT count(*) FROM evec)", 63, 4)} AS r),
               |bd AS (
-              |  SELECT vec_id, 0 AS band, ${bandBucketSql("v", 0, 3, 64)} AS bucket FROM evec
-              |  UNION ALL SELECT vec_id, 1 AS band, ${bandBucketSql("v", 1, 3, 64)} AS bucket FROM evec
-              |  UNION ALL SELECT vec_id, 2 AS band, ${bandBucketSql("v", 2, 3, 64)} AS bucket FROM evec
-              |  UNION ALL SELECT vec_id, 3 AS band, ${bandBucketSql("v", 3, 3, 64)} AS bucket FROM evec),
+              |  SELECT vec_id, 0 AS band, ${autoBandBucketSql("v", 0, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 1 AS band, ${autoBandBucketSql("v", 1, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 2 AS band, ${autoBandBucketSql("v", 2, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 3 AS band, ${autoBandBucketSql("v", 3, 64)} AS bucket FROM evec),
               |cand AS (
               |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
               |  FROM bd x JOIN bd y
@@ -1030,12 +1083,15 @@ object SparkEntry {
 
     Q("ep2_results_document",
       // EP2/S12 — the /api/results/{job}/data artifact merge
-      // (ref routes.py:182-231): one nested row
-      (s, d) => operators.Serving.resultsDocument(scoredDocs(s, d), trendsOf(s, d)),
+      // (ref routes.py:182-231): one row. Gate shape: nested fields
+      // flattened to scalar columns + the trends array as one compact-JSON
+      // string column (the gate's pandas hasher cannot hash struct cells);
+      // Serving.resultsDocument keeps the nested library surface.
+      (s, d) => operators.Serving.resultsDocumentFlat(scoredDocs(s, d), trendsOf(s, d)),
       Some(Sentiment.oracleCte + ",\n" + trendsCteSql +
         """,
-          |tarr AS (SELECT list(struct_pack(date := date, positive := positive,
-          |    negative := negative, neutral := neutral, total := total) ORDER BY date) AS trends
+          |tarr AS (SELECT to_json(list(struct_pack(date := date, positive := positive,
+          |    negative := negative, neutral := neutral, total := total) ORDER BY date)) AS trends_json
           |  FROM trends),
           |exr AS (SELECT sentiment, substr(text, 1, 80) AS ex,
           |    row_number() OVER (PARTITION BY sentiment ORDER BY confidence DESC, doc_id) AS rn
@@ -1044,21 +1100,71 @@ object SparkEntry {
           |  FROM (SELECT sentiment, CAST(count(*) AS BIGINT) AS cnt FROM sent GROUP BY sentiment) c
           |  JOIN exr e ON c.sentiment = e.sentiment AND e.rn = 1)
           |SELECT
-          |  (SELECT trends FROM tarr) AS trends,
-          |  (SELECT struct_pack(sentiment_type := 'POSITIVE', num_comments_analyzed := cnt, summary := ex)
-          |     FROM cls WHERE sentiment = 'POSITIVE') AS positive_summary,
-          |  (SELECT struct_pack(sentiment_type := 'NEGATIVE', num_comments_analyzed := cnt, summary := ex)
-          |     FROM cls WHERE sentiment = 'NEGATIVE') AS negative_summary,
-          |  (SELECT struct_pack(sentiment_type := 'NEUTRAL', num_comments_analyzed := cnt, summary := ex)
-          |     FROM cls WHERE sentiment = 'NEUTRAL') AS neutral_summary,
-          |  struct_pack(
-          |    positive_basis := (SELECT ex FROM cls WHERE sentiment = 'POSITIVE'),
-          |    negative_basis := (SELECT ex FROM cls WHERE sentiment = 'NEGATIVE')) AS recommendations,
-          |  struct_pack(
-          |    total_reviews := (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM cls),
-          |    positive := COALESCE((SELECT cnt FROM cls WHERE sentiment = 'POSITIVE'), CAST(0 AS BIGINT)),
-          |    negative := COALESCE((SELECT cnt FROM cls WHERE sentiment = 'NEGATIVE'), CAST(0 AS BIGINT)),
-          |    neutral := COALESCE((SELECT cnt FROM cls WHERE sentiment = 'NEUTRAL'), CAST(0 AS BIGINT))) AS statistics""".stripMargin)),
+          |  (SELECT trends_json FROM tarr) AS trends_json,
+          |  (SELECT 'POSITIVE' FROM cls WHERE sentiment = 'POSITIVE') AS positive_summary_sentiment_type,
+          |  (SELECT cnt FROM cls WHERE sentiment = 'POSITIVE') AS positive_summary_num_comments,
+          |  (SELECT ex FROM cls WHERE sentiment = 'POSITIVE') AS positive_summary_summary,
+          |  (SELECT 'NEGATIVE' FROM cls WHERE sentiment = 'NEGATIVE') AS negative_summary_sentiment_type,
+          |  (SELECT cnt FROM cls WHERE sentiment = 'NEGATIVE') AS negative_summary_num_comments,
+          |  (SELECT ex FROM cls WHERE sentiment = 'NEGATIVE') AS negative_summary_summary,
+          |  (SELECT 'NEUTRAL' FROM cls WHERE sentiment = 'NEUTRAL') AS neutral_summary_sentiment_type,
+          |  (SELECT cnt FROM cls WHERE sentiment = 'NEUTRAL') AS neutral_summary_num_comments,
+          |  (SELECT ex FROM cls WHERE sentiment = 'NEUTRAL') AS neutral_summary_summary,
+          |  (SELECT ex FROM cls WHERE sentiment = 'POSITIVE') AS recommendations_positive_basis,
+          |  (SELECT ex FROM cls WHERE sentiment = 'NEGATIVE') AS recommendations_negative_basis,
+          |  (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM cls) AS statistics_total_reviews,
+          |  COALESCE((SELECT cnt FROM cls WHERE sentiment = 'POSITIVE'), CAST(0 AS BIGINT)) AS statistics_positive,
+          |  COALESCE((SELECT cnt FROM cls WHERE sentiment = 'NEGATIVE'), CAST(0 AS BIGINT)) AS statistics_negative,
+          |  COALESCE((SELECT cnt FROM cls WHERE sentiment = 'NEUTRAL'), CAST(0 AS BIGINT)) AS statistics_neutral""".stripMargin)),
+
+    Q("ep3b_suggestions",
+      // EP3/L3 — the chatbot's suggested-questions assembly
+      // (ref chatbot_analyzer.py:250-272): 10-item static pool, negative-
+      // summary prepend + recommendations insert-at-1, trimmed to 8
+      (s, d) => operators.Serving.suggestedQuestions(scoredDocs(s, d), trendsOf(s, d)),
+      Some(Sentiment.oracleCte +
+        s""",
+           |flags AS (SELECT
+           |    CAST(SUM(CASE WHEN sentiment = 'NEGATIVE' THEN 1 ELSE 0 END) AS BIGINT) > 0 AS has_neg,
+           |    CAST(SUM(CASE WHEN sentiment = 'POSITIVE' THEN 1 ELSE 0 END) AS BIGINT) > 0
+           |      AND CAST(SUM(CASE WHEN sentiment = 'NEGATIVE' THEN 1 ELSE 0 END) AS BIGINT) > 0 AS has_reco
+           |  FROM sent),
+           |l0 AS (SELECT ${operators.Serving.SuggestedQuestionPool
+                     .map(q => s"'$q'").mkString("[", ", ", "]")} AS base),
+           |l1 AS (SELECT CASE WHEN has_neg
+           |    THEN list_prepend('Summarize the negative feedback', base) ELSE base END AS l
+           |  FROM l0, flags),
+           |l2 AS (SELECT CASE WHEN has_reco
+           |    THEN l[1:1] || ['What are your top recommendations?'] || l[2:] ELSE l END AS l
+           |  FROM l1, flags),
+           |idx AS (SELECT unnest(range(1, 9)) AS rank)
+           |SELECT CAST(rank AS INT) AS rank, l[rank] AS question
+           |FROM l2, idx WHERE rank <= len(l) ORDER BY rank""".stripMargin)),
+
+    Q("ep3c_chat_history",
+      // L3 — chat-message assembly with the reference's last-4 history
+      // window (ref chatbot_analyzer.py:228-236); history synthesized
+      // deterministically from the documents table (conversation state is
+      // driver-side in the reference)
+      (s, d) => {
+        val hist = Tables.documents(s, d).filter(col("doc_id") < 8)
+          .select(col("doc_id").as("seq"),
+            when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+            col("text").as("content"))
+        operators.Serving.chatMessages(hist, "What should we fix first?")
+      },
+      Some("""WITH h AS (SELECT doc_id AS seq,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             |    text AS content FROM documents WHERE doc_id < 8),
+             |o AS (SELECT seq, role, content,
+             |    row_number() OVER (ORDER BY seq DESC) AS rd FROM h),
+             |sel AS (SELECT seq, role, content FROM o WHERE rd <= 4),
+             |num AS (SELECT role, content,
+             |    CAST(row_number() OVER (ORDER BY seq) AS INT) AS pos FROM sel)
+             |SELECT pos, role, content FROM num
+             |UNION ALL
+             |SELECT CAST((SELECT count(*) FROM sel) + 1 AS INT), 'user', 'What should we fix first?'
+             |ORDER BY pos""".stripMargin)),
 
     Q("l1_summary_prompts",
       // L1 — per-class numbered "[Confidence: x.xx] text" summary prompt

@@ -26,10 +26,14 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // tz-naive inputs (e.g. duckdb-written parquet): sessions run UTC,
-        // so the cast is value-preserving — without it every unix_micros/
-        // window expression downstream fails to resolve
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        // tz-naive inputs (e.g. duckdb-written parquet): interpret the
+        // wall-clock as UTC INDEPENDENT of the session timezone. A bare
+        // cast interprets it in the session zone, silently shifting every
+        // event time in externally created non-UTC sessions; the
+        // from_utc round-trip cancels that zone offset exactly (a no-op
+        // under the Sessions factory's UTC default).
+        raw.withColumn("ts", from_utc_timestamp(col("ts").cast("timestamp"),
+          spark.conf.get("spark.sql.session.timeZone")))
       case _ => raw
     }
   }

@@ -137,6 +137,24 @@ object Analytics {
         min(col("confidence")).as("min"),
         max(col("confidence")).as("max")).as("confidence_stats"))
 
+  /** [[performanceSummary]] with the sub-objects flattened to dotted
+    * scalar columns — the correctness-gate shape (the gate hashes cells
+    * with pandas, which cannot hash a struct). The nested form stays the
+    * library surface. */
+  def performanceSummaryFlat(scored: DataFrame, candidateCol: Column): DataFrame =
+    performanceSummary(scored, candidateCol).select(
+      col("total_samples"),
+      col("sentiment_distribution.POSITIVE").as("sentiment_distribution_positive"),
+      col("sentiment_distribution.NEGATIVE").as("sentiment_distribution_negative"),
+      col("sentiment_distribution.NEUTRAL").as("sentiment_distribution_neutral"),
+      col("score_distribution.avg_original_score").as("score_distribution_avg_original_score"),
+      col("score_distribution.avg_sentiment_confidence").as("score_distribution_avg_sentiment_confidence"),
+      col("score_distribution.candidates_count").as("score_distribution_candidates_count"),
+      col("confidence_stats.mean").as("confidence_stats_mean"),
+      col("confidence_stats.std").as("confidence_stats_std"),
+      col("confidence_stats.min").as("confidence_stats_min"),
+      col("confidence_stats.max").as("confidence_stats_max"))
+
   /** A7 fixed-width histogram (ref `vizualization.py:67`, `:288-297`):
     * `bins` equal buckets between the global min and max; the max value
     * lands in the last bucket. Global min/max come from a broadcast
@@ -201,20 +219,32 @@ object Analytics {
   }
 
   /** The reference's word-frequency stoplist concept
-    * (`vizualization.py:259` has a 69-word English list; here pinned to the
+    * (`vizualization.py:259` pins a 61-word English list; here pinned to the
     * corpus' own function words so the operator has bite on the synthetic
     * vocabulary). */
   val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** The reference's wordcloud stoplist, verbatim
+    * (`vizualization.py:259`, 61 words). */
+  val RefStopWords: Seq[String] = Seq(
+    "the", "and", "or", "but", "in", "on", "at", "to", "for", "of",
+    "with", "by", "is", "are", "was", "were", "be", "been", "have", "has",
+    "had", "do", "does", "did", "will", "would", "could", "should", "may",
+    "might", "must", "can", "a", "an", "this", "that", "these", "those",
+    "i", "me", "my", "mine", "you", "your", "yours", "he", "him", "his",
+    "she", "her", "hers", "it", "its", "we", "us", "our", "ours", "they",
+    "them", "their", "theirs")
 
   /** A8 word frequency (ref `vizualization.py:208-261`): tokenize the
     * cleaned text, drop stopwords and words <= 2 chars, count. One shuffle
     * on the word key with map-side combine. */
   def wordCounts(df: DataFrame, textCol: String,
-                 extraGroupCols: Seq[String] = Nil): DataFrame = {
+                 extraGroupCols: Seq[String] = Nil,
+                 stop: Seq[String] = StopWords): DataFrame = {
     val toks = graft.functions.TextFns.tokens(graft.functions.TextFns.wordcloudClean(col(textCol)))
     val exploded = df
       .select(extraGroupCols.map(col) :+ explode(toks).as("word"): _*)
-      .filter(!col("word").isin(StopWords: _*) && length(col("word")) > 2)
+      .filter(!col("word").isin(stop: _*) && length(col("word")) > 2)
     exploded.groupBy((extraGroupCols :+ "word").map(col): _*).agg(count(lit(1)).as("cnt"))
   }
 
@@ -222,6 +252,14 @@ object Analytics {
     * word tiebreak). */
   def topWords(df: DataFrame, textCol: String, n: Int): DataFrame =
     wordCounts(df, textCol).orderBy(col("cnt").desc, col("word")).limit(n)
+
+  /** A8 wordcloud instance (ref `vizualization.py:226-233`): the top-100
+    * word frequencies feeding `WordCloud(max_words=100)`, with the
+    * reference's own stoplist ([[RefStopWords]]) rather than the
+    * corpus-local one. Same single word-key shuffle as [[topWords]]. */
+  def wordcloudWords(df: DataFrame, textCol: String, n: Int = 100): DataFrame =
+    wordCounts(df, textCol, stop = RefStopWords)
+      .orderBy(col("cnt").desc, col("word")).limit(n)
 
   /** A9 top-k per group (ref `vizualization.py:265-285`): rank inside each
     * group with a deterministic tiebreak, keep k. */

@@ -158,4 +158,26 @@ object Risk {
           .as("sample_factors"),
         struct(col("trend_multiplier"), col("trend_status"))
           .as("trend_factors")).as("breakdown"))
+
+  /** [[insuranceRiskNested]] with the breakdown flattened to dotted scalar
+    * columns — the correctness-gate shape (the gate hashes cells with
+    * pandas, which cannot hash a struct). Field-for-field the same values;
+    * the nested form stays the library surface. */
+  def insuranceRiskBreakdownFlat(scored: DataFrame, trends: DataFrame,
+                                 baseRate: Double = 5000.0): DataFrame =
+    insuranceRisk(scored, trends, baseRate).select(
+      col("insurance_cost"), col("risk_level"), col("risk_score"),
+      lit(baseRate).as("breakdown_base_rate"),
+      col("positive_percentage").as("breakdown_sentiment_factors_positive_percentage"),
+      col("negative_percentage").as("breakdown_sentiment_factors_negative_percentage"),
+      col("neutral_percentage").as("breakdown_sentiment_factors_neutral_percentage"),
+      col("sentiment_multiplier").as("breakdown_sentiment_factors_sentiment_multiplier"),
+      col("average_confidence").as("breakdown_confidence_factors_average_confidence"),
+      col("confidence_std").as("breakdown_confidence_factors_confidence_std"),
+      col("min_confidence").as("breakdown_confidence_factors_min_confidence"),
+      col("confidence_multiplier").as("breakdown_confidence_factors_confidence_multiplier"),
+      col("total_samples").as("breakdown_sample_factors_total_samples"),
+      col("sample_multiplier").as("breakdown_sample_factors_sample_multiplier"),
+      col("trend_multiplier").as("breakdown_trend_factors_trend_multiplier"),
+      col("trend_status").as("breakdown_trend_factors_trend_status"))
 }

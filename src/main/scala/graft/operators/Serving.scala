@@ -91,7 +91,13 @@ object Serving {
 
   /** Renders a confidence as the reference's `{c:.2f}` (two decimals) via
     * integer-cent arithmetic — never double→string, which differs across
-    * engines (see F13 conventions). */
+    * engines (see F13 conventions).
+    *
+    * Rounding convention: Spark `round` is HALF_UP (half away from zero),
+    * Python's `{c:.2f}` is HALF_EVEN, so an exactly-representable .xx5
+    * confidence renders 0.13 here vs the reference's 0.12. Deliberate: the
+    * F13 convention pins HALF_UP engine-wide (engine and oracle agree);
+    * model confidences are never exact half-cents in practice. */
   private def fmt2(c: Column): Column = {
     val cents = round(c * lit(100.0), 0).cast("long")
     concat((cents / 100).cast("long"), lit("."),
@@ -143,4 +149,91 @@ object Serving {
         lit("\n\nNEGATIVE FEEDBACK SUMMARY:\n"),
         col("recommendations.negative_basis"),
         lit("\n\nPlease provide 3 actionable recommendations:")).as("reco_prompt"))
+
+  /** [[resultsDocument]] re-shaped for scalar-cell consumers (the
+    * correctness gate hashes cells with pandas, which cannot hash a
+    * struct): every nested field becomes a dotted top-level column and the
+    * trends array becomes one compact-JSON string column. Same single
+    * broadcast row; the nested [[resultsDocument]] stays the library
+    * surface. */
+  def resultsDocumentFlat(scored: DataFrame, trends: DataFrame): DataFrame = {
+    def cls(prefix: String): Seq[Column] = Seq(
+      col(s"${prefix}_summary.sentiment_type").as(s"${prefix}_summary_sentiment_type"),
+      col(s"${prefix}_summary.num_comments_analyzed").as(s"${prefix}_summary_num_comments"),
+      col(s"${prefix}_summary.summary").as(s"${prefix}_summary_summary"))
+    resultsDocument(scored, trends).select(
+      to_json(col("trends")).as("trends_json") +:
+        (cls("positive") ++ cls("negative") ++ cls("neutral") ++ Seq(
+          col("recommendations.positive_basis").as("recommendations_positive_basis"),
+          col("recommendations.negative_basis").as("recommendations_negative_basis"),
+          col("statistics.total_reviews").as("statistics_total_reviews"),
+          col("statistics.positive").as("statistics_positive"),
+          col("statistics.negative").as("statistics_negative"),
+          col("statistics.neutral").as("statistics_neutral"))): _*)
+  }
+
+  /** The reference's static suggested-question pool
+    * (ref `chatbot_analyzer.py:252-263`), in order. */
+  val SuggestedQuestionPool: Seq[String] = Seq(
+    "What are the main issues customers are complaining about?",
+    "What do customers like most about the service?",
+    "What should we prioritize fixing first?",
+    "Show me examples of negative feedback about food quality",
+    "What percentage of reviews are positive?",
+    "What are the common themes in negative reviews?",
+    "What improvements would have the biggest impact?",
+    "Are there any seasonal trends in the sentiment?",
+    "What specific words appear most in negative reviews?",
+    "How does the positive feedback compare to negative?")
+
+  /** EP3/L3 — the chatbot's suggested-questions list
+    * (ref `chatbot_analyzer.py:250-272`): the 10-item static pool with two
+    * data-dependent inserts — "Summarize the negative feedback" prepended
+    * when a negative summary exists, "What are your top recommendations?"
+    * inserted at position 1 when recommendations exist — trimmed to 8.
+    *
+    * The reference's existence checks are on artifact files; the
+    * deterministic engine analog: a negative summary exists iff the
+    * results document carries one (NEGATIVE class non-empty), and
+    * recommendations exist iff both evidence bases are present (the
+    * recommendation generator consumes both, ref
+    * `recommendation_fun.py:39-45`). Rows (rank, question) — O(1) data. */
+  def suggestedQuestions(scored: DataFrame, trends: DataFrame): DataFrame = {
+    val hasNeg = col("negative_summary.summary").isNotNull
+    val hasReco = col("recommendations.positive_basis").isNotNull &&
+      col("recommendations.negative_basis").isNotNull
+    val base = array(SuggestedQuestionPool.map(lit): _*)
+    val l1 = when(hasNeg,
+      concat(array(lit("Summarize the negative feedback")), base)).otherwise(base)
+    val l2 = when(hasReco,
+      concat(slice(l1, 1, 1), array(lit("What are your top recommendations?")),
+        slice(l1, lit(2), size(l1) - 1))).otherwise(l1)
+    resultsDocument(scored, trends)
+      .select(posexplode(slice(l2, 1, 8)))
+      .select((col("pos") + 1).cast("int").as("rank"), col("col").as("question"))
+      .orderBy("rank")
+  }
+
+  /** L3 — the chat-message assembly with the reference's history window
+    * (ref `chatbot_analyzer.py:228-236`): the LAST FOUR history messages
+    * (two exchanges) by sequence, then the current user question appended.
+    * Rows (pos, role, content). History is conversation state — bounded
+    * (tens of rows), so the collect_list is O(conversation), never
+    * O(corpus). */
+  def chatMessages(history: DataFrame, question: String): DataFrame = {
+    val all = sort_array(collect_list(struct(
+      col("seq"), col("role"), col("content"))))
+    // Python's [-4:] keeps a shorter list whole; Spark's slice returns []
+    // when |start| exceeds the size, so clamp the start to -size (and skip
+    // the slice entirely for an empty history — slice(_, 0, _) throws)
+    val m = when(size(all) === 0, all)
+      .otherwise(slice(all, greatest(lit(-4), -size(all)), lit(4)))
+    history.agg(m.as("m"))
+      .select(posexplode(concat(col("m"), array(struct(
+        lit(Long.MaxValue).as("seq"), lit("user").as("role"),
+        lit(question).as("content"))))))
+      .select((col("pos") + 1).cast("int").as("pos"),
+        col("col.role").as("role"), col("col.content").as("content"))
+      .orderBy("pos")
+  }
 }

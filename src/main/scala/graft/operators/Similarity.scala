@@ -208,6 +208,19 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Band width for [[lshNearDupPairsAuto]]: the smallest r >= 3 with
+    * `targetOccupancy * 2^r >= n` (= ceil(log2(n/occupancy)) clamped to
+    * [3, 100/bands]), computed with INTEGER arithmetic only — a float
+    * log2 differs between engines in the last ulp at exact power-of-two
+    * boundaries, which would let the engine and the DuckDB oracle pick
+    * different widths for the same n. */
+  def bandWidth(n: Long, targetOccupancy: Int, bands: Int): Int = {
+    var r = 3
+    val rMax = 100 / bands
+    while (r < rMax && (targetOccupancy.toLong << r) < n) r += 1
+    r
+  }
+
   /** [[lshNearDupPairs]] with data-sized bucket resolution — the 100 TB
     * form. A FIXED band width r is quadratic at scale: the same `2^r`
     * buckets hold 10x rows at 10x data, so the candidate equi-join
@@ -231,8 +244,7 @@ object Similarity {
     val n = emb.count()
     // cap: the deterministic plane family is aperiodic only up to 101
     // planes (see planeWeights), so bands*r must stay below that
-    val r = math.min(100 / bands, math.max(3, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt))
+    val r = bandWidth(n, targetOccupancy, bands)
     if (r > 3)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"lshNearDupPairsAuto: n=$n -> band width r=$r (bucket space 2^$r per band)")

@@ -68,8 +68,13 @@ object Artifacts {
     val base = new java.io.File(baseDir)
     if (!base.exists()) return Nil
     val maxAgeMs = maxAgeDays.toLong * 24 * 3600 * 1000
+    // never recurse through a symlink: listFiles on a link-to-directory
+    // returns the TARGET's children, so recursing would delete files
+    // outside baseDir (the reference's shutil.rmtree also refuses to
+    // follow links) — unlink the link itself instead
     def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).foreach(_.foreach(rm))
+      if (!java.nio.file.Files.isSymbolicLink(x.toPath))
+        Option(x.listFiles()).foreach(_.foreach(rm))
       x.delete()
     }
     Option(base.listFiles()).getOrElse(Array.empty).toSeq

@@ -142,6 +142,7 @@ class PlanShapeSpec extends SparkSpec {
     //            all-vectors-to-all-centroids by definition) + single-row probe
     val allowed = Set("a7_confidence_histogram", "f11_insurance_risk",
       "f11b_insurance_breakdown", "ep3_chat_context", "ep2_results_document",
+      "ep3b_suggestions", // resultsDocument's single-row broadcast frame
       "l2_reco_prompt", "sim_bruteforce_topk", "sim_ivf_ann",
       "bf_bloom_prefilter_join") // single-broadcast-row bloom, never a shuffle
     // streaming fns execute on invocation; their stateful plans are

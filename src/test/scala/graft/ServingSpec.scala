@@ -88,4 +88,66 @@ class ServingSpec extends SparkSpec {
       "\n\nNEGATIVE FEEDBACK SUMMARY:\nterrible broke on day one" +
       "\n\nPlease provide 3 actionable recommendations:")
   }
+
+  test("resultsDocumentFlat: scalar columns mirror the nested document; trends JSON is compact") {
+    val row = Serving.resultsDocumentFlat(sampleScored, sampleTrends).collect()(0)
+    // key order = struct field order, compact separators (the DuckDB
+    // to_json conventions the gate oracle relies on)
+    assert(row.getString(row.fieldIndex("trends_json")) ==
+      """[{"date":"2024-01-01","positive":3,"negative":2,"neutral":1,"total":6},""" +
+      """{"date":"2024-01-02","positive":5,"negative":1,"neutral":2,"total":8}]""")
+    assert(row.getString(row.fieldIndex("positive_summary_sentiment_type")) == "POSITIVE")
+    assert(row.getLong(row.fieldIndex("positive_summary_num_comments")) == 2L)
+    assert(row.getString(row.fieldIndex("negative_summary_summary")) == "terrible broke on day one")
+    assert(row.getLong(row.fieldIndex("statistics_total_reviews")) == 4L)
+    assert(row.getString(row.fieldIndex("recommendations_negative_basis")) == "terrible broke on day one")
+  }
+
+  test("suggestedQuestions: both data-dependent inserts, trimmed to 8") {
+    val qs = Serving.suggestedQuestions(sampleScored, sampleTrends)
+      .collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(qs.length == 8)
+    assert(qs.map(_._1).toSeq == (1 to 8))
+    assert(qs(0)._2 == "Summarize the negative feedback")
+    assert(qs(1)._2 == "What are your top recommendations?")
+    assert(qs.drop(2).map(_._2).toSeq == Serving.SuggestedQuestionPool.take(6))
+  }
+
+  test("suggestedQuestions: no negative class -> no inserts, plain top-8 pool") {
+    val qs = Serving.suggestedQuestions(
+      sampleScored.filter(col("sentiment") =!= "NEGATIVE"), sampleTrends)
+      .collect().map(_.getString(1))
+    assert(qs.toSeq == Serving.SuggestedQuestionPool.take(8))
+  }
+
+  test("suggestedQuestions: negative summary without positive -> prepend only") {
+    // has_neg true, has_reco false (recommendations need BOTH bases)
+    val qs = Serving.suggestedQuestions(
+      sampleScored.filter(col("sentiment") =!= "POSITIVE"), sampleTrends)
+      .collect().map(_.getString(1))
+    assert(qs.head == "Summarize the negative feedback")
+    assert(qs.tail.toSeq == Serving.SuggestedQuestionPool.take(7))
+  }
+
+  test("chatMessages: last-4 history window + appended user question") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq(
+      (1L, "user", "m1"), (2L, "assistant", "m2"), (3L, "user", "m3"),
+      (4L, "assistant", "m4"), (5L, "user", "m5"), (6L, "assistant", "m6"))
+      .toDF("seq", "role", "content")
+    val m = Serving.chatMessages(hist, "current?").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(m.toSeq == Seq((1, "user", "m3"), (2, "assistant", "m4"),
+      (3, "user", "m5"), (4, "assistant", "m6"), (5, "user", "current?")))
+  }
+
+  test("chatMessages: short history is kept whole") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((1L, "user", "m1")).toDF("seq", "role", "content")
+    val m = Serving.chatMessages(hist, "q").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(m.toSeq == Seq((1, "user", "m1"), (2, "user", "q")))
+  }
 }

@@ -44,28 +44,28 @@ for dim in ("region", "nation"):
     write(dim, "SELECT * FROM {src}")
 
 write("customer", """
-  SELECT c_custkey + c.i*{shift} AS c_custkey, * EXCLUDE (c_custkey)
+  SELECT c_custkey + c.i*{shift} AS c_custkey, * EXCLUDE (c_custkey, i)
   FROM {src} CROSS JOIN (SELECT unnest(range(%d)) AS i) c""" % COPIES)
 
 write("supplier", """
-  SELECT s_suppkey + c.i*{shift} AS s_suppkey, * EXCLUDE (s_suppkey)
+  SELECT s_suppkey + c.i*{shift} AS s_suppkey, * EXCLUDE (s_suppkey, i)
   FROM {src} CROSS JOIN (SELECT unnest(range(%d)) AS i) c""" % COPIES)
 
 write("part", """
-  SELECT p_partkey + c.i*{shift} AS p_partkey, * EXCLUDE (p_partkey)
+  SELECT p_partkey + c.i*{shift} AS p_partkey, * EXCLUDE (p_partkey, i)
   FROM {src} CROSS JOIN (SELECT unnest(range(%d)) AS i) c""" % COPIES)
 
 write("orders", """
   SELECT o_orderkey + c.i*{shift} AS o_orderkey,
          o_custkey + c.i*{shift} AS o_custkey,
-         * EXCLUDE (o_orderkey, o_custkey)
+         * EXCLUDE (o_orderkey, o_custkey, i)
   FROM {src} CROSS JOIN (SELECT unnest(range(%d)) AS i) c""" % COPIES)
 
 write("lineitem", """
   SELECT l_orderkey + c.i*{shift} AS l_orderkey,
          l_partkey + c.i*{shift} AS l_partkey,
          l_suppkey + c.i*{shift} AS l_suppkey,
-         * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
+         * EXCLUDE (l_orderkey, l_partkey, l_suppkey, i)
   FROM {src} CROSS JOIN (SELECT unnest(range(%d)) AS i) c""" % COPIES)
 
 # ts is written as BIGINT epoch-nanos: the driver's events.parquet is
@@ -76,7 +76,7 @@ write("events", """
   SELECT event_id + c.i*{shift} AS event_id,
          user_id + c.i*{shift} AS user_id,
          CAST(epoch_ns(ts) AS BIGINT) AS ts,
-         * EXCLUDE (event_id, user_id, ts)
+         * EXCLUDE (event_id, user_id, ts, i)
   FROM {src} CROSS JOIN (SELECT unnest(range(%d)) AS i) c""" % COPIES)
 
 write("documents", """
