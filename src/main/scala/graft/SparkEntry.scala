@@ -211,6 +211,59 @@ object SparkEntry {
   private def dshCteSql(n: Int): String =
     s"dsh AS (SELECT doc_id, unnest(${shinglesSql(n)}) AS sh FROM toks)"
 
+  /** DuckDB CTE chain replaying the FULL minhash pipeline of the
+    * `dd_minhash_neardup` entry (mirrors [[Dedup.minhashNearDupPairs]]
+    * with [[Dedup.portableHash]] + portable band keys): the doc∪variant
+    * token stream, 4-gram shingles, the k md5-derived minima, banded
+    * tuple keys, the candidate self-join, and the exact-Jaccard verify
+    * join on (id, shingle). Requires the `toks` CTE; exposes
+    * `mh_j(id_a, id_b, inter, sz_a, sz_b)`. */
+  private def minhashOracleCtes(k: Int, bands: Int): String = {
+    val r = k / bands
+    // Carter-Wegman permutations over ONE md5 per shingle (mirrors
+    // Dedup.PortableFamily): h_i = (h1 + i*h2) mod (2^61-1)
+    val P = operators.Dedup.PortableMod
+    val mins = (0 until k).map(i =>
+      s"min((mh1 + $i * mh2) % $P) AS h$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (b * r until (b + 1) * r)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT id, $b AS band, $key AS key FROM mh_sig"
+    }.mkString("\n  UNION ALL ")
+    s""", mh_toks AS (
+       |  SELECT doc_id AS id, tokens FROM toks
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS id,
+       |    list_slice(tokens, 1, greatest(len(tokens) - 8, 4)) AS tokens
+       |  FROM toks WHERE doc_id % 10 = 0),
+       |mh_sh AS (SELECT id, unnest(${shinglesSql(4)}) AS sh FROM mh_toks),
+       |mh_h AS (SELECT id, sh,
+       |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS mh1,
+       |    CAST(('0x' || substr(md5(sh), 16, 12)) AS BIGINT) AS mh2
+       |  FROM mh_sh),
+       |mh_sig AS (SELECT id, CAST(count(*) AS BIGINT) AS sz,
+       |    $mins
+       |  FROM mh_h GROUP BY id),
+       |mh_band AS (
+       |  $bandSelects),
+       |mh_cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM mh_band x JOIN mh_band y
+       |    ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+       |mh_inter AS (
+       |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM mh_cand c
+       |  JOIN mh_sh a ON a.id = c.id_a
+       |  JOIN mh_sh b ON b.id = c.id_b AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |mh_j AS (
+       |  SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
+       |  FROM mh_inter i
+       |  JOIN mh_sig sa ON i.id_a = sa.id
+       |  JOIN mh_sig sb ON i.id_b = sb.id)""".stripMargin
+  }
+
   /** Shared DuckDB CTE chain for the two component queries (mirrors
     * [[Dedup.ngramJaccardPairs]] + transitive closure): exposes
     * `reach(id, r)` — every node with its reachable set over the
@@ -720,9 +773,12 @@ object SparkEntry {
           |ORDER BY d.doc_id""".stripMargin)),
 
     Q("dd_minhash_neardup",
-      // MinHash+LSH is engine-hash-based (xxhash64) — not reproducible in
-      // DuckDB; correctness is covered by the recall unit test
-      // (DedupSpec) against constructed near-duplicates.
+      // The FULL minhash pipeline (signature -> band -> candidate ->
+      // exact-Jaccard verify) oracle-checked end-to-end: the gate entry
+      // uses the portable md5-derived permutation family + tuple band
+      // keys, which DuckDB replays exactly. The engine-native xxhash64
+      // family (the 100 TB default) is behaviorally identical modulo the
+      // hash family and stays covered by the DedupSpec recall units.
       (s, d) => {
         val docs = Tables.documents(s, d)
         val variants = docs.filter(col("doc_id") % 10 === 0)
@@ -732,9 +788,16 @@ object SparkEntry {
                 greatest(size(TextFns.tokens(col("text"))) - 8, lit(4)))).as("text"))
         Dedup.minhashNearDupPairs(
           docs.select("doc_id", "text").unionByName(variants),
-          "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5)
+          "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+          family = Dedup.PortableFamily)
       },
-      None),
+      Some(Sentiment.oracleCte + minhashOracleCtes(k = 32, bands = 8) +
+        """
+          |SELECT id_a, id_b,
+          |  ROUND(CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE), 6) AS jaccard
+          |FROM mh_j
+          |WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dd_simhash_neardup",
       (s, d) => {

@@ -125,14 +125,44 @@ object Dedup {
     sh.groupBy(col(idCol).as("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Minhash permutation families. [[NativeFamily]] (xxhash64 seeded by
+    * the permutation index — codegen'd, the 100 TB default) is not
+    * reproducible outside Spark; [[PortableFamily]] exists so a DuckDB
+    * oracle can replay the ENTIRE pipeline. */
+  sealed trait MinhashFamily
+  case object NativeFamily extends MinhashFamily
+  case object PortableFamily extends MinhashFamily
+
+  /** Carter-Wegman modulus for [[PortableFamily]]: 2^61 - 1 (prime). */
+  val PortableMod: Long = 2305843009213693951L
+
+  /** [[PortableFamily]] base hashes: ONE md5 per shingle, split into a
+    * 60-bit and a 48-bit integer; permutation i is then the universal
+    * hash `(h1 + i*h2) mod (2^61-1)` — pure integer arithmetic, so the k
+    * permutations cost one digest, not k (measured 8x on the sf1 bench
+    * vs a digest per permutation). md5 hex digests are identical
+    * everywhere (unlike xxhash64/murmur), so DuckDB mirrors this exactly:
+    * `CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)` etc. The 48-bit h2
+    * bounds `i*h2` under 2^53, keeping the sum below 2^61 — no BIGINT
+    * overflow on either engine. */
+  def portableBaseHashes(sh: Column): (Column, Column) = (
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long"),
+    conv(substring(md5(sh), 16, 12), 16, 10).cast("long"))
+
   /** MinHash+LSH near-duplicate pairs: band the k-entry signature into
     * `bands` groups of k/bands rows; docs colliding on any banded hash
     * become candidates; candidates are verified with exact n-gram Jaccard
     * > minJaccard. The only joins are on band-hash and shingle keys —
-    * this is the shape that survives 100 TB. */
+    * this is the shape that survives 100 TB.
+    *
+    * `family` picks the permutation family ([[NativeFamily]] default;
+    * [[PortableFamily]] for oracle parity, which also joins candidates on
+    * the comma-joined minima tuple instead of a murmur hash of it —
+    * bulkier keys, but a DuckDB oracle can form the identical buckets. */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           n: Int = 4, k: Int = 32, bands: Int = 16,
-                          minJaccard: Double = 0.6): DataFrame = {
+                          minJaccard: Double = 0.6,
+                          family: MinhashFamily = NativeFamily): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // one shingling pass serves signatures, sizes, and both verification
@@ -140,12 +170,34 @@ object Dedup {
     // released in the finally, same discipline as [[ngramJaccardPairs]]
     val sh = shingleStream(df, textCol, idCol, n).persist()
     try {
-      // signature and set size in the same hash aggregation: one shuffle
-      val sigAggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-      val sigs = sh.groupBy(col(idCol).as("id"))
+      // signature and set size in the same hash aggregation: one shuffle.
+      // Portable path: the md5 digest is computed ONCE per (id, shingle)
+      // row behind a projection boundary; the k permutations are integer
+      // arithmetic over its two halves.
+      val hashed = family match {
+        case NativeFamily => sh
+        case PortableFamily =>
+          val (h1, h2) = portableBaseHashes(col("sh"))
+          sh.select(col(idCol), col("sh"), h1.as("mh1"), h2.as("mh2"))
+      }
+      val sigAggs = (0 until k).map { i =>
+        val h = family match {
+          case NativeFamily   => xxhash64(lit(i), col("sh"))
+          case PortableFamily => (col("mh1") + lit(i.toLong) * col("mh2")) % lit(PortableMod)
+        }
+        min(h).as(s"h$i")
+      }
+      val sigs = hashed.groupBy(col(idCol).as("id"))
         .agg(count(lit(1)).as("sz"), sigAggs: _*)
-      val bandCols = (0 until bands).map(b =>
-        hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*))
+      val bandCols = (0 until bands).map { b =>
+        val hs = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+        // array() below needs one element type, but the family is constant
+        // per call, so each call site stays homogeneous (int vs string)
+        family match {
+          case NativeFamily   => hash(hs: _*)
+          case PortableFamily => concat_ws(",", hs: _*)
+        }
+      }
       val banded = sigs.select(col("id"),
         posexplode(array(bandCols: _*)))
         .select(col("id"), col("pos").as("band"), col("col").as("bandhash"))
@@ -188,7 +240,8 @@ object Dedup {
     * with checkpointing every few rounds to truncate lineage.
     *
     * Returns (id, canonical) for every node appearing in `pairs`. */
-  def canonicalComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def canonicalComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointEvery: Int = 1): DataFrame = {
     // symmetrize in ONE pass over `pairs` via explode — a union of two
     // selects would evaluate the (expensive: shingle join + aggregation)
     // pair pipeline twice, once per branch
@@ -216,27 +269,43 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = prevSum.isEmpty
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // one propagation + pointer-jumping round as a pure plan transform
+    def round(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst_id"),
+        .join(ls.withColumnRenamed("id", "dst_id"),
           col("dst") === col("dst_id"))
         .groupBy(col("src").as("id")).agg(min(col("lbl")).as("nlbl"))
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = ls.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jumping (path halving): also take the label OF my label —
       // effective diameter halves per round, so convergence is
       // O(log diameter) and maxIter=20 covers any realistic component
-      val next = propagated.as("x")
+      propagated.as("x")
         .join(propagated.select(col("id").as("lid"), col("lbl").as("lbl2")).as("y"),
           col("x.lbl") === col("y.lid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("lbl2"), col("x.lbl"))).as("lbl"))
-        .localCheckpoint()
+    }
+    while (!converged && iter < maxIter) {
+      // `checkpointEvery` rounds between checkpoints/probes. Default 1,
+      // measured, not assumed: batching 2 rounds per checkpoint REGRESSED
+      // the sf1 bench 30.3 s -> 38.8 s, because the per-round checkpoint
+      // doubles as a materialization of the pointer-jumping self-join's
+      // shared input — without it the nested round re-executes that
+      // subplan (exchange reuse does not survive AQE re-planning across
+      // the nesting). The parameter stays for clusters where checkpoint
+      // I/O, not compute, dominates.
+      var work = labels
+      var steps = 0
+      while (steps < checkpointEvery && iter + steps < maxIter) {
+        work = round(work); steps += 1
+      }
+      val next = work.localCheckpoint()
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
-      iter += 1
+      iter += steps
     }
     if (!converged)
       throw new IllegalStateException(

@@ -88,6 +88,24 @@ class ArtifactsSpec extends SparkSpec {
     assert(sources.Artifacts.cleanupOldArtifacts(base + "/nope") == Nil)
   }
 
+  test("cleanupOldArtifacts: never follows a symlink out of the swept dir") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_rm").toString
+    val outside = Files.createTempDirectory("graft_outside")
+    val keepMe = outside.resolve("keep.txt")
+    Files.writeString(keepMe, "do not delete")
+    val job = Paths.get(base, "job-linked")
+    Files.createDirectory(job)
+    Files.writeString(job.resolve("own.txt"), "x")
+    Files.createSymbolicLink(job.resolve("escape"), outside)
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    job.toFile.setLastModified(old)
+    val removed = sources.Artifacts.cleanupOldArtifacts(base, maxAgeDays = 7)
+    assert(removed == Seq("job-linked"))
+    assert(!Files.exists(job), "aged job dir (and the link itself) removed")
+    assert(Files.exists(keepMe), "file behind the symlink must survive")
+  }
+
   test("EP3 context assembly is deterministic and well-formed") {
     val scored = Sentiment.score(Tables.documents(spark, sf0001))
     val ctx = operators.Serving.chatContext(scored,

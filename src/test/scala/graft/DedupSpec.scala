@@ -48,6 +48,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") > 0.5))
   }
 
+  test("portableBaseHashes: pinned md5 contract (values DuckDB reproduces)") {
+    // CAST('0x'||substr(md5('abc'),1,15) AS BIGINT) and the 16..27 slice —
+    // the cross-engine agreement the dd_minhash_neardup oracle depends on
+    val (h1, h2) = Dedup.portableBaseHashes(org.apache.spark.sql.functions.lit("abc"))
+    val row = spark.range(1).select(h1, h2).head
+    assert(row.getLong(0) == 648541476951500027L) // md5('abc')[0:15] hex
+    assert(row.getLong(1) == 14746299912846L)     // md5('abc')[15:27] hex
+    assert(row.getLong(1) < (1L << 48), "h2 must stay 48-bit (overflow headroom)")
+  }
+
+  test("MinHash: portable family finds the same constructed near-dups") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 10).map { i =>
+      (i.toLong, (0 until 50).map(j => s"tok${(i * 31 + j * 7) % 97}").mkString(" "))
+    }
+    val dups = base.map { case (id, t) => (id + 1000L, t.split(" ").dropRight(1).mkString(" ")) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      n = 4, k = 32, bands = 8, minJaccard = 0.5,
+      family = Dedup.PortableFamily).collect()
+    val found = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    assert(expected.intersect(found).size >= 9, s"recall too low: found $found")
+  }
+
   test("connected components: chain, clique, and singleton-pair canonicals") {
     val s = spark
     import s.implicits._
