@@ -264,6 +264,53 @@ object SparkEntry {
        |  JOIN mh_sig sb ON i.id_b = sb.id)""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying the FULL SimHash pipeline of the
+    * `dd_simhash_neardup` entry (mirrors
+    * [[Dedup.simhashNearDupPairsPortable]]): doc∪variant token stream,
+    * one md5 per token occurrence split into two 32-bit halves, 64
+    * signed-bit sums, split fingerprints, 16-bit-chunk banding, candidate
+    * self-join, Hamming via two 32-bit bit_counts. Requires the `toks`
+    * CTE; exposes `sh_ham(id_a, id_b, hamming)`. */
+  private lazy val simhashOracleCtes: String = {
+    val bitAggs = (0 until 64).map { b =>
+      val (h, bit) = if (b < 32) ("hlo", b) else ("hhi", b - 32)
+      s"CAST(SUM(CASE WHEN ($h & ${1L << bit}) <> 0 THEN 1 ELSE -1 END) AS BIGINT) AS b$b"
+    }.mkString(",\n    ")
+    def half(range: Range, base: Int): String = range
+      .map(b => s"CASE WHEN b$b > 0 THEN CAST(${1L << (b - base)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString("(", " + ", ")") // bits are disjoint, so sum == bitwise OR
+    s""", sh_toks AS (
+       |  SELECT doc_id AS id, tokens FROM toks
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS id,
+       |    list_slice(tokens, 1, greatest(len(tokens) - 4, 4)) AS tokens
+       |  FROM toks WHERE doc_id % 10 = 0),
+       |sh_tok AS (SELECT id, unnest(tokens) AS t FROM sh_toks),
+       |sh_hash AS (SELECT id,
+       |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hhi,
+       |    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS hlo
+       |  FROM sh_tok),
+       |sh_bits AS (SELECT id,
+       |    $bitAggs
+       |  FROM sh_hash GROUP BY id),
+       |sh_fp AS (SELECT id, ${half(32 until 64, 32)} AS fp_hi,
+       |    ${half(0 until 32, 0)} AS fp_lo FROM sh_bits),
+       |sh_band AS (
+       |  SELECT id, fp_hi, fp_lo, 0 AS band, (fp_lo & 65535) AS chunk FROM sh_fp
+       |  UNION ALL SELECT id, fp_hi, fp_lo, 1, (fp_lo >> 16) FROM sh_fp
+       |  UNION ALL SELECT id, fp_hi, fp_lo, 2, (fp_hi & 65535) FROM sh_fp
+       |  UNION ALL SELECT id, fp_hi, fp_lo, 3, (fp_hi >> 16) FROM sh_fp),
+       |sh_cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |    x.fp_hi AS hi_a, x.fp_lo AS lo_a, y.fp_hi AS hi_b, y.fp_lo AS lo_b
+       |  FROM sh_band x JOIN sh_band y
+       |    ON x.band = y.band AND x.chunk = y.chunk AND x.id < y.id),
+       |sh_ham AS (
+       |  SELECT id_a, id_b,
+       |    CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+       |  FROM sh_cand)""".stripMargin
+  }
+
   /** Shared DuckDB CTE chain for the two component queries (mirrors
     * [[Dedup.ngramJaccardPairs]] + transitive closure): exposes
     * `reach(id, r)` — every node with its reachable set over the
@@ -800,6 +847,12 @@ object SparkEntry {
           |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dd_simhash_neardup",
+      // The FULL SimHash pipeline oracle-checked: the gate entry uses the
+      // portable md5 token hash with the fingerprint as two 32-bit halves
+      // (one md5 per token, 64 signed-bit sums, 16-bit banding, Hamming
+      // via two bit_counts) — every step DuckDB-expressible. The
+      // engine-native xxhash64 single-long form stays the scale default,
+      // covered by the DedupSpec pinned-recall contract.
       (s, d) => {
         val docs = Tables.documents(s, d)
         val variants = docs.filter(col("doc_id") % 10 === 0)
@@ -807,11 +860,14 @@ object SparkEntry {
             concat_ws(" ",
               slice(TextFns.tokens(col("text")), lit(1),
                 greatest(size(TextFns.tokens(col("text"))) - 4, lit(4)))).as("text"))
-        Dedup.simhashNearDupPairs(
+        Dedup.simhashNearDupPairsPortable(
           docs.select("doc_id", "text").unionByName(variants),
           "text", "doc_id", maxHamming = 12)
       },
-      None),
+      Some(Sentiment.oracleCte + simhashOracleCtes +
+        """
+          |SELECT id_a, id_b, hamming FROM sh_ham
+          |WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dd_embedding_neardup",
       // LSH-banded near-dup (the scale path) IS the catalog entry: the

@@ -351,6 +351,78 @@ object Dedup {
       .select(col("id"), fp.as("fp"))
   }
 
+  /** Portable 64-bit token hash for oracle-checked SimHash, as two 32-bit
+    * halves of the md5 digest (hi = hex chars 1-8, lo = 9-16). Two
+    * nonnegative halves instead of one 64-bit value: forming the full
+    * long would need a 32-bit shift whose sign/overflow behavior differs
+    * per engine, while every downstream step (bit tests, 16-bit banding,
+    * Hamming via bit_count of xor) works on the halves directly. */
+  def portableTokenHash32(t: Column): (Column, Column) = (
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+    conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
+  /** [[simhashFingerprints]] with the portable token hash — fingerprint
+    * as two 32-bit halves (id, fp_hi, fp_lo). Same single-pass shape:
+    * one md5 per token occurrence, 64 signed-bit sums in one
+    * aggregation. */
+  def simhashFingerprintsPortable(df: DataFrame, textCol: String,
+                                  idCol: String): DataFrame = {
+    val (hi, lo) = portableTokenHash32(col("t"))
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextFns.tokens(col(textCol))).as("t"))
+      .select(col("id"), hi.as("hhi"), lo.as("hlo"))
+    val bitAggs = (0 until 64).map { b =>
+      val (h, bit) = if (b < 32) (col("hlo"), b) else (col("hhi"), b - 32)
+      sum(when(h.bitwiseAND(lit(1L << bit)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    def half(range: Range, base: Int): Column = range
+      .map(b => when(col(s"b$b") > 0, lit(1L << (b - base))).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    toks.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), half(32 until 64, 32).as("fp_hi"),
+        half(0 until 32, 0).as("fp_lo"))
+  }
+
+  /** Banding + exact-Hamming verify over split (id, fp_hi, fp_lo)
+    * fingerprints — the [[simhashPairsFromFingerprints]] shape with the
+    * four 16-bit chunks taken from the halves and Hamming as the sum of
+    * two 32-bit bit_counts. Every step is DuckDB-expressible, so the
+    * catalog entry using [[simhashFingerprintsPortable]] is fully
+    * oracle-checked. */
+  def simhashPairsFromSplitFingerprints(fp: DataFrame,
+                                        maxHamming: Int): DataFrame = {
+    val chunks = Seq(
+      col("fp_lo").bitwiseAND(lit(0xffffL)),
+      shiftrightunsigned(col("fp_lo"), 16),
+      col("fp_hi").bitwiseAND(lit(0xffffL)),
+      shiftrightunsigned(col("fp_hi"), 16))
+    val banded = fp.select(col("id"), col("fp_hi"), col("fp_lo"),
+        posexplode(array(chunks: _*)))
+      .select(col("id"), col("fp_hi"), col("fp_lo"),
+        col("pos").as("band"), col("col").as("chunk"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.fp_hi").as("hi_a"), col("x.fp_lo").as("lo_a"),
+        col("y.fp_hi").as("hi_b"), col("y.fp_lo").as("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[simhashNearDupPairs]] with the portable family end to end. */
+  def simhashNearDupPairsPortable(df: DataFrame, textCol: String,
+                                  idCol: String,
+                                  maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSplitFingerprints(
+      simhashFingerprintsPortable(df, textCol, idCol), maxHamming)
+
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
     * 16-bit chunks; docs agreeing on any chunk are candidates (catches all
     * pairs within Hamming distance 3 by pigeonhole); verify exact Hamming

@@ -48,6 +48,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") > 0.5))
   }
 
+  test("portableTokenHash32: pinned md5 halves (values DuckDB reproduces)") {
+    val (hi, lo) = Dedup.portableTokenHash32(org.apache.spark.sql.functions.lit("tok"))
+    val row = spark.range(1).select(hi, lo).head
+    assert(row.getLong(0) == 1622020974L) // md5('tok')[0:8] hex
+    assert(row.getLong(1) == 1565129695L) // md5('tok')[8:16] hex
+  }
+
+  test("SimHash portable: identical texts collide at Hamming 0, halves stay 32-bit") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words entirely here")).toDF("doc_id", "text")
+    val fps = Dedup.simhashFingerprintsPortable(docs, "text", "doc_id").collect()
+    assert(fps.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 32)))
+    assert(fps.forall(r => r.getLong(2) >= 0 && r.getLong(2) < (1L << 32)))
+    val pairs = Dedup.simhashNearDupPairsPortable(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("portableBaseHashes: pinned md5 contract (values DuckDB reproduces)") {
     // CAST('0x'||substr(md5('abc'),1,15) AS BIGINT) and the 16..27 slice —
     // the cross-engine agreement the dd_minhash_neardup oracle depends on
