@@ -1001,6 +1001,56 @@ object SparkEntry {
           |  array_to_string(list_slice(tokens, chunk_id * 16 + 1, chunk_id * 16 + 24), ' ') AS chunk
           |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    Q("ta_repetition",
+      // Gopher/C4-style repetition quality metrics: duplicate/top n-gram
+      // fractions + duplicate-token fraction per doc — the pretraining
+      // corpus filters (Rae et al. 2021 §A1.1). Count ratios divide
+      // exactly on both engines, so no rounding is needed.
+      (s, d) => TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id", n = 3),
+      Some(Sentiment.oracleCte +
+        """,
+          |rp_g AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+          |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_tok_d,
+          |    unnest(CASE WHEN len(tokens) >= 3
+          |      THEN list_transform(range(1, len(tokens) - 1), i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+          |      ELSE [CAST(NULL AS VARCHAR)] END) AS g
+          |  FROM toks),
+          |rp_c AS (SELECT doc_id, n_tokens, n_tok_d, g, CAST(count(g) AS BIGINT) AS c
+          |  FROM rp_g GROUP BY 1, 2, 3, 4),
+          |rp_p AS (SELECT doc_id, n_tokens, n_tok_d,
+          |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total_ngrams,
+          |    CAST(COALESCE(MAX(c), 0) AS BIGINT) AS top,
+          |    CAST(COALESCE(SUM(CASE WHEN g IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS dist
+          |  FROM rp_c GROUP BY doc_id, n_tokens, n_tok_d)
+          |SELECT doc_id, n_tokens, total_ngrams,
+          |  CASE WHEN total_ngrams > 0 THEN CAST(1.0 AS DOUBLE) - CAST(dist AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_ngram_frac,
+          |  CASE WHEN total_ngrams > 0 THEN CAST(top AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS top_ngram_frac,
+          |  CASE WHEN n_tokens > 0 THEN CAST(1.0 AS DOUBLE) - CAST(n_tok_d AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_token_frac
+          |FROM rp_p ORDER BY doc_id""".stripMargin)),
+
+    Q("pk_sequence_packing",
+      // context-window packing: concatenate docs into fixed-size training
+      // sequences within 64 independent id-mod buckets (per-worker
+      // packing); each doc labeled with the sequence + offset where its
+      // first token lands — deterministic integer arithmetic end to end
+      (s, d) => TextAnalysis.packSequences(Tables.documents(s, d), "text", "doc_id",
+        budget = 512, buckets = 64),
+      Some(Sentiment.oracleCte +
+        """,
+          |pk AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+          |    CAST(doc_id % 64 AS BIGINT) AS bucket FROM toks),
+          |pk2 AS (SELECT doc_id, n_tokens, bucket,
+          |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+          |  FROM pk)
+          |SELECT doc_id, n_tokens, bucket,
+          |  CAST(start_tok // 512 AS BIGINT) AS seq,
+          |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
+          |FROM pk2 ORDER BY doc_id""".stripMargin)),
+
     Q("ta_redact",
       // PII-style scrub: emails, URLs, long digit runs -> typed
       // placeholders (RE2-safe patterns shared with the oracle)

@@ -129,4 +129,79 @@ object TextAnalysis {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Repetition-based quality metrics — the Gopher/C4-family filters a
+    * pretraining pipeline runs before training (Rae et al. 2021 §A1.1
+    * "repetition" signals): per document,
+    *  - `dup_ngram_frac`  = 1 - distinct/total n-gram occurrences
+    *    (how much of the text is repeated phrasing),
+    *  - `top_ngram_frac`  = occurrences of the most frequent n-gram /
+    *    total (degenerate-loop detector),
+    *  - `dup_token_frac`  = 1 - distinct/total tokens.
+    * Shape: one non-distinct shingling pass (native codegen'd
+    * [[graft.plans.ShingleArray]]), one (id, gram) count, one per-id
+    * reduce — two key shuffles, no joins, linear at any scale. Docs with
+    * fewer than n tokens have no n-grams: fractions 0 by definition.
+    * Count ratios divide exactly (long→double) on every engine — no
+    * rounding needed for the oracle. */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val grams = df
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        graft.plans.ShingleArray.allShingles(col("toks"), n).as("gs"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_tokens_distinct"),
+        explode_outer(col("gs")).as("g"))
+    val perGram = grams
+      .groupBy(col(idCol), col("n_tokens"), col("n_tokens_distinct"), col("g"))
+      .agg(count(col("g")).as("c"))
+    perGram
+      .groupBy(col(idCol), col("n_tokens"), col("n_tokens_distinct"))
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("total_ngrams"),
+        coalesce(max(col("c")), lit(0L)).as("top"),
+        coalesce(sum(when(col("g").isNotNull, 1L)), lit(0L)).as("dist"))
+      .select(col(idCol), col("n_tokens"), col("total_ngrams"),
+        when(col("total_ngrams") > 0,
+          lit(1.0) - col("dist").cast("double") / col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ngram_frac"),
+        when(col("total_ngrams") > 0,
+          col("top").cast("double") / col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("top_ngram_frac"),
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("n_tokens_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+      .orderBy(idCol)
+  }
+
+  /** Context-window sequence packing — the step that concatenates
+    * documents into fixed-`budget` training sequences (GPT-style pack
+    * then split). Documents route to `buckets` independent packing
+    * streams by id mod (per-worker packing, the standard at scale:
+    * buckets ~ cluster width, each stream packs its own token
+    * concatenation), are concatenated in id order, and each doc is
+    * labeled with the sequence index and offset where its FIRST token
+    * lands — contiguous-stream semantics, oversized docs simply span
+    * sequence boundaries. The only window runs per `__pid` bucket (the
+    * [[Analytics]] distributed-rank precedent); everything is integer
+    * arithmetic, so the assignment is deterministic and cross-engine
+    * reproducible. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, budget: Int,
+                    buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("__pid", pmod(col(idCol), lit(buckets.toLong)))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("__pid").as("bucket"),
+        expr(s"start_tok DIV $budget").as("seq"),
+        pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
+      .orderBy(idCol)
+  }
 }

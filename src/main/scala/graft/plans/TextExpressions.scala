@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle-collide by definition). Null tokens are skipped (concat_ws
   * semantics of the composed form).
   */
-case class ShingleArray(child: Expression, n: Int)
+case class ShingleArray(child: Expression, n: Int,
+                        distinct: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -39,11 +40,11 @@ case class ShingleArray(child: Expression, n: Int)
   }
 
   override def nullSafeEval(a: Any): Any =
-    ShingleArray.compute(a.asInstanceOf[ArrayData], n)
+    ShingleArray.compute(a.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.plans.ShingleArray.compute($a, $n);")
+      s"${ev.value} = graft.plans.ShingleArray.compute($a, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -52,11 +53,14 @@ case class ShingleArray(child: Expression, n: Int)
 object ShingleArray {
   private val space = UTF8String.fromString(" ")
 
-  /** Called from both interpreted eval and generated code. */
-  def compute(toks: ArrayData, n: Int): ArrayData = {
+  /** Called from both interpreted eval and generated code. `distinct`
+    * false keeps every sliding window in order (the repetition-metrics
+    * path needs occurrence counts, not the set). */
+  def compute(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val num = toks.numElements()
     if (num < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new mutable.LinkedHashSet[UTF8String]
+    val out = if (distinct) new mutable.LinkedHashSet[UTF8String]
+              else new mutable.ArrayBuffer[UTF8String](num - n + 1)
     var i = 0
     while (i <= num - n) {
       // concat_ws(" ", slice(toks, i+1, n)) — nulls skipped like concat_ws
@@ -67,12 +71,16 @@ object ShingleArray {
                     else toks.getUTF8String(i + j)
         j += 1
       }
-      seen += UTF8String.concatWs(space, window: _*)
+      out += UTF8String.concatWs(space, window: _*)
       i += 1
     }
-    new GenericArrayData(seen.toArray[Any])
+    new GenericArrayData(out.toArray[Any])
   }
 
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(ShingleArray(ColumnBridge.expression(toks), n))
+
+  /** Non-distinct sliding n-token windows, in order. */
+  def allShingles(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleArray(ColumnBridge.expression(toks), n, distinct = false))
 }

@@ -96,4 +96,39 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(smaller.subsetOf(ids1))
   }
+
+  test("repetitionProfile: hand-computed repetition fractions") {
+    val s = spark
+    import s.implicits._
+    // doc 1: "a b c a b c a b" -> 8 tokens (5 distinct? a,b,c -> 3), 6 trigrams:
+    //   "a b c" x2, "b c a" x2, "c a b" x2 -> total 6, distinct 3, top 2
+    // doc 2: all-distinct tokens -> no repetition
+    // doc 3: one token -> no trigrams, fractions 0
+    val df = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, "one two three four"),
+      (3L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionProfile(df, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows(1L) == ((8L, 6L, 0.5, 2.0 / 6.0, 1.0 - 3.0 / 8.0)))
+    assert(rows(2L) == ((4L, 2L, 0.0, 0.5, 0.0)))
+    assert(rows(3L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("packSequences: contiguous-stream packing within buckets") {
+    val s = spark
+    import s.implicits._
+    // one bucket (buckets=1), budget 5; docs of 3,3,4 tokens ->
+    // starts 0,3,6 -> seqs 0,0,1; offsets 0,3,1
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i j")).toDF("doc_id", "text")
+    val rows = TextAnalysis.packSequences(df, "text", "doc_id", budget = 5, buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((1L, 3L, 0L, 0L, 0L), (2L, 3L, 0L, 0L, 3L), (3L, 4L, 0L, 1L, 1L)))
+    // bucket independence: same docs, 2 buckets -> doc 1,3 pack together
+    val rows2 = TextAnalysis.packSequences(df, "text", "doc_id", budget = 5, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows2 == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 3L)))
+  }
 }
