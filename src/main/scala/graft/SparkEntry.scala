@@ -1051,6 +1051,75 @@ object SparkEntry {
           |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
           |FROM pk2 ORDER BY doc_id""".stripMargin)),
 
+    Q("dc_decontaminate",
+      // GPT-3-style test-set decontamination: docs where doc_id % 17 = 0
+      // play the benchmark/eval set; every remaining corpus doc is
+      // reported with its distinct-4-gram overlap count and a
+      // contaminated flag (broadcast bench shingles, no corpus shuffle)
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Dedup.decontaminate(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "text", "doc_id", n = 4)
+      },
+      Some(Sentiment.oracleCte +
+        s""", ${dshCteSql(4)},
+           |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 17 = 0),
+           |ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           |  FROM dsh JOIN bench USING (sh) WHERE doc_id % 17 <> 0 GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+           |  COALESCE(o.n_overlap, CAST(0 AS BIGINT)) > 0 AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+           |LEFT JOIN ov o USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_winnow_fingerprint",
+      // winnowing (MOSS) fingerprints: 3-gram portable md5 hashes,
+      // window-4 minima, distinct per doc — positional local-overlap
+      // sketch, replayed hash-for-hash by the oracle in list-land
+      (s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d),
+        "text", "doc_id", n = 3, window = 4),
+      Some(Sentiment.oracleCte +
+        """,
+          |wn_g AS (SELECT doc_id,
+          |    CASE WHEN len(tokens) >= 3 THEN
+          |      list_transform(range(1, len(tokens) - 1), i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+          |    ELSE CAST([] AS VARCHAR[]) END AS gs
+          |  FROM toks),
+          |wn_h AS (SELECT doc_id,
+          |    list_transform(gs, g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+          |  FROM wn_g WHERE len(gs) >= 4),
+          |wn_f AS (SELECT doc_id,
+          |    unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+          |      i -> list_min(list_slice(hs, i, i + 3))))) AS fp
+          |  FROM wn_h)
+          |SELECT doc_id, fp FROM wn_f ORDER BY doc_id, fp""".stripMargin)),
+
+    Q("mix_token_budget",
+      // DoReMi/Pile-style corpus-mixing plan: per-source token share vs a
+      // target weight (src0-4: 0.1, src5-9: 0.06, rest: 0.02, summing to
+      // 1) and the repeat factor a sampler applies to hit the mixture
+      (s, d) => TextAnalysis.tokenBudgetMixture(
+        Tables.documents(s, d), "text", "source",
+        (0 until 20).map(i =>
+          s"src$i" -> (if (i < 5) 0.1 else if (i < 10) 0.06 else 0.02)).toMap),
+      Some(Sentiment.oracleCte +
+        """,
+          |mx AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(tokens)) AS BIGINT) AS domain_tokens
+          |  FROM toks GROUP BY source),
+          |mt AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens FROM mx)
+          |SELECT source, n_docs, domain_tokens,
+          |  CAST(domain_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+          |  CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN CAST(0.1 AS DOUBLE)
+          |       WHEN CAST(substr(source, 4) AS INT) < 10 THEN CAST(0.06 AS DOUBLE)
+          |       ELSE CAST(0.02 AS DOUBLE) END AS target_weight,
+          |  CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN CAST(0.1 AS DOUBLE)
+          |       WHEN CAST(substr(source, 4) AS INT) < 10 THEN CAST(0.06 AS DOUBLE)
+          |       ELSE CAST(0.02 AS DOUBLE) END
+          |    * CAST(total_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE) AS repeat_factor
+          |FROM mx, mt ORDER BY source""".stripMargin)),
+
     Q("ta_redact",
       // PII-style scrub: emails, URLs, long digit runs -> typed
       // placeholders (RE2-safe patterns shared with the oracle)

@@ -110,6 +110,33 @@ object Dedup {
       .select(col(idCol)).orderBy(idCol)
   }
 
+  /** Test-set decontamination — the GPT-3-style pretraining hygiene pass
+    * (Brown et al. 2020 §C): mark every corpus document sharing at least
+    * one n-gram with a benchmark/eval set, and report how many of its
+    * distinct n-grams overlap. Benchmark sets are small by construction
+    * (MBs of eval data vs a 100 TB corpus), so the distinct benchmark
+    * shingle set is BROADCAST: the corpus side is one narrow shingling
+    * pass + a map-side hash-join + one groupBy on the id — no shuffle of
+    * corpus text, no all-pairs scan. The final left join keys on the id
+    * against the (small, contaminated-only) overlap counts. Downstream,
+    * `filter(!$"contaminated")` is the prune; keeping the full report row
+    * (rather than anti-joining immediately) is deliberate: pipelines
+    * audit contamination rates before they drop data. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int): DataFrame = {
+    val corpSh = shingleStream(corpus, textCol, idCol, n)
+    val benchSh = broadcast(
+      benchmark.select(explode(shingles(col(textCol), n)).as("sh")).distinct())
+    val overlaps = corpSh.join(benchSh, Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(idCol)
+  }
+
   /** MinHash signatures as a dataflow: explode the (id, shingle) stream
     * once, then k `min(xxhash64(i, sh))` aggregates in a single groupBy.
     * Array-lambda formulations re-evaluate the shingle construction per

@@ -204,4 +204,70 @@ object TextAnalysis {
         pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
       .orderBy(idCol)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * SIGMOD — the MOSS algorithm): hash every n-token gram, slide a
+    * `window`-wide window over the hash sequence, keep the minimum of each
+    * window; the distinct selected hashes are the fingerprint. Guarantee:
+    * any match of length >= window+n-1 tokens between two documents
+    * shares at least one fingerprint — positional, unlike MinHash (which
+    * sketches the bag), so it finds *local* overlaps (plagiarized spans,
+    * boilerplate) that set-sketches dilute away.
+    *
+    * Shape: posexplode of the in-order gram stream, the portable
+    * 60-bit md5 hash ([[Dedup.portableBaseHashes]] convention — exactly
+    * reproducible in DuckDB), and one per-document window min — the only
+    * window partitions by the id, so groups are bounded by document
+    * length and nothing global ever sorts. Documents with fewer than
+    * `window` grams yield no fingerprints (no full window exists). */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, window: Int = 4): DataFrame = {
+    require(n > 0 && window > 0, "n and window must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        graft.plans.ShingleArray.allShingles(col("toks"), n).as("gs"))
+      .select(col(idCol), size(col("gs")).as("m"), posexplode(col("gs")).as(Seq("pos", "g")))
+      .withColumn("h", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") <= col("m") - lit(window))
+      .select(col(idCol), col("fp")).distinct()
+      .orderBy(idCol, "fp")
+  }
+
+  /** Token-budget mixture planning — the corpus-mixing step (DoReMi /
+    * The Pile-style domain weights): given target sampling weights per
+    * domain, report each domain's actual token share and the repeat
+    * factor (`target_share / actual_share`) a sampler must apply to hit
+    * the target mixture at the same total budget — > 1 means the domain
+    * is upsampled (multiple epochs), < 1 downsampled. Distinct from
+    * [[hashStratifiedSample]] (which executes a row-level sample): this
+    * PLANS by tokens, the unit that actually matters for training.
+    *
+    * One narrow token-count projection + one groupBy(domain) + a
+    * broadcast single-row grand total — the [[Analytics]] pct-of-total
+    * shape. Domains missing from `targetWeights` get weight 0 (to be
+    * dropped). All ratios are exact long→double divisions. */
+  def tokenBudgetMixture(df: DataFrame, textCol: String, domainCol: String,
+                         targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.values.forall(_ >= 0), "weights must be non-negative")
+    val counts = df
+      .select(col(domainCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("domain_tokens"))
+    val total = counts.agg(sum("domain_tokens").as("total_tokens"))
+    val weight = coalesce(
+      element_at(typedLit(targetWeights), col(domainCol)), lit(0.0))
+    counts.crossJoin(broadcast(total))
+      .select(col(domainCol), col("n_docs"), col("domain_tokens"),
+        (col("domain_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"),
+        weight.as("target_weight"),
+        (weight * col("total_tokens").cast("double") /
+          col("domain_tokens").cast("double")).as("repeat_factor"))
+      .orderBy(domainCol)
+  }
 }

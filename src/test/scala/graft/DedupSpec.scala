@@ -31,6 +31,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(3L))
   }
 
+  test("decontaminate: overlap counts and contamination flags") {
+    // bench doc has 4-grams {"a b c d", "b c d e"}; doc 1 shares one,
+    // doc 2 shares both, doc 3 is clean, doc 4 is too short to shingle
+    val bench = df1(Seq((100L, "a b c d e")))
+    val corpus = df1(Seq(
+      (1L, "a b c d x"), (2L, "a b c d e f"), (3L, "p q r s t"), (4L, "a b c")))
+    val out = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(
+      1L -> ((1L, true)), 2L -> ((2L, true)),
+      3L -> ((0L, false)), 4L -> ((0L, false))))
+  }
+
   test("MinHash LSH finds constructed near-duplicates with verified Jaccard") {
     val s = spark
     import s.implicits._

@@ -144,7 +144,8 @@ class PlanShapeSpec extends SparkSpec {
       "f11b_insurance_breakdown", "ep3_chat_context", "ep2_results_document",
       "ep3b_suggestions", // resultsDocument's single-row broadcast frame
       "l2_reco_prompt", "sim_bruteforce_topk", "sim_ivf_ann",
-      "bf_bloom_prefilter_join") // single-broadcast-row bloom, never a shuffle
+      "bf_bloom_prefilter_join", // single-broadcast-row bloom, never a shuffle
+      "mix_token_budget") // 20 domain rows x ONE broadcast grand-total row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

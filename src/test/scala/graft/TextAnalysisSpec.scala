@@ -131,4 +131,53 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
     assert(rows2 == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 3L)))
   }
+
+  test("winnowFingerprints: single-window min, short-doc empty, pinned hash") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 6 tokens -> 4 trigrams -> exactly one window-4 -> 1 fp = the
+    // min of the four 60-bit md5-prefix hashes (pinned here in JVM md5,
+    // the same contract the DuckDB oracle replays); doc 2: 3 trigrams < 4
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e")).toDF("doc_id", "text")
+    def h(g: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val expected = Seq("a b c", "b c d", "c d e", "d e f").map(h).min
+    val rows = TextAnalysis.winnowFingerprints(df, "text", "doc_id", n = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, expected)))
+  }
+
+  test("winnowFingerprints: spans >= window+n-1 tokens share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    // a 6-token span (= window+n-1) yields one full shared gram window in
+    // both docs, whose min both sides must select — the MOSS guarantee
+    val df = Seq(
+      (1L, "x1 x2 s1 s2 s3 s4 s5 s6 x3"),
+      (2L, "y1 s1 s2 s3 s4 s5 s6 y2 y3 y4")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "text", "doc_id", n = 3, window = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+
+  test("tokenBudgetMixture: shares and repeat factors, unlisted domain -> 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c", "d1"), (2L, "a b c d e", "d1"), (3L, "x y", "d2"))
+      .toDF("doc_id", "text", "source")
+    // d1: 2 docs / 8 tokens, d2: 1 doc / 2 tokens, total 10
+    val out = TextAnalysis.tokenBudgetMixture(df, "text", "source",
+        Map("d1" -> 0.3, "d2" -> 0.7))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("d1") == ((2L, 8L, 0.8, 0.3, 0.3 * 10.0 / 8.0)))
+    assert(out("d2") == ((1L, 2L, 0.2, 0.7, 0.7 * 10.0 / 2.0)))
+    val none = TextAnalysis.tokenBudgetMixture(df, "text", "source", Map("d1" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(none("d2") == 0.0)
+  }
 }
