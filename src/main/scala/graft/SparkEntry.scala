@@ -211,6 +211,52 @@ object SparkEntry {
   private def dshCteSql(n: Int): String =
     s"dsh AS (SELECT doc_id, unnest(${shinglesSql(n)}) AS sh FROM toks)"
 
+  /** CTE chain ending in `wn_f(doc_id, fp)` — the winnowing fingerprints
+    * of [[operators.TextAnalysis.winnowFingerprints]] replayed in DuckDB
+    * list-land (requires `toks`). Shared by `ta_winnow_fingerprint` and
+    * `dd_winnow_pairs`. */
+  private def winnowCtesSql(n: Int, window: Int): String =
+    s"""wn_g AS (SELECT doc_id,
+       |    CASE WHEN len(tokens) >= $n THEN
+       |      list_transform(range(1, len(tokens) - $n + 2), i -> array_to_string(list_slice(tokens, i, i + ${n - 1}), ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM toks),
+       |wn_h AS (SELECT doc_id,
+       |    list_transform(gs, g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+       |  FROM wn_g WHERE len(gs) >= $window),
+       |wn_f AS (SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(hs) - ${window - 2}),
+       |      i -> list_min(list_slice(hs, i, i + ${window - 1}))))) AS fp
+       |  FROM wn_h)""".stripMargin
+
+  /** CTE chain ending in `rp_m(doc_id, n_tokens, total_ngrams,
+    * dup_ngram_frac, top_ngram_frac, dup_token_frac)` — the repetition
+    * metrics of [[operators.TextAnalysis.repetitionProfile]] replayed in
+    * DuckDB (requires `toks`). Shared by `ta_repetition` and the
+    * Gopher-gate oracle. */
+  private def repetitionCtesSql(n: Int): String =
+    s"""rp_g AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_tok_d,
+       |    unnest(CASE WHEN len(tokens) >= $n
+       |      THEN list_transform(range(1, len(tokens) - $n + 2), i -> array_to_string(list_slice(tokens, i, i + ${n - 1}), ' '))
+       |      ELSE [CAST(NULL AS VARCHAR)] END) AS g
+       |  FROM toks),
+       |rp_c AS (SELECT doc_id, n_tokens, n_tok_d, g, CAST(count(g) AS BIGINT) AS c
+       |  FROM rp_g GROUP BY 1, 2, 3, 4),
+       |rp_p AS (SELECT doc_id, n_tokens, n_tok_d,
+       |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total_ngrams,
+       |    CAST(COALESCE(MAX(c), 0) AS BIGINT) AS top,
+       |    CAST(COALESCE(SUM(CASE WHEN g IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS dist
+       |  FROM rp_c GROUP BY doc_id, n_tokens, n_tok_d),
+       |rp_m AS (SELECT doc_id, n_tokens, total_ngrams,
+       |  CASE WHEN total_ngrams > 0 THEN CAST(1.0 AS DOUBLE) - CAST(dist AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS dup_ngram_frac,
+       |  CASE WHEN total_ngrams > 0 THEN CAST(top AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS top_ngram_frac,
+       |  CASE WHEN n_tokens > 0 THEN CAST(1.0 AS DOUBLE) - CAST(n_tok_d AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS dup_token_frac
+       |  FROM rp_p)""".stripMargin
+
   /** DuckDB CTE chain replaying the FULL minhash pipeline of the
     * `dd_minhash_neardup` entry (mirrors [[Dedup.minhashNearDupPairs]]
     * with [[Dedup.portableHash]] + portable band keys): the doc∪variant
@@ -1007,29 +1053,11 @@ object SparkEntry {
       // corpus filters (Rae et al. 2021 §A1.1). Count ratios divide
       // exactly on both engines, so no rounding is needed.
       (s, d) => TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id", n = 3),
-      Some(Sentiment.oracleCte +
-        """,
-          |rp_g AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
-          |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_tok_d,
-          |    unnest(CASE WHEN len(tokens) >= 3
-          |      THEN list_transform(range(1, len(tokens) - 1), i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
-          |      ELSE [CAST(NULL AS VARCHAR)] END) AS g
-          |  FROM toks),
-          |rp_c AS (SELECT doc_id, n_tokens, n_tok_d, g, CAST(count(g) AS BIGINT) AS c
-          |  FROM rp_g GROUP BY 1, 2, 3, 4),
-          |rp_p AS (SELECT doc_id, n_tokens, n_tok_d,
-          |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total_ngrams,
-          |    CAST(COALESCE(MAX(c), 0) AS BIGINT) AS top,
-          |    CAST(COALESCE(SUM(CASE WHEN g IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS dist
-          |  FROM rp_c GROUP BY doc_id, n_tokens, n_tok_d)
-          |SELECT doc_id, n_tokens, total_ngrams,
-          |  CASE WHEN total_ngrams > 0 THEN CAST(1.0 AS DOUBLE) - CAST(dist AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
-          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_ngram_frac,
-          |  CASE WHEN total_ngrams > 0 THEN CAST(top AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
-          |       ELSE CAST(0.0 AS DOUBLE) END AS top_ngram_frac,
-          |  CASE WHEN n_tokens > 0 THEN CAST(1.0 AS DOUBLE) - CAST(n_tok_d AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_token_frac
-          |FROM rp_p ORDER BY doc_id""".stripMargin)),
+      Some(Sentiment.oracleCte + s", ${repetitionCtesSql(3)}" +
+        """
+          |SELECT doc_id, n_tokens, total_ngrams, dup_ngram_frac,
+          |  top_ngram_frac, dup_token_frac
+          |FROM rp_m ORDER BY doc_id""".stripMargin)),
 
     Q("pk_sequence_packing",
       // context-window packing: concatenate docs into fixed-size training
@@ -1079,21 +1107,22 @@ object SparkEntry {
       // sketch, replayed hash-for-hash by the oracle in list-land
       (s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d),
         "text", "doc_id", n = 3, window = 4),
-      Some(Sentiment.oracleCte +
-        """,
-          |wn_g AS (SELECT doc_id,
-          |    CASE WHEN len(tokens) >= 3 THEN
-          |      list_transform(range(1, len(tokens) - 1), i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
-          |    ELSE CAST([] AS VARCHAR[]) END AS gs
-          |  FROM toks),
-          |wn_h AS (SELECT doc_id,
-          |    list_transform(gs, g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS hs
-          |  FROM wn_g WHERE len(gs) >= 4),
-          |wn_f AS (SELECT doc_id,
-          |    unnest(list_distinct(list_transform(range(1, len(hs) - 2),
-          |      i -> list_min(list_slice(hs, i, i + 3))))) AS fp
-          |  FROM wn_h)
-          |SELECT doc_id, fp FROM wn_f ORDER BY doc_id, fp""".stripMargin)),
+      Some(Sentiment.oracleCte + s", ${winnowCtesSql(3, 4)}" +
+        "\nSELECT doc_id, fp FROM wn_f ORDER BY doc_id, fp")),
+
+    Q("dd_winnow_pairs",
+      // positional near-dup candidates: pairs sharing >= 2 winnow
+      // fingerprints (shared contiguous spans, the overlap MinHash's
+      // bag-level sketch dilutes away) — fp equi-join only, no all-pairs
+      (s, d) => operators.Dedup.winnowNearDupPairs(Tables.documents(s, d),
+        "text", "doc_id", n = 3, window = 4, minShared = 2),
+      Some(Sentiment.oracleCte + s", ${winnowCtesSql(3, 4)}" +
+        """
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(count(*) AS BIGINT) AS shared_fps
+          |FROM wn_f a JOIN wn_f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("mix_token_budget",
       // DoReMi/Pile-style corpus-mixing plan: per-source token share vs a
@@ -1119,6 +1148,45 @@ object SparkEntry {
           |       ELSE CAST(0.02 AS DOUBLE) END
           |    * CAST(total_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE) AS repeat_factor
           |FROM mx, mt ORDER BY source""".stripMargin)),
+
+    Q("ta_gopher_gate",
+      // the composed Gopher-rules keep/drop gate (word count 20-80, mean
+      // word length 3-6, symbol ratio <= 0.1, >= 1 distinct stopword,
+      // repetition bounds) with every rule's verdict kept as a flag
+      (s, d) => TextAnalysis.gopherGate(Tables.documents(s, d), "text", "doc_id"),
+      Some {
+        val stopList = TextAnalysis.GopherStopwords.map(w => s"'$w'")
+          .mkString("(", ",", ")")
+        Sentiment.oracleCte + s", ${repetitionCtesSql(3)}" +
+          s""",
+             |gg_r AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt, tokens FROM toks),
+             |gg_m AS (SELECT doc_id,
+             |    CAST(len(tokens) AS BIGINT) AS wc,
+             |    CAST(length(nt) AS BIGINT) AS nlen,
+             |    CAST((length(nt) - length(replace(nt, '#', ''))) +
+             |         (length(nt) - length(replace(nt, '...', ''))) // 3 AS BIGINT) AS symbols,
+             |    CAST(len(list_distinct(list_filter(tokens, t -> lower(t) IN $stopList))) AS BIGINT) AS stopword_hits
+             |  FROM gg_r),
+             |gg AS (SELECT doc_id, wc, symbols, stopword_hits,
+             |    CASE WHEN wc > 0 THEN CAST(nlen - (wc - 1) AS DOUBLE) / CAST(wc AS DOUBLE)
+             |         ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len,
+             |    CASE WHEN wc > 0 THEN CAST(symbols AS DOUBLE) / CAST(wc AS DOUBLE)
+             |         ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio
+             |  FROM gg_m)
+             |SELECT g.doc_id, g.wc, g.mean_word_len, g.symbol_ratio, g.stopword_hits,
+             |  r.dup_ngram_frac, r.dup_token_frac,
+             |  g.wc >= 20 AND g.wc <= 80 AS ok_words,
+             |  g.mean_word_len >= CAST(3.0 AS DOUBLE) AND g.mean_word_len <= CAST(6.0 AS DOUBLE) AS ok_mean_word_len,
+             |  g.symbol_ratio <= CAST(0.1 AS DOUBLE) AS ok_symbols,
+             |  g.stopword_hits >= 1 AS ok_stopwords,
+             |  r.dup_token_frac <= CAST(0.6 AS DOUBLE) AND r.dup_ngram_frac <= CAST(0.2 AS DOUBLE) AS ok_repetition,
+             |  (g.wc >= 20 AND g.wc <= 80)
+             |    AND (g.mean_word_len >= CAST(3.0 AS DOUBLE) AND g.mean_word_len <= CAST(6.0 AS DOUBLE))
+             |    AND g.symbol_ratio <= CAST(0.1 AS DOUBLE)
+             |    AND g.stopword_hits >= 1
+             |    AND (r.dup_token_frac <= CAST(0.6 AS DOUBLE) AND r.dup_ngram_frac <= CAST(0.2 AS DOUBLE)) AS keep
+             |FROM gg g JOIN rp_m r USING (doc_id) ORDER BY g.doc_id""".stripMargin
+      }),
 
     Q("ta_redact",
       // PII-style scrub: emails, URLs, long digit runs -> typed

@@ -137,6 +137,33 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Positional near-duplicate candidates via winnowing fingerprints
+    * ([[TextAnalysis.winnowFingerprints]]): pairs sharing at least
+    * `minShared` selected window-min hashes. Complements the set-sketch
+    * family — MinHash estimates whole-document Jaccard, while shared
+    * winnow fingerprints witness shared CONTIGUOUS spans (boilerplate,
+    * quoted passages, partial plagiarism) that bag-level sketches dilute
+    * away. Same scale shape as [[ngramJaccardPairs]]: pair formation only
+    * through the fingerprint equi-join (docs pair only if they share a
+    * fingerprint), one count aggregation, never all-pairs. `maxDf` drops
+    * fingerprints selected by more than that many docs before pairing —
+    * the boilerplate hot-key guard (0 = off). */
+  def winnowNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, window: Int = 4, minShared: Long = 2,
+                         maxDf: Long = 0L): DataFrame = {
+    val fps0 = TextAnalysis.winnowFpStream(df, textCol, idCol, n, window)
+    val fps = if (maxDf > 0) {
+      val hot = fps0.groupBy("fp").count().filter(col("count") > maxDf).select("fp")
+      fps0.join(broadcast(hot), Seq("fp"), "left_anti")
+    } else fps0
+    val a = fps.select(col(idCol).as("id_a"), col("fp"))
+    val b = fps.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash signatures as a dataflow: explode the (id, shingle) stream
     * once, then k `min(xxhash64(i, sh))` aggregates in a single groupBy.
     * Array-lambda formulations re-evaluate the shingle construction per

@@ -205,6 +205,68 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** The Gopher quality-gate stopword list (Rae et al. 2021 §A1.1: a doc
+    * must contain at least `minStopwordHits` distinct words from it). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The composed Gopher-rules quality gate (Rae et al. 2021 §A1.1) — the
+    * keep/drop decision a pretraining pipeline applies per document, with
+    * every rule's verdict kept as a flag so drops are auditable:
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *    (token chars = normalized length minus the wc-1 separators, so no
+    *    per-token fold is needed — pure integer arithmetic);
+    *  - symbol-to-word ratio ('#' and '...' occurrences, counted by the
+    *    replace-shrink trick both engines share) at most maxSymbolRatio;
+    *  - at least minStopwordHits distinct [[GopherStopwords]];
+    *  - repetition ([[repetitionProfile]]) within maxDupTokenFrac /
+    *    maxDupNgramFrac.
+    * Shape: one narrow row-side projection joined with the repetition
+    * profile on the id — the gram counting already shuffles on the id, so
+    * the gate adds one co-keyed join and nothing global. */
+  def gopherGate(df: DataFrame, textCol: String, idCol: String,
+                 minWords: Long = 20, maxWords: Long = 80,
+                 minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 6.0,
+                 maxSymbolRatio: Double = 0.1, minStopwordHits: Long = 1,
+                 maxDupTokenFrac: Double = 0.6, maxDupNgramFrac: Double = 0.2,
+                 n: Int = 3): DataFrame = {
+    val rep = repetitionProfile(df, textCol, idCol, n)
+      .select(col(idCol), col("dup_ngram_frac"), col("dup_token_frac"))
+    val nt = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val rows = df
+      .select(col(idCol), nt.as("nt"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("wc"),
+        length(col("nt")).as("nlen"),
+        ((length(col("nt")) - length(regexp_replace(col("nt"), "#", ""))) +
+          (length(col("nt")) - length(regexp_replace(col("nt"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("symbols"),
+        size(array_distinct(filter(col("toks"),
+          t => lower(t).isin(GopherStopwords: _*)))).cast("long").as("stopword_hits"))
+      .select(col(idCol), col("wc"), col("symbols"), col("stopword_hits"),
+        when(col("wc") > 0,
+          (col("nlen") - (col("wc") - 1)).cast("double") / col("wc").cast("double"))
+          .otherwise(lit(0.0)).as("mean_word_len"),
+        when(col("wc") > 0,
+          col("symbols").cast("double") / col("wc").cast("double"))
+          .otherwise(lit(0.0)).as("symbol_ratio"))
+    rows.join(rep, Seq(idCol))
+      .select(col(idCol), col("wc"), col("mean_word_len"), col("symbol_ratio"),
+        col("stopword_hits"), col("dup_ngram_frac"), col("dup_token_frac"),
+        (col("wc") >= minWords && col("wc") <= maxWords).as("ok_words"),
+        (col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen).as("ok_mean_word_len"),
+        (col("symbol_ratio") <= maxSymbolRatio).as("ok_symbols"),
+        (col("stopword_hits") >= minStopwordHits).as("ok_stopwords"),
+        (col("dup_token_frac") <= maxDupTokenFrac &&
+          col("dup_ngram_frac") <= maxDupNgramFrac).as("ok_repetition"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_word_len") && col("ok_symbols") &&
+          col("ok_stopwords") && col("ok_repetition"))
+      .orderBy(idCol)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * SIGMOD — the MOSS algorithm): hash every n-token gram, slide a
     * `window`-wide window over the hash sequence, keep the minimum of each
@@ -221,7 +283,14 @@ object TextAnalysis {
     * length and nothing global ever sorts. Documents with fewer than
     * `window` grams yield no fingerprints (no full window exists). */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-                         n: Int = 3, window: Int = 4): DataFrame = {
+                         n: Int = 3, window: Int = 4): DataFrame =
+    winnowFpStream(df, textCol, idCol, n, window).orderBy(idCol, "fp")
+
+  /** [[winnowFingerprints]] without the presentation sort — the form
+    * join-based consumers ([[Dedup.winnowNearDupPairs]]) build on. */
+  private[operators] def winnowFpStream(df: DataFrame, textCol: String,
+                                        idCol: String, n: Int,
+                                        window: Int): DataFrame = {
     require(n > 0 && window > 0, "n and window must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
@@ -234,7 +303,6 @@ object TextAnalysis {
       .withColumn("fp", min(col("h")).over(w))
       .filter(col("pos") <= col("m") - lit(window))
       .select(col(idCol), col("fp")).distinct()
-      .orderBy(idCol, "fp")
   }
 
   /** Token-budget mixture planning — the corpus-mixing step (DoReMi /

@@ -44,6 +44,22 @@ class DedupSpec extends SparkSpec {
       3L -> ((0L, false)), 4L -> ((0L, false))))
   }
 
+  test("winnowNearDupPairs: shared spans pair, hot-fp guard prunes") {
+    // docs 1/2 share a 7-token span (two full gram windows); doc 3 is
+    // unrelated — only (1,2) pairs, and a maxDf=1 guard kills even that
+    val docs = df1(Seq(
+      (1L, "x1 x2 s1 s2 s3 s4 s5 s6 s7 x3"),
+      (2L, "y1 s1 s2 s3 s4 s5 s6 s7 y2 y3"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0")))
+    val pairs = Dedup.winnowNearDupPairs(docs, "text", "doc_id",
+      n = 3, window = 4, minShared = 1).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs(0).getAs[Long]("shared_fps") >= 1L)
+    val guarded = Dedup.winnowNearDupPairs(docs, "text", "doc_id",
+      n = 3, window = 4, minShared = 1, maxDf = 1).collect()
+    assert(guarded.isEmpty)
+  }
+
   test("MinHash LSH finds constructed near-duplicates with verified Jaccard") {
     val s = spark
     import s.implicits._

@@ -164,6 +164,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert((fps(1L) intersect fps(2L)).nonEmpty)
   }
 
+  test("gopherGate: each rule flags its own violation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat sat mat"),   // passes every rule
+      (2L, "a b"),               // too short, mean wl 1.0, no stopwords
+      (3L, "the the the the"),   // dup_token_frac 0.75 -> repetition fails
+      (4L, "see ### now ...")    // symbol ratio 1.0 -> symbols fail
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherGate(df, "text", "doc_id",
+        minWords = 3, maxWords = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Double]("mean_word_len") == 3.0)
+    assert(!out(2L).getAs[Boolean]("ok_words") &&
+      !out(2L).getAs[Boolean]("ok_mean_word_len") &&
+      !out(2L).getAs[Boolean]("ok_stopwords"))
+    assert(!out(3L).getAs[Boolean]("ok_repetition") &&
+      out(3L).getAs[Double]("dup_token_frac") == 0.75)
+    assert(!out(4L).getAs[Boolean]("ok_symbols") &&
+      out(4L).getAs[Double]("symbol_ratio") == 1.0)
+    assert(Seq(2L, 3L, 4L).forall(i => !out(i).getAs[Boolean]("keep")))
+  }
+
   test("tokenBudgetMixture: shares and repeat factors, unlisted domain -> 0") {
     val s = spark
     import s.implicits._
