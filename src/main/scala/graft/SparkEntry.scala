@@ -943,6 +943,28 @@ object SparkEntry {
               |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p
               |WHERE cos > CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("emb_scalar_quantize",
+      // int8 symmetric scalar quantization report (FAISS SQ semantics):
+      // per-vector scale + reconstruction mse / max-abs-err; all folds are
+      // the shared ascending left fold, so doubles match bit-for-bit
+      (s, d) => Similarity.scalarQuantizeReport(Tables.embeddings(s, d),
+        "embedding", "vec_id"),
+      Some(s"""WITH $evecCteSql,
+              |sq AS (SELECT vec_id, v,
+              |    list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale
+              |  FROM evec),
+              |se AS (SELECT vec_id, scale, CAST(len(v) AS BIGINT) AS n_dims,
+              |    CASE WHEN scale > CAST(0.0 AS DOUBLE)
+              |      THEN list_transform(v, x -> x - round(x / scale, 0) * scale)
+              |      ELSE v END AS errs
+              |  FROM sq)
+              |SELECT vec_id, scale, n_dims,
+              |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |    list_transform(errs, e -> e * e)), (a, b) -> a + b)
+              |    / CAST(n_dims AS DOUBLE) AS mse,
+              |  list_max(list_transform(errs, e -> abs(e))) AS max_abs_err
+              |FROM se ORDER BY vec_id""".stripMargin)),
+
     Q("sim_bruteforce_topk",
       (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 0, k = 10),
       Some(s"""WITH $evecCteSql,
@@ -1148,6 +1170,46 @@ object SparkEntry {
           |       ELSE CAST(0.02 AS DOUBLE) END
           |    * CAST(total_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE) AS repeat_factor
           |FROM mx, mt ORDER BY source""".stripMargin)),
+
+    Q("ta_unigram_logppl",
+      // CCNet-style unigram cross-entropy per doc (bits/token vs the
+      // corpus unigram LM); ROUND(6) absorbs summation order + libm ulps
+      (s, d) => TextAnalysis.unigramLogPerplexity(
+        Tables.documents(s, d), "text", "doc_id"),
+      Some(Sentiment.oracleCte +
+        """,
+          |tk AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
+          |fr AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY t),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM fr)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  ROUND(AVG(-log2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))), 6) AS bits_per_token
+          |FROM tk JOIN fr USING (t), tot
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_collocations",
+      // top-50 bigram collocations by PMI (Church & Hanks 1990) with a
+      // min-count-5 support floor; PMI rounded before ranking and
+      // tiebroken on the bigram string so the k-boundary is deterministic
+      (s, d) => TextAnalysis.topCollocations(
+        Tables.documents(s, d), "text", minCount = 5, k = 50),
+      Some(Sentiment.oracleCte +
+        """,
+          |bg AS (SELECT unnest(CASE WHEN len(tokens) >= 2
+          |    THEN list_transform(range(1, len(tokens)), i -> array_to_string(list_slice(tokens, i, i + 1), ' '))
+          |    ELSE CAST([] AS VARCHAR[]) END) AS b FROM toks),
+          |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY b),
+          |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_bi FROM bc),
+          |ug AS (SELECT unnest(tokens) AS w FROM toks),
+          |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM ug GROUP BY w),
+          |nu AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM uc)
+          |SELECT b AS bigram, cb AS pair_count, u1.cw AS c1, u2.cw AS c2,
+          |  ROUND(log2((CAST(cb AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+          |    ((CAST(u1.cw AS DOUBLE) / CAST(n_uni AS DOUBLE))
+          |      * (CAST(u2.cw AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+          |FROM bc JOIN uc u1 ON string_split(b, ' ')[1] = u1.w
+          |        JOIN uc u2 ON string_split(b, ' ')[2] = u2.w, nb, nu
+          |WHERE cb >= 5
+          |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin)),
 
     Q("ta_gopher_gate",
       // the composed Gopher-rules keep/drop gate (word count 20-80, mean

@@ -60,6 +60,36 @@ object Similarity {
 
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Per-vector symmetric scalar quantization report (the int8 compression
+    * every large ANN deployment applies before indexing — FAISS
+    * `ScalarQuantizer` semantics): `scale = max|x| / 127`, code_i =
+    * round(x_i / scale) ∈ [-127, 127], and the reconstruction-quality
+    * stats (`mse`, `max_abs_err`) of dequantizing `code_i * scale`. Pure
+    * narrow per-row arithmetic — no shuffle, no join; every fold is the
+    * ascending left fold shared with [[dot]]/[[norm]], so the DuckDB
+    * oracle reproduces the doubles bit-for-bit and no rounding is needed.
+    * Zero vectors quantize to all-zero codes with zero error by
+    * definition (scale 0 guard). At 100 TB this runs in the ingest pass;
+    * promote the lambdas to a codegen Expression (the dotFast precedent)
+    * if profiling shows the interpreted HOF cost, which is per-row, not
+    * per-pair, here. */
+  def scalarQuantizeReport(df: DataFrame, vecCol: String,
+                           idCol: String): DataFrame = {
+    val v = toDoubleArray(col(vecCol))
+    df.select(col(idCol), v.as("v"))
+      .select(col(idCol), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("scale"))
+      .select(col(idCol), col("scale"), size(col("v")).cast("long").as("n_dims"),
+        when(col("scale") > 0.0,
+          transform(col("v"), x => x - round(x / col("scale"), 0) * col("scale")))
+          .otherwise(col("v")).as("errs"))
+      .select(col(idCol), col("scale"), col("n_dims"),
+        (aggregate(col("errs"), lit(0.0), (acc, e) => acc + e * e) /
+          col("n_dims").cast("double")).as("mse"),
+        array_max(transform(col("errs"), e => abs(e))).as("max_abs_err"))
+      .orderBy(idCol)
+  }
+
   /** Exact brute-force cosine top-k against one query vector (broadcast —
     * the corpus side streams, nothing shuffles). */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {

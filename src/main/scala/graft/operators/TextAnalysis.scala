@@ -267,6 +267,85 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Unigram cross-entropy quality score — the CCNet-style perplexity
+    * proxy (Wenzek et al. 2020 §4.3: language-model perplexity buckets
+    * web documents into head/middle/tail quality tiers; the unigram LM is
+    * its exactly-reproducible degenerate case): per document, the mean
+    * `-log2 p(w)` of its tokens under the corpus unigram distribution —
+    * low bits/token = common boilerplate-ish text, high = rare-token or
+    * garbage text. Shape: one token explode feeding both the frequency
+    * count and the scoring join ON THE SAME TOKEN KEY (co-partitioned, so
+    * the join reuses the count's shuffle), a broadcast single-row grand
+    * total, and one per-id aggregate. The average is ROUND(6)ed on both
+    * engines: summation order over shuffled rows and last-ulp libm `log2`
+    * differences are both absorbed (the F13/a6 convention for
+    * order-dependent double aggregates). Empty documents have no tokens
+    * and no defined entropy — they are absent from the output. */
+  def unigramLogPerplexity(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("t"))
+      .persist()
+    try {
+      val freqs = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      val total = freqs.agg(sum("c").as("n_total"))
+      val result = toks.join(freqs, Seq("t"))
+        .crossJoin(broadcast(total))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log2(col("c").cast("double") / col("n_total").cast("double"))), 6)
+            .as("bits_per_token"))
+        .orderBy(idCol)
+      // materialize while the token cache is live, then release it — the
+      // ngramJaccardPairs discipline (library operators must not leak
+      // executor memory, and an uncached lazy frame would re-tokenize
+      // the corpus once per consumer)
+      result.localCheckpoint(eager = true)
+    } finally toks.unpersist()
+  }
+
+  /** Top-k collocations by pointwise mutual information (Church & Hanks
+    * 1990) — the corpus-statistics pass a tokenizer/vocabulary pipeline
+    * runs to find multi-word units worth merging:
+    * `pmi = log2( p(xy) / (p(x) p(y)) )` over the corpus unigram and
+    * bigram distributions, reported for bigrams with at least `minCount`
+    * occurrences. Shape: one token pass feeding unigram and (non-distinct
+    * 2-shingle) bigram counts — both VOCABULARY-sized after their
+    * aggregates, so the c1/c2 lookup joins are dim-table joins, not
+    * corpus joins — plus two broadcast single-row totals, then a global
+    * top-k (TakeOrderedAndProject, never a single-partition sort). PMI is
+    * ROUND(6)ed before ranking, with the bigram string as tiebreak, so
+    * the k-boundary is deterministic on every engine. */
+  def topCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = df.select(TextFns.tokens(col(textCol)).as("toks")).persist()
+    try {
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val biAll = toks
+        .select(explode(graft.plans.ShingleArray.allShingles(col("toks"), 2)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cb"))
+      val nUni = broadcast(uni.agg(sum("cw").as("n_uni")))
+      val nBi = broadcast(biAll.agg(sum("cb").as("n_bi")))
+      val result = biAll.filter(col("cb") >= minCount)
+        .withColumn("w1", split(col("b"), " ").getItem(0))
+        .withColumn("w2", split(col("b"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .crossJoin(nUni).crossJoin(nBi)
+        .select(col("b").as("bigram"), col("cb").as("pair_count"),
+          col("c1"), col("c2"),
+          round(log2(
+            (col("cb").cast("double") / col("n_bi").cast("double")) /
+              ((col("c1").cast("double") / col("n_uni").cast("double")) *
+                (col("c2").cast("double") / col("n_uni").cast("double")))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(k)
+      result.localCheckpoint(eager = true)
+    } finally toks.unpersist()
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * SIGMOD — the MOSS algorithm): hash every n-token gram, slide a
     * `window`-wide window over the hash sequence, keep the minimum of each

@@ -145,7 +145,9 @@ class PlanShapeSpec extends SparkSpec {
       "ep3b_suggestions", // resultsDocument's single-row broadcast frame
       "l2_reco_prompt", "sim_bruteforce_topk", "sim_ivf_ann",
       "bf_bloom_prefilter_join", // single-broadcast-row bloom, never a shuffle
-      "mix_token_budget") // 20 domain rows x ONE broadcast grand-total row
+      "mix_token_budget", // 20 domain rows x ONE broadcast grand-total row
+      "ta_unigram_logppl", // token stream x ONE broadcast vocab-total row
+      "ta_collocations") // vocab rows x TWO broadcast single-row totals
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

@@ -25,6 +25,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0) // UDF fold == expression fold, bit-exact
   }
 
+  test("scalarQuantizeReport: mirrored JVM arithmetic, zero-vector guard") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.27f, -0.635f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantizeReport(df, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // mirror the engine arithmetic exactly (same double ops, HALF_UP round)
+    val v = Seq(1.27f, -0.635f, 0.0f).map(_.toDouble)
+    val scale = v.map(math.abs).max / 127.0
+    val errs = v.map(x => x - BigDecimal(x / scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble * scale)
+    val mse = errs.foldLeft(0.0)((a, e) => a + e * e) / 3.0
+    assert(out(1L) == ((scale, 3L, mse, errs.map(math.abs).max)))
+    assert(out(2L) == ((0.0, 3L, 0.0, 0.0)))
+  }
+
   test("brute-force top-k matches a driver-side reference computation") {
     val emb = Tables.embeddings(spark, sf0001)
     val got = Similarity.bruteForceTopK(emb, queryId = 0, k = 5)

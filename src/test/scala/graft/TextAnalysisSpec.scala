@@ -164,6 +164,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert((fps(1L) intersect fps(2L)).nonEmpty)
   }
 
+  test("unigramLogPerplexity: hand-computed bits/token, empty doc absent") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: a=2, b=2, c=1, N=5 -> p(a)=p(b)=0.4, p(c)=0.2
+    // doc 1 ("a a b"): mean -log2(0.4)            = 1.321928
+    // doc 2 ("b c"):   (-log2(0.4)-log2(0.2)) / 2 = 1.821928
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogPerplexity(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 1.321928) < 1e-6)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - 1.821928) < 1e-6)
+  }
+
+  test("topCollocations: hand-computed PMI over a tiny corpus") {
+    val s = spark
+    import s.implicits._
+    // "x y x y z": unigrams x=2 y=2 z=1 (N=5); bigrams "x y"x2 "y x" "y z"
+    // (N=4). minCount 2 keeps only "x y":
+    //   pmi = log2((2/4) / ((2/5)*(2/5))) = log2(3.125) = 1.643856
+    val df = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.topCollocations(df, "text", minCount = 2, k = 10).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "x y" && r.getLong(1) == 2L &&
+      r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(math.abs(r.getDouble(4) - 1.643856) < 1e-6)
+  }
+
   test("gopherGate: each rule flags its own violation") {
     val s = spark
     import s.implicits._
