@@ -1171,6 +1171,98 @@ object SparkEntry {
           |    * CAST(total_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE) AS repeat_factor
           |FROM mx, mt ORDER BY source""".stripMargin)),
 
+    Q("mix_temperature",
+      // XLM-R/mC4-style temperature sampling (q_i ∝ p_i^0.3): weights
+      // DERIVED from the corpus, vs mix_token_budget's explicit targets.
+      // ROUND(6) absorbs libm pow ulps + the 20-term Z summation order
+      (s, d) => TextAnalysis.temperatureMixture(
+        Tables.documents(s, d), "text", "source", alpha = 0.3),
+      Some(Sentiment.oracleCte +
+        """,
+          |mx AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(tokens)) AS BIGINT) AS domain_tokens
+          |  FROM toks GROUP BY source),
+          |mt AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens FROM mx),
+          |mp AS (SELECT source, n_docs, domain_tokens,
+          |    CAST(domain_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS p,
+          |    power(CAST(domain_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE),
+          |          CAST(0.3 AS DOUBLE)) AS pa
+          |  FROM mx, mt),
+          |mz AS (SELECT SUM(pa) AS z FROM mp)
+          |SELECT source, n_docs, domain_tokens,
+          |  ROUND(p, 6) AS token_share,
+          |  ROUND(pa / z, 6) AS sample_weight,
+          |  ROUND(pa / z / p, 6) AS upsample_factor
+          |FROM mp, mz ORDER BY source""".stripMargin)),
+
+    Q("ir_bm25_topk",
+      // Okapi BM25 (Lucene +1 idf, k1=1.2, b=0.75) top-10 against a
+      // 3-term query; scores ROUND(6)ed before ranking, doc_id tiebreak
+      (s, d) => TextAnalysis.bm25TopK(Tables.documents(s, d), "text",
+        "doc_id", Seq("hash", "join", "vector"), k = 10),
+      Some(Sentiment.oracleCte +
+        """,
+          |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(tokens)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          |  FROM toks),
+          |bt AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+          |    unnest(list_filter(tokens, t -> t IN ('hash', 'join', 'vector'))) AS t
+          |  FROM toks),
+          |btf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+          |  FROM bt GROUP BY doc_id, dl, t),
+          |bdf AS (SELECT t, CAST(count(*) AS BIGINT) AS nt FROM btf GROUP BY t),
+          |bsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+          |    ROUND(SUM(
+          |      ln((CAST(n_docs AS DOUBLE) - CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          |          / (CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          |      * tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+          |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+          |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+          |  FROM btf JOIN bdf USING (t), bs GROUP BY doc_id)
+          |SELECT doc_id, n_terms, score FROM bsc
+          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    Q("ta_keywords_tfidf",
+      // per-doc top-3 keywords by smooth-idf tf-idf; ROUND(6) before the
+      // row_number rank, term-string tiebreak -> deterministic boundary
+      (s, d) => TextAnalysis.tfidfKeywords(
+        Tables.documents(s, d), "text", "doc_id", k = 3),
+      Some(Sentiment.oracleCte +
+        """,
+          |kb AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+          |    unnest(tokens) AS t FROM toks),
+          |ktf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+          |  FROM kb GROUP BY doc_id, dl, t),
+          |kdf AS (SELECT t, CAST(count(*) AS BIGINT) AS dft FROM ktf GROUP BY t),
+          |kn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |ks AS (SELECT doc_id, t,
+          |    ROUND((CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) *
+          |      (ln((CAST(1.0 AS DOUBLE) + CAST(n_docs AS DOUBLE))
+          |          / (CAST(1.0 AS DOUBLE) + CAST(dft AS DOUBLE))) + CAST(1.0 AS DOUBLE)),
+          |      6) AS tfidf
+          |  FROM ktf JOIN kdf USING (t), kn),
+          |kr AS (SELECT doc_id, t, tfidf,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rn
+          |  FROM ks)
+          |SELECT doc_id, CAST(rn AS INT) AS rn, t AS term, tfidf
+          |FROM kr WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    Q("ta_domain_cap",
+      // RefinedWeb-style per-domain cap: at most 25 docs per source,
+      // chosen by a stable md5 key (reproducible sample) via the native
+      // bounded-heap top-k — never a per-domain sort of the fact table
+      (s, d) => TextAnalysis.domainCap(
+        Tables.documents(s, d), "doc_id", "source", k = 25),
+      Some("""WITH dh AS (
+          |  SELECT source, doc_id,
+          |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+          |  FROM documents),
+          |dr AS (SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+          |  FROM dh)
+          |SELECT source, doc_id, CAST(rn AS INT) AS rn
+          |FROM dr WHERE rn <= 25 ORDER BY source, rn""".stripMargin)),
+
     Q("ta_unigram_logppl",
       // CCNet-style unigram cross-entropy per doc (bits/token vs the
       // corpus unigram LM); ROUND(6) absorbs summation order + libm ulps

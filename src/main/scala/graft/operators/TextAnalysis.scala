@@ -417,4 +417,150 @@ object TextAnalysis {
           col("domain_tokens").cast("double")).as("repeat_factor"))
       .orderBy(domainCol)
   }
+
+  /** Temperature-scaled mixture weights — the multinomial sampling rule
+    * multilingual/multi-domain corpora are balanced with (XLM-R, Conneau
+    * et al. 2020 §3.1; mC4, Xue et al. 2021: `q_i ∝ p_i^alpha` with
+    * alpha ≈ 0.3): raising token shares to `alpha < 1` flattens the
+    * distribution, upsampling small domains without letting them dominate.
+    * Reports each domain's raw share `p`, temperature weight `q`, and the
+    * resulting upsample factor `q/p`. Complements [[tokenBudgetMixture]]
+    * (explicit target weights): here the targets are DERIVED from the
+    * corpus itself.
+    *
+    * Shape: one groupBy(domain) to a domain-count-sized frame, then two
+    * broadcast single-row totals (grand token count, partition function
+    * Z = sum of p^alpha) — the pct-of-total shape twice. `pow`/sum-of-few-
+    * doubles are ROUND(6)ed on output (F13 convention: libm last-ulp and
+    * summation order absorbed). */
+  def temperatureMixture(df: DataFrame, textCol: String, domainCol: String,
+                         alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df
+      .select(col(domainCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("nt"))
+      .groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("domain_tokens"))
+    val total = counts.agg(sum("domain_tokens").as("total_tokens"))
+    val withP = counts.crossJoin(broadcast(total))
+      .withColumn("p",
+        col("domain_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+    val z = withP.agg(sum("pa").as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col(domainCol), col("n_docs"), col("domain_tokens"),
+        round(col("p"), 6).as("token_share"),
+        round(col("pa") / col("z"), 6).as("sample_weight"),
+        round(col("pa") / col("z") / col("p"), 6).as("upsample_factor"))
+      .orderBy(domainCol)
+  }
+
+  /** Okapi BM25 top-k retrieval (Robertson & Spärck Jones; the Lucene
+    * `+1` idf variant, k1 = 1.2, b = 0.75) — the ranked-retrieval pass a
+    * training pipeline runs for retrieval-based decontamination and
+    * targeted corpus audits. Scores every document against a bag of
+    * query terms and returns the global top-k.
+    *
+    * Shape: the token stream is filtered to QUERY TERMS BEFORE the
+    * explode-shuffle (only hits shuffle — a tiny fraction of the corpus);
+    * document frequencies reduce to ≤ |query| rows (broadcast); corpus
+    * stats (N, avgdl) are ONE broadcast row; the final top-k is a
+    * TakeOrderedAndProject, never a global sort. Per-doc scores sum ≤
+    * |query| doubles → ROUND(6) before ranking, doc id as tiebreak, so
+    * the k-boundary is deterministic on every engine. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = df.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+    // avgdl as explicit exact-long sum / exact-long count: ONE double
+    // division, bit-equal on every engine (avg() would be too, but the
+    // explicit form keeps the oracle SQL textually identical)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks")).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val tf = base
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        explode(filter(col("toks"), t => t.isin(queryTerms: _*))).as("t"))
+      .groupBy(col(idCol), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("nt"))
+    val idf = log((col("n_docs").cast("double") - col("nt").cast("double") +
+      lit(0.5)) / (col("nt").cast("double") + lit(0.5)) + lit(1.0))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), round(sum("s"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-document TF-IDF keyword extraction (sklearn smooth-idf variant:
+    * `idf = ln((1+N)/(1+df)) + 1`, tf normalized by document length) —
+    * the per-doc salient-term pass behind corpus tagging, topic routing
+    * and near-dup triage. Returns the top-`k` terms per document ranked
+    * by tf-idf, term string as tiebreak.
+    *
+    * Shape: one token explode → (doc, term) count (one shuffle); document
+    * frequencies are VOCABULARY-sized after their aggregate, so the df
+    * lookup is a dim-table equi-join (AQE broadcasts it at runtime — not
+    * forced, because a 100 TB corpus vocabulary can exceed the broadcast
+    * budget); N is ONE broadcast row. The per-doc rank is a row_number
+    * window partitioned by doc id — high-cardinality key, bounded group
+    * size (a document's distinct terms), so no single-task sort exists
+    * anywhere. Tf-idf is ROUND(6)ed BEFORE ranking (deterministic
+    * k-boundary, the [[topCollocations]] convention). */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val tf = df
+      .select(col(idCol), size(TextFns.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextFns.tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("dft"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("t"))
+    tf.join(dfreq, Seq("t"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        (col("tf").cast("double") / col("dl").cast("double")) *
+          (log((lit(1.0) + col("n_docs").cast("double")) /
+            (lit(1.0) + col("dft").cast("double"))) + lit(1.0)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("t").as("term"), col("tfidf"))
+      .orderBy(col(idCol), col("rn"))
+  }
+
+  /** Per-domain document cap (the RefinedWeb / CCNet-style anti-monoculture
+    * guard: no single domain may contribute more than `k` documents) with
+    * a DETERMINISTIC choice of which documents survive — each doc is
+    * ranked inside its domain by a stable md5-derived key of its id, so
+    * the "random" sample is reproducible across runs, engines and
+    * re-partitioning. Returns (domain, id, rank) for survivors.
+    *
+    * Shape: the native bounded-heap top-k aggregate (the [[graft.plans.TopK]]
+    * o4 path) — every map task keeps at most `k` rows per domain, so the
+    * shuffle is O(domains × k × tasks), never a per-domain sort of the
+    * fact table (the row_number window form would sort entire skewed
+    * domains into single tasks). Heap contract (score DESC, tie ASC) with
+    * score = -hk: the exact long tiebreak disambiguates the 53-bit double
+    * rounding of the 60-bit key. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+                k: Int = 25): DataFrame = {
+    val hk = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(col(domainCol), col(idCol), hk.as("hk"))
+      .groupBy(domainCol)
+      .agg(graft.plans.TopK.topKByScore(
+        (-col("hk")).cast("double"), col("hk"), col(idCol), k).as("top"))
+      .select(col(domainCol), posexplode(col("top")))
+      .select(col(domainCol), col("col").as(idCol),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col(domainCol), col("rn"))
+  }
 }

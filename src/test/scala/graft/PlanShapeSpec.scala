@@ -147,7 +147,10 @@ class PlanShapeSpec extends SparkSpec {
       "bf_bloom_prefilter_join", // single-broadcast-row bloom, never a shuffle
       "mix_token_budget", // 20 domain rows x ONE broadcast grand-total row
       "ta_unigram_logppl", // token stream x ONE broadcast vocab-total row
-      "ta_collocations") // vocab rows x TWO broadcast single-row totals
+      "ta_collocations", // vocab rows x TWO broadcast single-row totals
+      "mix_temperature", // 20 domain rows x TWO broadcast single-row totals
+      "ir_bm25_topk", // query-term hits x ONE broadcast (N, avgdl) row
+      "ta_keywords_tfidf") // (doc, term) counts x ONE broadcast N row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

@@ -233,4 +233,78 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(none("d2") == 0.0)
   }
+
+  test("temperatureMixture: alpha<1 upsamples the small domain, weights sum to 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d e f g h", "d1"), (2L, "x y", "d2"))
+      .toDF("doc_id", "text", "source")
+    // p = (0.8, 0.2); alpha=0.5 -> pa = (sqrt(.8), sqrt(.2)), mirrored below
+    val out = TextAnalysis.temperatureMixture(df, "text", "source", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = math.pow(0.8, 0.5) + math.pow(0.2, 0.5)
+    assert(out("d1") == ((0.8, r6(math.pow(0.8, 0.5) / z), r6(math.pow(0.8, 0.5) / z / 0.8))))
+    assert(out("d2") == ((0.2, r6(math.pow(0.2, 0.5) / z), r6(math.pow(0.2, 0.5) / z / 0.2))))
+    assert(out("d1")._3 < 1.0 && out("d2")._3 > 1.0) // flattening direction
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("bm25TopK: mirrored arithmetic on a tiny corpus, non-matching doc absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "hash join hash"), (2L, "join the table"), (3L, "the the the"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, "text", "doc_id", Seq("hash", "join"), k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // mirror: N=3, dl=3 for all, avgdl=3; nt(hash)=1, nt(join)=2
+    def idf(nt: Int) = math.log((3.0 - nt + 0.5) / (nt + 0.5) + 1.0)
+    def term(tf: Double, nt: Int) =
+      idf(nt) * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * 3.0 / 3.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L)) // doc 3 matches nothing
+    assert(out(1L) == ((2L, r6(term(2.0, 1) + term(1.0, 2)))))
+    assert(out(2L) == ((1L, r6(term(1.0, 2)))))
+    assert(out(1L)._2 > out(2L)._2) // two matched terms outrank one
+  }
+
+  test("tfidfKeywords: rare term ranks first, term-string tiebreak") {
+    val s = spark
+    import s.implicits._
+    // "rare" appears in 1 of 3 docs; "common" in all 3. In doc 1 both have
+    // tf=1/dl -> idf decides; ties inside doc 3 break on the term string.
+    val df = Seq((1L, "rare common"), (2L, "common common"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(df, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out((1L, 1)) == "rare" && out((1L, 2)) == "common")
+    // doc 3: "a" and "b" have identical tf/df -> lexicographic order
+    assert(out((3L, 1)) == "a" && out((3L, 2)) == "b")
+  }
+
+  test("domainCap: caps each domain at k, keeps the k smallest md5 keys") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 9L).map(i => (i, if (i <= 6) "d1" else "d2"))
+      .toDF("doc_id", "source")
+    val out = TextAnalysis.domainCap(df, "doc_id", "source", k = 2).collect()
+    assert(out.length == 4) // 2 kept per domain
+    def hk(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // per domain: survivors are exactly the 2 smallest md5-derived keys,
+    // in ascending key order (the deterministic-sample contract)
+    for ((dom, ids) <- Seq("d1" -> (1L to 6L), "d2" -> (7L to 9L))) {
+      val expect = ids.sortBy(hk).take(2)
+      val got = out.filter(_.getString(0) == dom).sortBy(_.getInt(2))
+        .map(_.getLong(1)).toSeq
+      assert(got == expect, s"$dom: got $got expected $expect")
+    }
+  }
 }
