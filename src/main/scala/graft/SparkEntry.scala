@@ -1263,6 +1263,90 @@ object SparkEntry {
           |SELECT source, doc_id, CAST(rn AS INT) AS rn
           |FROM dr WHERE rn <= 25 ORDER BY source, rn""".stripMargin)),
 
+    Q("dd_boilerplate",
+      // RefinedWeb-style corpus-level boilerplate strike: sentences shared
+      // by >= 5 distinct docs are struck everywhere, originals reassembled.
+      // The corpus has no repeated sentences, so the gate input injects two
+      // deterministic boilerplate sentences (all docs / doc_id%3==0) on
+      // BOTH sides — the ep3c synthesized-input precedent
+      (s, d) => operators.Dedup.boilerplateRemoval(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(". all rights reserved contact support"),
+            when(col("doc_id") % 3 === 0,
+              lit(". subscribe to our newsletter now")).otherwise(lit("")))
+            .as("text")),
+        "text", "doc_id", minDocs = 5),
+      Some("""WITH aug AS (
+          |  SELECT doc_id, text || '. all rights reserved contact support' ||
+          |    CASE WHEN doc_id % 3 = 0 THEN '. subscribe to our newsletter now' ELSE '' END AS text
+          |  FROM documents),
+          |sp AS (SELECT doc_id,
+          |    list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+          |                x -> len(x) > 15) AS ss
+          |  FROM aug),
+          |se AS (SELECT doc_id, unnest(range(1, len(ss) + 1)) AS pos, ss FROM sp),
+          |s1 AS (SELECT doc_id, pos, ss[pos] AS sent, lower(ss[pos]) AS k FROM se),
+          |boil AS (SELECT k FROM s1 GROUP BY k HAVING count(DISTINCT doc_id) >= 5)
+          |SELECT doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_sentences,
+          |  CAST(coalesce(SUM(CASE WHEN k IN (SELECT k FROM boil) THEN 1 END), 0) AS BIGINT) AS n_removed,
+          |  coalesce(string_agg(sent, '. ' ORDER BY pos)
+          |    FILTER (WHERE k NOT IN (SELECT k FROM boil)), '') AS clean_text
+          |FROM s1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("mix_dsir_weights",
+      // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+      // log-likelihood ratio of target (lang='en') vs raw corpus; ROUND(6)
+      // absorbs the per-doc sum order, each ln() term is bit-identical
+      (s, d) => TextAnalysis.dsirImportance(
+        Tables.documents(s, d), "text", "doc_id",
+        isTarget = col("lang") === "en", buckets = 4096),
+      Some(Sentiment.oracleCte +
+        """,
+          |dfeat AS (SELECT doc_id, lang = 'en' AS tgt,
+          |    unnest(tokens || CASE WHEN len(tokens) >= 2
+          |      THEN list_transform(range(1, len(tokens)), i -> array_to_string(list_slice(tokens, i, i + 1), ' '))
+          |      ELSE CAST([] AS VARCHAR[]) END) AS f
+          |  FROM toks),
+          |db AS (SELECT doc_id, tgt,
+          |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS b FROM dfeat),
+          |dh AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+          |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+          |  FROM db GROUP BY b),
+          |dt AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt FROM dh),
+          |dl AS (SELECT b,
+          |    ln(((CAST(ct AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(nt AS DOUBLE) + CAST(4096.0 AS DOUBLE)))
+          |     / ((CAST(cr AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(nr AS DOUBLE) + CAST(4096.0 AS DOUBLE)))) AS lr
+          |  FROM dh, dt),
+          |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM db GROUP BY doc_id, b)
+          |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+          |  ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS log_weight
+          |FROM dc JOIN dl USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_hashed_classifier",
+      // fastText-shape hashed linear scorer: mean hashed-token weight ->
+      // sigmoid; weights derived from md5(bucket) so both engines replay
+      // the same "model". Pure per-row fold — no shuffle anywhere
+      (s, d) => TextAnalysis.hashedLinearScore(
+        Tables.documents(s, d), "text", "doc_id", buckets = 1024),
+      Some(Sentiment.oracleCte +
+        """,
+          |hw AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+          |    list_sum(list_transform(tokens, t ->
+          |      (CAST(CAST('0x' || substr(md5('w:' || CAST(
+          |          CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024
+          |        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 AS DOUBLE)
+          |       - CAST(1000.0 AS DOUBLE)) / CAST(1000.0 AS DOUBLE))) AS sw
+          |  FROM toks WHERE len(tokens) > 0)
+          |SELECT doc_id, n_tokens,
+          |  ROUND(sw / CAST(n_tokens AS DOUBLE), 6) AS margin,
+          |  ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+          |    + exp(-(sw / CAST(n_tokens AS DOUBLE)))), 6) AS score,
+          |  CASE WHEN ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+          |    + exp(-(sw / CAST(n_tokens AS DOUBLE)))), 6) >= CAST(0.5 AS DOUBLE)
+          |    THEN 'keep' ELSE 'drop' END AS label
+          |FROM hw ORDER BY doc_id""".stripMargin)),
+
     Q("ta_unigram_logppl",
       // CCNet-style unigram cross-entropy per doc (bits/token vs the
       // corpus unigram LM); ROUND(6) absorbs summation order + libm ulps

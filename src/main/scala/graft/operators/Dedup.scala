@@ -477,6 +477,45 @@ object Dedup {
     simhashPairsFromSplitFingerprints(
       simhashFingerprintsPortable(df, textCol, idCol), maxHamming)
 
+  /** Corpus-level boilerplate removal (the RefinedWeb/CCNet line-dedup
+    * pass, Penedo et al. 2023 §3.3, at sentence granularity — this
+    * corpus's documents are single-line): a sentence whose lowercased form
+    * appears in at least `minDocs` DISTINCT documents is boilerplate
+    * (headers, footers, cookie banners, license blurbs) and is struck from
+    * EVERY document; survivors are reassembled in original order. Returns
+    * `(id, n_sentences, n_removed, clean_text)` per document that produced
+    * at least one sentence.
+    *
+    * Scale shape: one explode → groupBy(sentence) with countDistinct to
+    * build the boilerplate dictionary — the `>= minDocs` filter shrinks it
+    * to the repeated tail, so the join back onto the sentence stream is a
+    * dim-table equi-join (AQE broadcasts it at runtime; not forced,
+    * because a 100 TB crawl's boilerplate dictionary can exceed the
+    * driver's broadcast budget). Reassembly is one groupBy(id) with an
+    * array_sort over (pos, sentence) structs — bounded per-doc group size,
+    * never a global sort. */
+  def boilerplateRemoval(df: DataFrame, textCol: String, idCol: String,
+                         minDocs: Int = 5, minLen: Int = 15): DataFrame = {
+    val sents = df
+      .select(col(idCol), posexplode(TextFns.sentences(col(textCol), minLen)))
+      .select(col(idCol), col("pos"), col("col").as("sent"),
+        lower(col("col")).as("k"))
+    val boiler = sents.groupBy("k")
+      .agg(count_distinct(col(idCol)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select(col("k"), lit(true).as("is_boiler"))
+    sents.join(boiler, Seq("k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        coalesce(sum(when(col("is_boiler"), 1L)), lit(0L)).as("n_removed"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(when(!coalesce(col("is_boiler"), lit(false)),
+            struct(col("pos"), col("sent"))))),
+          x => x.getField("sent"))).as("clean_text"))
+      .orderBy(idCol)
+  }
+
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
     * 16-bit chunks; docs agreeing on any chunk are candidates (catches all
     * pairs within Hamming distance 3 by pigeonhole); verify exact Hamming

@@ -563,4 +563,95 @@ object TextAnalysis {
         (col("pos") + 1).cast("int").as("rn"))
       .orderBy(col(domainCol), col("rn"))
   }
+
+  /** 60-bit md5-derived hash of a string column — the engine-portable
+    * feature hash shared with the DuckDB oracle (`CAST('0x'||substr(md5(x),
+    * 1,15) AS BIGINT)`); 15 hex digits keep the value positive in a long. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Token bigrams as counted occurrences (NOT the distinct shingle set
+    * of [[Dedup.shingles]] — importance estimation needs multiplicity). */
+  private def bigramsWithCounts(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every raw document by how much more likely
+    * its hashed unigram+bigram features are under the TARGET distribution
+    * (rows where `isTarget`) than under the RAW corpus distribution. The
+    * per-doc log weight `sum_f c_f * ln(p_target(b_f) / p_raw(b_f))` (both
+    * add-one smoothed over `buckets` hashed buckets) is the resampling
+    * log-likelihood ratio; downstream selection keeps the top mass.
+    * Returns `(id, n_feats, log_weight)`.
+    *
+    * Scale shape: ONE explode of the unigram+bigram stream feeds both
+    * histograms (raw count + target count per bucket in a single
+    * groupBy(bucket) pass — no second scan); the bucket→log-ratio table is
+    * `buckets` rows, BROADCAST to the per-doc (id, bucket, count) stream;
+    * the only wide exchanges hash on `bucket` then `id`. Hashing is the
+    * md5-derived 60-bit family (engine-portable, oracle-replayable) —
+    * at production scale swap [[hash60]] for `xxhash64` ([[Dedup]]'s
+    * NativeFamily precedent: same dataflow, cheaper hash). */
+  def dsirImportance(df: DataFrame, textCol: String, idCol: String,
+                     isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = TextFns.tokens(col(textCol))
+    val feats = df
+      .select(col(idCol), isTarget.as("tgt"),
+        explode(concat(toks, bigramsWithCounts(toks))).as("f"))
+      .select(col(idCol), col("tgt"),
+        pmod(hash60(col("f")), lit(buckets.toLong)).as("b"))
+    val hist = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = hist.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val lr = hist.crossJoin(broadcast(totals))
+      .select(col("b"), log(
+        ((col("ct").cast("double") + lit(1.0)) /
+          (col("nt").cast("double") + lit(buckets.toDouble))) /
+        ((col("cr").cast("double") + lit(1.0)) /
+          (col("nr").cast("double") + lit(buckets.toDouble)))).as("lr"))
+    feats.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_feats"),
+        round(sum(col("c").cast("double") * col("lr")), 6).as("log_weight"))
+      .orderBy(idCol)
+  }
+
+  /** Hashed linear text-classifier inference (the fastText architecture,
+    * Joulin et al. 2017: mean of hashed-token weights → sigmoid — the
+    * shape of the quality classifiers gating GPT-3/LLaMA-style corpora).
+    * Weights here are DERIVED deterministically from the bucket index
+    * (md5 → uniform in [-1, 1]) — the stand-in for a trained weight
+    * table; production swaps the weight expression for a `buckets`-row
+    * broadcast dim without touching the dataflow. Returns
+    * `(id, n_tokens, margin, score, label)`.
+    *
+    * Scale shape: pure per-row column arithmetic — the token fold runs
+    * inside [[functions.aggregate]] over the already-split array, so
+    * scoring is shuffle-free and pipelines into whatever scan precedes it
+    * (the inference analogue of [[qualityScore]]). */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
+                        buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def weight(t: Column): Column = {
+      val b = pmod(hash60(t), lit(buckets.toLong))
+      (pmod(hash60(concat(lit("w:"), b.cast("string"))), lit(2001L))
+        .cast("double") - lit(1000.0)) / lit(1000.0)
+    }
+    val toks = TextFns.tokens(col(textCol))
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)).as("sw"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("margin", round(col("sw") / col("n_tokens").cast("double"), 6))
+      .withColumn("score", round(lit(1.0) /
+        (lit(1.0) + exp(-col("sw") / col("n_tokens").cast("double"))), 6))
+      .select(col(idCol), col("n_tokens"), col("margin"), col("score"),
+        when(col("score") >= 0.5, "keep").otherwise("drop").as("label"))
+      .orderBy(idCol)
+  }
 }

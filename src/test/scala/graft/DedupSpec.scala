@@ -215,4 +215,37 @@ class DedupSpec extends SparkSpec {
     Dedup.minhashNearDupPairs(docs, "text", "doc_id")
     assert(CacheBridge.noCachedPlans(spark), "minhashNearDupPairs leaked a cached plan")
   }
+
+  test("boilerplateRemoval: strikes shared sentences everywhere, keeps order") {
+    val s = spark
+    import s.implicits._
+    // "this footer repeats everywhere" appears in 3 docs (>= minDocs=3,
+    // case-insensitively); each doc's unique body survives in order
+    val df = Seq(
+      (1L, "unique first sentence body. This Footer Repeats Everywhere. unique closing line one"),
+      (2L, "another distinct body text. this footer repeats everywhere"),
+      (3L, "this footer repeats everywhere. third document body sentence"),
+      (4L, "short. totally unrelated content here")) // "short" < minLen -> not a sentence
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemoval(df, "text", "doc_id", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "unique first sentence body. unique closing line one")))
+    assert(out(2L) == ((2L, 1L, "another distinct body text")))
+    assert(out(3L) == ((2L, 1L, "third document body sentence")))
+    assert(out(4L) == ((1L, 0L, "totally unrelated content here")))
+  }
+
+  test("boilerplateRemoval: doc of only boilerplate reassembles to empty text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the common boilerplate sentence"),
+      (2L, "the common boilerplate sentence"),
+      (3L, "the common boilerplate sentence. plus an original thought"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemoval(df, "text", "doc_id", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, "")) && out(2L) == ((1L, "")))
+    assert(out(3L) == ((1L, "plus an original thought")))
+  }
 }

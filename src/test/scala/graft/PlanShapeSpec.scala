@@ -150,7 +150,8 @@ class PlanShapeSpec extends SparkSpec {
       "ta_collocations", // vocab rows x TWO broadcast single-row totals
       "mix_temperature", // 20 domain rows x TWO broadcast single-row totals
       "ir_bm25_topk", // query-term hits x ONE broadcast (N, avgdl) row
-      "ta_keywords_tfidf") // (doc, term) counts x ONE broadcast N row
+      "ta_keywords_tfidf", // (doc, term) counts x ONE broadcast N row
+      "mix_dsir_weights") // bucket histogram x ONE broadcast totals row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

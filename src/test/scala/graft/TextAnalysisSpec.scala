@@ -307,4 +307,64 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got == expect, s"$dom: got $got expected $expect")
     }
   }
+
+  test("dsirImportance: target-only vocabulary scores above raw-only vocabulary") {
+    val s = spark
+    import s.implicits._
+    // target docs speak "alpha beta", raw-only docs speak "gamma delta";
+    // a candidate written in target language must outweigh one in raw slang
+    val df = Seq(
+      (1L, "alpha beta alpha beta", true), (2L, "beta alpha beta alpha", true),
+      (3L, "gamma delta gamma delta", false), (4L, "delta gamma delta gamma", false),
+      (5L, "alpha beta alpha beta", false), // candidate in target language
+      (6L, "gamma delta gamma delta", false)) // candidate in raw-only language
+      .toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirImportance(df, "text", "doc_id", col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == (1L to 6L).toSet)
+    assert(out(5L)._1 == 7L) // 4 unigrams + 3 bigrams
+    assert(out(5L)._2 > out(6L)._2, s"target-like doc must score higher: $out")
+    // raw-only vocabulary is strictly less likely under the target LM; the
+    // target-like doc's ABSOLUTE sign depends on the smoothing mass (B >>
+    // counts here), so only the raw-only side has a guaranteed sign
+    assert(out(6L)._2 < 0)
+  }
+
+  test("dsirImportance: identical texts get identical weights regardless of side") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "same words here", true), (2L, "same words here", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirImportance(df, "text", "doc_id", col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == out(2L)) // weight depends on content, not membership
+  }
+
+  test("hashedLinearScore: mirrors the md5 weight table, sigmoid bounds, label cut") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, "gamma gamma gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(df, "text", "doc_id", buckets = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4)))
+    assert(out.map(_._1).toSet == Set(1L, 2L)) // empty doc filtered
+    def w(t: String): Double = {
+      def h60(x: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      ((h60("w:" + (h60(t) % 1024)) % 2001) - 1000.0) / 1000.0
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((id, n, margin, score, label) <- out) {
+      val toks = if (id == 1L) Seq("alpha", "beta") else Seq("gamma", "gamma", "gamma")
+      val m = toks.map(w).sum / n
+      assert(margin == r6(m), s"doc $id margin")
+      assert(score == r6(1.0 / (1.0 + math.exp(-m))), s"doc $id score")
+      assert(score > 0.0 && score < 1.0)
+      assert(label == (if (score >= 0.5) "keep" else "drop"))
+    }
+  }
 }
