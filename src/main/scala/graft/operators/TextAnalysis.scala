@@ -516,24 +516,33 @@ object TextAnalysis {
   def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // the (doc, term) count frame feeds BOTH the document-frequency
+    // aggregate and the scoring join — persist so the corpus is exploded
+    // and shuffled once (the [[Dedup]] shingle-stream convention; released
+    // before returning)
     val tf = df
-      .select(col(idCol), size(TextFns.tokens(col(textCol))).cast("long").as("dl"),
-        explode(TextFns.tokens(col(textCol))).as("t"))
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("t"))
       .groupBy(col(idCol), col("dl"), col("t"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("dft"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("t"))
-    tf.join(dfreq, Seq("t"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("tfidf", round(
-        (col("tf").cast("double") / col("dl").cast("double")) *
-          (log((lit(1.0) + col("n_docs").cast("double")) /
-            (lit(1.0) + col("dft").cast("double"))) + lit(1.0)), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(idCol), col("rn"), col("t").as("term"), col("tfidf"))
-      .orderBy(col(idCol), col("rn"))
+      .persist()
+    try {
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("dft"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("t"))
+      tf.join(dfreq, Seq("t"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(
+          (col("tf").cast("double") / col("dl").cast("double")) *
+            (log((lit(1.0) + col("n_docs").cast("double")) /
+              (lit(1.0) + col("dft").cast("double"))) + lit(1.0)), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col(idCol), col("rn"), col("t").as("term"), col("tfidf"))
+        .orderBy(col(idCol), col("rn"))
+        .localCheckpoint(eager = true)
+    } finally tf.unpersist()
   }
 
   /** Per-domain document cap (the RefinedWeb / CCNet-style anti-monoculture
@@ -570,14 +579,6 @@ object TextAnalysis {
   private def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Token bigrams as counted occurrences (NOT the distinct shingle set
-    * of [[Dedup.shingles]] — importance estimation needs multiplicity). */
-  private def bigramsWithCounts(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-
   /** DSIR importance weights (Data Selection via Importance Resampling,
     * Xie et al. 2023): score every raw document by how much more likely
     * its hashed unigram+bigram features are under the TARGET distribution
@@ -598,28 +599,46 @@ object TextAnalysis {
   def dsirImportance(df: DataFrame, textCol: String, idCol: String,
                      isTarget: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val toks = TextFns.tokens(col(textCol))
-    val feats = df
+    // per-doc bucket counts are the ONE hashed pass over the feature
+    // stream; both histograms and the final per-doc weights derive from
+    // this (far smaller) frame, so the md5 family and the explode shuffle
+    // run once — persist + eager materialize, the [[Dedup]] shingle-stream
+    // convention (released before returning, no executor-memory leak).
+    // Tokens are MATERIALIZED to a column before the bigram expression: a
+    // lambda that captures the tokenizer subtree would re-run the regex
+    // split per element (quadratic per doc); `allShingles` over the bound
+    // attribute is the linear native path (counted occurrences, NOT the
+    // distinct shingle set of [[Dedup.shingles]] — importance estimation
+    // needs multiplicity)
+    val dc = df
       .select(col(idCol), isTarget.as("tgt"),
-        explode(concat(toks, bigramsWithCounts(toks))).as("f"))
+        TextFns.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("tgt"),
+        explode(concat(col("tk"),
+          graft.plans.ShingleArray.allShingles(col("tk"), 2))).as("f"))
       .select(col(idCol), col("tgt"),
         pmod(hash60(col("f")), lit(buckets.toLong)).as("b"))
-    val hist = feats.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
-    val totals = hist.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    val lr = hist.crossJoin(broadcast(totals))
-      .select(col("b"), log(
-        ((col("ct").cast("double") + lit(1.0)) /
-          (col("nt").cast("double") + lit(buckets.toDouble))) /
-        ((col("cr").cast("double") + lit(1.0)) /
-          (col("nr").cast("double") + lit(buckets.toDouble)))).as("lr"))
-    feats.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-      .join(broadcast(lr), Seq("b"))
-      .groupBy(col(idCol))
-      .agg(sum("c").as("n_feats"),
-        round(sum(col("c").cast("double") * col("lr")), 6).as("log_weight"))
-      .orderBy(idCol)
+      .groupBy(col(idCol), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val hist = dc.groupBy("b").agg(
+        sum("c").as("cr"),
+        sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"))
+      val totals = hist.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+      val lr = hist.crossJoin(broadcast(totals))
+        .select(col("b"), log(
+          ((col("ct").cast("double") + lit(1.0)) /
+            (col("nt").cast("double") + lit(buckets.toDouble))) /
+          ((col("cr").cast("double") + lit(1.0)) /
+            (col("nr").cast("double") + lit(buckets.toDouble)))).as("lr"))
+      dc.join(broadcast(lr), Seq("b"))
+        .groupBy(col(idCol))
+        .agg(sum("c").as("n_feats"),
+          round(sum(col("c").cast("double") * col("lr")), 6).as("log_weight"))
+        .orderBy(idCol)
+        .localCheckpoint(eager = true)
+    } finally dc.unpersist()
   }
 
   /** Hashed linear text-classifier inference (the fastText architecture,
