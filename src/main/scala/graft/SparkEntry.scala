@@ -1347,6 +1347,54 @@ object SparkEntry {
           |    THEN 'keep' ELSE 'drop' END AS label
           |FROM hw ORDER BY doc_id""".stripMargin)),
 
+    Q("ta_bigram_logppl",
+      // Jelinek-Mercer interpolated bigram LM (the KenLM-filter direction;
+      // Stupid-Backoff counting): bits per bigram position, ROUND(6)
+      (s, d) => TextAnalysis.bigramLogPerplexity(
+        Tables.documents(s, d), "text", "doc_id", lambda = 0.7),
+      Some(Sentiment.oracleCte +
+        """,
+          |bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+          |      i -> array_to_string(list_slice(tokens, i, i + 1), ' '))) AS b
+          |  FROM toks WHERE len(tokens) >= 2),
+          |bcx AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bgx GROUP BY b),
+          |ugx AS (SELECT unnest(tokens) AS w FROM toks),
+          |ucx AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM ugx GROUP BY w),
+          |nx AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM ucx)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  ROUND(AVG(-log2(
+          |      CAST(0.7 AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(up.cw AS DOUBLE)
+          |    + CAST(0.3 AS DOUBLE) * CAST(uw.cw AS DOUBLE) / CAST(n_uni AS DOUBLE))), 6)
+          |    AS bits_per_bigram
+          |FROM bgx JOIN bcx USING (b)
+          |  JOIN ucx up ON string_split(b, ' ')[1] = up.w
+          |  JOIN ucx uw ON string_split(b, ' ')[2] = uw.w, nx
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("p10_percentile_gate",
+      // per-language median quality gate: dynamic threshold per group so
+      // low-resource slices are not starved by a global cut; BOTH sides
+      // ROUND(6)ed before the >= comparison -> the keep boundary is
+      // engine-deterministic and the median member itself survives
+      (s, d) => TextAnalysis.percentileQualityGate(
+        Tables.documents(s, d), "text", "doc_id", "lang", p = 0.5),
+      Some(Sentiment.oracleCte +
+        """,
+          |qx AS (SELECT doc_id, lang,
+          |  ROUND(
+          |    LEAST(CAST(1.0 AS DOUBLE), CAST(len(tokens) AS DOUBLE) / CAST(50.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+          |    + LEAST(CAST(1.0 AS DOUBLE),
+          |        CAST(len(list_filter(tokens, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+          |        / CAST(GREATEST(len(tokens), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+          |    + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          |      / CAST(GREATEST(length(text), 1) AS DOUBLE) * CAST(0.3 AS DOUBLE), 9) AS q
+          |  FROM toks),
+          |tx AS (SELECT lang, ROUND(quantile_cont(q, CAST(0.5 AS DOUBLE)), 6) AS q_threshold
+          |  FROM qx GROUP BY lang)
+          |SELECT doc_id, lang, q AS quality, q_threshold
+          |FROM qx JOIN tx USING (lang)
+          |WHERE ROUND(q, 6) >= q_threshold ORDER BY doc_id""".stripMargin)),
+
     Q("ta_unigram_logppl",
       // CCNet-style unigram cross-entropy per doc (bits/token vs the
       // corpus unigram LM); ROUND(6) absorbs summation order + libm ulps

@@ -579,6 +579,85 @@ object TextAnalysis {
   private def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Bigram LM cross-entropy per document with Jelinek-Mercer
+    * interpolation — the two-order step from [[unigramLogPerplexity]]
+    * toward the KenLM-style perplexity filters of CCNet/CCNet-descendant
+    * corpora (Wenzek et al. 2020; interpolation per Jelinek & Mercer 1980,
+    * the web-scale counting shape per Brants et al. 2007's Stupid
+    * Backoff): `p(w|prev) = λ·c(prev w)/c(prev) + (1−λ)·c(w)/N`, reported
+    * as bits per bigram position. The conditional denominator is the
+    * UNIGRAM count of `prev` (the Stupid-Backoff counting convention —
+    * no end-of-doc discount). Single-token documents have no bigram
+    * positions and are absent.
+    *
+    * Scale shape: the corpus bigram stream is ONE explode (native
+    * [[graft.plans.ShingleArray]] over materialized tokens), persisted and
+    * reused as both the count source and the scoring stream — the
+    * [[Dedup]] shingle-stream convention. Count tables are vocabulary-
+    * sized equi-joins (AQE broadcasts when small; a 100 TB vocabulary
+    * stays a shuffled join); the grand total is ONE broadcast row.
+    * Per-doc AVG of doubles is ROUND(6)ed (F13: summation order and libm
+    * log2 ulps absorbed). */
+  def bigramLogPerplexity(df: DataFrame, textCol: String, idCol: String,
+                          lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
+    val toksDf = df.select(col(idCol), TextFns.tokens(col(textCol)).as("tk"))
+    val bg = toksDf.filter(size(col("tk")) >= 2)
+      .select(col(idCol),
+        explode(graft.plans.ShingleArray.allShingles(col("tk"), 2)).as("b"))
+      .persist()
+    try {
+      val bc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      val uc = toksDf.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val n = uc.agg(sum("cw").as("n_uni"))
+      val p = lit(lambda) * col("cb").cast("double") / col("c_prev").cast("double") +
+        lit(1.0 - lambda) * col("cw").cast("double") / col("n_uni").cast("double")
+      bg.join(bc, Seq("b"))
+        .withColumn("prev", split(col("b"), " ").getItem(0))
+        .withColumn("w", split(col("b"), " ").getItem(1))
+        .join(uc.select(col("w").as("prev"), col("cw").as("c_prev")), Seq("prev"))
+        .join(uc, Seq("w"))
+        .crossJoin(broadcast(n))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log2(p)), 6).as("bits_per_bigram"))
+        .orderBy(idCol)
+        .localCheckpoint(eager = true)
+    } finally bg.unpersist()
+  }
+
+  /** Per-group percentile quality gate — "keep a document only if its
+    * quality score clears its OWN language's p-th percentile" (the
+    * dynamic-threshold form of corpus quality gating: a fixed global
+    * cut systematically starves low-resource slices, so CCNet-style
+    * pipelines cut per language). Returns the surviving docs with their
+    * score and the group threshold applied.
+    *
+    * Scale shape: scores are pure per-row arithmetic; thresholds are one
+    * groupBy to a GROUP-COUNT-sized frame (exact interpolated percentile —
+    * the [[Analytics.quantiles]] split applies: at 100 TB swap in the
+    * mergeable `percentile_approx` sketch, same dataflow), broadcast back
+    * onto the fact stream — no second wide shuffle. The comparison is
+    * ROUND(score, 6) >= ROUND(threshold, 6) — BOTH sides at the same
+    * precision, so the keep/drop boundary is bit-deterministic on every
+    * engine AND the group's median member itself always survives (a
+    * rounded threshold compared against an unrounded score could land
+    * above it). */
+  def percentileQualityGate(df: DataFrame, textCol: String, idCol: String,
+                            groupCol: String, p: Double = 0.5): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val scored = df.select(col(idCol), col(groupCol),
+      qualityScore(col(textCol)).as("q"))
+    val thr = scored.groupBy(groupCol)
+      .agg(round(percentile(col("q"), lit(p)), 6).as("q_threshold"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .filter(round(col("q"), 6) >= col("q_threshold"))
+      .select(col(idCol), col(groupCol), col("q").as("quality"),
+        col("q_threshold"))
+      .orderBy(idCol)
+  }
+
   /** DSIR importance weights (Data Selection via Importance Resampling,
     * Xie et al. 2023): score every raw document by how much more likely
     * its hashed unigram+bigram features are under the TARGET distribution

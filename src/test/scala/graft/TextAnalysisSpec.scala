@@ -340,6 +340,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == out(2L)) // weight depends on content, not membership
   }
 
+  test("bigramLogPerplexity: mirrored JM arithmetic; single-token doc absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogPerplexity(df, "text", "doc_id", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: cb(a b)=3, cb(b a)=1, cb(b c)=1; cw: a=3 b=3 c=1 x=1, N=8
+    def bits(p: Double) = -math.log(p) / math.log(2.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 0.7 * 3 / 3 + 0.3 * 3 / 8
+    val pBA = 0.7 * 1 / 3 + 0.3 * 3 / 8
+    val pBC = 0.7 * 1 / 3 + 0.3 * 1 / 8
+    assert(out.keySet == Set(1L, 2L)) // "x" has no bigram positions
+    assert(out(1L) == ((3L, r6((bits(pAB) + bits(pBA) + bits(pAB)) / 3))))
+    assert(out(2L) == ((2L, r6((bits(pAB) + bits(pBC)) / 2))))
+    // the doc built from the corpus' dominant bigram is less surprising
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
+  test("percentileQualityGate: per-group median keeps the upper half") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "zz", "g1"), // low: no stopwords, tiny
+      (2L, "the cat is in the hat and it is fine today okay yes", "g1"),
+      (3L, "the quick brown fox jumps over the lazy dog and it is a very fine day in the park with many happy people walking around enjoying all of it together now", "g1"),
+      (4L, "qq ww", "g2"),
+      (5L, "the dog is in a house and it is warm in there", "g2"),
+      (6L, "the sun is up and the sky is blue and it is time to go out and see all of the town before it gets dark again tonight my friend", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val scores = df.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = TextAnalysis.percentileQualityGate(df, "text", "doc_id", "lang", p = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 3 docs per group -> quantile_cont(0.5) is the middle score; the
+    // middle and top docs survive, the bottom is cut
+    assert(out.map(_._1).toSet == Set(2L, 3L, 5L, 6L))
+    for ((id, g, q, thr) <- out) {
+      assert(q == scores(id))
+      assert(thr == r6(scores(if (g == "g1") 2L else 5L)), s"group $g threshold")
+      assert(r6(q) >= thr) // the operator's own (rounded-both-sides) boundary
+    }
+  }
+
   test("hashedLinearScore: mirrors the md5 weight table, sigmoid bounds, label cut") {
     val s = spark
     import s.implicits._
