@@ -1015,6 +1015,46 @@ object SparkEntry {
               |FROM asg, q WHERE vec_id <> 20 AND cell = qcell
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_ann_recall",
+      // the ANN eval harness: recall@10 of IVF (nprobe=1) vs brute-force
+      // ground truth over a 5-query panel; cosines ROUND(6)ed before
+      // ranking on BOTH sides so the k-boundary is engine-deterministic
+      (s, d) => Similarity.annRecallIvf(Tables.embeddings(s, d),
+        queryIds = Seq(20L, 111L, 222L, 333L, 444L), k = 10),
+      Some(s"""WITH $evecCteSql,
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, v, nrm, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell AS qcell
+              |  FROM asg WHERE vec_id IN (20, 111, 222, 333, 444)),
+              |ex0 AS (SELECT qid, a.vec_id,
+              |    ROUND(${dotSql("a.v", "qv")} / (a.nrm * qnrm), 6) AS cos
+              |  FROM asg a CROSS JOIN qs WHERE a.vec_id <> qid),
+              |exr AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+              |    FROM ex0) WHERE rk <= 10),
+              |ap0 AS (SELECT qid, a.vec_id,
+              |    ROUND(${dotSql("a.v", "qv")} / (a.nrm * qnrm), 6) AS cos
+              |  FROM asg a JOIN qs ON a.cell = qcell AND a.vec_id <> qid),
+              |apr AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+              |    FROM ap0) WHERE rk <= 10),
+              |hx AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+              |    CAST(coalesce(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit
+              |  FROM exr e LEFT JOIN apr a ON e.qid = a.qid AND e.vec_id = a.vec_id
+              |  GROUP BY e.qid),
+              |ax AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_approx FROM apr GROUP BY qid)
+              |SELECT qid AS query_id, n_exact, n_approx, n_hit,
+              |  ROUND(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+              |FROM hx JOIN ax USING (qid) ORDER BY query_id""".stripMargin)),
+
     Q("ta_text_profile",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),

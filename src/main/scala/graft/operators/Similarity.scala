@@ -195,6 +195,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN recall harness — the eval pass every approximate index needs
+    * before it gates a production corpus: for each query in `queryIds`,
+    * rank the exact brute-force cosine top-k AND the IVF (nprobe=1,
+    * [[ivfTopK]] semantics) top-k, and report how much of the exact set
+    * the index recovered (`recall = n_hit / n_exact`). Returns one row
+    * per query: `(query_id, n_exact, n_approx, n_hit, recall)`.
+    *
+    * Scale shape: the IVF assignment is computed ONCE and persisted (the
+    * [[Dedup]] shingle-stream convention — it feeds the query set, the
+    * exact side and the probe side; released before returning). The
+    * query set is a broadcast of |queryIds| rows; the exact side is the
+    * deliberate corpus×queries stream (an EVAL harness over a handful of
+    * queries — rank windows partition by query id, so no global sort);
+    * the probe side touches only the queries' cells. Cosines are
+    * ROUND(6)ed BEFORE ranking with vec_id tiebreak — the k-boundary is
+    * engine-deterministic ([[bruteForceTopK]] convention). */
+  def annRecallIvf(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                   nCells: Int = 16): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .persist()
+    try {
+      val qs = assigned.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cell").as("qcell"))
+      val qcos = round(
+        dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+      val rank = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = assigned.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), qcos.as("cos"))
+        .withColumn("rk", row_number().over(rank)).filter(col("rk") <= k)
+      val approx = assigned.join(broadcast(qs),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), qcos.as("cos"))
+        .withColumn("rk", row_number().over(rank)).filter(col("rk") <= k)
+      exact
+        .join(approx.select(col("qid"), col("vec_id"), lit(true).as("hit")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(when(col("hit"), 1L)), lit(0L)).as("n_hit"))
+        .join(approx.groupBy("qid").agg(count(lit(1)).as("n_approx")), Seq("qid"))
+        .select(col("qid").as("query_id"), col("n_exact"), col("n_approx"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall"))
+        .orderBy("query_id")
+        .localCheckpoint(eager = true)
+    } finally assigned.unpersist()
+  }
+
   /** Bucket id of band `b` (planes `[b*r, (b+1)*r)`) — the banded split of
     * [[lshBucket]], so two vectors agree on band `b` iff they agree on the
     * signs of all `r` of that band's hyperplane projections. */

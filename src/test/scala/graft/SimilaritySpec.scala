@@ -119,4 +119,35 @@ class SimilaritySpec extends SparkSpec {
     assert(banded.length.toDouble / exact.length >= 0.5,
       s"recall ${banded.length}/${exact.length}")
   }
+
+  test("annRecallIvf: one cell = whole corpus probed = recall exactly 1.0") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.annRecallIvf(emb, Seq(20L, 111L, 222L), k = 10, nCells = 1)
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 10L)
+      assert(r.getAs[Long]("n_approx") == 10L)
+      assert(r.getAs[Long]("n_hit") == 10L) // same candidate set, same ranking
+      assert(r.getAs[Double]("recall") == 1.0)
+    }
+  }
+
+  test("annRecallIvf: recall counts exactly the exact-top-k members the probe found") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qid = 222L
+    val out = Similarity.annRecallIvf(emb, Seq(qid), k = 10, nCells = 16)
+      .collect()(0)
+    // cross-check n_hit against the two single-query operators' result sets
+    val exact = Similarity.bruteForceTopK(emb, qid, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = Similarity.ivfTopK(emb, qid, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out.getAs[Long]("n_exact") == exact.size)
+    assert(out.getAs[Long]("n_approx") == approx.size)
+    assert(out.getAs[Long]("n_hit") == (exact intersect approx).size)
+    assert(out.getAs[Double]("recall") ==
+      BigDecimal((exact intersect approx).size.toDouble / exact.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
