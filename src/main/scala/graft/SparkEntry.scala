@@ -1905,6 +1905,30 @@ object SparkEntry {
              |  event_type, CAST(count(*) AS BIGINT) AS cnt, ROUND(SUM(value), 6) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    Q("st8_late_data",
+      // watermark late-data drop + append-mode finalization, oracle-gated:
+      // batch split at min(ts)+20d, early events replayed late; the oracle
+      // recomputes both watermarks and applies the same drop/emit
+      // predicates (window_end vs watermark) in SQL
+      (s, d) => graft.streaming.Streams.runLateDataToCompletion(s, d)
+        .orderBy("window_start", "event_type"),
+      Some("""WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+             |mn AS (SELECT MIN(t) AS m FROM ev),
+             |b1 AS (SELECT ev.* FROM ev, mn WHERE t < m + INTERVAL 20 DAY),
+             |wm1 AS (SELECT MAX(t) - INTERVAL 2 HOUR AS w FROM b1),
+             |wmf AS (SELECT MAX(t) - INTERVAL 2 HOUR AS w FROM ev),
+             |arrivals AS (
+             |  SELECT event_type, t FROM ev
+             |  UNION ALL
+             |  SELECT event_type, t FROM b1, wm1
+             |  WHERE date_trunc('hour', t) + INTERVAL 1 HOUR > w),
+             |agg AS (SELECT date_trunc('hour', t) AS ws, event_type,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM arrivals GROUP BY 1, 2)
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, cnt
+             |FROM agg, wmf WHERE ws + INTERVAL 1 HOUR <= w
+             |ORDER BY window_start, event_type""".stripMargin)),
+
     Q("st4_stream_join",
       // stream-stream interval join (watermarks on both sides bound the
       // join state); oracle = the equivalent batch interval join

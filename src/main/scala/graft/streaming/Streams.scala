@@ -237,6 +237,87 @@ object Streams {
   /** Runs the hourly-count stream over a static directory to completion
     * (memory sink) and returns the final table — used by tests to prove
     * stream/batch equivalence. */
+  /** Watermark late-data semantics, demonstrated end to end and
+    * deterministically: the events table is split at `min(ts) + 20 days`
+    * into an EARLY file and a file holding the REMAINING events plus a
+    * full replay of the early ones — so every early event arrives a
+    * second time, late by construction. A 2-file file-source stream
+    * (`maxFilesPerTrigger=1`, mtime-ordered) makes the batch boundary
+    * exact: a replayed event is DROPPED iff its hour-window end is at or
+    * below the watermark in effect when the replay batch runs (state
+    * already finalized) and DOUBLE-COUNTED iff its window was still
+    * open — precisely the at-least-once downstream arithmetic a pipeline
+    * must reason about. Append mode emits only watermark-finalized
+    * windows: rows never revise.
+    *
+    * THREE files (early / rest / replay), not two — measured Spark 4.1.2
+    * behavior: the late-drop filter of batch N uses the watermark derived
+    * from data through batch N-2 (the progress line's `eventTime
+    * .watermark` is already one batch ahead of the filter). With replay
+    * as batch 2, its filter watermark is exactly `max(early ts) - 2h`;
+    * a 2-file layout replays against a still-1970 watermark and drops
+    * NOTHING. Verified against per-batch `numRowsDroppedByWatermark` and
+    * the doubled boundary windows.
+    *
+    * The whole construction is replayable in SQL (the DuckDB oracle
+    * computes both watermarks and applies the same drop/emit predicates),
+    * so THIS streaming run is oracle-gated, not just stream==batch. */
+  def runLateDataToCompletion(spark: SparkSession, dir: String,
+                              queryName: String = "stream_late_out"): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val minTs = ev.agg(min(col("ts"))).collect()(0).getTimestamp(0)
+    val cut = new java.sql.Timestamp(minTs.getTime + 20L * 24 * 3600 * 1000)
+    val early = ev.filter(col("ts") < lit(cut))
+    val rest = ev.filter(col("ts") >= lit(cut))
+    val tmp = Files.createTempDirectory("graft_late_").toString
+    val inDir = tmp + "/in"
+    Files.createDirectories(Paths.get(inDir))
+    def writeOne(df: org.apache.spark.sql.DataFrame, stage: String,
+                 target: String, mtime: Long): Unit = {
+      val stageDir = s"$tmp/$stage"
+      df.coalesce(1).write.parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, target)
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 180000
+    writeOne(early, "b1", "1_early.parquet", t0)
+    writeOne(rest, "b2", "2_rest.parquet", t0 + 60000)
+    writeOne(early, "b3", "3_replay.parquet", t0 + 120000)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("cnt"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    // the memory sink owns the rows now; the staging files can go
+    def rmTree(f: java.io.File): Unit = {
+      if (!Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
+    rmTree(new java.io.File(tmp))
+    spark.table(queryName)
+  }
+
   def runToCompletion(spark: SparkSession, dir: String,
                       queryName: String = "stream_out"): DataFrame = {
     // Stateful-stream partitioning is pinned at query start from

@@ -13,6 +13,47 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("late replay: finalized windows keep batch counts, open boundary windows double") {
+    import org.apache.spark.sql.functions._
+    val out = Streams.runLateDataToCompletion(spark, sf0001, "streams_spec_late")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sf0001)
+    val batch = ev
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("ws"), col("event_type"))
+      .count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // watermark in effect for the replay batch = max(early ts) - 2h
+    val minTs = ev.agg(min(col("ts"))).collect()(0).getTimestamp(0)
+    val cut = new java.sql.Timestamp(minTs.getTime + 20L * 24 * 3600 * 1000)
+    val wm1 = new java.sql.Timestamp(
+      ev.filter(col("ts") < lit(cut)).agg(max(col("ts")))
+        .collect()(0).getTimestamp(0).getTime - 2 * 3600 * 1000)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    assert(out.nonEmpty)
+    var doubled, kept = 0
+    for (((ws, et), cnt) <- out) {
+      val wStartMs = fmt.parse(ws).getTime
+      val wEnd = new java.sql.Timestamp(wStartMs + 3600 * 1000)
+      if (wEnd.getTime <= cut.getTime && wEnd.after(wm1)) {
+        // fully-replayed window still open at the replay batch: exact 2x
+        assert(cnt == 2 * batch((ws, et)), s"open boundary window $ws $et")
+        doubled += 1
+      } else if (wStartMs < cut.getTime && cut.getTime < wEnd.getTime &&
+        wEnd.after(wm1)) {
+        // window straddling the cut: only its early-side sliver replays
+        assert(cnt >= batch((ws, et)) && cnt <= 2 * batch((ws, et)),
+          s"straddling window $ws $et")
+      } else {
+        assert(cnt == batch((ws, et)), s"finalized window $ws $et")
+        kept += 1
+      }
+    }
+    assert(doubled > 0, "expected at least one double-counted boundary window")
+    assert(kept > doubled, "most windows must be finalized-and-protected")
+  }
+
   test("foreachBatch snapshot maintenance: latest row per key across micro-batches") {
     import org.apache.spark.sql.functions._
     val s = spark
