@@ -1855,6 +1855,34 @@ object SparkEntry {
              |FROM c GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    Q("ev_session_window_native",
+      // Spark's native session_window aggregate next to the manual
+      // gap-sessionize (ev_sessionize): merge rule is INCLUSIVE (an event
+      // exactly `gap` after the previous one still merges; the split
+      // needs diff > gap — measured, pinned in StreamsSpec), and
+      // window.end = last event + gap; the oracle replays both
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_us"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+             |g AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+             |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM g),
+             |c AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+             |SELECT user_id,
+             |  CAST(min(us) AS BIGINT) AS session_start_us,
+             |  CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  ROUND(SUM(value), 6) AS sum_value
+             |FROM c GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
     Q("bf_bloom_prefilter_join",
       // bloom-prefiltered join: dim-key bloom broadcast ahead of the
       // join prunes the fact shuffle to the matching slice; result is

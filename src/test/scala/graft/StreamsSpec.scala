@@ -54,6 +54,30 @@ class StreamsSpec extends SparkSpec {
     assert(kept > doubled, "most windows must be finalized-and-protected")
   }
 
+  test("session_window merge rule: exact-gap event MERGES (inclusive), beyond-gap splits") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // measured Spark 4.1.2 semantics (pinned here because ev_sessionize
+    // and the ev_session_window_native oracle both depend on it): an
+    // event exactly `gap` after the previous one still merges — the
+    // split needs diff > gap. Third event is gap+1s after the second.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    val df = Seq(base, base + 1800, base + 1800 + 1801)
+      .map(sec => (1L, sec)).toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val out = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("session_window.start")).as("st"),
+        unix_micros(col("session_window.end")).as("en"), col("n"))
+      .orderBy("st").collect()
+    assert(out.length == 2, s"expected 2 sessions, got ${out.toSeq}")
+    assert(out(0).getLong(2) == 2 && out(1).getLong(2) == 1)
+    // window.end = last event + gap
+    assert(out(0).getLong(1) == (base + 1800 + 1800) * 1000000L)
+    assert(out(1).getLong(1) == (base + 1800 + 1801 + 1800) * 1000000L)
+  }
+
   test("foreachBatch snapshot maintenance: latest row per key across micro-batches") {
     import org.apache.spark.sql.functions._
     val s = spark
