@@ -195,6 +195,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Mean-pooling of chunk embeddings into a parent-document embedding —
+    * the aggregation step of every chunked-retrieval pipeline (embed
+    * chunks, pool to a doc vector for coarse search, keep chunk vectors
+    * for fine search). Groups by `groupCol` and averages element-wise;
+    * returns `(group_id, n_vectors, pooled)` with `pooled` the dense
+    * array surface.
+    *
+    * Scale shape: posexplode to (group, dim, value) then ONE groupBy
+    * (group, dim) — a dim-times row inflation but fully relational,
+    * map-side combinable, and skew-free (the key space is groups×dims).
+    * Reassembly is a bounded per-group collect_list of `dim` structs.
+    * A `TypedImperativeAggregate` summing fixed-length buffers (the
+    * [[graft.plans.TopK]] pattern) is the constant-factor upgrade; the
+    * dataflow and results are identical. */
+  def meanPoolEmbeddings(emb: DataFrame, groupExpr: Column): DataFrame = {
+    emb.select(groupExpr.as("group_id"),
+        posexplode(toDoubleArray(col("embedding"))))
+      .groupBy(col("group_id"), col("pos"))
+      .agg(avg(col("col")).as("v"), count(lit(1)).as("n"))
+      .groupBy(col("group_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("pooled"),
+        max("n").as("n_vectors"))
+      .select(col("group_id"), col("n_vectors"), col("pooled"))
+  }
+
   /** ANN recall harness — the eval pass every approximate index needs
     * before it gates a production corpus: for each query in `queryIds`,
     * rank the exact brute-force cosine top-k AND the IVF (nprobe=1,

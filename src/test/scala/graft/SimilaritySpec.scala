@@ -120,6 +120,17 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${banded.length}/${exact.length}")
   }
 
+  test("meanPoolEmbeddings: element-wise mean per group, order preserved") {
+    val df = vecsDf(Seq(
+      (0L, Seq(1.0, 2.0, 30.0)), (1L, Seq(3.0, 6.0, 10.0)), // group 0
+      (10L, Seq(5.0, 5.0, 5.0)))) // group 1
+    val out = Similarity.meanPoolEmbeddings(df, expr("vec_id div 10"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Double](2).toList))).toMap
+    assert(out(0L) == ((2L, List(2.0, 4.0, 20.0))))
+    assert(out(1L) == ((1L, List(5.0, 5.0, 5.0))))
+  }
+
   test("annRecallIvf: one cell = whole corpus probed = recall exactly 1.0") {
     val emb = Tables.embeddings(spark, sf0001)
     val out = Similarity.annRecallIvf(emb, Seq(20L, 111L, 222L), k = 10, nCells = 1)
