@@ -1033,6 +1033,25 @@ object SparkEntry {
               |SELECT group_id, n_vectors, CAST(p - 1 AS INT) AS pos, ROUND(av, 6) AS val
               |FROM ag ORDER BY group_id, pos""".stripMargin)),
 
+    Q("emb_mean_pool_native",
+      // the same pooling through the native fixed-buffer vector-sum
+      // aggregate (graft.plans.VectorAgg) — o9-style twin entry: one
+      // dim-length partial buffer per (task, group) instead of dim
+      // exploded rows per vector; same oracle, ROUND(6) absorbs the
+      // shuffle-order ulp
+      (s, d) => Similarity.meanPoolEmbeddingsNative(
+          Tables.embeddings(s, d), expr("vec_id div 10"))
+        .select(col("group_id"), col("n_vectors"), posexplode(col("pooled")))
+        .select(col("group_id"), col("n_vectors"), col("pos"),
+          round(col("col"), 6).as("val"))
+        .orderBy("group_id", "pos"),
+      Some(s"""WITH $evecCteSql,
+              |px AS (SELECT vec_id // 10 AS group_id, unnest(range(1, 65)) AS p, v FROM evec),
+              |ag AS (SELECT group_id, p, AVG(v[p]) AS av, CAST(count(*) AS BIGINT) AS n_vectors
+              |  FROM px GROUP BY group_id, p)
+              |SELECT group_id, n_vectors, CAST(p - 1 AS INT) AS pos, ROUND(av, 6) AS val
+              |FROM ag ORDER BY group_id, pos""".stripMargin)),
+
     Q("sim_ann_recall",
       // the ANN eval harness: recall@10 of IVF (nprobe=1) vs brute-force
       // ground truth over a 5-query panel; cosines ROUND(6)ed before

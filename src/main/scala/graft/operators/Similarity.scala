@@ -222,6 +222,19 @@ object Similarity {
       .select(col("group_id"), col("n_vectors"), col("pooled"))
   }
 
+  /** [[meanPoolEmbeddings]] via the native [[graft.plans.VectorAgg]]
+    * fixed-buffer aggregate: one dim-length buffer per (task, group)
+    * shuffles instead of `dim` exploded rows per vector, and no per-group
+    * reassembly sort. Same results (to the usual shuffle-order ulp). */
+  def meanPoolEmbeddingsNative(emb: DataFrame, groupExpr: Column): DataFrame = {
+    emb.select(groupExpr.as("group_id"), toDoubleArray(col("embedding")).as("v"))
+      .groupBy("group_id")
+      .agg(graft.plans.VectorAgg.vectorSum(col("v")).as("sv"),
+        count(col("v")).as("n_vectors"))
+      .select(col("group_id"), col("n_vectors"),
+        transform(col("sv"), x => x / col("n_vectors").cast("double")).as("pooled"))
+  }
+
   /** ANN recall harness — the eval pass every approximate index needs
     * before it gates a production corpus: for each query in `queryIds`,
     * rank the exact brute-force cosine top-k AND the IVF (nprobe=1,

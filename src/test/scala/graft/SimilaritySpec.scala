@@ -131,6 +131,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == ((1L, List(5.0, 5.0, 5.0))))
   }
 
+  test("meanPoolEmbeddingsNative: equals the relational pooling, partial-agg plan") {
+    import org.apache.spark.sql.functions.expr
+    val emb = Tables.embeddings(spark, sf0001)
+    def collectPooled(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1),
+          r.getSeq[Double](2).map(x => BigDecimal(x)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toList))
+      }.toMap
+    val relational = collectPooled(
+      Similarity.meanPoolEmbeddings(emb, expr("vec_id div 10")))
+    val nativeDf = Similarity.meanPoolEmbeddingsNative(emb, expr("vec_id div 10"))
+    val native = collectPooled(nativeDf)
+    // identical groups, counts, and per-dim means to 9 decimals (the
+    // shuffle-order ulp is the only permitted difference)
+    assert(native == relational)
+    val p = nativeDf.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("partial_graft_vector_sum"), p.take(2000))
+  }
+
+  test("vectorSum: null vectors skipped, all-null group is null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(Seq(1.0, 2.0))), (1L, None), (2L, None))
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(graft.plans.VectorAgg.vectorSum(col("v")).as("sv"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).map(_.asInstanceOf[scala.collection.Seq[Double]].toList) ==
+      Some(List(1.0, 2.0)))
+    assert(out(2L).isEmpty)
+  }
+
   test("annRecallIvf: one cell = whole corpus probed = recall exactly 1.0") {
     val emb = Tables.embeddings(spark, sf0001)
     val out = Similarity.annRecallIvf(emb, Seq(20L, 111L, 222L), k = 10, nCells = 1)
