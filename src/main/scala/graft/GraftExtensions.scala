@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.plans.{DotProduct, L2Norm, ShingleArray, TopKByScore}
+import graft.plans.{DotProduct, L2Norm, ShingleArray, TopKByScore, VectorSum}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions at session build time
@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_top_k(score, tiebreak, payload, k) expects k as an integer " +
             s"literal, got ${other.length} argument(s)")
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_vector_sum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "graft_vector_sum"),
+      (exprs: Seq[Expression]) => VectorSum(exprs.head).toAggregateExpression()))
   }
 }

@@ -152,6 +152,17 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("partial_graft_vector_sum"), p.take(2000))
   }
 
+  test("SQL registration: graft_vector_sum usable from pure SQL") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (2L, Seq(5.0, 6.0)))
+      .toDF("g", "v").createOrReplaceTempView("vecsum_sql_in")
+    val out = spark.sql(
+      "SELECT g, graft_vector_sum(v) AS sv FROM vecsum_sql_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(out(1L) == List(4.0, 6.0) && out(2L) == List(5.0, 6.0))
+  }
+
   test("vectorSum: null vectors skipped, all-null group is null") {
     val s = spark
     import s.implicits._
