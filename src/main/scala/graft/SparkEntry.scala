@@ -200,6 +200,32 @@ object SparkEntry {
     s"(CASE (SELECT r FROM params) $arms ELSE NULL END)"
   }
 
+  /** CTE chain ending in `dw(doc_id, n_feats, log_weight)` — the DSIR
+    * hashed unigram+bigram importance weights of
+    * [[operators.TextAnalysis.dsirImportance]] (target = lang 'en',
+    * 4096 buckets) replayed in DuckDB (requires `toks`). Shared by
+    * `mix_dsir_weights` and `mix_dsir_resample`. */
+  private val dsirCtesSql: String =
+    """dfeat AS (SELECT doc_id, lang = 'en' AS tgt,
+      |    unnest(tokens || CASE WHEN len(tokens) >= 2
+      |      THEN list_transform(range(1, len(tokens)), i -> array_to_string(list_slice(tokens, i, i + 1), ' '))
+      |      ELSE CAST([] AS VARCHAR[]) END) AS f
+      |  FROM toks),
+      |db AS (SELECT doc_id, tgt,
+      |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS b FROM dfeat),
+      |dh AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+      |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |  FROM db GROUP BY b),
+      |dt AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt FROM dh),
+      |dl AS (SELECT b,
+      |    ln(((CAST(ct AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(nt AS DOUBLE) + CAST(4096.0 AS DOUBLE)))
+      |     / ((CAST(cr AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(nr AS DOUBLE) + CAST(4096.0 AS DOUBLE)))) AS lr
+      |  FROM dh, dt),
+      |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM db GROUP BY doc_id, b),
+      |dw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+      |    ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS log_weight
+      |  FROM dc JOIN dl USING (b) GROUP BY doc_id)""".stripMargin
+
   /** Mirrors [[Dedup.shingles]] over the `tokens` column of the `toks` CTE. */
   private def shinglesSql(n: Int): String =
     s"list_distinct(CASE WHEN len(tokens) >= $n THEN " +
@@ -1378,27 +1404,27 @@ object SparkEntry {
       (s, d) => TextAnalysis.dsirImportance(
         Tables.documents(s, d), "text", "doc_id",
         isTarget = col("lang") === "en", buckets = 4096),
-      Some(Sentiment.oracleCte +
+      Some(Sentiment.oracleCte + ",\n" + dsirCtesSql +
+        "\nSELECT doc_id, n_feats, log_weight FROM dw ORDER BY doc_id")),
+
+    Q("mix_dsir_resample",
+      // the SELECTION half of DSIR: Gumbel-top-k over the importance
+      // weights (log_weight + Gumbel noise from an md5-uniform — the
+      // without-replacement sampling trick, Vieira 2014), top-50; noise
+      // and sampling key ROUND(6)ed before ranking, doc_id tiebreak ->
+      // the cut is engine-deterministic AND reproducible run to run
+      (s, d) => TextAnalysis.dsirResample(
+        Tables.documents(s, d), "text", "doc_id",
+        isTarget = col("lang") === "en", buckets = 4096, n = 50),
+      Some(Sentiment.oracleCte + ",\n" + dsirCtesSql +
         """,
-          |dfeat AS (SELECT doc_id, lang = 'en' AS tgt,
-          |    unnest(tokens || CASE WHEN len(tokens) >= 2
-          |      THEN list_transform(range(1, len(tokens)), i -> array_to_string(list_slice(tokens, i, i + 1), ' '))
-          |      ELSE CAST([] AS VARCHAR[]) END) AS f
-          |  FROM toks),
-          |db AS (SELECT doc_id, tgt,
-          |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS b FROM dfeat),
-          |dh AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
-          |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
-          |  FROM db GROUP BY b),
-          |dt AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt FROM dh),
-          |dl AS (SELECT b,
-          |    ln(((CAST(ct AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(nt AS DOUBLE) + CAST(4096.0 AS DOUBLE)))
-          |     / ((CAST(cr AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(nr AS DOUBLE) + CAST(4096.0 AS DOUBLE)))) AS lr
-          |  FROM dh, dt),
-          |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM db GROUP BY doc_id, b)
-          |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
-          |  ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS log_weight
-          |FROM dc JOIN dl USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+          |gb AS (SELECT doc_id, log_weight,
+          |    ROUND(-ln(-ln((CAST(CAST('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+          |      + CAST(0.5 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE))), 6) AS gumbel
+          |  FROM dw)
+          |SELECT doc_id, log_weight, gumbel,
+          |  ROUND(log_weight + gumbel, 6) AS sample_key
+          |FROM gb ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin)),
 
     Q("ta_hashed_classifier",
       // fastText-shape hashed linear scorer: mean hashed-token weight ->

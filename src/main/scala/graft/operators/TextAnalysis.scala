@@ -720,6 +720,33 @@ object TextAnalysis {
     } finally dc.unpersist()
   }
 
+  /** The SELECTION half of DSIR: sample the top-`n` documents by
+    * `log_weight + Gumbel noise` — the Gumbel-top-k trick (Vieira 2014)
+    * turns weighted sampling WITHOUT replacement into one ranking pass,
+    * and deriving the "noise" from an md5 hash of the doc id makes the
+    * sample reproducible across runs, engines and re-partitioning (the
+    * [[domainCap]] deterministic-sample convention). Returns the selected
+    * `(id, log_weight, gumbel, sample_key)` rows.
+    *
+    * Scale shape: [[dsirImportance]]'s shape plus one pure per-row noise
+    * expression and a global top-n — a TakeOrderedAndProject (bounded
+    * heap), never a full sort. Noise and key are ROUND(6)ed BEFORE
+    * ranking with id tiebreak: the selection boundary is deterministic
+    * even where libm `ln` differs in the last ulp. */
+  def dsirResample(df: DataFrame, textCol: String, idCol: String,
+                   isTarget: Column, buckets: Int = 4096,
+                   n: Int = 50): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (hash60(concat(lit("g:"), col(idCol).cast("string"))).cast("double") +
+      lit(0.5)) / lit(1152921504606846976.0) // 2^60: u in (0, 1)
+    dsirImportance(df, textCol, idCol, isTarget, buckets)
+      .withColumn("gumbel", round(-log(-log(u)), 6))
+      .withColumn("sample_key", round(col("log_weight") + col("gumbel"), 6))
+      .select(col(idCol), col("log_weight"), col("gumbel"), col("sample_key"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Hashed linear text-classifier inference (the fastText architecture,
     * Joulin et al. 2017: mean of hashed-token weights → sigmoid — the
     * shape of the quality classifiers gating GPT-3/LLaMA-style corpora).

@@ -389,6 +389,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dsirResample: deterministic Gumbel-top-k, key mirrors the md5 uniform") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(i =>
+      (i, if (i <= 5) "alpha beta gamma" else "delta epsilon zeta", i <= 5))
+      .toDF("doc_id", "text", "tgt")
+    val run1 = TextAnalysis.dsirResample(df, "text", "doc_id", col("tgt"), buckets = 64, n = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val run2 = TextAnalysis.dsirResample(df, "text", "doc_id", col("tgt"), buckets = 64, n = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(run1.toSeq == run2.toSeq) // reproducible sample, stable order
+    assert(run1.length == 8)
+    // keys are sorted descending with doc_id tiebreak
+    assert(run1.map(_._2).toSeq == run1.map(_._2).sortBy(-_).toSeq)
+    // gumbel mirrors the md5-uniform construction
+    val g1 = TextAnalysis.dsirResample(df, "text", "doc_id", col("tgt"), buckets = 64, n = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def hk(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (id <- Seq(1L, 7L, 13L)) {
+      val u = (hk(s"g:$id").toDouble + 0.5) / 1152921504606846976.0
+      assert(g1(id) == r6(-math.log(-math.log(u))), s"doc $id gumbel")
+    }
+  }
+
   test("hashedLinearScore: mirrors the md5 weight table, sigmoid bounds, label cut") {
     val s = spark
     import s.implicits._
