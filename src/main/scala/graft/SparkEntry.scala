@@ -1450,6 +1450,26 @@ object SparkEntry {
           |    THEN 'keep' ELSE 'drop' END AS label
           |FROM hw ORDER BY doc_id""".stripMargin)),
 
+    Q("ta_length_outliers",
+      // per-language Tukey fences over token counts (report, not filter);
+      // fences ROUND(6)ed, compared against exact integer lengths
+      (s, d) => TextAnalysis.lengthOutliers(
+        Tables.documents(s, d), "text", "doc_id", "lang", k = 1.5),
+      Some(Sentiment.oracleCte +
+        """,
+          |lx AS (SELECT doc_id, lang, CAST(len(tokens) AS BIGINT) AS n_tokens FROM toks),
+          |fx AS (SELECT lang,
+          |    ROUND(quantile_cont(n_tokens, CAST(0.25 AS DOUBLE))
+          |      - CAST(1.5 AS DOUBLE) * (quantile_cont(n_tokens, CAST(0.75 AS DOUBLE))
+          |        - quantile_cont(n_tokens, CAST(0.25 AS DOUBLE))), 6) AS lo_fence,
+          |    ROUND(quantile_cont(n_tokens, CAST(0.75 AS DOUBLE))
+          |      + CAST(1.5 AS DOUBLE) * (quantile_cont(n_tokens, CAST(0.75 AS DOUBLE))
+          |        - quantile_cont(n_tokens, CAST(0.25 AS DOUBLE))), 6) AS hi_fence
+          |  FROM lx GROUP BY lang)
+          |SELECT doc_id, lang, n_tokens, lo_fence, hi_fence,
+          |  (CAST(n_tokens AS DOUBLE) < lo_fence OR CAST(n_tokens AS DOUBLE) > hi_fence) AS is_outlier
+          |FROM lx JOIN fx USING (lang) ORDER BY doc_id""".stripMargin)),
+
     Q("ta_bigram_logppl",
       // Jelinek-Mercer interpolated bigram LM (the KenLM-filter direction;
       // Stupid-Backoff counting): bits per bigram position, ROUND(6)

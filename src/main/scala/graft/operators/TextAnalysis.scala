@@ -658,6 +658,39 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Per-group Tukey-fence outlier report over document length — the
+    * robust (quartile-based, outlier-insensitive) screen a corpus audit
+    * runs before trusting its length distribution: a document is flagged
+    * iff its token count falls outside `[q1 - k·IQR, q3 + k·IQR]` of its
+    * OWN group (k = 1.5, Tukey 1977). Returns every document with its
+    * group's fences and an `is_outlier` flag — a report, not a filter, so
+    * the audit can inspect what it would drop.
+    *
+    * Scale shape: lengths are per-row arithmetic; the fences are one
+    * groupBy to a group-count-sized frame (exact interpolated quartiles —
+    * swap the mergeable `percentile_approx` sketch at 100 TB, the
+    * [[Analytics.quantiles]] split), broadcast back onto the fact stream.
+    * Fences ROUND(6)ed and compared against exact integer lengths: the
+    * flag boundary is engine-deterministic. */
+  def lengthOutliers(df: DataFrame, textCol: String, idCol: String,
+                     groupCol: String, k: Double = 1.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val lens = df.select(col(idCol), col(groupCol),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val fences = lens.groupBy(groupCol)
+      .agg(percentile(col("n_tokens"), lit(0.25)).as("q1"),
+        percentile(col("n_tokens"), lit(0.75)).as("q3"))
+      .select(col(groupCol),
+        round(col("q1") - lit(k) * (col("q3") - col("q1")), 6).as("lo_fence"),
+        round(col("q3") + lit(k) * (col("q3") - col("q1")), 6).as("hi_fence"))
+    lens.join(broadcast(fences), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("lo_fence"), col("hi_fence"),
+        (col("n_tokens").cast("double") < col("lo_fence") ||
+          col("n_tokens").cast("double") > col("hi_fence")).as("is_outlier"))
+      .orderBy(idCol)
+  }
+
   /** DSIR importance weights (Data Selection via Importance Resampling,
     * Xie et al. 2023): score every raw document by how much more likely
     * its hashed unigram+bigram features are under the TARGET distribution

@@ -389,6 +389,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("lengthOutliers: Tukey fences per group, only the extreme doc flagged") {
+    val s = spark
+    import s.implicits._
+    // g1 lengths: 4,5,6,7,100 -> q1=5 q3=7 IQR=2 fences [2, 10] -> only
+    // the 100-token doc is an outlier; g2 uniform -> none
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val df = Seq(
+      (1L, words(4), "g1"), (2L, words(5), "g1"), (3L, words(6), "g1"),
+      (4L, words(7), "g1"), (5L, words(100), "g1"),
+      (6L, words(10), "g2"), (7L, words(10), "g2"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lengthOutliers(df, "text", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(5L)._4 && out.filter(_._1 != 5L).values.forall(!_._4))
+    assert(out(1L)._2 == 2.0 && out(1L)._3 == 10.0) // exact fences
+    assert(out(6L)._2 == 10.0 && out(6L)._3 == 10.0) // zero-IQR group
+  }
+
   test("dsirResample: deterministic Gumbel-top-k, key mirrors the md5 uniform") {
     val s = spark
     import s.implicits._
