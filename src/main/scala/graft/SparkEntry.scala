@@ -2000,6 +2000,40 @@ object SparkEntry {
               |  ${functions.ZOrder.zorderKeySql("(doc_id & 65535)", "(n_chars & 65535)")} AS zkey
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("ev_funnel",
+      // ordered view -> click -> purchase funnel: first hit of each stage
+      // strictly after the previous stage's first hit; conversion share
+      // of stage 1, ROUND(6)
+      (s, d) => operators.Analytics.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |f1 AS (SELECT user_id, MIN(us) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+             |f2 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN f1 USING (user_id)
+             |  WHERE event_type = 'click' AND us > f1.t GROUP BY e.user_id),
+             |f3 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN f2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND us > f2.t GROUP BY e.user_id),
+             |c AS (
+             |  SELECT 1 AS stage, 'view' AS stage_name, (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_users
+             |  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM f2)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM f3))
+             |SELECT CAST(stage AS INT) AS stage, stage_name, n_users,
+             |  ROUND(CAST(n_users AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM f1), 6) AS conversion
+             |FROM c ORDER BY stage""".stripMargin)),
+
+    Q("ev_transition_matrix",
+      // first-order Markov transitions over each user's time-ordered
+      // stream: ONE lag window keyed by user, then a |types|^2 matrix
+      (s, d) => operators.Analytics.transitionMatrix(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+             |t AS (SELECT user_id, event_type AS to_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type
+             |  FROM e),
+             |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM t WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+             |SELECT from_type, to_type, n,
+             |  ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+             |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
     Q("ev_salted_agg",
       // skew-safe two-phase aggregation; oracle is the direct GROUP BY —
       // the salted plan must be algebraically identical

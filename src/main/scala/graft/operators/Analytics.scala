@@ -457,4 +457,71 @@ object Analytics {
       .groupBy(col(textCol))
       .agg(min(col(idCol)).as("first_id"), count(lit(1)).as("n_dups"))
       .orderBy("first_id")
+
+  /** Ordered-sequence funnel: how many users reach stage i of `stages`
+    * IN ORDER (each stage's first hit strictly after the previous
+    * stage's first hit — the classic product-analytics conversion
+    * funnel). Returns one row per stage with the user count and the
+    * conversion share of stage 1, ROUND(6)ed.
+    *
+    * Scale shape: one filtered min-aggregate per stage, each keyed on
+    * the user — every join is a same-key equi-join (co-located under
+    * user bucketing; AQE otherwise), and each stage's frame shrinks
+    * monotonically. No window over raw events, no per-user sort. */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .join(prev.select(col(userCol), col("t").as("t_prev")), Seq(userCol))
+        .filter(col(tsCol) > col("t_prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+    // lazy: one count-aggregate per stage unioned into the report frame
+    // (stage i's plan re-derives stages 1..i-1 — fine for report-sized
+    // funnels; persist the intermediate frames for very deep ones)
+    val rows = reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("stage_name"),
+          col("n_users"))
+    }
+    val base = rows.head.select(col("n_users").as("n_base"))
+    rows.reduce(_ unionByName _)
+      .crossJoin(broadcast(base))
+      .withColumn("conversion",
+        round(col("n_users").cast("double") / col("n_base").cast("double"), 6))
+      .select(col("stage"), col("stage_name"), col("n_users"), col("conversion"))
+      .orderBy("stage")
+  }
+
+  /** Event-type transition counts — the first-order Markov view of user
+    * behavior (which event follows which): for each user's time-ordered
+    * event stream, count (previous type → type) transitions and report
+    * each transition's share of its source type's outgoing edges.
+    *
+    * Scale shape: ONE window (lag over user, ordered by time) — the
+    * partition key is the user, so no single task ever sorts more than
+    * one user's events — then a transition-matrix-sized groupBy
+    * (|types|² rows) and a pct-of-total window over that tiny frame. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val src = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(src).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
 }

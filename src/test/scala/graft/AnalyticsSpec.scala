@@ -143,4 +143,42 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
     assert(hist.count(_._1.isEmpty) == 2) // NULL group binned, not dropped
   }
+  test("funnel: stage order enforced, out-of-order users drop out") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // A: view->click->purchase in order; B: click BEFORE view (drops at
+    // stage 2), later purchase ignored too; C: view only
+    val df = Seq(
+      (1L, "A", "view", t(0)), (2L, "A", "click", t(10)), (3L, "A", "purchase", t(20)),
+      (4L, "B", "click", t(0)), (5L, "B", "view", t(10)), (6L, "B", "purchase", t(20)),
+      (7L, "C", "view", t(0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = operators.Analytics.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) == (("view", 3L, 1.0)))
+    // B clicked before viewing -> no click after first view... B's click
+    // at t0 < view t10, so B drops; but B purchased after view? purchase
+    // needs a click AFTER the view first - B has none
+    assert(out(2) == (("click", 1L, 0.333333)))
+    assert(out(3) == (("purchase", 1L, 0.333333)))
+  }
+
+  test("transitionMatrix: counts ordered pairs per user, rows sum to 1 per source") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val df = Seq(
+      (1L, "A", "view", t(0)), (2L, "A", "click", t(1)), (3L, "A", "view", t(2)),
+      (4L, "B", "view", t(0)), (5L, "B", "click", t(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = operators.Analytics.transitionMatrix(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // transitions: A view->click, click->view; B view->click
+    assert(out(("view", "click")) == ((2L, 1.0)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    assert(out.size == 2)
+  }
 }

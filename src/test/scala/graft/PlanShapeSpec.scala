@@ -151,7 +151,8 @@ class PlanShapeSpec extends SparkSpec {
       "mix_temperature", // 20 domain rows x TWO broadcast single-row totals
       "ir_bm25_topk", // query-term hits x ONE broadcast (N, avgdl) row
       "ta_keywords_tfidf", // (doc, term) counts x ONE broadcast N row
-      "mix_dsir_weights") // bucket histogram x ONE broadcast totals row
+      "mix_dsir_weights", // bucket histogram x ONE broadcast totals row
+      "ev_funnel") // 3 stage-count rows x ONE broadcast stage-1 base row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
