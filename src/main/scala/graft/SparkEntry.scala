@@ -133,7 +133,7 @@ object SparkEntry {
   private def wordsCte(stopWords: Seq[String]): String = {
     val stop = stopWords.map(w => s"'$w'").mkString("(", ",", ")")
     s"""words AS (
-       |  SELECT lang, source, unnest(list_filter(
+       |  SELECT doc_id, lang, source, unnest(list_filter(
        |    string_split(trim(regexp_replace(
        |      regexp_replace(regexp_replace(regexp_replace(lower(text),
        |        'http\\S+|www\\.\\S+', ' ', 'g'),
@@ -2033,6 +2033,98 @@ object SparkEntry {
              |SELECT from_type, to_type, n,
              |  ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
              |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
+    Q("ev_retention",
+      // cohort-by-first-day retention matrix; DISTINCT (user, day) first
+      // so every downstream stage is O(users x active-days)
+      (s, d) => operators.Analytics.retentionCohorts(Tables.events(s, d)),
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+             |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+             |s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1),
+             |c AS (SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS offset_days,
+             |    CAST(count(*) AS BIGINT) AS n_active
+             |  FROM d JOIN f USING (user_id) GROUP BY 1, 2)
+             |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+             |  CAST(c.offset_days AS INT) AS offset_days, c.n_active, s.n_cohort,
+             |  ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+             |FROM c JOIN s USING (cohort_day) ORDER BY cohort_day, offset_days""".stripMargin)),
+
+    Q("ev_rfm",
+      // RFM quintile scoring over O(customers) aggregates; quintiles via
+      // the distributed two-phase global rank + ntile arithmetic, never an
+      // unpartitioned ntile window (single-task sort)
+      (s, d) => operators.Analytics.rfmScores(Tables.orders(s, d)),
+      Some("""WITH r AS (
+             |  SELECT o_custkey,
+             |    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+             |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+             |    CAST(count(*) AS BIGINT) AS frequency,
+             |    ROUND(SUM(o_totalprice), 6) AS monetary
+             |  FROM orders GROUP BY o_custkey),
+             |s AS (SELECT *, ntile(5) OVER (ORDER BY recency_days, o_custkey) AS nt_r,
+             |    ntile(5) OVER (ORDER BY frequency, o_custkey) AS nt_f,
+             |    ntile(5) OVER (ORDER BY monetary, o_custkey) AS nt_m FROM r)
+             |SELECT o_custkey, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
+             |  CAST(6 - nt_r AS INT) AS r_score, CAST(nt_f AS INT) AS f_score,
+             |  CAST(nt_m AS INT) AS m_score,
+             |  CAST((6 - nt_r) * 100 + nt_f * 10 + nt_m AS INT) AS rfm_code
+             |FROM s ORDER BY o_custkey""".stripMargin)),
+
+    Q("u5_scd2_history",
+      // type-2 SCD rebuild from the order-status change feed: both
+      // gaps-and-islands windows keyed by the customer
+      (s, d) => operators.Analytics.scd2History(Tables.orders(s, d),
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+      Some("""WITH o AS (SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders),
+             |l AS (SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS prev FROM o),
+             |i AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> o_orderstatus THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey ROWS UNBOUNDED PRECEDING) AS island FROM l),
+             |v AS (SELECT o_custkey, island, MIN(o_orderstatus) AS status, MIN(d) AS valid_from
+             |  FROM i GROUP BY o_custkey, island)
+             |SELECT o_custkey, CAST(island AS INT) AS version, status,
+             |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
+             |  strftime(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island), '%Y-%m-%d') AS valid_to
+             |FROM v ORDER BY o_custkey, version""".stripMargin)),
+
+    Q("hh_heavy_hitters",
+      // exact heavy hitters (freq > n/40) via per-partition Misra-Gries
+      // candidates + one exact pruned count pass; the oracle is the naive
+      // full GROUP BY the two-pass plan must reproduce exactly
+      (s, d) => operators.HeavyHitters.heavyHitterWords(
+        Tables.documents(s, d), "text", 40),
+      Some(s"""WITH $wordsCteSql,
+              |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY word),
+              |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM words)
+              |SELECT c.word, c.cnt,
+              |  ROUND(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+              |FROM c, t WHERE CAST(c.cnt AS DOUBLE) > CAST(t.total AS DOUBLE) / 40
+              |ORDER BY cnt DESC, word""".stripMargin)),
+
+    Q("ta_drift_words",
+      // word-distribution drift between the even/odd doc_id slices:
+      // per-word Jensen-Shannon contributions, top 20
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.TextAnalysis.driftWords(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text", 20)
+      },
+      Some(s"""WITH $wordsCteSql,
+              |a AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt_a FROM words WHERE doc_id % 2 = 0 GROUP BY word),
+              |b AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt_b FROM words WHERE doc_id % 2 = 1 GROUP BY word),
+              |ta AS (SELECT CAST(SUM(cnt_a) AS DOUBLE) AS tot_a FROM a),
+              |tb AS (SELECT CAST(SUM(cnt_b) AS DOUBLE) AS tot_b FROM b),
+              |j AS (SELECT COALESCE(a.word, b.word) AS word,
+              |    COALESCE(cnt_a, CAST(0 AS BIGINT)) AS cnt_a,
+              |    COALESCE(cnt_b, CAST(0 AS BIGINT)) AS cnt_b
+              |  FROM a FULL OUTER JOIN b ON a.word = b.word),
+              |p AS (SELECT word, cnt_a, cnt_b,
+              |    CAST(cnt_a AS DOUBLE) / tot_a AS pa, CAST(cnt_b AS DOUBLE) / tot_b AS pb
+              |  FROM j, ta, tb)
+              |SELECT word, cnt_a, cnt_b, ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+              |  ROUND(CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) / ln(2) / 2 ELSE CAST(0 AS DOUBLE) END +
+              |        CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) / ln(2) / 2 ELSE CAST(0 AS DOUBLE) END, 6) AS jsd_contrib
+              |FROM p ORDER BY jsd_contrib DESC, word LIMIT 20""".stripMargin)),
 
     Q("ev_salted_agg",
       // skew-safe two-phase aggregation; oracle is the direct GROUP BY —

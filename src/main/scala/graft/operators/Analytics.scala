@@ -524,4 +524,120 @@ object Analytics {
         sum(col("n")).over(src).cast("double"), 6))
       .orderBy("from_type", "to_type")
   }
+
+  /** Cohort retention matrix: users are cohorted by their first active
+    * day; for each (cohort day, day offset) report how many of that
+    * cohort's users were active, and the retained share of the cohort.
+    *
+    * Scale shape: events collapse to DISTINCT (user, day) FIRST — one
+    * shuffle on the user+day pair that shrinks every downstream stage to
+    * O(users × active-days). The cohort join is a same-key equi-join on
+    * the user (co-located under user bucketing), and the per-cell count
+    * needs no distinct because (user, day) is already unique. Cohort
+    * sizes (O(days) rows) broadcast back onto the matrix. */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val days = events.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    val first = days.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    days.join(first, Seq(userCol))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days").cast("int").as("offset_days"),
+        col("n_active"), col("n_cohort"), col("retention"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** SQL-ntile bucket from a precomputed 1-based global rank: the first
+    * n % k buckets take one extra row, exactly like `NTILE(k) OVER`. Pure
+    * arithmetic over (rank, n) — no window. */
+  def ntileFromRank(rankCol: String, nCol: String, k: Int): Column =
+    expr(s"CAST(CASE WHEN $rankCol <= ($nCol % $k) * ($nCol DIV $k + 1) " +
+      s"THEN ($rankCol - 1) DIV ($nCol DIV $k + 1) + 1 " +
+      s"ELSE ($nCol % $k) + ($rankCol - 1 - ($nCol % $k) * ($nCol DIV $k + 1)) DIV ($nCol DIV $k) + 1 " +
+      s"END AS INT)")
+
+  /** RFM customer scoring: per-customer recency (days since last order,
+    * relative to the corpus max date), frequency (order count) and
+    * monetary (total spend, ROUND(6)ed before ranking so engine and
+    * oracle rank identical values), each quintiled 1–5; recency is
+    * inverted (most recent = 5) and the three digits concatenate into
+    * the classic RFM code.
+    *
+    * Scale shape: one groupBy collapses orders to O(customers) rows;
+    * the corpus max date is a broadcast single-row aggregate. Each
+    * quintile uses [[withGlobalRank]] — range-bucketed two-phase global
+    * rank, never an unpartitioned `ntile` window (which would sort every
+    * customer on ONE task) — then [[ntileFromRank]] arithmetic. */
+  def rfmScores(orders: DataFrame, custCol: String = "o_custkey",
+                dateCol: String = "o_orderdate",
+                priceCol: String = "o_totalprice"): DataFrame = {
+    val maxDate = orders.agg(max(to_date(col(dateCol))).as("__maxd"))
+    val rfm = orders
+      .groupBy(col(custCol))
+      .agg(max(to_date(col(dateCol))).as("__lastd"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(priceCol)), 6).as("monetary"))
+      .crossJoin(broadcast(maxDate))
+      .withColumn("recency_days", datediff(col("__maxd"), col("__lastd")).cast("int"))
+      .drop("__maxd", "__lastd")
+    val ranked = Seq(
+      ("recency_days", "__rk_r"), ("frequency", "__rk_f"), ("monetary", "__rk_m"))
+      .foldLeft(rfm) { case (df, (metric, rk)) =>
+        withGlobalRank(df, metric, Seq(col(metric), col(custCol)), rk)
+          .withColumnRenamed("__n", s"__n$rk")
+      }
+    ranked
+      .withColumn("r_score", lit(6) - ntileFromRank("__rk_r", "__n__rk_r", 5))
+      .withColumn("f_score", ntileFromRank("__rk_f", "__n__rk_f", 5))
+      .withColumn("m_score", ntileFromRank("__rk_m", "__n__rk_m", 5))
+      .withColumn("rfm_code",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select(col(custCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("rfm_code"))
+      .orderBy(custCol)
+  }
+
+  /** Type-2 slowly-changing-dimension history from an event log: collapse
+    * each key's time-ordered status stream into versioned validity
+    * intervals — consecutive equal statuses merge into one row with
+    * `valid_from` = first date of the run and `valid_to` = start of the
+    * next run (NULL while current). The gaps-and-islands build every
+    * warehouse uses to reconstruct dimension history from a change feed.
+    *
+    * Scale shape: two windows, BOTH keyed by the dimension key (lag to
+    * flag changes, running sum to number islands) — no task ever sorts
+    * more than one key's rows — then a groupBy on (key, island) and a
+    * per-key lead over the O(versions) collapsed frame. */
+  def scd2History(log: DataFrame, keyCol: String, statusCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    // the change feed is ordered at DAY granularity (+ tie key) so engine
+    // and oracle agree even when the raw timestamp carries a time-of-day
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d"), col(tieCol))
+    val islands = log
+      .select(col(keyCol), col(statusCol), to_date(col(tsCol)).as("__d"), col(tieCol))
+      .withColumn("__chg",
+        when(lag(col(statusCol), 1).over(w).isNull ||
+          lag(col(statusCol), 1).over(w) =!= col(statusCol), 1).otherwise(0))
+      .withColumn("__island", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = islands.groupBy(col(keyCol), col("__island"))
+      // every row in an island shares the status, so min() IS the status
+      // (and is deterministic, unlike first())
+      .agg(min(col(statusCol)).as("status"), min(col("__d")).as("valid_from"))
+    val vw = Window.partitionBy(col(keyCol)).orderBy(col("__island"))
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      .select(col(keyCol), col("__island").cast("int").as("version"),
+        col("status"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
+      .orderBy(keyCol, "version")
+  }
 }

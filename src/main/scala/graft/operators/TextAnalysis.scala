@@ -812,4 +812,49 @@ object TextAnalysis {
         when(col("score") >= 0.5, "keep").otherwise("drop").as("label"))
       .orderBy(idCol)
   }
+
+  /** Distribution drift report between two corpus slices: per-word
+    * Jensen–Shannon divergence contributions (log base 2) between the
+    * word distributions of slice A and slice B, top `n` words by
+    * contribution. A word missing from one slice contributes
+    * 0.5·p·log2(2) from the side that has it — JSD needs no smoothing.
+    * The summed contributions over ALL words would be the corpus JSD in
+    * [0, 1]; the report keeps the per-word decomposition because that is
+    * what a drift investigation actually reads ("which tokens moved").
+    *
+    * Scale shape: each slice collapses to word counts in one map-side-
+    * combined shuffle; the two O(vocab) frames full-outer-join on the
+    * word (same-key shuffle); slice totals are two broadcast single-row
+    * aggregates; the top-n is TakeOrderedAndProject. Contributions are
+    * row-level arithmetic on (cnt_a, cnt_b, totals) — bit-exact against
+    * a SQL oracle, no order-dependent float sums. */
+  def driftWords(docsA: DataFrame, docsB: DataFrame, textCol: String,
+                 n: Int = 20, stop: Seq[String] = Analytics.StopWords): DataFrame = {
+    def counts(docs: DataFrame, cntName: String): DataFrame = {
+      val toks = TextFns.tokens(TextFns.wordcloudClean(col(textCol)))
+      docs.select(explode(toks).as("word"))
+        .filter(!col("word").isin(stop: _*) && length(col("word")) > 2)
+        .groupBy("word").agg(count(lit(1)).as(cntName))
+    }
+    val a = counts(docsA, "cnt_a")
+    val b = counts(docsB, "cnt_b")
+    val totA = a.agg(sum(col("cnt_a")).as("__ta"))
+    val totB = b.agg(sum(col("cnt_b")).as("__tb"))
+    val ln2 = math.log(2.0)
+    val joined = a.join(b, Seq("word"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+      .withColumn("p_a", col("cnt_a").cast("double") / col("__ta").cast("double"))
+      .withColumn("p_b", col("cnt_b").cast("double") / col("__tb").cast("double"))
+    val m = (col("p_a") + col("p_b")) / lit(2.0)
+    val term = (p: Column) =>
+      when(p > 0.0, p * log(p / m) / lit(ln2) / lit(2.0)).otherwise(lit(0.0))
+    joined
+      .withColumn("jsd_contrib", round(term(col("p_a")) + term(col("p_b")), 6))
+      .select(col("word"), col("cnt_a"), col("cnt_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        col("jsd_contrib"))
+      .orderBy(col("jsd_contrib").desc, col("word"))
+      .limit(n)
+  }
 }

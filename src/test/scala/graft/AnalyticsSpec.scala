@@ -165,6 +165,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3) == (("purchase", 1L, 0.333333)))
   }
 
+  test("retentionCohorts: offset-0 cell equals cohort size, counts distinct users") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+    // A,B first on day 0 (A returns day 1 twice -> counted once); C on day 1
+    val df = Seq(
+      (1L, "A", t(0)), (2L, "B", t(0)), (3L, "A", t(1)), (4L, "A", t(1)),
+      (5L, "C", t(1)))
+      .toDF("event_id", "user_id", "ts")
+    val out = operators.Analytics.retentionCohorts(df)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val d0 = out.keys.map(_._1).min
+    assert(out((d0, 0)) == ((2L, 2L, 1.0)))     // A+B on their first day
+    assert(out((d0, 1)) == ((1L, 2L, 0.5)))     // only A returned
+    assert(out.count(_._1._1 != d0) == 1)       // C's cohort: one offset-0 row
+  }
+
+  test("rfmScores: quintiles match SQL ntile, recency inverted") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+    // 5 customers, strictly increasing frequency/monetary/recentness by id
+    val rows = (1 to 5).flatMap { c =>
+      (0 until c).map(i => (c * 100L + i, c.toLong, "O", c * 100.0, t(c)))
+    }
+    val df = rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val out = operators.Analytics.rfmScores(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    // cust 5: most recent (recency 0), most frequent, biggest spender -> 555
+    assert(out(5L) == ((0, 5, 5, 5, 555)))
+    // cust 1: oldest (recency 4), least frequent, least spend -> 111
+    assert(out(1L) == ((4, 1, 1, 1, 111)))
+    assert(out(3L)._5 == 333)
+  }
+
+  test("scd2History: consecutive equal statuses collapse, valid_to chains") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+    val df = Seq(
+      (1L, 7L, "O", t(0)), (2L, 7L, "O", t(1)), (3L, 7L, "F", t(2)),
+      (4L, 7L, "O", t(3)), (5L, 8L, "P", t(0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val out = operators.Analytics.scd2History(df, "o_custkey", "o_orderstatus",
+      "o_orderdate", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        Option(r.getString(4)).isDefined))
+    // cust 7: O (days 0-1) -> F (day 2) -> O (day 3, current)
+    assert(out.filter(_._1 == 7L).map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((1, "O", true), (2, "F", true), (3, "O", false)))
+    assert(out.filter(_._1 == 8L).map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((1, "P", false)))
+  }
+
   test("transitionMatrix: counts ordered pairs per user, rows sum to 1 per source") {
     val s = spark
     import s.implicits._

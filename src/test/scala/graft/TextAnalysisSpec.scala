@@ -465,4 +465,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert(label == (if (score >= 0.5) "keep" else "drop"))
     }
   }
+
+  test("driftWords: disjoint words contribute 0.5*p*log2(2), shared drift is small") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    val a = Seq((1L, "apple apple banana")).toDF("doc_id", "text")
+    val b = Seq((2L, "apple cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.driftWords(a, b, "text", 20, stop = Nil)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    // cherry only in B with p=1/2: contrib = 0.5 * 0.5 * log2(2) = 0.25
+    assert(out("cherry") == ((0L, 1L, 0.25)))
+    // banana only in A with p=1/3: contrib = 0.5/3 = 0.166667
+    assert(out("banana") == ((2L - 1L, 0L, 0.166667)))
+    // apple in both: tiny but nonzero drift (2/3 vs 1/2)
+    assert(out("apple")._3 > 0.0 && out("apple")._3 < 0.02)
+    assert(out.size == 3)
+  }
 }
