@@ -2086,6 +2086,61 @@ object SparkEntry {
              |  strftime(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island), '%Y-%m-%d') AS valid_to
              |FROM v ORDER BY o_custkey, version""".stripMargin)),
 
+    Q("h4_priority_semijoin",
+      // TPC-H Q4 shape: orders with >= 1 late-shipped lineitem, counted
+      // per priority. LEFT SEMI on the order key — the probe side
+      // short-circuits on first match and emits each order at most once,
+      // so the join output never exceeds |orders| regardless of lineitem
+      // fan-out
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        o.join(li, o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("ev_zscore_anomaly",
+      // trailing-7-day z-score per (event_type, day) cell; the window
+      // runs over the O(types x days) aggregate, keyed by type
+      (s, d) => operators.Analytics.zscoreAnomalies(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, day, cnt,
+             |    avg(cnt) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS m,
+             |    stddev_samp(cnt) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd
+             |  FROM daily),
+             |z AS (SELECT event_type, day, cnt, ROUND(m, 6) AS trail_mean,
+             |    CASE WHEN sd IS NOT NULL AND sd > CAST(0 AS DOUBLE)
+             |      THEN ROUND((CAST(cnt AS DOUBLE) - m) / sd, 6) END AS z
+             |  FROM w)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, trail_mean, z,
+             |  COALESCE(abs(z) > CAST(2.0 AS DOUBLE), FALSE) AS is_anomaly
+             |FROM z ORDER BY event_type, day""".stripMargin)),
+
+    Q("u6_incremental_agg",
+      // materialized-view refresh: merge the snapshot's per-key (cnt, sum)
+      // state with the new batch's partial state; the oracle recomputes
+      // from scratch — the algebraic merge must equal it
+      (s, d) => {
+        val e = Tables.events(s, d)
+        operators.Analytics.mergeAggState(
+          e.filter(to_date(col("ts")) < lit("2024-01-24")),
+          e.filter(to_date(col("ts")) >= lit("2024-01-24")),
+          "event_type", "value")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |  ROUND(SUM("value"), 6) AS sum_value,
+             |  ROUND(ROUND(SUM("value"), 6) / CAST(count(*) AS DOUBLE), 6) AS avg_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("hh_heavy_hitters",
       // exact heavy hitters (freq > n/40) via per-partition Misra-Gries
       // candidates + one exact pruned count pass; the oracle is the naive

@@ -604,6 +604,62 @@ object Analytics {
       .orderBy(custCol)
   }
 
+  /** Trailing-window z-score anomaly detection on the daily event-type
+    * counts: each (event_type, day) cell is scored against the mean and
+    * sample-stddev of the SAME type's `trail` PRECEDING days (current day
+    * excluded, so a spike cannot mask itself), and flagged when |z|
+    * exceeds `zCut`. Cells with fewer than 2 trailing days (or zero
+    * variance) get a NULL z and are never flagged.
+    *
+    * Scale shape: the raw stream collapses to O(types × days) cells in
+    * one map-side-combined shuffle; the trailing window is keyed by
+    * event_type over that tiny frame — never over raw events. */
+  def zscoreAnomalies(events: DataFrame, trail: Int = 7, zCut: Double = 2.0,
+                      typeCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(-trail, -1)
+    daily
+      .withColumn("trail_mean", avg(col("cnt")).over(w))
+      .withColumn("trail_std", stddev_samp(col("cnt")).over(w))
+      .withColumn("z",
+        when(col("trail_std").isNotNull && col("trail_std") > 0.0,
+          round((col("cnt").cast("double") - col("trail_mean")) / col("trail_std"), 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zCut, lit(false)))
+      .select(col(typeCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), round(col("trail_mean"), 6).as("trail_mean"), col("z"),
+        col("is_anomaly"))
+      .orderBy(typeCol, "day")
+  }
+
+  /** Algebraic incremental-aggregate maintenance (the materialized-view
+    * refresh pattern): a per-key (cnt, sum) snapshot state is merged with
+    * the partial state of a new batch by RE-AGGREGATING the union of
+    * state rows — cnt adds, sum adds, avg re-derives. The oracle is the
+    * full recompute over snapshot ∪ batch rows, which the merge must
+    * equal exactly because count/sum are commutative monoids.
+    *
+    * At 100 TB this is the difference between re-reading the corpus and
+    * reading one day: the snapshot is O(keys), the batch is one
+    * partition's worth of facts, and the merge shuffle carries only
+    * state rows. */
+  def mergeAggState(snapshot: DataFrame, batch: DataFrame,
+                    keyCol: String, valueCol: String): DataFrame = {
+    def state(df: DataFrame): DataFrame = df
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+    state(snapshot).unionByName(state(batch))
+      .groupBy(col(keyCol))
+      .agg(sum(col("cnt")).as("cnt"), round(sum(col("sum_value")), 6).as("sum_value"))
+      .withColumn("avg_value",
+        round(col("sum_value") / col("cnt").cast("double"), 6))
+      .orderBy(keyCol)
+  }
+
   /** Type-2 slowly-changing-dimension history from an event log: collapse
     * each key's time-ordered status stream into versioned validity
     * intervals — consecutive equal statuses merge into one row with

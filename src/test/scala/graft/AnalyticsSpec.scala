@@ -220,6 +220,38 @@ class AnalyticsSpec extends SparkSpec {
       Seq((1, "P", false)))
   }
 
+  test("zscoreAnomalies: spike flagged against trailing window, warmup rows unflagged") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int, i: Int) = new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000)
+    // days 0-6: 2 events/day; day 7: 10 events (spike, z = (10-2)/0 .. std 0)
+    // -> make trailing counts vary: days 0-6 alternate 2 and 3
+    val rows = (0 to 6).flatMap(d => (0 until (if (d % 2 == 0) 2 else 3)).map(i => ("click", t(d, i)))) ++
+      (0 until 10).map(i => ("click", t(7, i)))
+    val out = operators.Analytics.zscoreAnomalies(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))).toMap
+    val days = out.keys.toSeq.sorted
+    assert(out(days.head) == ((2L, None, false)))      // no trailing frame
+    assert(out(days(1))._2.isEmpty)                    // 1 trailing day -> stddev NULL
+    val (cnt, z, flag) = out(days.last)
+    assert(cnt == 10L && flag, s"spike day: cnt=$cnt z=$z")
+    // trailing 7 days: 2,3,2,3,2,3,2 -> mean 17/7, std_samp ~0.534523
+    assert(math.abs(z.get - (10.0 - 17.0 / 7) / 0.5345224838248488) < 1e-4)
+  }
+
+  test("mergeAggState: incremental merge equals full recompute") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val batch = Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v")
+    val merged = operators.Analytics.mergeAggState(snap, batch, "k", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(merged("a") == ((3L, 7.0, 2.333333)))
+    assert(merged("b") == ((1L, 5.0, 5.0)))
+    assert(merged("c") == ((1L, 7.0, 7.0)))
+  }
+
   test("transitionMatrix: counts ordered pairs per user, rows sum to 1 per source") {
     val s = spark
     import s.implicits._

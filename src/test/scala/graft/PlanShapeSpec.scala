@@ -102,7 +102,9 @@ class PlanShapeSpec extends SparkSpec {
     // A window partitioned on a low-cardinality data column (sentiment,
     // lang, ...) — or on nothing — over fact rows pins the corpus onto a
     // handful of tasks: the single-task-window failure SCALE.md forbids.
-    val highCard = Set("__pid", "vec_id", "doc_id", "user_id", "custkey", "id")
+    //   o_custkey — per-customer SCD2 gaps-and-islands windows
+    val highCard = Set("__pid", "vec_id", "doc_id", "user_id", "custkey",
+      "o_custkey", "id")
     def aggBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: Aggregate => (); case _: GlobalLimit => () }.isDefined
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -152,7 +154,10 @@ class PlanShapeSpec extends SparkSpec {
       "ir_bm25_topk", // query-term hits x ONE broadcast (N, avgdl) row
       "ta_keywords_tfidf", // (doc, term) counts x ONE broadcast N row
       "mix_dsir_weights", // bucket histogram x ONE broadcast totals row
-      "ev_funnel") // 3 stage-count rows x ONE broadcast stage-1 base row
+      "ev_funnel", // 3 stage-count rows x ONE broadcast stage-1 base row
+      "ev_rfm", // O(customers) aggregate x ONE broadcast max-date row
+      "hh_heavy_hitters", // candidate counts x ONE broadcast total row
+      "ta_drift_words") // O(vocab) joined counts x TWO broadcast totals rows
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
