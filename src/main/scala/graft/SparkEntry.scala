@@ -2155,6 +2155,52 @@ object SparkEntry {
               |FROM c, t WHERE CAST(c.cnt AS DOUBLE) > CAST(t.total AS DOUBLE) / 40
               |ORDER BY cnt DESC, word""".stripMargin)),
 
+    Q("ta_textrank_keywords",
+      // TextRank: 3 damped weighted-PageRank iterations over the token
+      // adjacency graph; every join is a same-key equi-join on the word
+      (s, d) => operators.TextAnalysis.textrankKeywords(
+        Tables.documents(s, d), "text", "doc_id", 10),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, list_filter(
+              |    string_split(trim(regexp_replace(
+              |      regexp_replace(regexp_replace(regexp_replace(lower(text),
+              |        'http\\S+|www\\.\\S+', ' ', 'g'),
+              |        '@\\w+|#\\w+', ' ', 'g'),
+              |        '[^a-z\\s]', ' ', 'g'),
+              |      '\\s+', ' ', 'g')), ' '),
+              |    w -> w <> '' AND length(w) > 2 AND w NOT IN ${Analytics.StopWords.map(w => s"'$w'").mkString("(", ",", ")")}) AS ws
+              |  FROM documents),
+              |pr AS (SELECT p[1] AS a, p[2] AS b
+              |  FROM (SELECT unnest(list_zip(ws, ws[2:])) AS p FROM toks)),
+              |e AS (SELECT least(a, b) AS x, greatest(a, b) AS y, CAST(count(*) AS BIGINT) AS w
+              |  FROM pr WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+              |ed AS (SELECT x AS u, y AS v, w FROM e UNION ALL SELECT y, x, w FROM e),
+              |deg AS (SELECT u, CAST(SUM(w) AS DOUBLE) AS wd FROM ed GROUP BY u),
+              |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+              |r0 AS (SELECT u, CAST(1 AS DOUBLE) / n AS r FROM deg, nn),
+              |r1 AS (SELECT ed.v AS u, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) * SUM(ed.w / deg.wd * r0.r) AS r
+              |  FROM ed JOIN deg USING (u) JOIN r0 USING (u) CROSS JOIN nn GROUP BY ed.v, nn.n),
+              |r2 AS (SELECT ed.v AS u, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) * SUM(ed.w / deg.wd * r1.r) AS r
+              |  FROM ed JOIN deg USING (u) JOIN r1 USING (u) CROSS JOIN nn GROUP BY ed.v, nn.n),
+              |r3 AS (SELECT ed.v AS u, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) * SUM(ed.w / deg.wd * r2.r) AS r
+              |  FROM ed JOIN deg USING (u) JOIN r2 USING (u) CROSS JOIN nn GROUP BY ed.v, nn.n)
+              |SELECT u AS word, ROUND(r, 6) AS rank FROM r3
+              |ORDER BY rank DESC, word LIMIT 10""".stripMargin)),
+
+    Q("ad_exact_distinct",
+      // EXACT distinct users per type via two-phase aggregation: the
+      // (type, user) pre-dedup shuffle carries one row per distinct pair
+      // (map-side combined), so no single reducer ever holds a type's
+      // full user set in a hash table — the scale-correct exact
+      // alternative to COUNT(DISTINCT) when approx_count_distinct's
+      // error bound is not acceptable
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("ta_drift_words",
       // word-distribution drift between the even/odd doc_id slices:
       // per-word Jensen-Shannon contributions, top 20

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -811,6 +812,55 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("margin"), col("score"),
         when(col("score") >= 0.5, "keep").otherwise("drop").as("label"))
       .orderBy(idCol)
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the token-adjacency graph — vertices are corpus words,
+    * an undirected edge (a, b) weights how often b directly follows a (or
+    * vice versa) in the stoplist-filtered token stream, and `iters` fixed
+    * damped iterations propagate rank r'(v) = (1−d)/N + d·Σ_u w(u,v)/W(u)·r(u)
+    * with W(u) the weighted degree. Fixed iteration count keeps the op
+    * SQL-oracle-expressible (each iteration is one CTE) and bounds the
+    * job DAG — convergence-loop PageRank is the same plan in a driver
+    * loop with a persist per iteration.
+    *
+    * Scale shape: adjacency pairs come from ONE lead-window keyed by the
+    * document (no task sorts more than one doc's tokens); the graph
+    * collapses to O(vocab²-bounded, Zipf-tiny in practice) edge rows; and
+    * each iteration is a same-key equi-join + map-side-combined groupBy
+    * over edge rows. N and the degree frame stay O(vocab). */
+  def textrankKeywords(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 10, iters: Int = 3, damping: Double = 0.85,
+                       stop: Seq[String] = Analytics.StopWords): DataFrame = {
+    val toks = filter(TextFns.tokens(TextFns.wordcloudClean(col(textCol))),
+      t => !t.isin(stop: _*) && length(t) > 2)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val pairs = docs
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "word")))
+      .withColumn("next", lead(col("word"), 1).over(w))
+      .filter(col("next").isNotNull && col("next") =!= col("word"))
+    val edges = pairs
+      .groupBy(least(col("word"), col("next")).as("x"),
+        greatest(col("word"), col("next")).as("y"))
+      .agg(count(lit(1)).as("w"))
+    val directed = edges.select(col("x").as("u"), col("y").as("v"), col("w"))
+      .unionByName(edges.select(col("y").as("u"), col("x").as("v"), col("w")))
+    val deg = directed.groupBy(col("u")).agg(sum(col("w")).cast("double").as("wd"))
+    val nFrame = deg.agg(count(lit(1)).cast("double").as("__nn"))
+    val contrib = directed.join(deg, Seq("u"))
+    val r0 = deg.select(col("u")).crossJoin(broadcast(nFrame))
+      .select(col("u"), (lit(1.0) / col("__nn")).as("r"))
+    val rFinal = (1 to iters).foldLeft(r0) { (r, _) =>
+      contrib.join(r, Seq("u"))
+        .groupBy(col("v"))
+        .agg(sum(col("w") / col("wd") * col("r")).as("__in"))
+        .crossJoin(broadcast(nFrame))
+        .select(col("v").as("u"),
+          (lit(1.0 - damping) / col("__nn") + lit(damping) * col("__in")).as("r"))
+    }
+    rFinal.select(col("u").as("word"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(n)
   }
 
   /** Distribution drift report between two corpus slices: per-word

@@ -466,6 +466,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("textrankKeywords: matches a plain-Scala weighted PageRank on a tiny graph") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.textrankKeywords(docs, "text", "doc_id", 10, stop = Nil)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    // reference: edges alpha-beta w=2, beta-gamma w=1
+    val edges = Map(("alpha", "beta") -> 2.0, ("beta", "gamma") -> 1.0)
+    val nbrs = (edges.keys.flatMap { case (a, b) => Seq(a -> (b, edges((a, b))), b -> (a, edges((a, b)))) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val wd = nbrs.view.mapValues(_.map(_._2).sum).toMap
+    var r = nbrs.keys.map(_ -> 1.0 / 3).toMap
+    for (_ <- 1 to 3)
+      r = r.keys.map { v =>
+        v -> (0.15 / 3 + 0.85 * nbrs(v).map { case (u, w) => w / wd(u) * r(u) }.sum)
+      }.toMap
+    val expect = r.toSeq.map { case (w, x) =>
+      w -> BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (w, x) => (-x, w) }
+    assert(out.toSeq == expect)
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-3) // PageRank conserves mass
+  }
+
   test("driftWords: disjoint words contribute 0.5*p*log2(2), shared drift is small") {
     val s = spark
     import s.implicits._
