@@ -340,6 +340,14 @@ object Analytics {
     val cuts = df.stat
       .approxQuantile(rangeCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
       .distinct.sorted
+    withGlobalRankCuts(df, rangeCol, cuts, order, rankName)
+  }
+
+  /** [[withGlobalRank]] with caller-supplied range cuts — lets a caller
+    * ranking several metrics fetch ALL cut sets in one multi-column
+    * `approxQuantile` action instead of one pass per metric. */
+  def withGlobalRankCuts(df: DataFrame, rangeCol: String, cuts: Array[Double],
+                         order: Seq[Column], rankName: String): DataFrame = {
     // Degenerate sketch (empty frame, rangeCol entirely NULL/NaN, or a
     // single distinct value) yields no cuts: every row lands in bucket 0
     // and the local window runs single-task. Still CORRECT (monotonicity
@@ -578,6 +586,9 @@ object Analytics {
                 dateCol: String = "o_orderdate",
                 priceCol: String = "o_totalprice"): DataFrame = {
     val maxDate = orders.agg(max(to_date(col(dateCol))).as("__maxd"))
+    // persisted: each of the three rank passes runs an approxQuantile
+    // action plus the final plan — without this the O(|orders|) aggregate
+    // recomputes up to 6x. The frame is O(customers), safely cacheable.
     val rfm = orders
       .groupBy(col(custCol))
       .agg(max(to_date(col(dateCol))).as("__lastd"),
@@ -586,10 +597,18 @@ object Analytics {
       .crossJoin(broadcast(maxDate))
       .withColumn("recency_days", datediff(col("__maxd"), col("__lastd")).cast("int"))
       .drop("__maxd", "__lastd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE multi-column quantile sketch supplies all three metrics' range
+    // cuts — one action instead of three, each a full pass at scale
+    val parts = orders.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val allCuts = rfm.stat.approxQuantile(
+      Array("recency_days", "frequency", "monetary"), probs, 0.001)
     val ranked = Seq(
       ("recency_days", "__rk_r"), ("frequency", "__rk_f"), ("monetary", "__rk_m"))
-      .foldLeft(rfm) { case (df, (metric, rk)) =>
-        withGlobalRank(df, metric, Seq(col(metric), col(custCol)), rk)
+      .zip(allCuts).foldLeft(rfm) { case (df, ((metric, rk), cuts)) =>
+        withGlobalRankCuts(df, metric, cuts.distinct.sorted,
+          Seq(col(metric), col(custCol)), rk)
           .withColumnRenamed("__n", s"__n$rk")
       }
     ranked

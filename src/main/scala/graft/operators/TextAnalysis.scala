@@ -845,9 +845,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("w"))
     val directed = edges.select(col("x").as("u"), col("y").as("v"), col("w"))
       .unionByName(edges.select(col("y").as("u"), col("x").as("v"), col("w")))
+    // the graph frames are the loop invariants of every iterative graph
+    // algorithm — persist them once (O(edges)/O(vocab), Zipf-tiny vs the
+    // corpus) or each iteration (and every broadcast of the 1-row N
+    // frame) re-tokenizes the whole corpus to rebuild its lineage
     val deg = directed.groupBy(col("u")).agg(sum(col("w")).cast("double").as("wd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFrame = deg.agg(count(lit(1)).cast("double").as("__nn"))
     val contrib = directed.join(deg, Seq("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r0 = deg.select(col("u")).crossJoin(broadcast(nFrame))
       .select(col("u"), (lit(1.0) / col("__nn")).as("r"))
     val rFinal = (1 to iters).foldLeft(r0) { (r, _) =>
