@@ -2701,7 +2701,110 @@ object SparkEntry {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
              |  CAST(max(frame_idx) AS BIGINT) AS last_frame,
              |  CAST(SUM((doc_id * 131 + frame_idx * 7919) % 1000000007) AS BIGINT) AS sum_checksum
-             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("mb_pair_lift",
+      // market-basket pair mining over (order, brand) baskets: Apriori
+      // item prune, pair formation only via the basket-key self-equi-join,
+      // broadcast single supports for confidence/lift
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val p = Tables.part(s, d).select("p_partkey", "p_brand")
+        val baskets = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        Analytics.pairLift(baskets, "l_orderkey", "p_brand",
+          minSupport = 0.01, minPairCount = 5L)
+      },
+      Some("""WITH ob AS (
+             |  SELECT DISTINCT l_orderkey, p_brand
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+             |isup AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY 1),
+             |freq AS (SELECT p_brand FROM isup, n
+             |  WHERE CAST(cnt AS DOUBLE) / n_orders >= CAST(0.01 AS DOUBLE)),
+             |obf AS (SELECT * FROM ob WHERE p_brand IN (SELECT p_brand FROM freq)),
+             |pairs AS (
+             |  SELECT a.p_brand AS item_a, b.p_brand AS item_b, CAST(count(*) AS BIGINT) AS pair_cnt
+             |  FROM obf a JOIN obf b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+             |  GROUP BY 1, 2)
+             |SELECT item_a, item_b, pair_cnt,
+             |  ROUND(CAST(pair_cnt AS DOUBLE) / n_orders, 6) AS support,
+             |  ROUND(CAST(pair_cnt AS DOUBLE) / sa.cnt, 6) AS conf_a_b,
+             |  ROUND(CAST(pair_cnt AS DOUBLE) / sb.cnt, 6) AS conf_b_a,
+             |  ROUND(CAST(pair_cnt AS DOUBLE) * n_orders / (sa.cnt * sb.cnt), 6) AS lift
+             |FROM pairs
+             |JOIN isup sa ON item_a = sa.p_brand
+             |JOIN isup sb ON item_b = sb.p_brand, n
+             |WHERE pair_cnt >= 5
+             |ORDER BY item_a, item_b""".stripMargin)),
+
+    Q("ag_unpivot",
+      // melt the daily-trends pivot back to long form — Spark's native
+      // unpivot (Expand, one pass, no shuffle beyond the trends agg)
+      (s, d) => trendsOf(s, d)
+        .unpivot(Array(col("date")),
+          Array(col("positive"), col("negative"), col("neutral"), col("total")),
+          "metric", "cnt")
+        .orderBy("date", "metric"),
+      Some(Sentiment.oracleCte + s""", $trendsCteSql
+             |SELECT date, metric, CAST(cnt AS BIGINT) AS cnt FROM (
+             |  SELECT date, 'positive' AS metric, positive AS cnt FROM trends
+             |  UNION ALL SELECT date, 'negative', negative FROM trends
+             |  UNION ALL SELECT date, 'neutral', neutral FROM trends
+             |  UNION ALL SELECT date, 'total', total FROM trends)
+             |ORDER BY date, metric""".stripMargin)),
+
+    Q("fj_fuzzy_names",
+      // blocked fuzzy entity resolution on part names: distinct-name
+      // aggregate -> blocking-key equi-join (last token) -> edit-distance
+      // verify; integer distances, so the oracle is exact
+      (s, d) => Dedup.fuzzyNameMatch(Tables.part(s, d), "p_name", maxDist = 3),
+      Some("""WITH names AS (
+             |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1),
+             |blocked AS (
+             |  SELECT *, list_extract(string_split(name, ' '), -1) AS blk FROM names)
+             |SELECT a.name AS name_a, b.name AS name_b,
+             |  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+             |  a.cnt AS cnt_a, b.cnt AS cnt_b
+             |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+             |  AND abs(length(a.name) - length(b.name)) <= 3
+             |  AND levenshtein(a.name, b.name) <= 3
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    Q("sky_pareto",
+      // 2-D Pareto frontier (min price, max size) via aggregate-then-
+      // running-max with a broadcast bucket carry — the oracle is the
+      // quadratic NOT EXISTS dominance definition, fine at sf0.01
+      (s, d) => Analytics.paretoFrontier2D(
+          Tables.part(s, d), "p_retailprice", "p_size")
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_retailprice", "p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_size, p_retailprice FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+             |ORDER BY p_retailprice, p_partkey""".stripMargin)),
+
+    Q("dd_sorted_neighborhood",
+      // sorted-neighborhood near-dup pairs: prefix sort key, global rank
+      // via range buckets + broadcast offsets, rank-adjacent candidates
+      // (one equi-join), exact shingle-Jaccard verify
+      (s, d) => Dedup.sortedNeighborhoodPairs(Tables.documents(s, d),
+        "text", "doc_id", n = 3, window = 3, minJaccard = 0.1),
+      Some(Sentiment.oracleCte + s""",
+             |sn AS (SELECT doc_id, ${shinglesSql(3)} AS shs,
+             |  substr(trim(text), 1, 24) AS sk FROM toks),
+             |snr AS (SELECT *, row_number() OVER (ORDER BY sk, doc_id) AS rk FROM sn),
+             |snc AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, a.shs AS sa, b.shs AS sb
+             |  FROM snr a JOIN snr b ON b.rk - a.rk BETWEEN 1 AND 3),
+             |snj AS (
+             |  SELECT LEAST(da, db) AS id_a, GREATEST(da, db) AS id_b,
+             |    CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+             |      CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) AS jac
+             |  FROM snc)
+             |SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM snj
+             |WHERE jac > CAST(0.1 AS DOUBLE)
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */

@@ -715,4 +715,118 @@ object Analytics {
         date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
       .orderBy(keyCol, "version")
   }
+
+  /** Distributed global rank over an ARBITRARY (e.g. string) sort key —
+    * the [[withGlobalRank]] pattern without numeric quantile cuts.
+    * `repartitionByRange` lets Spark's RangePartitioner sample the cut
+    * points (works for any orderable type); the physical partition id is
+    * then the range bucket: monotone in the sort key by the partitioner's
+    * contract, so local `row_number` + broadcast per-bucket offsets is the
+    * exact global rank. One extra exchange vs the cuts form (the window
+    * re-shuffles on `__pid`), the price of not precomputing literal cuts.
+    * `order` must be a total order (append a unique tiebreak). */
+  def withGlobalRankByKey(df: DataFrame, order: Seq[Column],
+                          rankName: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val withPid = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(order: _*)
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val cum = Window.orderBy("__pid")
+    val offsets = counts
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    withPid.withColumn("__lrn", row_number().over(localW))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankName, col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** 2-D Pareto frontier (skyline): rows not dominated on
+    * (minimize `minCol`, maximize `maxCol`). A row is dominated when some
+    * other row is <= on `minCol` and >= on `maxCol` with one strict.
+    *
+    * Scale shape — never the O(n²) dominance join:
+    *  1. aggregate to one row per `minCol` value (max of `maxCol`) —
+    *     O(distinct values), map-side combined;
+    *  2. running max of that aggregate over `minCol` ascending, computed
+    *     two-phase: literal quantile-cut buckets, bucket-local running max
+    *     window, then a broadcast prefix-max carry across buckets (the
+    *     same carry trick as [[withGlobalRank]], for max instead of count);
+    *  3. join the O(distinct) frontier-bound frame back and filter:
+    *     frontier <=> maxCol equals its value-group max AND strictly
+    *     exceeds the running max over all strictly-smaller `minCol`. */
+  def paretoFrontier2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val perVal = df.groupBy(col(minCol)).agg(max(col(maxCol)).as("__gmax"))
+    val cuts = perVal.stat
+      .approxQuantile(minCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(minCol) > lit(c), 1).otherwise(0)
+    }
+    val withPid = perVal.withColumn("__pid", pid)
+    // strictly-preceding running max inside the bucket (rows are unique
+    // per minCol value, so "preceding row" = "strictly smaller value")
+    val localW = Window.partitionBy("__pid").orderBy(col(minCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = withPid.groupBy("__pid").agg(max(col("__gmax")).as("__bm"))
+      .withColumn("__carry", max(col("__bm")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("__pid", "__carry")
+    val bounds = withPid
+      .withColumn("__lmax", max(col("__gmax")).over(localW))
+      .join(broadcast(carry), Seq("__pid"))
+      // greatest() skips NULLs: NULL only when no strictly-smaller value
+      // exists anywhere (the global minimum, always on the frontier)
+      .select(col(minCol), col("__gmax"), greatest(col("__lmax"), col("__carry")).as("__mlt"))
+    df.join(bounds, Seq(minCol))
+      .where(col(maxCol) === col("__gmax") &&
+        (col("__mlt").isNull || col(maxCol) > col("__mlt")))
+      .drop("__gmax", "__mlt")
+  }
+
+  /** Market-basket frequent-pair mining: support / confidence / lift for
+    * unordered item pairs co-occurring in a basket (order). The classic
+    * Apriori prune: only items individually frequent (support >=
+    * `minSupport`) enter pair formation, so the quadratic per-basket
+    * blow-up runs on the pruned basket. Pair candidates form via a
+    * self-equi-join on the basket key — pairs only materialize for
+    * baskets, never across them. `maxBasket` (0 = off) drops baskets with
+    * more distinct items than the bound: one pathological basket of k
+    * items emits k(k-1)/2 pairs, the hot-key guard of this operator. */
+  def pairLift(baskets: DataFrame, basketCol: String, itemCol: String,
+               minSupport: Double, minPairCount: Long,
+               maxBasket: Int = 0): DataFrame = {
+    val ob0 = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct()
+    val obUncached = if (maxBasket <= 0) ob0 else {
+      val sizes = ob0.groupBy(col("__bk")).agg(count(lit(1)).as("__bsz"))
+      ob0.join(sizes.where(col("__bsz") <= maxBasket).select("__bk"), Seq("__bk"), "left_semi")
+    }
+    // consumed 4x (total, item supports, both sides of the pair join) —
+    // without the persist the upstream distinct shuffle re-runs each time
+    val ob = obUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nFrame = ob.agg(countDistinct(col("__bk")).as("__n"))
+    val isup = ob.groupBy(col("__it")).agg(count(lit(1)).as("__cnt"))
+    val freq = isup.crossJoin(broadcast(nFrame))
+      .where(col("__cnt").cast("double") / col("__n") >= minSupport)
+      .select("__it")
+    val obf = ob.join(broadcast(freq), Seq("__it"), "left_semi")
+    val pairs = obf.as("a").join(obf.as("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
+      .groupBy(col("a.__it").as("item_a"), col("b.__it").as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minPairCount)
+    pairs
+      .join(broadcast(isup.select(col("__it").as("item_a"), col("__cnt").as("__ca"))), Seq("item_a"))
+      .join(broadcast(isup.select(col("__it").as("item_b"), col("__cnt").as("__cb"))), Seq("item_b"))
+      .crossJoin(broadcast(nFrame))
+      .select(col("item_a"), col("item_b"), col("pair_cnt"),
+        round(col("pair_cnt").cast("double") / col("__n"), 6).as("support"),
+        round(col("pair_cnt").cast("double") / col("__ca"), 6).as("conf_a_b"),
+        round(col("pair_cnt").cast("double") / col("__cb"), 6).as("conf_b_a"),
+        round(col("pair_cnt").cast("double") * col("__n") / (col("__ca") * col("__cb")), 6).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
 }

@@ -550,4 +550,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Blocked fuzzy entity resolution over a name-like column: candidate
+    * pairs come from a BLOCKING-KEY equi-join (last token + a length band
+    * implied by the distance bound), verified by exact edit distance —
+    * never the O(n²) all-pairs string comparison.
+    *
+    * Scale shape: names are aggregated to (name, row count) FIRST, so the
+    * join runs on the distinct-name frame (tiny vs the corpus — entity
+    * names repeat), and the blocking key caps each name's candidates at
+    * its block size. `maxBlockDf` (0 = off) drops blocks with more
+    * distinct names than the bound — the hot-block guard (a degenerate
+    * key like "inc" would otherwise go quadratic within its block). */
+  def fuzzyNameMatch(df: DataFrame, nameCol: String, maxDist: Int,
+                     maxBlockDf: Long = 0L): DataFrame = {
+    val names0 = df.groupBy(col(nameCol).as("name")).agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", substring_index(col("name"), " ", -1))
+    val names = if (maxBlockDf <= 0L) names0 else {
+      val hot = names0.groupBy(col("blk")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") > maxBlockDf).select("blk")
+      names0.join(broadcast(hot), Seq("blk"), "left_anti")
+    }
+    val a = names.select(col("name").as("name_a"), col("cnt").as("cnt_a"), col("blk"))
+    val b = names.select(col("name").as("name_b"), col("cnt").as("cnt_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Sorted-neighborhood near-dup pairs: sort the corpus by a cheap
+    * lexical key (text prefix), compare each row only to its `window`
+    * successors in that order, verify candidates by exact n-gram Jaccard.
+    * The classic record-linkage alternative to LSH banding: candidate
+    * count is O(n * window) BY CONSTRUCTION (LSH banding is O(n * window)
+    * only in expectation, with hot buckets as the failure mode), at the
+    * cost of missing near-dups whose edits fall inside the key prefix.
+    *
+    * Scale shape: the global sort order comes from
+    * [[Analytics.withGlobalRankByKey]] (range-partitioned buckets + local
+    * row_number + broadcast offsets — no single-task window), and
+    * "adjacent within `window`" becomes ONE hash equi-join on the
+    * exploded rank probe (rank + k, k in 1..window). */
+  def sortedNeighborhoodPairs(df: DataFrame, textCol: String, idCol: String,
+                              n: Int, window: Int, minJaccard: Double,
+                              keyLen: Int = 24): DataFrame = {
+    val keyed = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), n).as("__shs"),
+      substring(trim(col(textCol)), 1, keyLen).as("__sk"))
+    val ranked = Analytics
+      .withGlobalRankByKey(keyed, Seq(col("__sk"), col("__id")), "__rk")
+      .select(col("__id"), col("__shs"), col("__rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = ranked
+      .withColumn("__k", explode(array((1 to window).map(lit): _*)))
+      .select(col("__id").as("__ida"), col("__shs").as("__sa"),
+        (col("__rk") + col("__k")).as("__rkb"))
+    val cand = probes.join(
+      ranked.select(col("__id").as("__idb"), col("__shs").as("__sb"),
+        col("__rk").as("__rkb")), Seq("__rkb"))
+    cand
+      // materialized first so the intersection runs once per pair, not
+      // once per reference in the jaccard expression
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__jac", col("__inter").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("__inter")).cast("double"))
+      .where(col("__jac") > minJaccard)
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        round(col("__jac"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -268,4 +268,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("click", "view")) == ((1L, 1.0)))
     assert(out.size == 2)
   }
+
+  test("withGlobalRankByKey: matches single-window row_number on a string key") {
+    val s = spark
+    import s.implicits._
+    // keys deliberately unsorted, with duplicates (tiebreak on id)
+    val df = Seq(("pear", 3L), ("apple", 7L), ("pear", 1L), ("apple", 2L),
+      ("fig", 5L), ("banana", 4L)).toDF("k", "id")
+    val got = Analytics.withGlobalRankByKey(df, Seq(col("k"), col("id")), "rk")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id")) -> r.getAs[Long]("rk")).toMap
+    val want = Seq(("apple", 2L), ("apple", 7L), ("banana", 4L), ("fig", 5L),
+      ("pear", 1L), ("pear", 3L)).zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("paretoFrontier2D: equals brute-force dominance, keeps tied duplicates") {
+    val s = spark
+    import s.implicits._
+    // includes: duplicate frontier point (1.0, 5) twice -> both survive;
+    // same-price dominated (1.0, 3); cheaper-smaller frontier point (0.5, 2);
+    // dominated interior (2.0, 4); larger-but-pricier frontier (3.0, 9)
+    val rows = Seq((1L, 1.0, 5), (2L, 1.0, 5), (3L, 1.0, 3), (4L, 0.5, 2),
+      (5L, 2.0, 4), (6L, 3.0, 9), (7L, 0.5, 1))
+    val df = rows.toDF("id", "price", "size")
+    val got = Analytics.paretoFrontier2D(df, "price", "size")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = rows.filter { case (_, p, sz) =>
+      !rows.exists { case (_, p2, sz2) =>
+        p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz) }
+    }.map(_._1).toSet
+    assert(got == want && want == Set(1L, 2L, 4L, 6L))
+  }
+
+  test("pairLift: support/conf/lift arithmetic, Apriori prune, basket cap") {
+    val s = spark
+    import s.implicits._
+    // 4 baskets; x,y co-occur in 2; z appears once (infrequent at 0.3)
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (4L, "z"), (4L, "x"), (1L, "x") /* dup collapses */).toDF("bk", "it")
+    val out = Analytics.pairLift(df, "bk", "it",
+        minSupport = 0.3, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // z pruned (support 0.25 < 0.3): no (x, z) pair. x cnt=4, y cnt=2, n=4
+    assert(out.keySet == Set(("x", "y")))
+    val (cnt, sup, cab, cba, lift) = out(("x", "y"))
+    assert(cnt == 2L && sup == 0.5 && cab == 0.5 && cba == 1.0 && lift == 1.0)
+    // basket cap: dropping baskets larger than 1 removes every pair
+    assert(Analytics.pairLift(df, "bk", "it", 0.0, 1L, maxBasket = 1).count() == 0L)
+  }
 }

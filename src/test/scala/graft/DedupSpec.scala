@@ -248,4 +248,44 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((1L, "")) && out(2L) == ((1L, "")))
     assert(out(3L) == ((1L, "plus an original thought")))
   }
+
+  test("fuzzyNameMatch: blocking excludes cross-block pairs, distance bounds in-block") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("red bolt", "old bolt", "red bolt", "red bolts", "red gear")
+      .toDF("name")
+    val out = Dedup.fuzzyNameMatch(df, "name", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    // "red bolt" vs "red bolts": lev 1 but different block (bolt/bolts) ->
+    // excluded, the documented recall cost of blocking; "red gear" is its
+    // own block; duplicate "red bolt" rows aggregate to cnt 2
+    assert(out.toSeq == Seq(("old bolt", "red bolt", 2, 1L, 2L)))
+    // hot-block guard: capping block df at 1 removes the bolt block
+    assert(Dedup.fuzzyNameMatch(df, "name", 3, maxBlockDf = 1L).count() == 0L)
+  }
+
+  test("sortedNeighborhoodPairs: finds prefix-adjacent dups, misses far-apart ranks") {
+    val s = spark
+    import s.implicits._
+    // a/b share a prefix and are rank-adjacent -> found; c is a near-dup
+    // of a but its prefix sorts it > window positions away -> missed (the
+    // documented recall trade of sorted-neighborhood vs banding)
+    val base = "common body of sufficiently many tokens for shingling here"
+    val docs = Seq(
+      (1L, s"aaa $base"), (2L, s"aab $base"),
+      (3L, s"mmm filler one unrelated text body entirely different words"),
+      (4L, s"nnn filler two unrelated text body other words again padded"),
+      (5L, s"ooo filler three unrelated body text more words yet again"),
+      (6L, s"zzz $base")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "text", "doc_id",
+        n = 3, window = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    // widening the window past the gap recovers the missed pair
+    val wide = Dedup.sortedNeighborhoodPairs(docs, "text", "doc_id",
+        n = 3, window = 5, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == Set((1L, 2L), (1L, 6L), (2L, 6L)))
+  }
 }

@@ -158,7 +158,8 @@ class PlanShapeSpec extends SparkSpec {
       "ev_rfm", // O(customers) aggregate x ONE broadcast max-date row
       "hh_heavy_hitters", // candidate counts x ONE broadcast total row
       "ta_drift_words", // O(vocab) joined counts x TWO broadcast totals rows
-      "ta_textrank_keywords") // O(vocab) rank rows x ONE broadcast N row per iteration
+      "ta_textrank_keywords", // O(vocab) rank rows x ONE broadcast N row per iteration
+      "mb_pair_lift") // item/pair support rows x ONE broadcast basket-total row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
