@@ -34,10 +34,27 @@ object Bench {
     }
     val m1 = measure().toMap
     val results = measure().map { case (name, t) => name -> math.min(t, m1(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a FILE: with 130 queries the map is
+    // ~4 KB, and the driver's log capture keeps only the final ~2000
+    // characters — a full inline map truncates its own opening brace and
+    // the line never parses. The stdout line stays compact (headliners
+    // only) so it survives the tail buffer; BENCH_DETAIL.json has it all.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}""")
+    val headline = Seq(
+      "h1_pricing_summary", "h3_top_customers_by_revenue", "h5_regional_revenue",
+      "p1_quality_filter", "a4_daily_trends", "j1_containment_dedup",
+      "dd_minhash_neardup", "dd_prune_canonical", "sim_bruteforce_topk",
+      "sim_ivf_ann", "v3_representatives", "ev_sessionize", "st4_stream_join",
+      "o4_head_per_group", "f5_date_extract")
+    val rmap = results.toMap
+    val qs = headline.flatMap(h => rmap.get(h).map(v => "\"" + h + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

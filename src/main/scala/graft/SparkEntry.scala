@@ -163,6 +163,13 @@ object SparkEntry {
   private val evecCteSql =
     "evec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  /** Mirrors one half of [[Similarity.binarySignature]]: sign bits of
+    * dims `range` packed at offsets `i - base`. */
+  private def binaryHalfSql(vcol: String, range: Range, base: Int): String =
+    range.map(i =>
+      s"(CASE WHEN $vcol[${i + 1}] > CAST(0.0 AS DOUBLE) THEN CAST(${1L << (i - base)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("(", " + ", ")")
+
   /** Mirrors [[Similarity.lshBucket]]. */
   private def lshBucketSql(vcol: String, planes: Int, dim: Int): String =
     (0 until planes).map { j =>
@@ -1041,6 +1048,45 @@ object SparkEntry {
               |FROM asg, q WHERE vec_id <> 20 AND cell = qcell
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_binary_ann",
+      // two-stage binary-quantized ANN: sign-bit signatures packed as two
+      // 32-bit halves (bit 63 of one word is a checked-overflow trap in
+      // DuckDB — the portable-SimHash convention), Hamming shortlist-50
+      // via xor + bit_count, exact cosine re-rank to top-10; both
+      // boundaries vec_id-tiebroken so engine and oracle agree exactly
+      (s, d) => Similarity.binaryTopK(Tables.embeddings(s, d), queryId = 0,
+        k = 10, shortlist = 50, dim = 64),
+      Some(s"""WITH $evecCteSql,
+              |sig AS (SELECT vec_id, v, ${normSql("v")} AS nrm,
+              |    ${binaryHalfSql("v", 0 until 32, 0)} AS bq_lo,
+              |    ${binaryHalfSql("v", 32 until 64, 32)} AS bq_hi
+              |  FROM evec),
+              |q AS (SELECT v AS qv, nrm AS qnrm, bq_lo AS q_lo, bq_hi AS q_hi
+              |  FROM sig WHERE vec_id = 0),
+              |short AS (
+              |  SELECT vec_id, v, nrm,
+              |    bit_count(xor(bq_lo, q_lo)) + bit_count(xor(bq_hi, q_hi)) AS hamming,
+              |    qv, qnrm
+              |  FROM sig, q WHERE vec_id <> 0
+              |  ORDER BY hamming, vec_id LIMIT 50)
+              |SELECT vec_id, hamming, ROUND(${dotSql("v", "qv")} / (nrm * qnrm), 6) AS cos
+              |FROM short
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("sim_mrl_ann",
+      // Matryoshka prefix-dim ANN: exact cosine over the first 16 dims
+      // re-normalized — the column-pruned cheap pass of an MRL funnel
+      (s, d) => Similarity.mrlTopK(Tables.embeddings(s, d), queryId = 0,
+        k = 10, prefixDim = 16),
+      Some(s"""WITH ep AS (SELECT vec_id,
+              |    CAST(list_slice(embedding, 1, 16) AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM ep),
+              |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 0)
+              |SELECT vec_id, ROUND(${dotSql("v", "qv")} / (nrm * qnrm), 6) AS cos
+              |FROM en, q WHERE vec_id <> 0
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     Q("emb_mean_pool",
       // chunk→doc mean pooling (10 consecutive vec_ids per synthetic
       // parent); gate shape flattens the pooled array to (group, pos,
@@ -1324,6 +1370,44 @@ object SparkEntry {
           |  FROM btf JOIN bdf USING (t), bs GROUP BY doc_id)
           |SELECT doc_id, n_terms, score FROM bsc
           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    Q("ir_phrase_match",
+      // exact phrase search via a positional posting self-join (posexplode
+      // → hits-only filter → (doc, pos+i) equi-joins); the oracle counts
+      // consecutive-pair matches with a token/successor zip — same
+      // occurrences, closed form for a 2-token phrase
+      (s, d) => TextAnalysis.phraseMatch(Tables.documents(s, d), "text",
+        "doc_id", Seq("hash", "join")),
+      Some(Sentiment.oracleCte +
+        """
+          |SELECT * FROM (
+          |  SELECT doc_id, CAST(len(list_filter(list_zip(tokens, tokens[2:]),
+          |      p -> p[1] = 'hash' AND p[2] = 'join')) AS BIGINT) AS n_hits
+          |  FROM toks)
+          |WHERE n_hits > 0
+          |ORDER BY n_hits DESC, doc_id""".stripMargin)),
+
+    Q("dd_source_overlap",
+      // cross-source contamination audit: exact 3-shingle overlap per
+      // source pair — jaccard + max-containment over the distinct
+      // (source, shingle) stream (vocabulary-sized after dedup)
+      (s, d) => Dedup.sourceOverlapMatrix(Tables.documents(s, d), "text",
+        "doc_id", "source", n = 3),
+      Some(Sentiment.oracleCte +
+        s""",
+           |ssh AS (SELECT DISTINCT src, sh FROM
+           |  (SELECT source AS src, unnest(${shinglesSql(3)}) AS sh FROM toks)),
+           |ssz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz FROM ssh GROUP BY src),
+           |sint AS (SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS inter
+           |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.src < b.src
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           |  ROUND(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard,
+           |  ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+           |FROM sint
+           |JOIN ssz sa ON sint.src_a = sa.src
+           |JOIN ssz sb ON sint.src_b = sb.src
+           |ORDER BY src_a, src_b""".stripMargin)),
 
     Q("ta_keywords_tfidf",
       // per-doc top-3 keywords by smooth-idf tf-idf; ROUND(6) before the

@@ -20,23 +20,29 @@ object Tables {
     * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
     * [[Sessions.configure]]) and this loader converts the raw nanos to a
     * microsecond TIMESTAMP so downstream date/window logic is standard. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"), spark)
+
+  /** Normalize an events frame's `ts` to a microsecond TIMESTAMP whatever
+    * the physical input type — nano LONG (TIMESTAMP(NANOS) under
+    * nanosAsLong), TIMESTAMP_NTZ (tz-naive writers, e.g. duckdb), or
+    * already TIMESTAMP. Shared by the batch loader and the streaming
+    * reader so both ingest paths agree byte-for-byte. */
+  def normalizeTs(raw: DataFrame, spark: SparkSession): DataFrame =
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // tz-naive inputs (e.g. duckdb-written parquet): interpret the
-        // wall-clock as UTC INDEPENDENT of the session timezone. A bare
-        // cast interprets it in the session zone, silently shifting every
-        // event time in externally created non-UTC sessions; the
-        // from_utc round-trip cancels that zone offset exactly (a no-op
-        // under the Sessions factory's UTC default).
+        // tz-naive inputs: interpret the wall-clock as UTC INDEPENDENT of
+        // the session timezone. A bare cast interprets it in the session
+        // zone, silently shifting every event time in externally created
+        // non-UTC sessions; the from_utc round-trip cancels that zone
+        // offset exactly (a no-op under the Sessions factory's UTC
+        // default).
         raw.withColumn("ts", from_utc_timestamp(col("ts").cast("timestamp"),
           spark.conf.get("spark.sql.session.timeZone")))
       case _ => raw
     }
-  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

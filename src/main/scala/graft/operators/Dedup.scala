@@ -625,4 +625,47 @@ object Dedup {
         round(col("__jac"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * the exact n-gram shingle overlap — Jaccard plus max-containment
+    * (`inter / min(|A|, |B|)`, the asymmetric "is one feed a subset of
+    * the other" signal that Jaccard hides when sizes differ). The audit a
+    * multi-feed 100 TB ingest runs before mixing crawls/dumps/feeds.
+    *
+    * Shape: one shingle pass, then distinct (source, shingle) — after
+    * which cardinality is VOCABULARY-sized, not corpus-sized; the pair
+    * join shuffles only that deduped stream on the shingle key, and
+    * source-pair counts aggregate map-side (sources number in the
+    * hundreds, so the final matrix is one tiny reduce). */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, idCol: String,
+                          groupCol: String, n: Int,
+                          maxDf: Long = 0L): DataFrame = {
+    val sh0 = df.select(col(groupCol).as("src"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("src"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+    val shFiltered = if (maxDf > 0) {
+      // hot-shingle guard, same contract as [[ngramJaccardPairs]]: a
+      // shingle in more than maxDf (source, doc) rows is boilerplate and
+      // would dominate every pair's intersection
+      val hot = sh0.groupBy("sh").count().filter(col("count") > maxDf).select("sh")
+      sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    } else sh0
+    val sh = shFiltered.distinct().persist()
+    try {
+      val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("src").as("src_a"), col("sh"))
+        .join(sh.select(col("src").as("src_b"), col("sh")), Seq("sh"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      val result = inter
+        .join(sizes.select(col("src").as("src_a"), col("sz").as("sz_a")), Seq("src_a"))
+        .join(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"), col("sz_b"),
+          round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"),
+          round(col("inter").cast("double") /
+            least(col("sz_a"), col("sz_b")).cast("double"), 6).as("containment"))
+        .orderBy("src_a", "src_b")
+      result.localCheckpoint(eager = true)
+    } finally sh.unpersist()
+  }
 }

@@ -384,6 +384,79 @@ object Similarity {
     lshNearDupPairs(emb, threshold, planes = bands * r, bands = bands, dim = dim)
   }
 
+  /** Sign-bit binary signature of an embedding as two packed 32-bit
+    * halves `(bq_lo, bq_hi)` — bit `i` of the signature is `v[i] > 0`.
+    * Two INT-range BIGINTs rather than one 64-bit word on purpose: bit 63
+    * of a single word is the sign bit, and `1 << 63` is an overflow in
+    * engines with checked BIGINT arithmetic (the DuckDB oracle) — the
+    * same two-half convention as [[graft.operators.Dedup]]'s portable
+    * SimHash. 32 bytes of float becomes 16 bytes of signature per 64
+    * dims (raw 256 B → 16 B, a 16× footprint cut): at 100 TB the
+    * signature column is what stays hot while the float vectors page. */
+  def binarySignature(v: Column, dim: Int): (Column, Column) = {
+    require(dim <= 64, s"binarySignature packs at most 64 dims, got $dim")
+    def half(range: Range, base: Int): Column = range
+      .map(i => when(element_at(v, i + 1) > lit(0.0),
+        lit(1L << (i - base))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    (half(0 until math.min(32, dim), 0),
+      if (dim > 32) half(32 until dim, 32) else lit(0L))
+  }
+
+  /** Two-stage binary-quantized ANN: Hamming-distance shortlist over the
+    * packed sign-bit signatures (bitwise xor + bit_count — no float math
+    * touches the corpus), then exact cosine re-rank of the `shortlist`
+    * survivors. The signature scan is the 100 TB path: 16 B/vector,
+    * codegen'd integer ops, query signature broadcast; only `shortlist`
+    * rows reach the float cosine re-rank (at 100 TB the signatures live
+    * as their own slim column/table and the shortlist's float vectors are
+    * point lookups). Ties at both boundaries break by vec_id, so the
+    * result is deterministic. */
+  def binaryTopK(emb: DataFrame, queryId: Long, k: Int,
+                 shortlist: Int = 50, dim: Int = 64): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val (lo, hi) = binarySignature(col("v"), dim)
+    val sig = e.select(col("vec_id"), col("v"),
+      lo.as("bq_lo"), hi.as("bq_hi"), normFast(col("v")).as("nrm"))
+    val q = sig.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bq_lo").as("q_lo"),
+        col("bq_hi").as("q_hi"), col("nrm").as("qnrm"))
+    val ham = sig.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        bit_count(col("bq_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("bq_hi").bitwiseXOR(col("q_hi"))))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(shortlist)
+    ham
+      .select(col("vec_id"), col("hamming"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Matryoshka-style prefix-dimension ANN (Kusupati et al. 2022): rank
+    * by cosine over only the FIRST `prefixDim` dimensions (re-normalized
+    * over the prefix). With MRL-trained embeddings the prefix carries most
+    * of the signal, so the corpus scan reads a `prefixDim/dim` slice of
+    * the vector bytes — with parquet storing the prefix as its own column
+    * this is pure column pruning at 100 TB. Exact over the slice, so the
+    * DuckDB oracle replays it bit-for-bit. */
+  def mrlTopK(emb: DataFrame, queryId: Long, k: Int,
+              prefixDim: Int = 16): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        toDoubleArray(slice(col("embedding"), 1, prefixDim)).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline —
     * kept as the recall oracle for [[lshNearDupPairs]] (unit tests only;
     * at 100 TB you never run all-pairs). */

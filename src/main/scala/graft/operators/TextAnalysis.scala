@@ -913,4 +913,43 @@ object TextAnalysis {
       .orderBy(col("jsd_contrib").desc, col("word"))
       .limit(n)
   }
+
+  /** Exact phrase search over a positional inverted index: per-document
+    * occurrence counts of the consecutive-token `phrase`, built the way a
+    * distributed index does it — posexplode tokens to a positional
+    * posting stream, keep only the phrase's terms (the selective filter
+    * runs BEFORE any shuffle, so the posting stream the joins see is
+    * hits-only), then self-equi-join term i's postings on
+    * `(doc, pos + i)`. Every join key carries the doc id, so all
+    * matching is co-partitioned after one shuffle of the filtered
+    * postings — no all-pairs work anywhere, and at 100 TB the persisted
+    * posting table bucketed by term makes the term filter a partition
+    * prune. Returns `(doc id, n_hits)` for docs with >= 1 occurrence,
+    * ordered by hits desc then id. */
+  def phraseMatch(df: DataFrame, textCol: String, idCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val postings = df
+      .select(col(idCol), posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "t")))
+      .filter(col("t").isin(phrase: _*))
+      .persist() // one explode feeds |phrase| join branches
+    try {
+      val first = postings.filter(col("t") === phrase.head)
+        .select(col(idCol), col("pos"))
+      val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+        case (acc, (term, i)) =>
+          acc.join(
+            postings.filter(col("t") === term)
+              .select(col(idCol), (col("pos") - i).as("pos")),
+            Seq(idCol, "pos"))
+      }
+      val result = matched
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("n_hits").desc, col(idCol))
+      // materialize while the posting cache is live (the
+      // [[Dedup.ngramJaccardPairs]] convention), then release
+      result.localCheckpoint(eager = true)
+    } finally postings.unpersist()
+  }
 }

@@ -10,23 +10,24 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw parquet schema of the events table (ts read as nano-long, see
-    * [[graft.Tables.events]]). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming read of an events directory (file-arrival micro-batches). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** Streaming read of an events directory (file-arrival micro-batches).
+    *
+    * readStream needs a declared schema, but the physical `ts` type varies
+    * by writer (nano LONG under nanosAsLong, TIMESTAMP_NTZ from tz-naive
+    * writers, or plain TIMESTAMP) — so probe it from one batch footer read
+    * of the same glob (metadata-only, no row scan) and normalize through
+    * the SAME [[graft.Tables.normalizeTs]] the batch loader uses. A
+    * hardcoded raw schema here silently mis-reads regenerated inputs. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir),
+      spark)
+  }
 
   /** Tumbling 1-hour event-time window counts per event type, with a
     * 2-hour watermark bounding state (A4's semantics, incremental). */

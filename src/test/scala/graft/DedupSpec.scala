@@ -288,4 +288,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide == Set((1L, 2L), (1L, 6L), (2L, 6L)))
   }
+
+  test("sourceOverlapMatrix: exact set arithmetic on a tiny two-source corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "s1"),   // shingles(2): {a b, b c, c d}
+      (2L, "a b c", "s2"),     // {a b, b c}
+      (3L, "x y z", "s2")      // {x y, y z}
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlapMatrix(docs, "text", "doc_id", "source", n = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("src_a") == "s1" && r.getAs[String]("src_b") == "s2")
+    assert(r.getAs[Long]("inter") == 2L)      // {a b, b c}
+    assert(r.getAs[Long]("sz_a") == 3L && r.getAs[Long]("sz_b") == 4L)
+    assert(r.getAs[Double]("jaccard") == 0.4) // 2 / (3 + 4 - 2)
+    assert(r.getAs[Double]("containment") == BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

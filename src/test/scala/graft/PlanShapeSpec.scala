@@ -36,7 +36,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("a4: events scan prunes to the two needed columns") {
     val p = plan("a4_daily_trends")
-    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string>"), p)
+    // the physical ts type varies by writer (nano bigint / timestamp_ntz /
+    // timestamp) — the invariant under test is COLUMN PRUNING: the scan
+    // reads exactly (ts, event_type), whatever ts's storage type
+    val read = "ReadSchema: struct<ts:[a-z_]+,event_type:string>".r
+    assert(read.findFirstIn(p).isDefined, p)
   }
 
   test("rj: bucketed interval join plans an equi hash join, never a nested loop") {

@@ -205,4 +205,55 @@ class SimilaritySpec extends SparkSpec {
       BigDecimal((exact intersect approx).size.toDouble / exact.size)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("binarySignature: packs sign bits into two INT-range halves") {
+    val v = (0 until 64).map(i => if (i % 3 == 0) 1.0 else -1.0)
+    val df = vecsDf(Seq((1L, v)))
+    val (lo, hi) = Similarity.binarySignature(col("embedding"), 64)
+    val r = df.select(lo.as("lo"), hi.as("hi")).collect()(0)
+    def want(range: Range, base: Int): Long =
+      range.filter(_ % 3 == 0).map(i => 1L << (i - base)).sum
+    assert(r.getLong(0) == want(0 until 32, 0))
+    assert(r.getLong(1) == want(32 until 64, 32))
+    // both halves stay in unsigned-32 range: no sign-bit / overflow trap
+    assert(r.getLong(0) >= 0L && r.getLong(0) <= 0xffffffffL)
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= 0xffffffffL)
+  }
+
+  test("binaryTopK: re-rank subset of Hamming shortlist, exact cos values") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.binaryTopK(emb, queryId = 0, k = 10, shortlist = 50)
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("vec_id") != 0L))
+    val cosines = out.map(_.getAs[Double]("cos"))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+    // widening the shortlist to the whole corpus degenerates to exact
+    // brute force -- recall against it must be substantial at 50
+    val n = emb.count().toInt
+    val exact = Similarity.binaryTopK(emb, 0, 10, shortlist = n)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val brute = Similarity.bruteForceTopK(emb, 0, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(exact == brute) // full shortlist == brute force, bit-exact path
+    val got = out.map(_.getAs[Long]("vec_id")).toSet
+    assert((got intersect brute).nonEmpty)
+  }
+
+  test("mrlTopK: equals brute force computed on the truncated vectors") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Similarity.mrlTopK(emb, queryId = 0, k = 5, prefixDim = 16)
+      .collect().map(r => r.getAs[Long]("vec_id"))
+    val all = emb.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").take(16).map(_.toDouble).toArray))
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(v, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -507,4 +507,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("apple")._3 > 0.0 && out("apple")._3 < 0.02)
     assert(out.size == 3)
   }
+
+  test("phraseMatch: counts overlapping consecutive occurrences per doc") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "hash join hash join vector"),     // 2 non-overlapping hits
+      (2L, "hash hash join join hash join"),  // positions 2 and 5: 2 hits
+      (3L, "join hash vector"),               // reversed order: 0 hits
+      (4L, "hash join")                       // exactly the phrase: 1 hit
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.phraseMatch(docs, "text", "doc_id",
+        Seq("hash", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (4L, 1L)))
+    // 3-token phrase exercises the positional join depth
+    val tri = operators.TextAnalysis.phraseMatch(docs, "text", "doc_id",
+        Seq("hash", "join", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tri.toSeq == Seq((1L, 1L))) // "hash join hash" only in doc 1
+  }
 }
