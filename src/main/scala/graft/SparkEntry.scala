@@ -343,6 +343,56 @@ object SparkEntry {
        |  JOIN mh_sig sb ON i.id_b = sb.id)""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying [[Dedup.minhashProbePairs]] for the
+    * `dd_incr_minhash` entry: probe batch = every 17th doc with its last
+    * 6 tokens dropped (new ids +2000000), corpus = all documents; tagged
+    * single-pass signatures, probe-band × corpus-band candidates, exact
+    * Jaccard verify. Requires `toks`; exposes
+    * `mp_j(probe_id, corpus_id, inter, sz_p, sz_c)`. */
+  private def minhashProbeOracleCtes(k: Int, bands: Int): String = {
+    val r = k / bands
+    val P = operators.Dedup.PortableMod
+    val mins = (0 until k).map(i =>
+      s"min((mp1 + $i * mp2) % $P) AS h$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (b * r until (b + 1) * r)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT id, p, $b AS band, $key AS key FROM mp_sig"
+    }.mkString("\n  UNION ALL ")
+    s""", mp_toks AS (
+       |  SELECT doc_id AS id, FALSE AS p, tokens FROM toks
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS id, TRUE AS p,
+       |    list_slice(tokens, 1, greatest(len(tokens) - 6, 4)) AS tokens
+       |  FROM toks WHERE doc_id % 17 = 0),
+       |mp_sh AS (SELECT id, p, unnest(${shinglesSql(4)}) AS sh FROM mp_toks),
+       |mp_h AS (SELECT id, p, sh,
+       |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS mp1,
+       |    CAST(('0x' || substr(md5(sh), 16, 12)) AS BIGINT) AS mp2
+       |  FROM mp_sh),
+       |mp_sig AS (SELECT id, p, CAST(count(*) AS BIGINT) AS sz,
+       |    $mins
+       |  FROM mp_h GROUP BY id, p),
+       |mp_band AS (
+       |  $bandSelects),
+       |mp_cand AS (
+       |  SELECT DISTINCT x.id AS probe_id, y.id AS corpus_id
+       |  FROM mp_band x JOIN mp_band y
+       |    ON x.band = y.band AND x.key = y.key AND x.p AND NOT y.p),
+       |mp_inter AS (
+       |  SELECT c.probe_id, c.corpus_id, CAST(count(*) AS BIGINT) AS inter
+       |  FROM mp_cand c
+       |  JOIN mp_sh a ON a.id = c.probe_id AND a.p
+       |  JOIN mp_sh b ON b.id = c.corpus_id AND NOT b.p AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |mp_j AS (
+       |  SELECT i.probe_id, i.corpus_id, i.inter, sa.sz AS sz_p, sb.sz AS sz_c
+       |  FROM mp_inter i
+       |  JOIN mp_sig sa ON i.probe_id = sa.id AND sa.p
+       |  JOIN mp_sig sb ON i.corpus_id = sb.id AND NOT sb.p)""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying the FULL SimHash pipeline of the
     * `dd_simhash_neardup` entry (mirrors
     * [[Dedup.simhashNearDupPairsPortable]]): doc∪variant token stream,
@@ -924,6 +974,30 @@ object SparkEntry {
           |FROM mh_j
           |WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)
           |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dd_incr_minhash",
+      // incremental dedup: NEW batch (every 17th doc, tail-truncated,
+      // re-keyed) probed against the EXISTING corpus via band-key joins —
+      // the continual-ingest shape where the corpus band table is the
+      // persisted index and only colliding buckets are touched
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat_ws(" ",
+              slice(TextFns.tokens(col("text")), lit(1),
+                greatest(size(TextFns.tokens(col("text"))) - 6, lit(4)))).as("text"))
+        Dedup.minhashProbePairs(batch, docs.select("doc_id", "text"),
+          "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+          family = Dedup.PortableFamily)
+      },
+      Some(Sentiment.oracleCte + minhashProbeOracleCtes(k = 32, bands = 8) +
+        """
+          |SELECT probe_id, corpus_id,
+          |  ROUND(CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE), 6) AS jaccard
+          |FROM mp_j
+          |WHERE CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)
+          |ORDER BY probe_id, corpus_id""".stripMargin)),
 
     Q("dd_simhash_neardup",
       // The FULL SimHash pipeline oracle-checked: the gate entry uses the
@@ -2400,6 +2474,95 @@ object SparkEntry {
              |SELECT ev.event_id, ev.user_id, ev.us, p.us AS last_purchase_us
              |FROM ev ASOF LEFT JOIN p ON ev.user_id = p.user_id AND ev.us >= p.us
              |ORDER BY event_id""".stripMargin)),
+
+    Q("aj_interp_join",
+      // interpolating as-of join: per click, the user's purchase value
+      // linearly interpolated between the surrounding purchases — same
+      // union-tag one-shuffle shape as aj_asof_purchase plus a mirrored
+      // forward window; the oracle replays the identical two-window plan
+      (s, d) => {
+        val clicks = Tables.events(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        val purchases = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+        AsOf.interpJoin(clicks, purchases, "user_id", "us", "value",
+          "interp_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST("value" AS DOUBLE) AS rv
+             |  FROM events WHERE event_type = 'purchase'),
+             |u AS (
+             |  SELECT user_id, us, 1 AS tag, CAST(NULL AS DOUBLE) AS rv, event_id FROM ev
+             |  UNION ALL
+             |  SELECT user_id, us, 0 AS tag, rv, CAST(NULL AS BIGINT) AS event_id FROM p),
+             |w AS (SELECT *,
+             |    last_value(rv IGNORE NULLS) OVER back AS pv,
+             |    last_value(CASE WHEN tag = 0 AND rv IS NOT NULL THEN us END IGNORE NULLS) OVER back AS pt,
+             |    first_value(rv IGNORE NULLS) OVER fwd AS nv,
+             |    first_value(CASE WHEN tag = 0 AND rv IS NOT NULL THEN us END IGNORE NULLS) OVER fwd AS nt
+             |  FROM u
+             |  WINDOW back AS (PARTITION BY user_id ORDER BY us, tag, rv
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    fwd AS (PARTITION BY user_id ORDER BY us, tag, rv
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_id, user_id, us,
+             |  ROUND(CASE WHEN pv IS NULL THEN nv
+             |             WHEN nv IS NULL OR pt = us THEN pv
+             |             ELSE pv + (nv - pv) * CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+             |        END, 6) AS interp_value
+             |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin)),
+
+    Q("ev_ewma_chart",
+      // EWMA control chart per (event_type, day), decay pinned at 1/2 so
+      // every weight is an exact dyadic rational (no libm pow drift);
+      // closed-form weighted prefix sum in the shared ascending fold order
+      (s, d) => operators.Analytics.ewmaChart(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+             |pf AS (SELECT event_type, day, cnt,
+             |    list(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+             |  FROM daily),
+             |ew AS (SELECT event_type, day, cnt,
+             |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(range(1, len(xs) + 1), j ->
+             |        CASE WHEN j = 1 THEN pow(CAST(0.5 AS DOUBLE), CAST(len(xs) - 1 AS DOUBLE))
+             |             ELSE pow(CAST(0.5 AS DOUBLE), CAST(len(xs) - j + 1 AS DOUBLE)) END
+             |        * xs[CAST(j AS INT)])),
+             |      (x, y) -> x + y), 6) AS ewma
+             |  FROM pf),
+             |fin AS (SELECT event_type, day, cnt, ewma,
+             |    ROUND((CAST(cnt AS DOUBLE) - ewma) / ewma, 6) AS rel_dev
+             |  FROM ew)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, ewma, rel_dev,
+             |  abs(rel_dev) > CAST(0.2 AS DOUBLE) AS is_alert
+             |FROM fin ORDER BY event_type, day""".stripMargin)),
+
+    Q("ta_ctfidf_labels",
+      // BERTopic-style c-TF-IDF labels: top-5 terms per source scored
+      // tf_in_class * ln(1 + avg_class_tokens / corpus_freq); ROUND(6)
+      // before the per-class rank, term tiebreak
+      (s, d) => operators.TextAnalysis.ctfidfLabels(
+        Tables.documents(s, d), "text", "source", k = 5),
+      Some(Sentiment.oracleCte +
+        """,
+          |cwc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM (SELECT source, unnest(tokens) AS t FROM toks) GROUP BY 1, 2),
+          |cft AS (SELECT t, CAST(SUM(cnt) AS BIGINT) AS f FROM cwc GROUP BY t),
+          |ca AS (SELECT CAST(SUM(cnt) AS DOUBLE) / CAST(count(DISTINCT source) AS DOUBLE) AS act FROM cwc),
+          |csc AS (SELECT source, t, cnt,
+          |    ROUND(CAST(cnt AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) + act / CAST(f AS DOUBLE)), 6) AS score
+          |  FROM cwc JOIN cft USING (t), ca),
+          |crk AS (SELECT source, t, cnt, score,
+          |    row_number() OVER (PARTITION BY source ORDER BY score DESC, t) AS rank
+          |  FROM csc)
+          |SELECT source, CAST(rank AS INT) AS rank, t AS term, cnt, score
+          |FROM crk WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
 
     Q("qt_quantiles",
       // exact interpolated percentiles (oracled vs quantile_cont); the

@@ -655,6 +655,47 @@ object Analytics {
       .orderBy(typeCol, "day")
   }
 
+  /** EWMA control chart per (group, day): exponentially-weighted moving
+    * average of the daily counts with decay 0.5 — λ is pinned to 1/2 so
+    * every weight `0.5^k` is an exact dyadic rational and the closed-form
+    * weighted sum is bit-reproducible across engines (an arbitrary λ
+    * routes through transcendental `pow`, whose last ulp is libm-
+    * dependent). ewma_1 = x_1; ewma_n = 0.5·x_n + 0.5·ewma_{n-1}, i.e.
+    * weight 0.5^(n-j+1) on x_j (j≥2) and 0.5^(n-1) on x_1 — evaluated as
+    * one ascending fold over the prefix list (the [[graft.operators
+    * .Similarity.dot]] fold convention). Rows whose count strays more
+    * than `relCut` from the running EWMA are flagged.
+    *
+    * Scale shape: identical to [[zscoreAnomalies]] — the raw stream
+    * collapses to O(groups × days) cells in one map-side-combined
+    * shuffle; the prefix-list window runs over that tiny frame only.
+    * Day-count prefixes are bounded (years, not rows), so the per-row
+    * list stays small. */
+  def ewmaChart(events: DataFrame, relCut: Double = 0.2,
+                typeCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("xs", collect_list(col("cnt").cast("double")).over(w))
+      .withColumn("n", size(col("xs")))
+      .withColumn("ewma", round(aggregate(
+        sequence(lit(1), col("n")), lit(0.0),
+        (acc, j) => acc +
+          when(j === 1, pow(lit(0.5), (col("n") - 1).cast("double")))
+            .otherwise(pow(lit(0.5), (col("n") - j + 1).cast("double"))) *
+          element_at(col("xs"), j.cast("int"))), 6))
+      .withColumn("rel_dev",
+        round((col("cnt").cast("double") - col("ewma")) / col("ewma"), 6))
+      .withColumn("is_alert", abs(col("rel_dev")) > relCut)
+      .select(col(typeCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("ewma"), col("rel_dev"), col("is_alert"))
+      .orderBy(typeCol, "day")
+  }
+
   /** Algebraic incremental-aggregate maintenance (the materialized-view
     * refresh pattern): a per-key (cnt, sum) snapshot state is merged with
     * the partial state of a new batch by RE-AGGREGATING the union of

@@ -58,4 +58,66 @@ object AsOf {
       .filter(col(tagC) === 1)
       .select(leftCols.map(col) :+ col(asOfName): _*)
   }
+
+  /** Interpolating as-of join: for each left row, linearly interpolate
+    * the right-side `valCol` between the surrounding observations of the
+    * same key — the sensor/feature enrichment that plain as-of rounds
+    * down. Semantics per left time t: both neighbors present → linear
+    * interpolation between (pt, pv) and (nt, nv); only earlier → pv;
+    * only later → nv; a right row exactly at t → its value (the backward
+    * neighbor, degenerate lerp). Neither → null.
+    *
+    * Same scalable union-tag shape as [[asOfJoin]] (ONE shuffle on the
+    * key, one sort), with a second mirrored window for the forward
+    * neighbor: `last(ignoreNulls)` backward fill + `first(ignoreNulls)`
+    * forward fill over the SAME sort order — no extra shuffle, no row
+    * explosion, skew-safe. Right rows at equal (key, time) tie-break by
+    * value on both windows, so the result is deterministic. `timeCol`
+    * must be NUMERIC (convert timestamps with `unix_micros` first — the
+    * [[asOfJoin]] call-site convention): the lerp fraction is exact long
+    * arithmetic. Emitted as `outName` (double, ROUND(6)). */
+  def interpJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                 timeCol: String, valCol: String,
+                 outName: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val taken = (leftCols ++ right.columns).toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(!taken(_)).get
+    val tagC = fresh("__it_tag")
+    val rvC = fresh("__it_v")
+    val l = left
+      .withColumn(tagC, lit(1)).withColumn(rvC, lit(null).cast("double"))
+    val r = right
+      .select(col(keyCol), col(timeCol), lit(0).as(tagC),
+        col(valCol).cast("double").as(rvC))
+    val unioned = l.select((Seq(col(keyCol), col(timeCol), col(tagC), col(rvC)) ++
+        leftCols.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val usC = timeCol
+    // right rows at equal time sort BEFORE left rows (tag 0 < 1): the
+    // backward window is inclusive of them, the forward window (starting
+    // at the left row itself) excludes them — so an exact-time match
+    // resolves through the backward branch, never a 0/0 lerp
+    val ord = Seq(col(usC), col(tagC), col(rvC))
+    val back = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    // pt/nt guard on the VALUE being non-null too, so a null-valued right
+    // row can never desynchronize the (time, value) neighbor pair
+    val isObs = col(tagC) === 0 && col(rvC).isNotNull
+    val pv = last(col(rvC), ignoreNulls = true).over(back)
+    val pt = last(when(isObs, col(usC)), ignoreNulls = true).over(back)
+    val nv = first(col(rvC), ignoreNulls = true).over(fwd)
+    val nt = first(when(isObs, col(usC)), ignoreNulls = true).over(fwd)
+    val lerp = when(pv.isNull, nv)
+      .when(nv.isNull || pt === col(usC), pv)
+      .otherwise(pv + (nv - pv) *
+        (col(usC) - pt).cast("double") / (nt - pt).cast("double"))
+    unioned
+      .withColumn(outName, round(lerp, 6))
+      .filter(col(tagC) === 1)
+      .select(leftCols.map(col) :+ col(outName): _*)
+  }
 }

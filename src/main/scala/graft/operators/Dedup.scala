@@ -282,6 +282,85 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Incremental MinHash dedup: probe a NEW batch against an EXISTING
+    * corpus — the shape a continuously-ingesting 100 TB pipeline actually
+    * runs (self-dedup of the full corpus happens once; every later batch
+    * only probes). Both sides run the same signature pipeline in ONE
+    * tagged pass; candidates are the probe-band × corpus-band equi-join
+    * (never probe × corpus), and only candidates pay the exact-Jaccard
+    * verify. At scale the corpus band table and shingle stream are the
+    * persisted index (bucketed by band hash), so a batch touches only its
+    * colliding buckets; a probe batch small enough to broadcast makes the
+    * candidate join shuffle-free. Returns
+    * `(probe_id, corpus_id, jaccard)` for verified pairs. Probe and
+    * corpus ids may overlap (re-ingest finds itself at jaccard 1). */
+  def minhashProbePairs(probe: DataFrame, corpus: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 4, k: Int = 32, bands: Int = 16,
+                        minJaccard: Double = 0.6,
+                        family: MinhashFamily = NativeFamily): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val tagged = probe.select(col(idCol), col(textCol)).withColumn("__p", lit(true))
+      .unionByName(corpus.select(col(idCol), col(textCol)).withColumn("__p", lit(false)))
+    val sh = tagged
+      .select(col(idCol), col("__p"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("__p"),
+        explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+      .persist()
+    try {
+      val hashed = family match {
+        case NativeFamily => sh
+        case PortableFamily =>
+          val (h1, h2) = portableBaseHashes(col("sh"))
+          sh.select(col(idCol), col("__p"), col("sh"), h1.as("mh1"), h2.as("mh2"))
+      }
+      val sigAggs = (0 until k).map { i =>
+        val h = family match {
+          case NativeFamily   => xxhash64(lit(i), col("sh"))
+          case PortableFamily => (col("mh1") + lit(i.toLong) * col("mh2")) % lit(PortableMod)
+        }
+        min(h).as(s"h$i")
+      }
+      val sigs = hashed.groupBy(col(idCol).as("id"), col("__p"))
+        .agg(count(lit(1)).as("sz"), sigAggs: _*)
+      val bandCols = (0 until bands).map { b =>
+        val hs = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+        family match {
+          case NativeFamily   => hash(hs: _*)
+          case PortableFamily => concat_ws(",", hs: _*)
+        }
+      }
+      val banded = sigs.select(col("id"), col("__p"),
+          posexplode(array(bandCols: _*)))
+        .select(col("id"), col("__p"), col("pos").as("band"), col("col").as("bandhash"))
+      val cand = banded.filter(col("__p")).as("x")
+        .join(banded.filter(!col("__p")).as("y"),
+          col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash"))
+        .select(col("x.id").as("probe_id"), col("y.id").as("corpus_id"))
+        .distinct()
+      val inter = cand
+        .join(sh.filter(col("__p")).select(col(idCol).as("probe_id"), col("sh")),
+          Seq("probe_id"))
+        .join(sh.filter(!col("__p")).select(col(idCol).as("corpus_id"), col("sh")),
+          Seq("corpus_id", "sh"))
+        .groupBy("probe_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      val sizes = sigs.select(col("id"), col("__p"), col("sz"))
+      val result = inter
+        .join(sizes.filter(col("__p"))
+          .select(col("id").as("probe_id"), col("sz").as("sz_p")), Seq("probe_id"))
+        .join(sizes.filter(!col("__p"))
+          .select(col("id").as("corpus_id"), col("sz").as("sz_c")), Seq("corpus_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_p") + col("sz_c") - col("inter")).cast("double"))
+        .filter(col("jaccard") > minJaccard)
+        .select(col("probe_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("probe_id", "corpus_id")
+      result.localCheckpoint(eager = true)
+    } finally sh.unpersist()
+  }
+
   /** Connected components over a near-dup pair graph + canonical member
     * selection — the step a dedup pipeline runs after pair generation:
     * every document in a component collapses to the component's minimum

@@ -914,6 +914,47 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** Class-based TF-IDF topic labels (the BERTopic c-TF-IDF scheme,
+    * Grootendorst 2022): treat each class (source, cluster, topic) as ONE
+    * concatenated pseudo-document; score term t in class c as
+    * `tf_{t,c} · ln(1 + A / f_t)` where `tf` is the raw in-class count,
+    * `f_t` the corpus-wide count, and `A` the average token count per
+    * class. Returns the top-`k` terms per class — the label row a topic
+    * or source gets in a corpus dashboard. Scores ROUND(6)ed BEFORE the
+    * rank ([[tfidfKeywords]] convention) with term-string tiebreak.
+    *
+    * Shape: one token explode → (class, term) counts (map-side combined —
+    * the stream the aggregate sees is already class-collapsed); `f_t` is
+    * a vocabulary-sized reaggregation of those counts, joined back on the
+    * term key; `A` is ONE broadcast row; the rank is a per-class window
+    * over vocabulary-sized groups. Nothing touches raw rows twice. */
+  def ctfidfLabels(df: DataFrame, textCol: String, classCol: String,
+                   k: Int = 5): DataFrame = {
+    val wc = df
+      .select(col(classCol), explode(TextFns.tokens(col(textCol))).as("t"))
+      .groupBy(col(classCol), col("t")).agg(count(lit(1)).as("cnt"))
+      .persist() // feeds f_t, A, and the scoring join
+    try {
+      val ft = wc.groupBy("t").agg(sum(col("cnt")).as("f"))
+      val a = wc.agg((sum(col("cnt")).cast("double") /
+        count_distinct(col(classCol)).cast("double")).as("avg_class_tokens"))
+      val scored = wc
+        .join(ft, Seq("t"))
+        .crossJoin(broadcast(a))
+        .withColumn("score", round(col("cnt").cast("double") *
+          log(lit(1.0) + col("avg_class_tokens") / col("f").cast("double")), 6))
+      val w = Window.partitionBy(col(classCol))
+        .orderBy(col("score").desc, col("t"))
+      val result = scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(classCol), col("rank"), col("t").as("term"),
+          col("cnt"), col("score"))
+        .orderBy(col(classCol), col("rank"))
+      result.localCheckpoint(eager = true)
+    } finally wc.unpersist()
+  }
+
   /** Exact phrase search over a positional inverted index: per-document
     * occurrence counts of the consecutive-token `phrase`, built the way a
     * distributed index does it — posexplode tokens to a positional

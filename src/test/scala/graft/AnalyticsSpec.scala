@@ -317,4 +317,25 @@ class AnalyticsSpec extends SparkSpec {
     // basket cap: dropping baskets larger than 1 removes every pair
     assert(Analytics.pairLift(df, "bk", "it", 0.0, 1L, maxBasket = 1).count() == 0L)
   }
+
+  test("ewmaChart: closed-form weighted sum equals the recursive EWMA") {
+    val s = spark
+    import s.implicits._
+    // one type, 4 days with counts 4, 8, 2, 6 (one row per event)
+    val rows = Seq.tabulate(4) { d => (d + 1, Seq.fill(Seq(4, 8, 2, 6)(d))(d)) }
+      .flatMap { case (day, evs) => evs.map(_ => ("t", f"2024-01-0$day%d 00:00:00")) }
+    val df = rows.toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = Analytics.ewmaChart(df).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Double]("ewma")).toMap
+    // recursive: e1=4; e2=.5*8+.5*4=6; e3=.5*2+.5*6=4; e4=.5*6+.5*4=5
+    assert(out("2024-01-01") == 4.0)
+    assert(out("2024-01-02") == 6.0)
+    assert(out("2024-01-03") == 4.0)
+    assert(out("2024-01-04") == 5.0)
+    // alert flag: day 2 deviates (8-6)/6 = +0.333 > 0.2
+    val alerts = Analytics.ewmaChart(df).collect()
+      .filter(_.getAs[Boolean]("is_alert")).map(_.getAs[String]("day")).toSet
+    assert(alerts.contains("2024-01-02"))
+  }
 }

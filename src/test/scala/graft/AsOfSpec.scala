@@ -73,4 +73,38 @@ class AsOfSpec extends SparkSpec {
     // the union-tag formulation must not degenerate into any join
     assert(!plan.toLowerCase.contains("join"), plan)
   }
+
+  test("interpJoin: midpoint lerp, edge fills, exact-time match, no-obs null") {
+    val s = spark
+    import s.implicits._
+    // user 1: purchases at t=100 (v=10) and t=200 (v=30)
+    //   clicks at 150 (midpoint -> 20), 100 (exact -> 10), 50 (before -> 10),
+    //   250 (after -> 30), 175 (quarter -> 25)
+    // user 2: no purchases -> null
+    val clicks = Seq((1L, 1L, 150L), (2L, 1L, 100L), (3L, 1L, 50L),
+      (4L, 1L, 250L), (5L, 1L, 175L), (6L, 2L, 150L))
+      .toDF("event_id", "user_id", "us")
+    val purchases = Seq((1L, 100L, 10.0), (1L, 200L, 30.0))
+      .toDF("user_id", "us", "value")
+    val out = AsOf.interpJoin(clicks, purchases, "user_id", "us", "value",
+        "iv")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L).contains(20.0))
+    assert(out(2L).contains(10.0))
+    assert(out(3L).contains(10.0))
+    assert(out(4L).contains(30.0))
+    assert(out(5L).contains(25.0))
+    assert(out(6L).isEmpty)
+  }
+
+  test("interpJoin: union-tag plan, no join operator") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "us")
+    val right = Seq((1L, 5L, 1.0)).toDF("user_id", "us", "value")
+    val plan = AsOf.interpJoin(left, right, "user_id", "us", "value", "iv")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
 }

@@ -308,4 +308,26 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("containment") == BigDecimal(2.0 / 3.0)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("minhashProbePairs: truncated probe finds its corpus source, exact jaccard") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val probe = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")), lit(1),
+          greatest(size(graft.functions.TextFns.tokens(col("text"))) - 4, lit(4)))).as("text"))
+    val out = Dedup.minhashProbePairs(probe, docs, "text", "doc_id",
+        n = 4, k = 32, bands = 8, minJaccard = 0.5)
+      .collect()
+    // every verified pair is probe-side x corpus-side with a real jaccard
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("probe_id") >= 9000000L))
+    assert(out.forall(r => r.getAs[Long]("corpus_id") < 9000000L))
+    assert(out.forall(r => r.getAs[Double]("jaccard") > 0.5))
+    // high recall of the planted (probe, source) pairs: a 4-token tail cut
+    // keeps jaccard far above the 0.5 cut for all but the shortest docs
+    val planted = out.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id")))
+      .count { case (p, c) => p - 9000000L == c }
+    assert(planted >= probe.count() / 2, s"planted hits: $planted")
+  }
 }

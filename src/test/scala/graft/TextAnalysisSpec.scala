@@ -527,4 +527,23 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(tri.toSeq == Seq((1L, 1L))) // "hash join hash" only in doc 1
   }
+
+  test("ctfidfLabels: tiny two-class corpus, hand-computed scores") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "x x y"),   // class a: x:2 y:1  (3 tokens)
+      ("b", "y z z")    // class b: y:1 z:2  (3 tokens)
+    ).toDF("src", "text")
+    val out = TextAnalysis.ctfidfLabels(df, "text", "src", k = 2)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Int]("rank"),
+        r.getAs[String]("term"), r.getAs[Double]("score")))
+    // A = 6/2 = 3; f_x=2, f_y=2, f_z=2 -> idf = ln(1 + 3/2) = ln(2.5)
+    val idf = math.log(2.5)
+    def sc(tf: Long) = BigDecimal(tf * idf)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      ("a", 1, "x", sc(2)), ("a", 2, "y", sc(1)),
+      ("b", 1, "z", sc(2)), ("b", 2, "y", sc(1))))
+  }
 }
