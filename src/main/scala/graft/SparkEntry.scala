@@ -349,7 +349,12 @@ object SparkEntry {
     * single-pass signatures, probe-band × corpus-band candidates, exact
     * Jaccard verify. Requires `toks`; exposes
     * `mp_j(probe_id, corpus_id, inter, sz_p, sz_c)`. */
-  private def minhashProbeOracleCtes(k: Int, bands: Int): String = {
+  private def minhashProbeOracleCtes(k: Int, bands: Int,
+      corpusArm: String = "SELECT doc_id AS id, FALSE AS p, tokens FROM toks",
+      probeArm: String =
+        """SELECT doc_id + 2000000 AS id, TRUE AS p,
+          |    list_slice(tokens, 1, greatest(len(tokens) - 6, 4)) AS tokens
+          |  FROM toks WHERE doc_id % 17 = 0""".stripMargin): String = {
     val r = k / bands
     val P = operators.Dedup.PortableMod
     val mins = (0 until k).map(i =>
@@ -361,11 +366,9 @@ object SparkEntry {
       s"SELECT id, p, $b AS band, $key AS key FROM mp_sig"
     }.mkString("\n  UNION ALL ")
     s""", mp_toks AS (
-       |  SELECT doc_id AS id, FALSE AS p, tokens FROM toks
+       |  $corpusArm
        |  UNION ALL
-       |  SELECT doc_id + 2000000 AS id, TRUE AS p,
-       |    list_slice(tokens, 1, greatest(len(tokens) - 6, 4)) AS tokens
-       |  FROM toks WHERE doc_id % 17 = 0),
+       |  $probeArm),
        |mp_sh AS (SELECT id, p, unnest(${shinglesSql(4)}) AS sh FROM mp_toks),
        |mp_h AS (SELECT id, p, sh,
        |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS mp1,
@@ -2516,6 +2519,85 @@ object SparkEntry {
              |             ELSE pv + (nv - pv) * CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)
              |        END, 6) AS interp_value
              |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin)),
+
+    Q("ts_gap_fill",
+      // calendar densification: events restricted to ~3/4 of days (real
+      // gaps), then the group × calendar spine zero-fills counts and
+      // carries the last observed daily value forward (LOCF)
+      (s, d) => operators.Analytics.gapFill(
+        Tables.events(s, d).filter(dayofmonth(col("ts")) % 4 =!= 2)),
+      Some("""WITH ev AS (SELECT * FROM events
+             |  WHERE day(CAST(ts AS TIMESTAMP)) % 4 <> 2),
+             |daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt, ROUND(SUM("value"), 6) AS day_value
+             |  FROM ev GROUP BY 1, 2),
+             |b AS (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0,
+             |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d1 FROM ev),
+             |sp AS (SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+             |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM (SELECT DISTINCT event_type FROM daily), b),
+             |j AS (SELECT sp.event_type, sp.day, daily.cnt, daily.day_value
+             |  FROM sp LEFT JOIN daily USING (event_type, day)),
+             |f AS (SELECT event_type, day,
+             |    COALESCE(cnt, CAST(0 AS BIGINT)) AS cnt, day_value,
+             |    last_value(day_value IGNORE NULLS) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+             |    cnt IS NULL AS filled
+             |  FROM j)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, day_value,
+             |  value_locf, filled
+             |FROM f ORDER BY event_type, day""".stripMargin)),
+
+    Q("ta_source_entropy",
+      // per-source lexical diversity: Shannon entropy (nats) of the token
+      // distribution + type-token ratio — the feed-health dashboard row
+      (s, d) => operators.TextAnalysis.sourceEntropy(
+        Tables.documents(s, d), "text", "source"),
+      Some(Sentiment.oracleCte +
+        """,
+          |swc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM (SELECT source, unnest(tokens) AS t FROM toks) GROUP BY 1, 2),
+          |stot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM swc GROUP BY source)
+          |SELECT source,
+          |  ROUND(SUM(-(CAST(cnt AS DOUBLE) / total) * ln(CAST(cnt AS DOUBLE) / total)), 6) AS entropy_nats,
+          |  CAST(count(*) AS BIGINT) AS distinct_tokens,
+          |  max(total) AS total_tokens,
+          |  ROUND(CAST(count(*) AS DOUBLE) / max(total), 6) AS type_token_ratio
+          |FROM swc JOIN stot USING (source)
+          |GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("dc_split_leakage",
+      // train/val split-leakage audit: val docs (plus planted disguised
+      // train copies — every 23rd train doc, 5-token tail cut, re-keyed)
+      // probed against the train corpus with the incremental minhash
+      // index; a hit = a val doc the model would silently memorize
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val train = docs.filter(col("doc_id") % 10 < 8)
+        val valSet = docs.filter(col("doc_id") % 10 >= 8)
+        val planted = train.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat_ws(" ",
+              slice(TextFns.tokens(col("text")), lit(1),
+                greatest(size(TextFns.tokens(col("text"))) - 5, lit(4)))).as("text"))
+        Dedup.minhashProbePairs(valSet.unionByName(planted), train,
+          "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+          family = Dedup.PortableFamily)
+      },
+      Some(Sentiment.oracleCte + minhashProbeOracleCtes(k = 32, bands = 8,
+        corpusArm = "SELECT doc_id AS id, FALSE AS p, tokens FROM toks WHERE doc_id % 10 < 8",
+        probeArm =
+          """SELECT doc_id AS id, TRUE AS p, tokens FROM toks WHERE doc_id % 10 >= 8
+            |  UNION ALL
+            |  SELECT doc_id + 3000000 AS id, TRUE AS p,
+            |    list_slice(tokens, 1, greatest(len(tokens) - 5, 4)) AS tokens
+            |  FROM toks WHERE doc_id % 10 < 8 AND doc_id % 23 = 0""".stripMargin) +
+        """
+          |SELECT probe_id, corpus_id,
+          |  ROUND(CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE), 6) AS jaccard
+          |FROM mp_j
+          |WHERE CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)
+          |ORDER BY probe_id, corpus_id""".stripMargin)),
 
     Q("ev_ewma_chart",
       // EWMA control chart per (event_type, day), decay pinned at 1/2 so

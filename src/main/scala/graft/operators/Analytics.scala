@@ -696,6 +696,41 @@ object Analytics {
       .orderBy(typeCol, "day")
   }
 
+  /** Calendar gap-fill (time-series densification): the daily per-group
+    * aggregate joined against the full group × calendar spine, missing
+    * days zero-filled for counts and last-observation-carried-forward for
+    * the value column — the regularization every downstream
+    * forecaster/chart needs before it can trust a day axis.
+    *
+    * Scale shape: the spine is generated from ONE aggregate row (global
+    * min/max day) exploded against the distinct groups — O(groups × days)
+    * rows, a dim table that AQE broadcasts against the (equally tiny)
+    * daily aggregate; the raw stream is touched exactly once by the
+    * map-side-combined daily rollup. The LOCF window runs per group over
+    * days-sized partitions. */
+  def gapFill(events: DataFrame, typeCol: String = "event_type",
+              tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col(valueCol)), 6).as("day_value"))
+    val bounds = events.agg(min(to_date(col(tsCol))).as("__d0"),
+      max(to_date(col(tsCol))).as("__d1"))
+    val spine = daily.select(typeCol).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(typeCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val locf = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq(typeCol, "day"), "left")
+      .withColumn("filled", col("cnt").isNull)
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("value_locf",
+        last(col("day_value"), ignoreNulls = true).over(locf))
+      .select(col(typeCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("day_value"), col("value_locf"), col("filled"))
+      .orderBy(typeCol, "day")
+  }
+
   /** Algebraic incremental-aggregate maintenance (the materialized-view
     * refresh pattern): a per-key (cnt, sum) snapshot state is merged with
     * the partial state of a new batch by RE-AGGREGATING the union of

@@ -914,6 +914,36 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** Per-source lexical diversity audit: Shannon entropy of the token
+    * distribution (nats), distinct-token count, total tokens, and
+    * type-token ratio — the corpus-mix dashboard row that flags a feed
+    * gone templated (entropy collapses) or spammy (TTR collapses) before
+    * it pollutes a training mix.
+    *
+    * One (source, token) count aggregation (map-side combined) collapses
+    * the corpus; the entropy fold then runs over vocabulary-sized groups.
+    * Entropy term `-p·ln p` accumulates through a SUM aggregate over
+    * per-token doubles, ROUND(6)ed at the end (ln precedent: BM25 /
+    * logppl oracles hash-match across engines). */
+  def sourceEntropy(df: DataFrame, textCol: String,
+                    groupCol: String): DataFrame = {
+    val wc = df
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("t"))
+      .groupBy(col(groupCol), col("t")).agg(count(lit(1)).as("cnt"))
+    val tot = wc.groupBy(col(groupCol)).agg(sum(col("cnt")).as("total"))
+    wc.join(tot, Seq(groupCol))
+      .withColumn("p", col("cnt").cast("double") / col("total").cast("double"))
+      .groupBy(col(groupCol))
+      .agg(
+        round(sum(-col("p") * log(col("p"))), 6).as("entropy_nats"),
+        count(lit(1)).as("distinct_tokens"),
+        max(col("total")).as("total_tokens"))
+      .withColumn("type_token_ratio",
+        round(col("distinct_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6))
+      .orderBy(groupCol)
+  }
+
   /** Class-based TF-IDF topic labels (the BERTopic c-TF-IDF scheme,
     * Grootendorst 2022): treat each class (source, cluster, topic) as ONE
     * concatenated pseudo-document; score term t in class c as

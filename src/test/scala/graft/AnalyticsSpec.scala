@@ -338,4 +338,21 @@ class AnalyticsSpec extends SparkSpec {
       .filter(_.getAs[Boolean]("is_alert")).map(_.getAs[String]("day")).toSet
     assert(alerts.contains("2024-01-02"))
   }
+
+  test("gapFill: missing day zero-filled, LOCF carries the last value") {
+    val s = spark
+    import s.implicits._
+    // type t: days 1 and 3 observed, day 2 missing
+    val small = Seq(("t", "2024-01-01 05:00:00", 10.0), ("t", "2024-01-01 06:00:00", 2.0),
+      ("t", "2024-01-03 05:00:00", 7.0)).toDF("event_type", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = Analytics.gapFill(small).collect()
+      .map(r => r.getAs[String]("day") -> ((r.getAs[Long]("cnt"),
+        Option(r.getAs[java.lang.Double]("value_locf")).map(_.toDouble),
+        r.getAs[Boolean]("filled")))).toMap
+    assert(out.size == 3)
+    assert(out("2024-01-01") == ((2L, Some(12.0), false)))
+    assert(out("2024-01-02") == ((0L, Some(12.0), true)))  // filled + LOCF
+    assert(out("2024-01-03") == ((1L, Some(7.0), false)))
+  }
 }

@@ -546,4 +546,21 @@ class TextAnalysisSpec extends SparkSpec {
       ("a", 1, "x", sc(2)), ("a", 2, "y", sc(1)),
       ("b", 1, "z", sc(2)), ("b", 2, "y", sc(1))))
   }
+
+  test("sourceEntropy: uniform dist -> ln(k), single token -> 0, TTR exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("u", "a b c d"),   // uniform over 4 -> ln(4)
+      ("z", "x x x x")    // single type -> entropy 0, TTR 1/4
+    ).toDF("src", "text")
+    val out = TextAnalysis.sourceEntropy(df, "text", "src")
+      .collect().map(r => r.getAs[String]("src") ->
+        ((r.getAs[Double]("entropy_nats"), r.getAs[Long]("distinct_tokens"),
+          r.getAs[Long]("total_tokens"), r.getAs[Double]("type_token_ratio")))).toMap
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("u") == ((ln4, 4L, 4L, 1.0)))
+    assert(out("z") == ((0.0, 1L, 4L, 0.25)))
+  }
 }
