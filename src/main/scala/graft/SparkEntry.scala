@@ -933,6 +933,26 @@ object SparkEntry {
           |SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id
           |ORDER BY id""".stripMargin)),
 
+    Q("dd_cluster_stats",
+      // per-component dedup triage: size, verified-pair count and mean
+      // pair jaccard per cluster — the report read before a destructive
+      // prune (high avg + size≈pairs = clique; low avg = chained merge)
+      (s, d) => Dedup.clusterStats(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, minJaccard = 0.1)),
+      Some(componentsOracleCtes +
+        """,
+          |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id),
+          |ccs AS (SELECT canonical, CAST(count(*) AS BIGINT) AS size FROM canon GROUP BY canonical),
+          |cps AS (SELECT c.canonical, CAST(count(*) AS BIGINT) AS n_pairs,
+          |    ROUND(AVG(jj.jaccard), 6) AS avg_jaccard
+          |  FROM (SELECT * FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)) jj
+          |  JOIN canon c ON jj.id_a = c.id
+          |  GROUP BY 1)
+          |SELECT ccs.canonical, ccs.size, cps.n_pairs, cps.avg_jaccard
+          |FROM ccs JOIN cps USING (canonical)
+          |ORDER BY canonical""".stripMargin)),
+
     Q("dd_prune_canonical",
       // the corpus-pruning step after pair generation: drop every
       // non-canonical member of each near-dup component (one anti-join
@@ -2547,6 +2567,49 @@ object SparkEntry {
              |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, day_value,
              |  value_locf, filled
              |FROM f ORDER BY event_type, day""".stripMargin)),
+
+    Q("ta_oov_rate",
+      // out-of-vocabulary rate per source vs the corpus top-1000 vocab
+      // (count desc, token tiebreak) — the tokenizer-fertility early alarm
+      (s, d) => operators.TextAnalysis.oovRate(
+        Tables.documents(s, d), "text", "source", vocabSize = 1000),
+      Some(Sentiment.oracleCte +
+        """,
+          |owc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM (SELECT source, unnest(tokens) AS t FROM toks) GROUP BY 1, 2),
+          |ov AS (SELECT t FROM (
+          |    SELECT t, row_number() OVER (ORDER BY SUM(cnt) DESC, t) AS rk
+          |    FROM owc GROUP BY t)
+          |  WHERE rk <= 1000)
+          |SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+          |  CAST(SUM(CASE WHEN t NOT IN (SELECT t FROM ov) THEN cnt ELSE 0 END) AS BIGINT) AS oov_tokens,
+          |  ROUND(CAST(SUM(CASE WHEN t NOT IN (SELECT t FROM ov) THEN cnt ELSE 0 END) AS DOUBLE)
+          |    / CAST(SUM(cnt) AS DOUBLE), 6) AS oov_rate
+          |FROM owc GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("pk_length_buckets",
+      // sequence-length planning: power-of-two context buckets with the
+      // padding waste a pad-to-bucket batcher would pay; fixed CASE
+      // ladder, not float log2 — exact bucket edges on every engine
+      (s, d) => operators.TextAnalysis.lengthBuckets(
+        Tables.documents(s, d), "text"),
+      Some(Sentiment.oracleCte +
+        """,
+          |lb AS (SELECT CAST(len(tokens) AS BIGINT) AS n,
+          |    CASE WHEN len(tokens) <= 16 THEN 16 WHEN len(tokens) <= 32 THEN 32
+          |         WHEN len(tokens) <= 64 THEN 64 WHEN len(tokens) <= 128 THEN 128
+          |         WHEN len(tokens) <= 256 THEN 256 WHEN len(tokens) <= 512 THEN 512
+          |         WHEN len(tokens) <= 1024 THEN 1024 WHEN len(tokens) <= 2048 THEN 2048
+          |         ELSE 4096 END AS bucket
+          |  FROM toks),
+          |lbs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(n) AS BIGINT) AS total_tokens
+          |  FROM lb GROUP BY bucket)
+          |SELECT bucket, n_docs, total_tokens,
+          |  n_docs * bucket AS padded_tokens,
+          |  ROUND(CAST(1.0 AS DOUBLE) - CAST(total_tokens AS DOUBLE)
+          |    / CAST(n_docs * bucket AS DOUBLE), 6) AS padding_waste
+          |FROM lbs ORDER BY bucket""".stripMargin)),
 
     Q("ta_source_entropy",
       // per-source lexical diversity: Shannon entropy (nats) of the token

@@ -450,6 +450,26 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Per-cluster dedup report: for every near-dup component, its size,
+    * verified-pair count and mean pair similarity — the triage view that
+    * separates true duplicate cliques (high avg, size ≈ pairs) from
+    * chained false merges (low avg, sparse pairs) before a destructive
+    * prune. Everything runs over the pairs frame and the O(nodes) label
+    * frame; the raw corpus is never touched. */
+  def clusterStats(pairs: DataFrame): DataFrame = {
+    val labels = canonicalComponents(pairs)
+    val sizes = labels.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("size"))
+    val ps = pairs
+      .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("avg_jaccard"))
+    sizes.join(ps, Seq("canonical"))
+      .select(col("canonical"), col("size"), col("n_pairs"), col("avg_jaccard"))
+      .orderBy("canonical")
+  }
+
   /** End-to-end dedup: drop every non-canonical member of each near-dup
     * component, keeping canonicals and untouched docs — the corpus-pruning
     * step a training-data pipeline runs after pair generation. The drop

@@ -914,6 +914,69 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** Out-of-vocabulary rate per source against the corpus top-`vocabSize`
+    * vocabulary — the tokenizer-prep metric that predicts fertility blowup
+    * per feed before a tokenizer is trained. Vocabulary cut is
+    * deterministic: count desc, token string tiebreak.
+    *
+    * Shape: the (source, token) counts collapse the corpus once
+    * (map-side combined); the global vocabulary is a reaggregation of
+    * those counts ranked by ONE vocabulary-sized window (explicitly a
+    * single-partition sort — bounded by |vocab|, not the corpus; at
+    * 100 TB the vocabulary frame is millions of rows, still one
+    * executor's work); per-source rates are then a broadcast-vocab join
+    * away. */
+  def oovRate(df: DataFrame, textCol: String, groupCol: String,
+              vocabSize: Int = 1000): DataFrame = {
+    val wc = df
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("t"))
+      .groupBy(col(groupCol), col("t")).agg(count(lit(1)).as("cnt"))
+      .persist() // feeds the vocab cut and the per-source rate
+    try {
+      val vocab = wc.groupBy("t").agg(sum(col("cnt")).as("f"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("f").desc, col("t"))))
+        .filter(col("rk") <= vocabSize)
+        .select("t")
+      val result = wc
+        .join(broadcast(vocab.withColumn("in_vocab", lit(true))), Seq("t"), "left")
+        .groupBy(col(groupCol))
+        .agg(sum(col("cnt")).as("total_tokens"),
+          sum(when(col("in_vocab").isNull, col("cnt")).otherwise(lit(0L)))
+            .as("oov_tokens"))
+        .withColumn("oov_rate",
+          round(col("oov_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6))
+        .orderBy(groupCol)
+      result.localCheckpoint(eager = true)
+    } finally wc.unpersist()
+  }
+
+  /** Sequence-length bucket report for batch packing: token counts binned
+    * to fixed power-of-two context buckets (16..4096, top-capped), with
+    * per-bucket document count, token mass, and the padding waste a
+    * pad-to-bucket batcher would pay. The fixed CASE ladder (not float
+    * log2) keeps the bucket edge exact on every engine. One projection +
+    * one tiny aggregate — the report a packing planner
+    * ([[contextChunks]] / sequence packing) reads before choosing bucket
+    * boundaries. */
+  def lengthBuckets(df: DataFrame, textCol: String): DataFrame = {
+    val n = size(TextFns.tokens(col(textCol)))
+    val ladder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    val bucket = ladder.init.foldRight(lit(ladder.last): Column) {
+      (b, acc) => when(n <= b, lit(b)).otherwise(acc)
+    }
+    df.select(n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("padding_waste",
+        round(lit(1.0) - col("total_tokens").cast("double") /
+          col("padded_tokens").cast("double"), 6))
+      .orderBy("bucket")
+  }
+
   /** Per-source lexical diversity audit: Shannon entropy of the token
     * distribution (nats), distinct-token count, total tokens, and
     * type-token ratio — the corpus-mix dashboard row that flags a feed

@@ -330,4 +330,20 @@ class DedupSpec extends SparkSpec {
       .count { case (p, c) => p - 9000000L == c }
     assert(planted >= probe.count() / 2, s"planted hits: $planted")
   }
+
+  test("clusterStats: clique of three vs a single pair, exact stats") {
+    val s = spark
+    import s.implicits._
+    // component {1,2,3} as a clique (3 pairs), component {7,8} (1 pair)
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 3L, 0.7),
+      (7L, 8L, 0.5)
+    ).toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.clusterStats(pairs).collect()
+      .map(r => r.getAs[Long]("canonical") ->
+        ((r.getAs[Long]("size"), r.getAs[Long]("n_pairs"),
+          r.getAs[Double]("avg_jaccard")))).toMap
+    assert(out(1L) == ((3L, 3L, 0.8)))  // (0.9+0.8+0.7)/3
+    assert(out(7L) == ((2L, 1L, 0.5)))
+  }
 }

@@ -163,7 +163,10 @@ class PlanShapeSpec extends SparkSpec {
       "hh_heavy_hitters", // candidate counts x ONE broadcast total row
       "ta_drift_words", // O(vocab) joined counts x TWO broadcast totals rows
       "ta_textrank_keywords", // O(vocab) rank rows x ONE broadcast N row per iteration
-      "mb_pair_lift") // item/pair support rows x ONE broadcast basket-total row
+      "mb_pair_lift", // item/pair support rows x ONE broadcast basket-total row
+      "sim_binary_ann", // signature scan x ONE broadcast query-signature row
+      "sim_mrl_ann", // prefix-dim corpus x the single query vector
+      "ts_gap_fill") // distinct groups x ONE broadcast (min,max)-day bounds row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

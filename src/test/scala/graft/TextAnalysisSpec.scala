@@ -563,4 +563,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("u") == ((ln4, 4L, 4L, 1.0)))
     assert(out("z") == ((0.0, 1L, 4L, 0.25)))
   }
+
+  test("oovRate: vocab cut by count then token, rates exact") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: a:3, b:2, c:1, d:1 -> vocab(top-2) = {a, b}
+    val df = Seq(("s1", "a a b c"), ("s2", "a b d")).toDF("src", "text")
+    val out = TextAnalysis.oovRate(df, "text", "src", vocabSize = 2)
+      .collect().map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("total_tokens"), r.getAs[Long]("oov_tokens"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(out("s1") == ((4L, 1L, 0.25)))   // c is OOV
+    assert(out("s2") == ((3L, 1L, BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("lengthBuckets: ladder edges inclusive, waste arithmetic exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(3)(i => ("d", Seq.fill(16)("w").mkString(" "))) ++
+      Seq(("d", Seq.fill(17)("w").mkString(" ")))
+    val out = TextAnalysis.lengthBuckets(df.toDF("id", "text"), "text")
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Double]("padding_waste")))).toMap
+    assert(out(16) == ((3L, 48L, 48L, 0.0)))      // exactly-16 docs waste nothing
+    assert(out(32) == ((1L, 17L, 32L, BigDecimal(1.0 - 17.0 / 32.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }
