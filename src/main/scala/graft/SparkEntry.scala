@@ -2460,6 +2460,28 @@ object SparkEntry {
              |  AND p.us <= e.us AND p.us >= e.us - 3600000000
              |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
 
+    Q("st9_stream_outer_join",
+      // stream-stream LEFT OUTER interval join: unmatched errors emit
+      // null-extended only after the global watermark proves no future
+      // match can arrive. Finalization rule (measured, pinned by the
+      // StreamsSpec batch-equivalence test): with the directory as one
+      // batch, outer rows emit iff e_ts < min(max e_ts, max p_ts) - 2h;
+      // the oracle replays exactly that rule
+      (s, d) => graft.streaming.Streams.runStreamOuterJoinToCompletion(s, d)
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE event_type = 'error'),
+             |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE event_type = 'purchase'),
+             |wm AS (SELECT LEAST((SELECT max(us) FROM e), (SELECT max(us) FROM p)) - 7200000000 AS cut),
+             |lj AS (SELECT e.user_id, e.us AS e_us, p.us AS p_us
+             |  FROM e LEFT JOIN p ON e.user_id = p.user_id
+             |    AND p.us <= e.us AND p.us >= e.us - 3600000000)
+             |SELECT user_id,
+             |  CAST(count(p_us) AS BIGINT) AS n_pairs,
+             |  CAST(SUM(CASE WHEN p_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+             |FROM lj, wm
+             |WHERE p_us IS NOT NULL OR e_us < cut
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("st7_stream_static_join",
       // stream-static enrichment join: streaming fact x broadcast batch
       // dimension — no join state, no stream-side shuffle for the join;

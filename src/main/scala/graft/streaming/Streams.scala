@@ -148,6 +148,56 @@ object Streams {
       .agg(cnt(lit(1)).as("n_pairs"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: [[errorsAfterPurchase]]'s
+    * shape with null-extension for errors that never see a purchase in
+    * their preceding hour. Outer rows cannot emit eagerly — Spark holds
+    * an unmatched left row in state until the watermark proves no future
+    * match can arrive, then emits it null-extended in a later (possibly
+    * no-data) micro-batch. With the whole directory as one batch, the
+    * final global watermark is `min(max e_ts, max p_ts) - 2h`, and the
+    * condition `p_ts <= e_ts` finalizes exactly the unmatched errors
+    * with `e_ts < watermark` (later errors stay open in state) — the
+    * eviction rule the oracle replays. */
+  def errorsAfterPurchaseOuter(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
+  /** Runs [[errorsAfterPurchaseOuter]] to completion: per-user matched
+    * pair count + finalized unmatched-error count. `processAllAvailable`
+    * covers the trailing no-data micro-batch that flushes outer state
+    * once the watermark advances (noDataMicroBatches on by default). */
+  def runStreamOuterJoinToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "stream_outer_join_out"): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2") // st4's measured sweet spot
+    val q = try {
+      errorsAfterPurchaseOuter(readEvents(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions.{count => cnt}
+    spark.table(queryName)
+      .groupBy(col("e_user").as("user_id"))
+      .agg(
+        cnt(col("p_user")).as("n_pairs"),
+        sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+  }
+
   /** Runs [[Sessionize.sessionizeStateful]] (NoTimeout) over the events
     * directory to completion. Emitted rows are every session CLOSED by an
     * observed gap; each user's final session stays open in state by

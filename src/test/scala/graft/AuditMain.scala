@@ -9,7 +9,8 @@ object AuditMain {
   def main(args: Array[String]): Unit = {
     val s = Sessions.local("8", "audit")
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
-      "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join")
+      "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join",
+      "st9_stream_outer_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!streaming(name)) {
         try {

@@ -95,7 +95,8 @@ class PlanShapeSpec extends SparkSpec {
     // Streaming catalog entries execute on invocation; their stateful plans
     // are covered by their own oracles/tests.
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
-      "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join")
+      "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join",
+      "st9_stream_outer_join")
     // A window over NOT-yet-aggregated rows is only scale-safe when its
     // partition key has cardinality that grows with the data (or the
     // cluster): each window group stays small and groups parallelize.
@@ -170,7 +171,8 @@ class PlanShapeSpec extends SparkSpec {
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
-      "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join")
+      "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join",
+      "st9_stream_outer_join")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !streaming(name) && !allowed(name) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.streaming.Streams
 
 class StreamsSpec extends SparkSpec {
@@ -173,5 +174,37 @@ class StreamsSpec extends SparkSpec {
     val out = spark.read.parquet(dir).as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a"), (2L, "b"))) // pre-crash state recovered, new batch merged
     assert(!new java.io.File(dir + ".old").exists())
+  }
+
+  test("stream-stream LEFT OUTER join == batch left join with watermark-finalized outer rows") {
+    val s = spark
+    import s.implicits._
+    val got = graft.streaming.Streams
+      .runStreamOuterJoinToCompletion(spark, sf0001, "st9_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val ev = Tables.events(spark, sf0001)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val wm = {
+      val me = errors.agg(max("e_ts")).collect()(0).getTimestamp(0).getTime
+      val mp = purchases.agg(max("p_ts")).collect()(0).getTimestamp(0).getTime
+      new java.sql.Timestamp(math.min(me, mp) - 2L * 3600 * 1000)
+    }
+    val joined = errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val want = joined
+      // outer (null-extended) rows only count once finalized: e_ts < wm
+      .filter(col("p_user").isNotNull || col("e_ts") < lit(wm))
+      .groupBy(col("e_user").as("user_id"))
+      .agg(count(col("p_user")).as("n_pairs"),
+        sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size}")
   }
 }
