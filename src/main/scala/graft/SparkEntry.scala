@@ -933,6 +933,46 @@ object SparkEntry {
           |SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id
           |ORDER BY id""".stripMargin)),
 
+    Q("pipe_corpus_report",
+      // the END-TO-END training-data pipeline in one composed plan:
+      // quality gate (pushed predicate) → near-dup prune (anti-join on
+      // the O(dups) drop set) → deterministic train split (id arithmetic)
+      // → per-language report; every stage is an already-oracled operator
+      (s, d) => operators.TrainingPipeline.corpusReport(
+        Tables.documents(s, d)),
+      Some(Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |g AS (SELECT * FROM toks WHERE n_chars >= 30),
+           |gsh AS (SELECT doc_id, unnest(${shinglesSql(3)}) AS sh FROM g),
+           |gsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM gsh GROUP BY doc_id),
+           |gin AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+           |  FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |gj AS (
+           |  SELECT id_a, id_b,
+           |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+           |  FROM gin
+           |  JOIN gsz sa ON gin.id_a = sa.doc_id
+           |  JOIN gsz sb ON gin.id_b = sb.doc_id),
+           |gedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM gj WHERE jaccard > CAST(0.1 AS DOUBLE)
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM gj WHERE jaccard > CAST(0.1 AS DOUBLE)),
+           |greach AS (
+           |  SELECT src AS id, dst AS r FROM gedges
+           |  UNION
+           |  SELECT greach.id, e.dst FROM greach JOIN gedges e ON greach.r = e.src),
+           |gcanon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM greach GROUP BY id),
+           |pruned AS (SELECT * FROM g
+           |  WHERE doc_id NOT IN (SELECT id FROM gcanon WHERE id <> canonical)),
+           |train AS (SELECT * FROM pruned
+           |  WHERE ((doc_id % 1000000007) * 2654435761) % 100 < 80)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(len(tokens)) AS BIGINT) AS total_tokens,
+           |  ROUND(CAST(SUM(len(tokens)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_tokens
+           |FROM train GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("dd_cluster_stats",
       // per-component dedup triage: size, verified-pair count and mean
       // pair jaccard per cluster — the report read before a destructive

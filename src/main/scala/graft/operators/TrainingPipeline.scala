@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** The end-to-end training-data pipeline as ONE composed plan: quality
+  * gate → near-dup prune → deterministic split → per-language corpus
+  * report. Each stage is an already-oracled operator; the composition
+  * proves they chain without materialization seams — one logical plan,
+  * Catalyst free to push the gate predicate into the scan feeding BOTH
+  * the shingle stream and the prune side.
+  *
+  * Scale shape: the gate is a pushed base-column predicate; the dedup
+  * prune's drop set is O(duplicates) and anti-joins the gated corpus;
+  * the split is arithmetic on the stable id (no RNG, no shuffle); the
+  * report is one map-side-combined aggregate over O(langs) groups.
+  */
+object TrainingPipeline {
+
+  /** Per-language report of the train split after gating and dedup:
+    * `(lang, n_docs, total_tokens, avg_tokens)`. */
+  def corpusReport(docs: DataFrame, minChars: Int = 30,
+                   shingleN: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+    val gated = docs.filter(col("n_chars") >= minChars)
+    val pairs = Dedup.ngramJaccardPairs(gated, "text", "doc_id",
+      n = shingleN, minJaccard = minJaccard)
+    val pruned = Dedup.pruneToCanonical(gated, pairs, "doc_id")
+    val train = pruned
+      .filter(TextAnalysis.datasetSplit(col("doc_id")) === "train")
+    train
+      .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"))
+      .withColumn("avg_tokens",
+        round(col("total_tokens").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy("lang")
+  }
+}

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 class PipelineSpec extends SparkSpec {
 
   test("EP1 end-to-end: analyze + write produces the full artifact set") {
@@ -21,5 +23,25 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(s"$out/insurance_risk").count() == 1)
     assert(new java.io.File(s"$out/complete_results").exists())
     assert(new java.io.File(s"$out/blocks").exists())
+  }
+
+  test("TrainingPipeline.corpusReport: composition invariants vs stagewise recompute") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = operators.TrainingPipeline.corpusReport(docs).collect()
+    assert(out.nonEmpty)
+    // stagewise recompute: the report's doc total equals gate -> prune ->
+    // split applied one stage at a time
+    val gated = docs.filter(col("n_chars") >= 30)
+    val pruned = operators.Dedup.pruneToCanonical(gated,
+      operators.Dedup.ngramJaccardPairs(gated, "text", "doc_id", 3, 0.1), "doc_id")
+    val nTrain = pruned
+      .filter(operators.TextAnalysis.datasetSplit(col("doc_id")) === "train").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nTrain)
+    // avg consistency per row
+    out.foreach { r =>
+      val want = BigDecimal(r.getAs[Long]("total_tokens").toDouble / r.getAs[Long]("n_docs"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("avg_tokens") == want)
+    }
   }
 }
