@@ -3085,6 +3085,64 @@ object SparkEntry {
              |  ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("f15_json_corrupt",
+      // malformed-input robustness: every 7th event's props JSON is
+      // truncated (planted corruption); PERMISSIVE from_json yields null
+      // for those, and the per-type report accounts valid vs corrupt
+      // rows — the quarantine count a 100 TB ingest must surface, never
+      // silently drop. No exceptions anywhere in the plan: parse failure
+      // is data, not control flow.
+      (s, d) => Tables.events(s, d)
+        .withColumn("raw",
+          when(col("event_id") % 7 === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")))
+        .select(col("event_type"),
+          from_json(col("raw"), lit("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("k")).as("n_valid"),
+          (count(lit(1)) - count(col("k"))).as("n_corrupt"),
+          sum(col("k")).cast("bigint").as("sum_k"))
+        .orderBy("event_type"),
+      Some("""WITH raw AS (SELECT event_type,
+             |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+             |         ELSE props END AS r
+             |  FROM events),
+             |parsed AS (SELECT event_type,
+             |    CASE WHEN json_valid(r) THEN CAST(json_extract(r, '$.k') AS INT) END AS k
+             |  FROM raw)
+             |SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(k) AS BIGINT) AS n_valid,
+             |  CAST(count(*) - count(k) AS BIGINT) AS n_corrupt,
+             |  CAST(SUM(k) AS BIGINT) AS sum_k
+             |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("sql_front_door",
+      // the SQL API surface: tables registered as temp views, the query
+      // itself pure `spark.sql` text — proving a reference user can bring
+      // plain SQL instead of the DataFrame DSL and hit the same engine
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+                |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                |  CAST(COUNT(*) AS BIGINT) AS count_order
+                |FROM v_lineitem
+                |WHERE l_quantity < 50
+                |GROUP BY l_returnflag, l_linestatus
+                |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+             |  ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2) AS sum_disc_price,
+             |  CAST(COUNT(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_quantity < 50
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     Q("st6_stream_sessionize",
       // flatMapGroupsWithState sessionization in the correctness gate:
       // NoTimeout emits exactly the gap-closed sessions, so the oracle is
