@@ -1210,6 +1210,35 @@ object SparkEntry {
               |FROM short
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_pq_adc",
+      // product-quantization ANN: 8 subspaces x 16 deterministic
+      // codewords (first-16 convention, the IVF precedent), asymmetric
+      // distance = sum of 8 broadcast table lookups; squared L2 as
+      // a·a + b·b − 2·a·b in the shared dot fold; ADC ROUND(6) before
+      // the rank so the k-boundary is deterministic on both engines
+      (s, d) => Similarity.pqTopK(Tables.embeddings(s, d), queryId = 0,
+        k = 10, m = 8, nCodes = 16, dim = 64),
+      Some(s"""WITH $evecCteSql,
+              |ss AS (SELECT unnest(range(0, 8)) AS s),
+              |sl AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vs
+              |  FROM evec, ss),
+              |cb AS (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
+              |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
+              |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
+              |  FROM sl JOIN cb ON sl.s = cb.s),
+              |enc AS (SELECT vec_id, s, code FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+              |    FROM enc0) WHERE rn = 1),
+              |qs AS (SELECT s, vs AS qvs FROM sl WHERE vec_id = 0),
+              |qt AS (SELECT cb.s, cb.code,
+              |    ${dotSql("qvs", "qvs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("qvs", "cw")} AS qd2
+              |  FROM cb JOIN qs ON cb.s = qs.s)
+              |SELECT vec_id, ROUND(SUM(qd2), 6) AS adc_dist
+              |FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.code
+              |WHERE vec_id <> 0
+              |GROUP BY vec_id
+              |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
+
     Q("sim_mrl_ann",
       // Matryoshka prefix-dim ANN: exact cosine over the first 16 dims
       // re-normalized — the column-pruned cheap pass of an MRL funnel

@@ -195,6 +195,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    * distance computation (ADC): the 64-dim vector splits into `m`
+    * subspaces of `dim/m` dims; each sub-vector is encoded as the id of
+    * its nearest codeword (argmin squared L2, ties to the lowest code),
+    * so a vector stores as `m` small codes — 8 bytes here vs 256 B of
+    * floats, a 32× cut. A query never decodes the corpus: its per-
+    * subspace distance table to every codeword is built once (m × nCodes
+    * rows, broadcast), and a vector's approximate distance is the sum of
+    * `m` table lookups on its codes.
+    *
+    * Codebooks follow the [[ivfTopK]] deterministic convention (the
+    * sub-vectors of the first `nCodes` vec_ids), so the ENTIRE pipeline —
+    * encode, table, ADC rank — replays bit-for-bit in the DuckDB oracle;
+    * a k-means codebook is a drop-in upgrade that changes no dataflow.
+    * Squared L2 is computed as `a·a + b·b − 2·a·b` over the codegen'd
+    * [[dotFast]] fold (same fold in SQL). ADC sums ROUND(6) BEFORE the
+    * rank (the catalog convention: a deterministic k-boundary).
+    *
+    * Scale shape: encoding is one (vector × codeword-per-subspace)
+    * broadcast join — the codebook is KBs; the encoded corpus (the thing
+    * a 100 TB deployment persists) is m small ints per vector; the ADC
+    * scan joins codes to the broadcast query table and reduces map-side.
+    * No float vector is touched after encoding. */
+  def pqTopK(emb: DataFrame, queryId: Long, k: Int,
+             m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val slices = e.select(col("vec_id"),
+      posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+        .as(Seq("s", "vs")))
+    val codebook = slices.filter(col("vec_id") < nCodes)
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("vs").as("cw"))
+    def l2sq(a: Column, b: Column): Column =
+      dotFast(a, a) + dotFast(b, b) - lit(2.0) * dotFast(a, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
+    val enc = slices.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", l2sq(col("vs"), col("cw")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+    val qtab = codebook
+      .join(broadcast(slices.filter(col("vec_id") === queryId)
+        .select(col("s"), col("vs").as("qvs"))), Seq("s"))
+      .select(col("s"), col("code"), l2sq(col("qvs"), col("cw")).as("qd2"))
+    enc.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qtab), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("qd2")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Mean-pooling of chunk embeddings into a parent-document embedding —
     * the aggregation step of every chunked-retrieval pipeline (embed
     * chunks, pool to a doc vector for coarse search, keep chunk vectors

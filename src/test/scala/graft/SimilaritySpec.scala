@@ -256,4 +256,26 @@ class SimilaritySpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("pqTopK: planted duplicate ranks first; useful recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // plant an exact duplicate of the query vector under a new id: it
+    // encodes to the query's own codes, so its ADC distance is the
+    // reconstruction minimum -> must rank first
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(lit(990000L).as("vec_id"), col("embedding"), col("label"))
+    val planted = emb.unionByName(q)
+    val top = Similarity.pqTopK(planted, queryId = 0, k = 10).collect()
+    assert(top.head.getAs[Long]("vec_id") == 990000L, top.map(_.mkString(",")).mkString("; "))
+    // ADC distances are sorted ascending and the planted dup's is minimal
+    val ds = top.map(_.getAs[Double]("adc_dist"))
+    assert(ds.sameElements(ds.sorted))
+    // coarse recall floor vs exact cosine top-10 on the unmodified corpus
+    val pq = Similarity.pqTopK(emb, queryId = 0, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((pq intersect brute).size >= 2,
+      s"pq=$pq brute=$brute") // quantized L2 vs exact cosine: partial overlap expected
+  }
 }
