@@ -2631,6 +2631,40 @@ object SparkEntry {
              |        END, 6) AS interp_value
              |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin)),
 
+    Q("u7_tombstone_delete",
+      // compliance hard-delete audit: customers whose key appears in the
+      // deletion list (users with error events, key < 500) are tombstoned;
+      // ONE snapshot pass yields per-segment before/deleted/after
+      (s, d) => operators.Analytics.tombstoneDelete(
+        Tables.customer(s, d),
+        Tables.events(s, d).filter(col("event_type") === "error" &&
+          col("user_id") < 500).select(col("user_id").as("c_custkey")),
+        "c_custkey", "c_mktsegment"),
+      Some("""WITH del AS (SELECT DISTINCT user_id AS c_custkey FROM events
+             |  WHERE event_type = 'error' AND user_id < 500)
+             |SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n_before,
+             |  CAST(count(del.c_custkey) AS BIGINT) AS n_deleted,
+             |  CAST(count(*) - count(del.c_custkey) AS BIGINT) AS n_after
+             |FROM customer LEFT JOIN del USING (c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("dx_skew_report",
+      // join-key pre-flight: cardinality, hottest key and max/mean skew
+      // factor for events.user_id — the diagnostic read before choosing
+      // plain shuffle vs salting vs an AQE skew hint
+      (s, d) => operators.Analytics.skewReport(Tables.events(s, d), "user_id"),
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY user_id),
+             |hot AS (SELECT CAST(user_id AS VARCHAR) AS hottest_key, cnt AS max_key_rows
+             |  FROM c ORDER BY cnt DESC, CAST(user_id AS VARCHAR) DESC LIMIT 1),
+             |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |    CAST(count(*) AS BIGINT) AS n_keys FROM c)
+             |SELECT n_rows, n_keys, max_key_rows, hottest_key,
+             |  ROUND(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) AS avg_key_rows,
+             |  ROUND(CAST(max_key_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_factor
+             |FROM st, hot""".stripMargin)),
+
     Q("ts_gap_fill",
       // calendar densification: events restricted to ~3/4 of days (real
       // gaps), then the group × calendar spine zero-fills counts and

@@ -696,6 +696,54 @@ object Analytics {
       .orderBy(typeCol, "day")
   }
 
+  /** Keyed hard-delete with tombstone accounting (the right-to-be-
+    * forgotten sweep): one pass marks snapshot rows against the deletion
+    * list and reports per-group before/deleted/after counts — the audit
+    * artifact a compliance delete must produce. The deletion list is the
+    * small side (broadcast); the snapshot is read ONCE (a separate
+    * anti-join for the data plus a count pass would read it twice).
+    * The physical delete is then [[graft.operators.Dedup]]-style
+    * anti-join + partition overwrite; this operator is its audit twin. */
+  def tombstoneDelete(snapshot: DataFrame, deletions: DataFrame,
+                      keyCol: String, groupCol: String): DataFrame = {
+    val marks = deletions.select(col(keyCol)).distinct()
+      .withColumn("__del", lit(true))
+    snapshot.join(broadcast(marks), Seq(keyCol), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_before"),
+        count(col("__del")).as("n_deleted"),
+        (count(lit(1)) - count(col("__del"))).as("n_after"))
+      .orderBy(groupCol)
+  }
+
+  /** Join-key skew diagnostic: cardinality, hottest key, and the
+    * max/mean skew factor for a prospective join/aggregation key — the
+    * pre-flight a 100 TB join runs before choosing between a plain
+    * shuffle, salting ([[graft.SparkEntry]] `ev_salted_join`), or an AQE
+    * skew-join hint. One map-side-combined count pass; the stats reduce
+    * over the O(keys) frame. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    // deterministic hottest key: count desc, key-string desc — a TopK
+    // (TakeOrdered) over the O(keys) frame, ONE broadcast row after
+    val hot = counts
+      .orderBy(col("cnt").desc, col(keyCol).cast("string").desc)
+      .limit(1)
+      .select(col(keyCol).cast("string").as("hottest_key"),
+        col("cnt").as("max_key_rows"))
+    counts.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(hot))
+      .withColumn("avg_key_rows",
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"), 6))
+      .withColumn("skew_factor",
+        round(col("max_key_rows").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")), 6))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        col("hottest_key"), col("avg_key_rows"), col("skew_factor"))
+  }
+
   /** Calendar gap-fill (time-series densification): the daily per-group
     * aggregate joined against the full group × calendar spine, missing
     * days zero-filled for counts and last-observation-carried-forward for

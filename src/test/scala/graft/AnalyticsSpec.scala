@@ -355,4 +355,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("2024-01-02") == ((0L, Some(12.0), true)))  // filled + LOCF
     assert(out("2024-01-03") == ((1L, Some(7.0), false)))
   }
+
+  test("tombstoneDelete: per-group accounting, deletion list deduped") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"))
+      .toDF("k", "g")
+    // duplicate deletion entries must count once
+    val del = Seq(2L, 2L, 3L, 99L).toDF("k")
+    val out = Analytics.tombstoneDelete(snap, del, "k", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("A") == ((2L, 1L, 1L)))
+    assert(out("B") == ((3L, 1L, 2L)))
+  }
+
+  test("skewReport: exact stats and deterministic hottest key on ties") {
+    val s = spark
+    import s.implicits._
+    // keys: x:3, y:3, z:2 -> tie between x and y, "y" wins (string desc)
+    val df = (Seq.fill(3)("x") ++ Seq.fill(3)("y") ++ Seq.fill(2)("z")).toDF("k")
+    val r = Analytics.skewReport(df, "k").collect()(0)
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("max_key_rows") == 3L)
+    assert(r.getAs[String]("hottest_key") == "y")
+    assert(r.getAs[Double]("avg_key_rows") == BigDecimal(8.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("skew_factor") == BigDecimal(3.0 / (8.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

@@ -166,6 +166,7 @@ class PlanShapeSpec extends SparkSpec {
       "ta_textrank_keywords", // O(vocab) rank rows x ONE broadcast N row per iteration
       "mb_pair_lift", // item/pair support rows x ONE broadcast basket-total row
       "sim_binary_ann", // signature scan x ONE broadcast query-signature row
+      "dx_skew_report", // two stats rows x ONE broadcast hottest-key row
       "sim_mrl_ann", // prefix-dim corpus x the single query vector
       "ts_gap_fill") // distinct groups x ONE broadcast (min,max)-day bounds row
     // streaming fns execute on invocation; their stateful plans are
