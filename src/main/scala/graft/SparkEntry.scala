@@ -1368,6 +1368,42 @@ object SparkEntry {
              |FROM lb ORDER BY doc_id""".stripMargin
       }),
 
+    Q("ta_lang_confusion",
+      // classifier eval at corpus scale: the language-ID confusion matrix
+      // against the labeled lang column — (label, prediction) cells with
+      // per-label share; the model-drift dashboard a 100 TB ingest keeps
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        Tables.documents(s, d)
+          .select(col("lang"),
+            operators.TextAnalysis.languageId(col("text")).as("pred_lang"))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("cnt"))
+          .withColumn("label_share",
+            round(col("cnt").cast("double") /
+              sum(col("cnt")).over(w).cast("double"), 6))
+          .orderBy("lang", "pred_lang")
+      },
+      Some {
+        val langHits = operators.TextAnalysis.LangLexicons.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString("(", ",", ")")
+          s"len(list_filter(list_transform(tokens, t -> lower(t)), t -> t IN $inList)) AS h_$lang"
+        }.mkString(", ")
+        val langs = operators.TextAnalysis.LangLexicons.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("GREATEST(", ", ", ")")
+        val predCase = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        Sentiment.oracleCte +
+          s""", ch AS (SELECT doc_id, lang, tokens, $langHits FROM toks),
+             |cb AS (SELECT *, $best AS best FROM ch),
+             |cp AS (SELECT lang, $predCase AS pred_lang FROM cb),
+             |cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM cp GROUP BY 1, 2)
+             |SELECT lang, pred_lang, cnt,
+             |  ROUND(CAST(cnt AS DOUBLE) /
+             |    CAST(SUM(cnt) OVER (PARTITION BY lang) AS DOUBLE), 6) AS label_share
+             |FROM cm ORDER BY lang, pred_lang""".stripMargin
+      }),
+
     Q("ta_chunking",
       // LLM-pipeline context-window packing: 24-token chunks, 8-token
       // overlap; chunk 0 always exists, so short docs survive whole
@@ -1942,6 +1978,32 @@ object SparkEntry {
       Some(Sentiment.oracleCte +
         """ SELECT doc_id, sentiment, confidence FROM sent
           | ORDER BY confidence DESC, doc_id LIMIT 5""".stripMargin)),
+
+    Q("o10_diversified_topk",
+      // diversified ranking (the search/reco primitive): global top-10 by
+      // confidence but AT MOST 2 docs per source — per-source row_number
+      // cap (high-cardinality partition key, parallel groups) then a
+      // TakeOrdered top-k; no global sort of the corpus anywhere
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("confidence").desc, col("doc_id"))
+        scoredDocs(s, d)
+          .withColumn("rn_src", row_number().over(w))
+          .filter(col("rn_src") <= 2)
+          .orderBy(col("confidence").desc, col("doc_id"))
+          .select(col("doc_id"), col("source"), col("confidence"),
+            col("rn_src").cast("int").as("rn_src"))
+          .limit(10)
+      },
+      Some(Sentiment.oracleCte +
+        """,
+          |dv AS (SELECT doc_id, source, confidence,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY confidence DESC, doc_id) AS INT) AS rn_src
+          |  FROM sent)
+          |SELECT doc_id, source, confidence, rn_src FROM dv
+          |WHERE rn_src <= 2
+          |ORDER BY confidence DESC, doc_id LIMIT 10""".stripMargin)),
 
     Q("u1_union_passes",
       (s, d) => {
