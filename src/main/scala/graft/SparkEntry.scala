@@ -1981,18 +1981,24 @@ object SparkEntry {
 
     Q("o10_diversified_topk",
       // diversified ranking (the search/reco primitive): global top-10 by
-      // confidence but AT MOST 2 docs per source — per-source row_number
-      // cap (high-cardinality partition key, parallel groups) then a
-      // TakeOrdered top-k; no global sort of the corpus anywhere
+      // confidence but AT MOST 2 docs per source. The per-source cap runs
+      // through the native bounded-heap aggregate (o9's graft_top_k):
+      // map-side partial heaps cap the shuffle at 2 rows per (task,
+      // source) — a row_number window partitioned on the low-cardinality
+      // source column would instead sort ALL fact rows on |sources|
+      // tasks, the exact shape the PlanShapeSpec sweep forbids (and
+      // flagged in this query's first formulation)
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy(col("confidence").desc, col("doc_id"))
-        scoredDocs(s, d)
-          .withColumn("rn_src", row_number().over(w))
-          .filter(col("rn_src") <= 2)
+        val top = scoredDocs(s, d)
+          .groupBy("source")
+          .agg(graft.plans.TopK.topKByScore(
+            col("confidence"), col("doc_id"),
+            struct(col("doc_id"), col("confidence")), 2).as("top"))
+        top.select(col("source"), posexplode(col("top")))
+          .select(col("col.doc_id").as("doc_id"), col("source"),
+            col("col.confidence").as("confidence"),
+            (col("pos") + 1).cast("int").as("rn_src"))
           .orderBy(col("confidence").desc, col("doc_id"))
-          .select(col("doc_id"), col("source"), col("confidence"),
-            col("rn_src").cast("int").as("rn_src"))
           .limit(10)
       },
       Some(Sentiment.oracleCte +
