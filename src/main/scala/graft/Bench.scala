@@ -50,7 +50,8 @@ object Bench {
       "p1_quality_filter", "a4_daily_trends", "j1_containment_dedup",
       "dd_minhash_neardup", "dd_prune_canonical", "sim_bruteforce_topk",
       "sim_ivf_ann", "v3_representatives", "ev_sessionize", "st4_stream_join",
-      "o4_head_per_group", "f5_date_extract")
+      "o4_head_per_group", "f5_date_extract",
+      "sim_binary_ann", "dd_incr_minhash", "pipe_corpus_report")
     val rmap = results.toMap
     val qs = headline.flatMap(h => rmap.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
