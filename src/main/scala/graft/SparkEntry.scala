@@ -2699,6 +2699,27 @@ object SparkEntry {
              |        END, 6) AS interp_value
              |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin)),
 
+    Q("ev_time_deltas",
+      // arrival-process profile: per-user inter-event gaps (lag window on
+      // the high-cardinality (user, type) key), summarized per type with
+      // exact interpolated p50/p90 — the data behind watermark-delay and
+      // session-gap choices
+      (s, d) => operators.Analytics.timeDeltas(Tables.events(s, d)),
+      Some("""WITH ev AS (SELECT event_type, user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |lg AS (SELECT event_type, user_id, us,
+             |    lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us) AS prev
+             |  FROM ev),
+             |dl AS (SELECT event_type,
+             |    CAST(us - prev AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS delta_s
+             |  FROM lg WHERE prev IS NOT NULL)
+             |SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n_gaps,
+             |  ROUND(AVG(delta_s), 6) AS avg_gap_s,
+             |  ROUND(quantile_cont(delta_s, CAST(0.5 AS DOUBLE)), 6) AS p50_gap_s,
+             |  ROUND(quantile_cont(delta_s, CAST(0.9 AS DOUBLE)), 6) AS p90_gap_s
+             |FROM dl GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("u7_tombstone_delete",
       // compliance hard-delete audit: customers whose key appears in the
       // deletion list (users with error events, key < 500) are tombstoned;

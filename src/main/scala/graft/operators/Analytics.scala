@@ -696,6 +696,36 @@ object Analytics {
       .orderBy(typeCol, "day")
   }
 
+  /** Per-user inter-event time deltas, summarized per event type: count,
+    * mean gap and exact interpolated median gap (seconds) — the
+    * arrival-process profile behind session-gap and watermark-delay
+    * tuning (the 2-hour watermarks and 30-minute session gap elsewhere
+    * in this catalog are exactly the numbers this report justifies).
+    *
+    * The lag window partitions on (user, type) — high-cardinality,
+    * parallel, bounded groups — over a 3-column projection of the
+    * stream; the summary is a map-side-combined aggregate over the
+    * delta stream. Exact percentile over per-type groups is a bounded
+    * per-group sort, the [[quantiles]] convention. */
+  def timeDeltas(events: DataFrame, typeCol: String = "event_type",
+                 userCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col("__us"))
+    events
+      .select(col(typeCol), col(userCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("delta_s",
+        (col("__us") - col("__prev")).cast("double") / lit(1000000.0))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("delta_s")), 6).as("avg_gap_s"),
+        round(percentile(col("delta_s"), lit(0.5)), 6).as("p50_gap_s"),
+        round(percentile(col("delta_s"), lit(0.9)), 6).as("p90_gap_s"))
+      .orderBy(typeCol)
+  }
+
   /** Keyed hard-delete with tombstone accounting (the right-to-be-
     * forgotten sweep): one pass marks snapshot rows against the deletion
     * list and reports per-group before/deleted/after counts — the audit
