@@ -971,9 +971,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("total_tokens"))
       .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      // docs longer than the top bucket pad to less than their own length
+      // (padded < total) — waste is clamped at 0 rather than reported
+      // negative; such docs belong to [[contextChunks]], not padding
       .withColumn("padding_waste",
-        round(lit(1.0) - col("total_tokens").cast("double") /
-          col("padded_tokens").cast("double"), 6))
+        greatest(lit(0.0), round(lit(1.0) - col("total_tokens").cast("double") /
+          col("padded_tokens").cast("double"), 6)))
       .orderBy("bucket")
   }
 

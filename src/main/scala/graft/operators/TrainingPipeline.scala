@@ -10,22 +10,28 @@ import graft.functions.TextFns
   * report. Each stage is an already-oracled operator; the composition
   * proves they chain without materialization seams — one logical plan,
   * Catalyst free to push the gate predicate into the scan feeding BOTH
-  * the shingle stream and the prune side.
+  * the signature stream and the prune side.
   *
-  * Scale shape: the gate is a pushed base-column predicate; the dedup
-  * prune's drop set is O(duplicates) and anti-joins the gated corpus;
-  * the split is arithmetic on the stable id (no RNG, no shuffle); the
-  * report is one map-side-combined aggregate over O(langs) groups.
+  * Scale shape: the gate is a pushed base-column predicate; near-dup
+  * pairs come from banded MinHash (candidates via band-bucket join,
+  * exact-Jaccard verify on candidates only — NOT the all-pairs shingle
+  * self-join, which dominated this pipeline's cost at sf1); the prune's
+  * drop set is O(duplicates) and anti-joins the gated corpus; the split
+  * is arithmetic on the stable id (no RNG, no shuffle); the report is
+  * one map-side-combined aggregate over O(langs) groups.
   */
 object TrainingPipeline {
 
   /** Per-language report of the train split after gating and dedup:
     * `(lang, n_docs, total_tokens, avg_tokens)`. */
   def corpusReport(docs: DataFrame, minChars: Int = 30,
-                   shingleN: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+                   shingleN: Int = 4, k: Int = 32, bands: Int = 8,
+                   minJaccard: Double = 0.5,
+                   family: Dedup.MinhashFamily = Dedup.PortableFamily): DataFrame = {
     val gated = docs.filter(col("n_chars") >= minChars)
-    val pairs = Dedup.ngramJaccardPairs(gated, "text", "doc_id",
-      n = shingleN, minJaccard = minJaccard)
+    val pairs = Dedup.minhashNearDupPairs(gated.select("doc_id", "text"),
+      "text", "doc_id", n = shingleN, k = k, bands = bands,
+      minJaccard = minJaccard, family = family)
     val pruned = Dedup.pruneToCanonical(gated, pairs, "doc_id")
     val train = pruned
       .filter(TextAnalysis.datasetSplit(col("doc_id")) === "train")

@@ -19,8 +19,21 @@ object Streams {
     * the SAME [[graft.Tables.normalizeTs]] the batch loader uses. A
     * hardcoded raw schema here silently mis-reads regenerated inputs. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    // An empty directory is a normal state for a file-arrival source (the
+    // stream should wait for data, not throw at definition time), so the
+    // probe falls back to the documented events schema — `ts` as nano
+    // LONG, the writer form every other variant normalizes from. The
+    // probed schema is pinned for the stream's lifetime; later files must
+    // match it (standard file-source contract).
+    val fallback = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rawSchema =
+      try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") ||
+          e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => fallback }
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(rawSchema)

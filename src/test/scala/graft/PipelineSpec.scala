@@ -33,7 +33,9 @@ class PipelineSpec extends SparkSpec {
     // split applied one stage at a time
     val gated = docs.filter(col("n_chars") >= 30)
     val pruned = operators.Dedup.pruneToCanonical(gated,
-      operators.Dedup.ngramJaccardPairs(gated, "text", "doc_id", 3, 0.1), "doc_id")
+      operators.Dedup.minhashNearDupPairs(gated.select("doc_id", "text"),
+        "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+        family = operators.Dedup.PortableFamily), "doc_id")
     val nTrain = pruned
       .filter(operators.TextAnalysis.datasetSplit(col("doc_id")) === "train").count()
     assert(out.map(_.getAs[Long]("n_docs")).sum == nTrain)

@@ -591,4 +591,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(32) == ((1L, 17L, 32L, BigDecimal(1.0 - 17.0 / 32.0)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
+
+  test("lengthBuckets: overlong docs clamp padding_waste at 0, never negative") {
+    val s = spark
+    import s.implicits._
+    // 5000 tokens > top bucket 4096: padded (4096) < total (5000), so raw
+    // waste would be negative — published value must clamp to 0
+    val df = Seq(("d", Seq.fill(5000)("w").mkString(" "))).toDF("id", "text")
+    val out = TextAnalysis.lengthBuckets(df, "text").collect()
+    assert(out.length == 1 && out(0).getAs[Int]("bucket") == 4096)
+    assert(out(0).getAs[Long]("padded_tokens") == 4096L)
+    assert(out(0).getAs[Double]("padding_waste") == 0.0)
+  }
 }
