@@ -290,14 +290,14 @@ object SparkEntry {
        |       ELSE CAST(0.0 AS DOUBLE) END AS dup_token_frac
        |  FROM rp_p)""".stripMargin
 
-  /** DuckDB CTE chain replaying the FULL minhash pipeline of the
-    * `dd_minhash_neardup` entry (mirrors [[Dedup.minhashNearDupPairs]]
-    * with [[Dedup.portableHash]] + portable band keys): the doc∪variant
-    * token stream, 4-gram shingles, the k md5-derived minima, banded
-    * tuple keys, the candidate self-join, and the exact-Jaccard verify
-    * join on (id, shingle). Requires the `toks` CTE; exposes
+  /** DuckDB CTE chain replaying the FULL minhash pipeline (mirrors
+    * [[Dedup.minhashNearDupPairs]] with [[Dedup.portableBaseHashes]] +
+    * portable band keys) over an arbitrary `(id, tokens)` source given as
+    * the `mh_toks` CTE body: 4-gram shingles, the k md5-derived minima,
+    * banded tuple keys, the candidate self-join, and the exact-Jaccard
+    * verify join on (id, shingle). Exposes
     * `mh_j(id_a, id_b, inter, sz_a, sz_b)`. */
-  private def minhashOracleCtes(k: Int, bands: Int): String = {
+  private def minhashChainCtes(k: Int, bands: Int, mhToksSql: String): String = {
     val r = k / bands
     // Carter-Wegman permutations over ONE md5 per shingle (mirrors
     // Dedup.PortableFamily): h_i = (h1 + i*h2) mod (2^61-1)
@@ -311,11 +311,7 @@ object SparkEntry {
       s"SELECT id, $b AS band, $key AS key FROM mh_sig"
     }.mkString("\n  UNION ALL ")
     s""", mh_toks AS (
-       |  SELECT doc_id AS id, tokens FROM toks
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS id,
-       |    list_slice(tokens, 1, greatest(len(tokens) - 8, 4)) AS tokens
-       |  FROM toks WHERE doc_id % 10 = 0),
+       |  $mhToksSql),
        |mh_sh AS (SELECT id, unnest(${shinglesSql(4)}) AS sh FROM mh_toks),
        |mh_h AS (SELECT id, sh,
        |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS mh1,
@@ -342,6 +338,52 @@ object SparkEntry {
        |  JOIN mh_sig sa ON i.id_a = sa.id
        |  JOIN mh_sig sb ON i.id_b = sb.id)""".stripMargin
   }
+
+  /** [[minhashChainCtes]] over the `dd_minhash_neardup` entry's
+    * doc∪variant token stream (every 10th doc re-keyed +1000000 with its
+    * last 8 tokens dropped). Requires the `toks` CTE. */
+  private def minhashOracleCtes(k: Int, bands: Int): String =
+    minhashChainCtes(k, bands,
+      """SELECT doc_id AS id, tokens FROM toks
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |    list_slice(tokens, 1, greatest(len(tokens) - 8, 4)) AS tokens
+        |  FROM toks WHERE doc_id % 10 = 0""".stripMargin)
+
+  /** CTE `mh_pairs(id_a, id_b, jaccard)` — verified near-dup pairs above
+    * `minJaccard` with the ROUND(6) the Spark side applies, from `mh_j`.
+    * Rounding happens BEFORE any downstream aggregation on both engines
+    * (see `dd_cluster_stats`), so the per-pair inputs are bit-identical. */
+  private def mhPairsCte(minJaccard: Double): String =
+    s""",
+       |mh_pairs AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE), 6) AS jaccard
+       |  FROM mh_j
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) > CAST($minJaccard AS DOUBLE))""".stripMargin
+
+  /** Recursive reachability over the `mh_pairs` graph: exposes
+    * `reach(id, r)` — every (node, reachable-node) pair. Compose after
+    * [[minhashChainCtes]] + [[mhPairsCte]]; the query must start
+    * `WITH RECURSIVE`. */
+  private val mhReachCtes: String =
+    """,
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+      |reach AS (
+      |  SELECT src AS id, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)""".stripMargin
+
+  /** Oracle prefix for the components family: sentiment CTEs (recursive
+    * form) + the minhash chain over RAW documents (no variants) + verified
+    * pairs at J > 0.5 + recursive reachability. */
+  private lazy val mhComponentsOracleCtes: String =
+    Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
+      mhPairsCte(0.5) + mhReachCtes
 
   /** DuckDB CTE chain replaying [[Dedup.minhashProbePairs]] for the
     * `dd_incr_minhash` entry: probe batch = every 17th doc with its last
@@ -447,28 +489,16 @@ object SparkEntry {
     * [[Dedup.ngramJaccardPairs]] + transitive closure): exposes
     * `reach(id, r)` — every node with its reachable set over the
     * symmetrized Jaccard>0.1 edge graph. */
-  private lazy val componentsOracleCtes: String =
-    Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      s""", ${dshCteSql(3)},
-         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
-         |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |j AS (
-         |  SELECT id_a, id_b,
-         |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-         |  FROM inter
-         |  JOIN sizes sa ON inter.id_a = sa.doc_id
-         |  JOIN sizes sb ON inter.id_b = sb.doc_id),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)),
-         |reach AS (
-         |  SELECT src AS id, dst AS r FROM edges
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)""".stripMargin
+  /** Verified MinHash near-dup pairs over the raw documents table — the
+    * shared pair source for the components family (`dd_components`,
+    * `dd_cluster_stats`, `dd_prune_canonical`). Portable family so the
+    * oracle replays the banding bit-for-bit; the engine-native xxhash64
+    * family is the 100 TB default (DedupSpec recall units cover it). */
+  private def docNearDupPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDupPairs(
+      Tables.documents(s, d).select("doc_id", "text"),
+      "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+      family = Dedup.PortableFamily)
 
   // ------------------------------------------------------------------
   // Query catalog
@@ -922,13 +952,15 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dd_components",
-      // connected components + canonical member over the (deterministic,
-      // itself-oracled) n-gram Jaccard pair graph; the Spark side is
-      // iterative min-label propagation, the oracle a recursive CTE
-      (s, d) => Dedup.canonicalComponents(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          n = 3, minJaccard = 0.1)),
-      Some(componentsOracleCtes +
+      // connected components + canonical member over the MinHash
+      // candidate→exact-verify pair graph (NOT the full shingle
+      // self-join: pair generation through LSH banding is the shape that
+      // survives 100 TB — the all-pairs-sharing-a-shingle join was ~23 s
+      // of this entry's 27 s at sf1). The Spark side is iterative
+      // min-label propagation; the oracle replays the identical banded
+      // pipeline (portable md5 permutation family) + a recursive CTE
+      (s, d) => Dedup.canonicalComponents(docNearDupPairs(s, d)),
+      Some(mhComponentsOracleCtes +
         """
           |SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id
           |ORDER BY id""".stripMargin)),
@@ -941,29 +973,11 @@ object SparkEntry {
       (s, d) => operators.TrainingPipeline.corpusReport(
         Tables.documents(s, d)),
       Some(Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ",\ng AS (SELECT * FROM toks WHERE n_chars >= 30)" +
+        minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM g") +
+        mhPairsCte(0.5) + mhReachCtes +
         s""",
-           |g AS (SELECT * FROM toks WHERE n_chars >= 30),
-           |gsh AS (SELECT doc_id, unnest(${shinglesSql(3)}) AS sh FROM g),
-           |gsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM gsh GROUP BY doc_id),
-           |gin AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
-           |  FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |gj AS (
-           |  SELECT id_a, id_b,
-           |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-           |  FROM gin
-           |  JOIN gsz sa ON gin.id_a = sa.doc_id
-           |  JOIN gsz sb ON gin.id_b = sb.doc_id),
-           |gedges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM gj WHERE jaccard > CAST(0.1 AS DOUBLE)
-           |  UNION
-           |  SELECT id_b AS src, id_a AS dst FROM gj WHERE jaccard > CAST(0.1 AS DOUBLE)),
-           |greach AS (
-           |  SELECT src AS id, dst AS r FROM gedges
-           |  UNION
-           |  SELECT greach.id, e.dst FROM greach JOIN gedges e ON greach.r = e.src),
-           |gcanon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM greach GROUP BY id),
+           |gcanon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id),
            |pruned AS (SELECT * FROM g
            |  WHERE doc_id NOT IN (SELECT id FROM gcanon WHERE id <> canonical)),
            |train AS (SELECT * FROM pruned
@@ -976,17 +990,18 @@ object SparkEntry {
     Q("dd_cluster_stats",
       // per-component dedup triage: size, verified-pair count and mean
       // pair jaccard per cluster — the report read before a destructive
-      // prune (high avg + size≈pairs = clique; low avg = chained merge)
-      (s, d) => Dedup.clusterStats(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          n = 3, minJaccard = 0.1)),
-      Some(componentsOracleCtes +
+      // prune (high avg + size≈pairs = clique; low avg = chained merge).
+      // Both sides average the ROUND(6)-ed per-pair jaccard (the pair
+      // frame's published value), so the aggregation inputs are
+      // bit-identical — no rounding-boundary flip on regenerated data
+      (s, d) => Dedup.clusterStats(docNearDupPairs(s, d)),
+      Some(mhComponentsOracleCtes +
         """,
           |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id),
           |ccs AS (SELECT canonical, CAST(count(*) AS BIGINT) AS size FROM canon GROUP BY canonical),
           |cps AS (SELECT c.canonical, CAST(count(*) AS BIGINT) AS n_pairs,
           |    ROUND(AVG(jj.jaccard), 6) AS avg_jaccard
-          |  FROM (SELECT * FROM j WHERE jaccard > CAST(0.1 AS DOUBLE)) jj
+          |  FROM mh_pairs jj
           |  JOIN canon c ON jj.id_a = c.id
           |  GROUP BY 1)
           |SELECT ccs.canonical, ccs.size, cps.n_pairs, cps.avg_jaccard
@@ -996,15 +1011,13 @@ object SparkEntry {
     Q("dd_prune_canonical",
       // the corpus-pruning step after pair generation: drop every
       // non-canonical member of each near-dup component (one anti-join
-      // against the small drop set), keep canonicals + untouched docs
+      // against the small drop set), keep canonicals + untouched docs;
+      // pairs come from the banded MinHash path, generated ONCE
       (s, d) => Dedup.pruneToCanonical(
-        Tables.documents(s, d),
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          n = 3, minJaccard = 0.1),
-        "doc_id")
+        Tables.documents(s, d), docNearDupPairs(s, d), "doc_id")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id"),
-      Some(componentsOracleCtes +
+      Some(mhComponentsOracleCtes +
         """,
           |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id)
           |SELECT d.doc_id, d.lang, d.source FROM documents d
@@ -1239,6 +1252,62 @@ object SparkEntry {
               |GROUP BY vec_id
               |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_ivfpq_ann",
+      // IVF-PQ composed ANN — the billion-vector serving shape: IVF
+      // coarse probe (4 nearest cells), PQ-ADC rank inside the probed
+      // cells (8-byte codes, 32× smaller than the floats — 4 cells of
+      // codes cost ~1/8 the bytes of plain IVF's 1 cell of floats),
+      // exact cosine re-rank of the ADC shortlist-50. Every stage reuses
+      // an already-oracled convention (sim_ivf_ann cells, sim_pq_adc
+      // codebook/ADC), so DuckDB replays the whole composition
+      (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), queryId = 20,
+        k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16, shortlist = 50),
+      Some(s"""WITH $evecCteSql,
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, v, nrm, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |ss AS (SELECT unnest(range(0, 8)) AS s),
+              |sl AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vs
+              |  FROM evec, ss),
+              |cb AS (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
+              |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
+              |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
+              |  FROM sl JOIN cb ON sl.s = cb.s),
+              |enc AS (SELECT vec_id, s, code FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+              |    FROM enc0) WHERE rn = 1),
+              |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 20),
+              |pb0 AS (SELECT cents.cell,
+              |    ${dotSql("cents.cv", "qv")} / (cents.cnrm * qnrm) AS qccos
+              |  FROM cents, q),
+              |probed AS (SELECT cell FROM (
+              |    SELECT cell, row_number() OVER (ORDER BY qccos DESC, cell) AS pr
+              |    FROM pb0) WHERE pr <= 4),
+              |qsl AS (SELECT s, vs AS qvs FROM sl WHERE vec_id = 20),
+              |qt AS (SELECT cb.s, cb.code,
+              |    ${dotSql("qvs", "qvs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("qvs", "cw")} AS qd2
+              |  FROM cb JOIN qsl ON cb.s = qsl.s),
+              |shortl AS (
+              |  SELECT a.vec_id, a.cell, ROUND(SUM(qd2), 6) AS adc_dist
+              |  FROM asg a
+              |  JOIN probed p ON a.cell = p.cell
+              |  JOIN enc ON enc.vec_id = a.vec_id
+              |  JOIN qt ON qt.s = enc.s AND qt.code = enc.code
+              |  WHERE a.vec_id <> 20
+              |  GROUP BY a.vec_id, a.cell
+              |  ORDER BY adc_dist, a.vec_id LIMIT 50)
+              |SELECT sh.vec_id, sh.cell, sh.adc_dist,
+              |  ROUND(${dotSql("en.v", "qv")} / (en.nrm * qnrm), 6) AS cos
+              |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
+              |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin)),
+
     Q("sim_mrl_ann",
       // Matryoshka prefix-dim ANN: exact cosine over the first 16 dims
       // re-normalized — the column-pruned cheap pass of an MRL funnel
@@ -1329,6 +1398,92 @@ object SparkEntry {
               |SELECT qid AS query_id, n_exact, n_approx, n_hit,
               |  ROUND(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
               |FROM hx JOIN ax USING (qid) ORDER BY query_id""".stripMargin)),
+
+    Q("sim_ivfpq_recall",
+      // the composed-index justification row: recall@10 of plain IVF
+      // (nprobe=1, floats) vs IVF-PQ (nprobe=4, 8-byte codes + exact
+      // re-rank of the ADC shortlist) against brute-force ground truth,
+      // per query — IVF-PQ probes 4× the cells at ~1/8 the scan bytes,
+      // so its recall must dominate; SimilaritySpec asserts it does
+      (s, d) => Similarity.annRecallIvfPq(Tables.embeddings(s, d),
+        queryIds = Seq(20L, 111L, 222L, 333L, 444L), k = 10,
+        nCells = 16, nprobe = 4, m = 8, nCodes = 16, shortlist = 50),
+      Some(s"""WITH $evecCteSql,
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, v, nrm, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell AS qcell
+              |  FROM asg WHERE vec_id IN (20, 111, 222, 333, 444)),
+              |ex0 AS (SELECT qid, a.vec_id,
+              |    ROUND(${dotSql("a.v", "qv")} / (a.nrm * qnrm), 6) AS cos
+              |  FROM asg a CROSS JOIN qs WHERE a.vec_id <> qid),
+              |exr AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+              |    FROM ex0) WHERE rk <= 10),
+              |iv0 AS (SELECT qid, a.vec_id,
+              |    ROUND(${dotSql("a.v", "qv")} / (a.nrm * qnrm), 6) AS cos
+              |  FROM asg a JOIN qs ON a.cell = qcell AND a.vec_id <> qid),
+              |ivr AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+              |    FROM iv0) WHERE rk <= 10),
+              |ss AS (SELECT unnest(range(0, 8)) AS s),
+              |sl AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vs
+              |  FROM evec, ss),
+              |cb AS (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
+              |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
+              |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
+              |  FROM sl JOIN cb ON sl.s = cb.s),
+              |enc AS (SELECT vec_id, s, code FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+              |    FROM enc0) WHERE rn = 1),
+              |pb0 AS (SELECT qs.qid, cents.cell,
+              |    ${dotSql("cents.cv", "qv")} / (cents.cnrm * qnrm) AS qccos
+              |  FROM cents CROSS JOIN qs),
+              |probed AS (SELECT qid, cell FROM (
+              |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY qccos DESC, cell) AS pr
+              |    FROM pb0) WHERE pr <= 4),
+              |qsl AS (SELECT qs.qid, sl.s, sl.vs AS qvs
+              |  FROM sl JOIN qs ON sl.vec_id = qs.qid),
+              |qt AS (SELECT qsl.qid, cb.s, cb.code,
+              |    ${dotSql("qvs", "qvs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("qvs", "cw")} AS qd2
+              |  FROM cb JOIN qsl ON cb.s = qsl.s),
+              |sh0 AS (
+              |  SELECT p.qid, a.vec_id, ROUND(SUM(qd2), 6) AS adc_dist
+              |  FROM asg a
+              |  JOIN probed p ON a.cell = p.cell AND a.vec_id <> p.qid
+              |  JOIN enc ON enc.vec_id = a.vec_id
+              |  JOIN qt ON qt.qid = p.qid AND qt.s = enc.s AND qt.code = enc.code
+              |  GROUP BY p.qid, a.vec_id),
+              |shr AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS sk
+              |    FROM sh0) WHERE sk <= 50),
+              |pq0 AS (SELECT shr.qid, shr.vec_id,
+              |    ROUND(${dotSql("a.v", "qv")} / (a.nrm * qnrm), 6) AS cos
+              |  FROM shr
+              |  JOIN asg a ON a.vec_id = shr.vec_id
+              |  JOIN qs ON qs.qid = shr.qid),
+              |pqr AS (SELECT qid, vec_id FROM (
+              |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+              |    FROM pq0) WHERE rk <= 10),
+              |hx AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+              |    CAST(coalesce(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit_ivf,
+              |    CAST(coalesce(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit_ivfpq
+              |  FROM exr e
+              |  LEFT JOIN ivr i ON e.qid = i.qid AND e.vec_id = i.vec_id
+              |  LEFT JOIN pqr p ON e.qid = p.qid AND e.vec_id = p.vec_id
+              |  GROUP BY e.qid)
+              |SELECT qid AS query_id, n_exact, n_hit_ivf,
+              |  ROUND(CAST(n_hit_ivf AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall_ivf,
+              |  n_hit_ivfpq,
+              |  ROUND(CAST(n_hit_ivfpq AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall_ivfpq
+              |FROM hx ORDER BY query_id""".stripMargin)),
 
     Q("ta_text_profile",
       (s, d) => Tables.documents(s, d)
@@ -1945,6 +2100,29 @@ object SparkEntry {
       // RepresentativesSpec, not a SQL oracle.
       (s, d) => graft.ml.Representatives.representatives(scoredDocs(s, d)),
       None),
+
+    Q("v3b_rep_invariants",
+      // hash-checked PARTIAL oracle for the MLlib path: the
+      // SQL-expressible invariants of the representatives output. Per
+      // class: the cluster_size carried on the reps must sum back to the
+      // class's document count (every doc assigned exactly one cluster),
+      // exactly one representative per non-empty cluster, and the
+      // cluster count bounded by k = min(10, n). The oracle derives
+      // class_docs from the scored corpus and pins the booleans TRUE —
+      // a misbehaving fit flips a boolean or the sum and goes red.
+      (s, d) => graft.ml.Representatives.representatives(scoredDocs(s, d))
+        .groupBy("sentiment")
+        .agg(sum("cluster_size").as("class_docs"),
+          (count(lit(1)) === countDistinct(col("cluster_id")))
+            .as("one_rep_per_cluster"),
+          (count(lit(1)) <= least(lit(10L), sum("cluster_size")))
+            .as("k_bounded"))
+        .orderBy("sentiment"),
+      Some(Sentiment.oracleCte +
+        """
+          |SELECT sentiment, CAST(count(*) AS BIGINT) AS class_docs,
+          |  TRUE AS one_rep_per_cluster, TRUE AS k_bounded
+          |FROM sent GROUP BY sentiment ORDER BY sentiment""".stripMargin)),
 
     Q("f6_categorize",
       (s, d) => {
@@ -2821,8 +2999,9 @@ object SparkEntry {
           |  FROM lb GROUP BY bucket)
           |SELECT bucket, n_docs, total_tokens,
           |  n_docs * bucket AS padded_tokens,
-          |  ROUND(CAST(1.0 AS DOUBLE) - CAST(total_tokens AS DOUBLE)
-          |    / CAST(n_docs * bucket AS DOUBLE), 6) AS padding_waste
+          |  GREATEST(CAST(0.0 AS DOUBLE),
+          |    ROUND(CAST(1.0 AS DOUBLE) - CAST(total_tokens AS DOUBLE)
+          |      / CAST(n_docs * bucket AS DOUBLE), 6)) AS padding_waste
           |FROM lbs ORDER BY bucket""".stripMargin)),
 
     Q("ta_source_entropy",
@@ -3370,17 +3549,22 @@ object SparkEntry {
     Q("mb_pair_lift",
       // market-basket pair mining over (order, brand) baskets: Apriori
       // item prune, pair formation only via the basket-key self-equi-join,
-      // broadcast single supports for confidence/lift
+      // broadcast single supports for confidence/lift. The k(k-1)/2
+      // hot-basket guard is ENGAGED (maxBasket=20): a no-op on TPC-H
+      // orders (≤7 lineitems) but the bound a real basket column needs —
+      // the Apriori prune alone does not cap a single pathological basket
       (s, d) => {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
         val p = Tables.part(s, d).select("p_partkey", "p_brand")
         val baskets = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         Analytics.pairLift(baskets, "l_orderkey", "p_brand",
-          minSupport = 0.01, minPairCount = 5L)
+          minSupport = 0.01, minPairCount = 5L, maxBasket = 20)
       },
-      Some("""WITH ob AS (
+      Some("""WITH ob0 AS (
              |  SELECT DISTINCT l_orderkey, p_brand
              |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |ob AS (SELECT * FROM ob0 WHERE l_orderkey IN (
+             |  SELECT l_orderkey FROM ob0 GROUP BY 1 HAVING count(*) <= 20)),
              |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
              |isup AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY 1),
              |freq AS (SELECT p_brand FROM isup, n

@@ -249,6 +249,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ composed ANN — the billion-vector serving shape (FAISS
+    * `IVFx,PQy` semantics): IVF cell partitioning for the coarse probe,
+    * PQ-ADC ranking inside the probed cells, exact re-rank of the ADC
+    * shortlist.
+    *
+    * Composition of the two already-oracled stages with THEIR
+    * deterministic conventions: cells/assignment from [[ivfTopK]]
+    * (centroids = vec_id < nCells, cosine argmax, ties to lowest cell),
+    * codebook/encoding/ADC from [[pqTopK]] (codewords = sub-vectors of
+    * vec_id < nCodes, squared L2 via the shared dot fold). The query
+    * probes its `nprobe` nearest cells (centroid cosine, ties to lowest
+    * cell) — more cells than plain IVF's nprobe=1 at LESS scan cost,
+    * because inside a cell only the m-byte PQ codes are read (32×
+    * smaller than the float vectors): nprobe=4 of codes ≈ 1/8 the bytes
+    * of one cell of floats. ADC ranks the candidates; the top
+    * `shortlist` get one exact-cosine re-rank over their float vectors
+    * (point lookups at scale). ADC and cosine both ROUND(6) before their
+    * rank boundaries — deterministic on both engines.
+    *
+    * Scale shape: the per-cell encoded corpus is the persisted index
+    * (partitionBy(cell), m small ints per vector); a probe reads nprobe
+    * partitions of codes + `shortlist` float rows. Residual encoding
+    * (PQ over v − centroid, the FAISS default) is a drop-in upgrade that
+    * changes no dataflow — raw-vector PQ keeps the codebook shared
+    * across cells and the oracle replay simple. */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, nCells: Int = 16,
+                nprobe: Int = 4, m: Int = 8, nCodes: Int = 16,
+                shortlist: Int = 50, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // PQ encode (pqTopK convention; at scale this is the persisted index,
+    // not recomputed per query)
+    val slices = e.select(col("vec_id"),
+      posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+        .as(Seq("s", "vs")))
+    val codebook = slices.filter(col("vec_id") < nCodes)
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("vs").as("cw"))
+    def l2sq(a: Column, b: Column): Column =
+      dotFast(a, a) + dotFast(b, b) - lit(2.0) * dotFast(a, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
+    val enc = slices.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", l2sq(col("vs"), col("cw")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+    // coarse probe: the query's nprobe nearest cells
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("qccos", dotFast(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+      .orderBy(col("qccos").desc, col("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    // per-subspace ADC table: m × nCodes rows, broadcast
+    val qtab = codebook
+      .join(broadcast(slices.filter(col("vec_id") === queryId)
+        .select(col("s"), col("vs").as("qvs"))), Seq("s"))
+      .select(col("s"), col("code"), l2sq(col("qvs"), col("cw")).as("qd2"))
+    val short = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell"))
+      .join(enc, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("s", "code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(round(sum(col("qd2")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(shortlist)
+    short
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"), col("adc_dist"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Mean-pooling of chunk embeddings into a parent-document embedding —
     * the aggregation step of every chunked-retrieval pipeline (embed
     * chunks, pool to a doc vector for coarse search, keep chunk vectors
@@ -347,6 +435,118 @@ object Similarity {
           col("n_hit"),
           round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
             .as("recall"))
+        .orderBy("query_id")
+        .localCheckpoint(eager = true)
+    } finally assigned.unpersist()
+  }
+
+  /** Recall@k comparison of plain IVF (nprobe=1) vs composed IVF-PQ
+    * ([[ivfPqTopK]]: nprobe cells, ADC rank, exact re-rank) against the
+    * brute-force ground truth, per query — the eval row that justifies
+    * the composed index: at equal (or smaller) scan-byte budget the
+    * PQ-compressed multi-cell probe should recover at least the recall
+    * of one cell of floats. Returns
+    * `(query_id, n_exact, n_hit_ivf, recall_ivf, n_hit_ivfpq,
+    * recall_ivfpq)`.
+    *
+    * Same harness shape as [[annRecallIvf]]: the assignment is computed
+    * once and persisted; the query panel, probe sets, ADC tables and
+    * shortlist boundaries are all broadcast-sized; every rank window
+    * partitions by query id. Cosines and ADC distances ROUND(6) before
+    * their rank boundaries (vec_id tiebreak) so both engines agree. */
+  def annRecallIvfPq(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                     nCells: Int = 16, nprobe: Int = 4, m: Int = 8,
+                     nCodes: Int = 16, shortlist: Int = 50,
+                     dim: Int = 64): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val W = org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .persist()
+    try {
+      val qs = assigned.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cell").as("qcell"))
+      val qcos = round(
+        dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+      val rank = W.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = assigned.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), qcos.as("cos"))
+        .withColumn("rk", row_number().over(rank)).filter(col("rk") <= k)
+      val ivf = assigned.join(broadcast(qs),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), qcos.as("cos"))
+        .withColumn("rk", row_number().over(rank)).filter(col("rk") <= k)
+      // ---- IVF-PQ arm (ivfPqTopK conventions, per query id) ----
+      val probed = cents.crossJoin(broadcast(qs.select("qid", "qv", "qnrm")))
+        .withColumn("qccos",
+          dotFast(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+        .withColumn("pr", row_number().over(
+          W.partitionBy("qid").orderBy(col("qccos").desc, col("cell"))))
+        .filter(col("pr") <= nprobe)
+        .select(col("qid"), col("cell"))
+      val slices = e.select(col("vec_id"),
+        posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+          .as(Seq("s", "vs")))
+      val codebook = slices.filter(col("vec_id") < nCodes)
+        .select(col("s"), col("vec_id").cast("int").as("code"), col("vs").as("cw"))
+      def l2sq(a: Column, b: Column): Column =
+        dotFast(a, a) + dotFast(b, b) - lit(2.0) * dotFast(a, b)
+      val enc = slices.join(broadcast(codebook), Seq("s"))
+        .withColumn("d2", l2sq(col("vs"), col("cw")))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("code"))
+      val qtab = codebook
+        .join(broadcast(slices.join(broadcast(qs.select(col("qid"))),
+            col("vec_id") === col("qid"))
+          .select(col("qid"), col("s"), col("vs").as("qvs"))), Seq("s"))
+        .select(col("qid"), col("s"), col("code"), l2sq(col("qvs"), col("cw")).as("qd2"))
+      val short = assigned.join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+        .join(enc, Seq("vec_id"))
+        .join(broadcast(qtab), Seq("qid", "s", "code"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(round(sum(col("qd2")), 6).as("adc_dist"))
+        .withColumn("sk", row_number().over(
+          W.partitionBy("qid").orderBy(col("adc_dist"), col("vec_id"))))
+        .filter(col("sk") <= shortlist)
+        .select(col("qid"), col("vec_id"))
+      val ivfpq = short
+        .join(assigned.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+        .join(broadcast(qs.select("qid", "qv", "qnrm")), Seq("qid"))
+        .select(col("qid"), col("vec_id"), qcos.as("cos"))
+        .withColumn("rk", row_number().over(rank)).filter(col("rk") <= k)
+      // ---- recall rollup ----
+      val hits = exact
+        .join(ivf.select(col("qid"), col("vec_id"), lit(true).as("h_ivf")),
+          Seq("qid", "vec_id"), "left")
+        .join(ivfpq.select(col("qid"), col("vec_id"), lit(true).as("h_pq")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(when(col("h_ivf"), 1L)), lit(0L)).as("n_hit_ivf"),
+          coalesce(sum(when(col("h_pq"), 1L)), lit(0L)).as("n_hit_ivfpq"))
+      hits.select(col("qid").as("query_id"), col("n_exact"),
+          col("n_hit_ivf"),
+          round(col("n_hit_ivf").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall_ivf"),
+          col("n_hit_ivfpq"),
+          round(col("n_hit_ivfpq").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall_ivfpq"))
         .orderBy("query_id")
         .localCheckpoint(eager = true)
     } finally assigned.unpersist()

@@ -318,6 +318,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.pairLift(df, "bk", "it", 0.0, 1L, maxBasket = 1).count() == 0L)
   }
 
+  test("pairLift: maxBasket bounds the pathological-basket pair blow-up") {
+    val s = spark
+    import s.implicits._
+    // one degenerate 100-item basket (k(k-1)/2 = 4950 potential pairs)
+    // alongside two sane 2-item baskets sharing (x, y)
+    val mega = (0 until 100).map(i => (99L, f"m$i%03d"))
+    val sane = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+    val df = (mega ++ sane).toDF("bk", "it")
+    val unguarded = Analytics.pairLift(df, "bk", "it", 0.0, 1L)
+    assert(unguarded.count() == 4951L) // 4950 mega pairs + (x, y)
+    val guarded = Analytics.pairLift(df, "bk", "it", 0.0, 1L, maxBasket = 50)
+      .collect()
+    // the mega basket is dropped ENTIRELY: from pair formation, from item
+    // supports, and from the basket universe n — sane stats are computed
+    // as if it never arrived
+    assert(guarded.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
+    val r = guarded.head
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 1.0 && // support = 2/2
+      r.getDouble(6) == 1.0) // lift = cnt*n/(ca*cb) = 2*2/(2*2) over n=2
+  }
+
   test("ewmaChart: closed-form weighted sum equals the recursive EWMA") {
     val s = spark
     import s.implicits._

@@ -278,4 +278,43 @@ class SimilaritySpec extends SparkSpec {
     assert((pq intersect brute).size >= 2,
       s"pq=$pq brute=$brute") // quantized L2 vs exact cosine: partial overlap expected
   }
+
+  test("ivfPqTopK: probing every cell with a corpus-wide shortlist == brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // degenerate configuration closes the approximation: all 16 cells
+    // probed and the ADC shortlist spans the corpus, so the exact cosine
+    // re-rank sees every candidate — the result must equal brute force
+    val got = Similarity.ivfPqTopK(emb, queryId = 20, k = 10,
+        nCells = 16, nprobe = 16, m = 8, nCodes = 16, shortlist = 1000)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val want = Similarity.bruteForceTopK(emb, queryId = 20, k = 10)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(got.sameElements(want), s"got=${got.toSeq} want=${want.toSeq}")
+  }
+
+  test("annRecallIvfPq: IVF-PQ recall dominates plain IVF on every panel query") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = Similarity.annRecallIvfPq(emb,
+        Seq(20L, 111L, 222L, 333L, 444L), k = 10,
+        nCells = 16, nprobe = 4, m = 8, nCodes = 16, shortlist = 50)
+      .collect()
+    assert(rows.length == 5)
+    // 4 probed cells of 8-byte codes cost ~1/8 the bytes of plain IVF's
+    // single cell of 256-byte floats — the recall should still dominate
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_ivfpq") >= r.getAs[Double]("recall_ivf"),
+        s"query ${r.getAs[Long]("query_id")}: " +
+          s"ivfpq=${r.getAs[Double]("recall_ivfpq")} < ivf=${r.getAs[Double]("recall_ivf")}")
+    }
+    val avg = (f: String) => rows.map(_.getAs[Double](f)).sum / rows.length
+    assert(avg("recall_ivfpq") > avg("recall_ivf"),
+      s"avg ivfpq=${avg("recall_ivfpq")} ivf=${avg("recall_ivf")}")
+    // the plain-IVF arm must agree with the standalone harness
+    val ivfOnly = Similarity.annRecallIvf(emb,
+        Seq(20L, 111L, 222L, 333L, 444L), k = 10, nCells = 16)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_ivf") == ivfOnly(r.getAs[Long]("query_id")))
+    }
+  }
 }

@@ -5,6 +5,17 @@ import graft.streaming.Streams
 
 class StreamsSpec extends SparkSpec {
 
+  test("readEvents: empty directory defines the stream on the fallback schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-events").toString
+    // no events.parquet yet — a normal state for a file-arrival source;
+    // the stream must define (fallback nano-long schema) rather than throw
+    val df = Streams.readEvents(spark, dir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType.typeName == "timestamp") // normalized
+    assert(df.schema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
   test("streaming hourly windows == batch hourly windows") {
     val streamed = Streams.runToCompletion(spark, sf0001, "streams_spec_out")
       .collect().map(_.toSeq).toSet
@@ -12,6 +23,25 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("RocksDB state store: stateful windowed agg identical to default provider") {
+    // provider is read at query start, so flipping the session conf swaps
+    // the store for the next stream only — results must be bit-identical
+    // (the provider changes WHERE state lives, never what it holds)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val base = Streams.runToCompletion(spark, sf0001, "st_store_base")
+      .collect().map(_.toSeq).toSet
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Sessions.RocksDbProvider)
+    try {
+      val rocks = Streams.runToCompletion(spark, sf0001, "st_store_rocksdb")
+        .collect().map(_.toSeq).toSet
+      assert(rocks == base && rocks.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("late replay: finalized windows keep batch counts, open boundary windows double") {
