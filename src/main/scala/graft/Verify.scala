@@ -5,6 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // --dry-oracle <outDir>: dump oracle_sql.json ONLY (no Spark session,
+    // no query execution) so `tools/check_oracle.py --parse-only` can
+    // assert every oracle parses in DuckDB before a full gate run — a
+    // typo'd oracle fails this pre-flight instead of surfacing as a
+    // round-end `err` row.
+    if (args.length == 2 && args(0) == "--dry-oracle") {
+      new java.io.File(args(1)).mkdirs()
+      Files.writeString(Paths.get(s"${args(1)}/oracle_sql.json"), oracleJson)
+      println(s"[verify] dry-oracle: ${SparkEntry.oracleSql.size} oracle entries -> ${args(1)}/oracle_sql.json")
+      return
+    }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-verify")
@@ -33,9 +44,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    spark.stop()
+  }
+
+  /** oracle_sql.json body. JSON string escape: backslash, quote, and ALL
+    * control chars (<0x20) — a tab or CR in builder-authored SQL would
+    * otherwise make the driver's json.load fail and silently zero the
+    * round's correctness. */
+  private def oracleJson: String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -45,9 +62,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -270,13 +270,22 @@ object Similarity {
     *
     * Scale shape: the per-cell encoded corpus is the persisted index
     * (partitionBy(cell), m small ints per vector); a probe reads nprobe
-    * partitions of codes + `shortlist` float rows. Residual encoding
-    * (PQ over v − centroid, the FAISS default) is a drop-in upgrade that
-    * changes no dataflow — raw-vector PQ keeps the codebook shared
-    * across cells and the oracle replay simple. */
+    * partitions of codes + `shortlist` float rows.
+    *
+    * `residual = true` switches to residual encoding (the FAISS IVF-PQ
+    * default): PQ runs over `v − centroid(cell(v))` — residuals cluster
+    * tighter than raw vectors, so the same codebook budget spends its
+    * resolution where the data actually lives. The codebook becomes the
+    * residual sub-vectors of the first `nCodes` vectors (same
+    * deterministic convention), and the ADC table becomes per-PROBED-CELL
+    * (the query's residual differs per cell): nprobe × m × nCodes rows,
+    * still broadcast-sized. The catalog entry keeps `residual = false`
+    * (codebook shared across cells, simpler oracle replay); the residual
+    * path is pinned by the same full-probe == brute-force closure test. */
   def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int, nCells: Int = 16,
                 nprobe: Int = 4, m: Int = 8, nCodes: Int = 16,
-                shortlist: Int = 50, dim: Int = 64): DataFrame = {
+                shortlist: Int = 50, dim: Int = 64,
+                residual: Boolean = false): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
     val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
@@ -290,10 +299,17 @@ object Similarity {
           .orderBy(col("ccos").desc, col("cell"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // the encoded vector: raw, or the residual against the assigned cell
+    val encBase =
+      if (!residual) assigned.select(col("vec_id"), col("cell"), col("v").as("ev"))
+      else assigned
+        .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cv"), (x, c) => x - c).as("ev"))
     // PQ encode (pqTopK convention; at scale this is the persisted index,
     // not recomputed per query)
-    val slices = e.select(col("vec_id"),
-      posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+    val slices = encBase.select(col("vec_id"), col("cell"),
+      posexplode(array((0 until m).map(s => slice(col("ev"), s * sub + 1, sub)): _*))
         .as(Seq("s", "vs")))
     val codebook = slices.filter(col("vec_id") < nCodes)
       .select(col("s"), col("vec_id").cast("int").as("code"), col("vs").as("cw"))
@@ -313,17 +329,40 @@ object Similarity {
       .withColumn("qccos", dotFast(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
       .orderBy(col("qccos").desc, col("cell"))
       .limit(nprobe)
-      .select(col("cell"))
-    // per-subspace ADC table: m × nCodes rows, broadcast
-    val qtab = codebook
-      .join(broadcast(slices.filter(col("vec_id") === queryId)
-        .select(col("s"), col("vs").as("qvs"))), Seq("s"))
-      .select(col("s"), col("code"), l2sq(col("qvs"), col("cw")).as("qd2"))
-    val short = assigned.join(broadcast(probed), Seq("cell"))
+      .select(col("cell"), col("cv"))
+    // ADC table: m × nCodes rows (raw) or per probed cell (residual —
+    // the query residual differs per cell), nprobe × m × nCodes rows;
+    // broadcast either way
+    val qtab =
+      if (!residual) {
+        val qslices = e.filter(col("vec_id") === queryId)
+          .select(posexplode(array(
+            (0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+            .as(Seq("s", "qvs")))
+        codebook.join(broadcast(qslices), Seq("s"))
+          .select(lit(null).cast("long").as("qcell"), col("s"), col("code"),
+            l2sq(col("qvs"), col("cw")).as("qd2"))
+      } else {
+        val qres = probed.crossJoin(broadcast(q))
+          .select(col("cell").as("qcell"),
+            zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+        val qslices = qres.select(col("qcell"), posexplode(array(
+            (0 until m).map(s => slice(col("qr"), s * sub + 1, sub)): _*))
+            .as(Seq("s", "qvs")))
+        codebook.join(broadcast(qslices), Seq("s"))
+          .select(col("qcell"), col("s"), col("code"),
+            l2sq(col("qvs"), col("cw")).as("qd2"))
+      }
+    val candCodes = assigned.join(broadcast(probed.select("cell")), Seq("cell"))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("cell"))
       .join(enc, Seq("vec_id"))
-      .join(broadcast(qtab), Seq("s", "code"))
+    val joined =
+      if (!residual) candCodes.join(broadcast(qtab), Seq("s", "code"))
+      else candCodes.join(broadcast(qtab),
+        col("cell") === col("qcell") &&
+          candCodes("s") === qtab("s") && candCodes("code") === qtab("code"))
+    val short = joined
       .groupBy(col("vec_id"), col("cell"))
       .agg(round(sum(col("qd2")), 6).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))

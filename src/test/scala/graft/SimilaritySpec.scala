@@ -292,6 +292,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sameElements(want), s"got=${got.toSeq} want=${want.toSeq}")
   }
 
+  test("ivfPqTopK residual encoding: same closure property, useful recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // the closure holds regardless of encoding: probing every cell with a
+    // corpus-wide shortlist makes the exact re-rank see every candidate
+    val got = Similarity.ivfPqTopK(emb, queryId = 20, k = 10,
+        nCells = 16, nprobe = 16, m = 8, nCodes = 16, shortlist = 1000,
+        residual = true)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val want = Similarity.bruteForceTopK(emb, queryId = 20, k = 10)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(got.sameElements(want), s"got=${got.toSeq} want=${want.toSeq}")
+    // at the catalog configuration the residual path is a working index:
+    // nonempty, deterministic, k rows
+    val res = Similarity.ivfPqTopK(emb, queryId = 20, k = 10, residual = true)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val res2 = Similarity.ivfPqTopK(emb, queryId = 20, k = 10, residual = true)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(res.length == 10 && res.sameElements(res2))
+  }
+
   test("annRecallIvfPq: IVF-PQ recall dominates plain IVF on every panel query") {
     val emb = Tables.embeddings(spark, sf0001)
     val rows = Similarity.annRecallIvfPq(emb,

@@ -66,7 +66,29 @@ def main(outdir, sfdir):
     print(f"\n{n_ok} ok, {n_bad} failed")
     return 1 if n_bad else 0
 
+def parse_only(outdir, sfdir):
+    """Pre-flight gate: EXPLAIN every oracle SQL in DuckDB (plans without
+    executing) so a typo'd oracle fails here, not as a round-end err row.
+    Pairs with `sbt "runMain graft.Verify --dry-oracle <outdir>"`, which
+    dumps oracle_sql.json in seconds without running any query."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            con.execute("EXPLAIN " + sql)
+        except Exception as e:
+            print(f"FAIL {name}: {str(e).splitlines()[0]}")
+            n_bad += 1
+    print(f"\nparse-only: {len(oracle) - n_bad} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--parse-only"]
+    out = args[0] if len(args) > 0 else "/tmp/verify_out"
+    sf = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+    if "--parse-only" in sys.argv:
+        sys.exit(parse_only(out, sf))
     sys.exit(main(out, sf))
