@@ -346,4 +346,23 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((3L, 3L, 0.8)))  // (0.9+0.8+0.7)/3
     assert(out(7L) == ((2L, 1L, 0.5)))
   }
+
+  test("clusterStats averages the PUBLISHED (rounded) pair jaccard — oracle alignment") {
+    val s = spark
+    import s.implicits._
+    // minhashNearDupPairs publishes ROUND(6) jaccard; clusterStats must
+    // average exactly those published values (the DuckDB oracle does),
+    // not recompute unrounded ratios — otherwise a mean landing near a
+    // 6th-decimal boundary can flip the final ROUND between engines.
+    // 2/3 rounds to 0.666667; the average of published values is
+    // (0.666667 + 0.5) / 2 = 0.583334 (round 0.5833335 HALF_UP), while
+    // unrounded inputs would give (2/3 + 0.5) / 2 = 0.583333.
+    val pairs = Seq(
+      (1L, 2L, BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (1L, 3L, 0.5)
+    ).toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.clusterStats(pairs).collect()
+      .map(r => r.getAs[Long]("canonical") -> r.getAs[Double]("avg_jaccard")).toMap
+    assert(got(1L) == 0.583334, s"got ${got(1L)} — expected the mean of ROUNDED inputs")
+  }
 }
