@@ -297,7 +297,8 @@ object SparkEntry {
     * banded tuple keys, the candidate self-join, and the exact-Jaccard
     * verify join on (id, shingle). Exposes
     * `mh_j(id_a, id_b, inter, sz_a, sz_b)`. */
-  private def minhashChainCtes(k: Int, bands: Int, mhToksSql: String): String = {
+  private def minhashChainCtes(k: Int, bands: Int, mhToksSql: String,
+                               pfx: String = "mh_"): String = {
     val r = k / bands
     // Carter-Wegman permutations over ONE md5 per shingle (mirrors
     // Dedup.PortableFamily): h_i = (h1 + i*h2) mod (2^61-1)
@@ -308,35 +309,35 @@ object SparkEntry {
     val bandSelects = (0 until bands).map { b =>
       val key = (b * r until (b + 1) * r)
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT id, $b AS band, $key AS key FROM mh_sig"
+      s"SELECT id, $b AS band, $key AS key FROM ${pfx}sig"
     }.mkString("\n  UNION ALL ")
-    s""", mh_toks AS (
+    s""", ${pfx}toks AS MATERIALIZED (
        |  $mhToksSql),
-       |mh_sh AS (SELECT id, unnest(${shinglesSql(4)}) AS sh FROM mh_toks),
-       |mh_h AS (SELECT id, sh,
+       |${pfx}sh AS MATERIALIZED (SELECT id, unnest(${shinglesSql(4)}) AS sh FROM ${pfx}toks),
+       |${pfx}h AS (SELECT id, sh,
        |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS mh1,
        |    CAST(('0x' || substr(md5(sh), 16, 12)) AS BIGINT) AS mh2
-       |  FROM mh_sh),
-       |mh_sig AS (SELECT id, CAST(count(*) AS BIGINT) AS sz,
+       |  FROM ${pfx}sh),
+       |${pfx}sig AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS sz,
        |    $mins
-       |  FROM mh_h GROUP BY id),
-       |mh_band AS (
+       |  FROM ${pfx}h GROUP BY id),
+       |${pfx}band AS (
        |  $bandSelects),
-       |mh_cand AS (
+       |${pfx}cand AS (
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-       |  FROM mh_band x JOIN mh_band y
+       |  FROM ${pfx}band x JOIN ${pfx}band y
        |    ON x.band = y.band AND x.key = y.key AND x.id < y.id),
-       |mh_inter AS (
+       |${pfx}inter AS (
        |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
-       |  FROM mh_cand c
-       |  JOIN mh_sh a ON a.id = c.id_a
-       |  JOIN mh_sh b ON b.id = c.id_b AND b.sh = a.sh
+       |  FROM ${pfx}cand c
+       |  JOIN ${pfx}sh a ON a.id = c.id_a
+       |  JOIN ${pfx}sh b ON b.id = c.id_b AND b.sh = a.sh
        |  GROUP BY 1, 2),
-       |mh_j AS (
+       |${pfx}j AS (
        |  SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
-       |  FROM mh_inter i
-       |  JOIN mh_sig sa ON i.id_a = sa.id
-       |  JOIN mh_sig sb ON i.id_b = sb.id)""".stripMargin
+       |  FROM ${pfx}inter i
+       |  JOIN ${pfx}sig sa ON i.id_a = sa.id
+       |  JOIN ${pfx}sig sb ON i.id_b = sb.id)""".stripMargin
   }
 
   /** [[minhashChainCtes]] over the `dd_minhash_neardup` entry's
@@ -354,28 +355,28 @@ object SparkEntry {
     * `minJaccard` with the ROUND(6) the Spark side applies, from `mh_j`.
     * Rounding happens BEFORE any downstream aggregation on both engines
     * (see `dd_cluster_stats`), so the per-pair inputs are bit-identical. */
-  private def mhPairsCte(minJaccard: Double): String =
+  private def mhPairsCte(minJaccard: Double, pfx: String = "mh_"): String =
     s""",
-       |mh_pairs AS (
+       |${pfx}pairs AS (
        |  SELECT id_a, id_b,
        |    ROUND(CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE), 6) AS jaccard
-       |  FROM mh_j
+       |  FROM ${pfx}j
        |  WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) > CAST($minJaccard AS DOUBLE))""".stripMargin
 
-  /** Recursive reachability over the `mh_pairs` graph: exposes
-    * `reach(id, r)` — every (node, reachable-node) pair. Compose after
-    * [[minhashChainCtes]] + [[mhPairsCte]]; the query must start
-    * `WITH RECURSIVE`. */
-  private val mhReachCtes: String =
-    """,
-      |edges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
-      |  UNION
-      |  SELECT id_b AS src, id_a AS dst FROM mh_pairs),
-      |reach AS (
-      |  SELECT src AS id, dst AS r FROM edges
-      |  UNION
-      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)""".stripMargin
+  /** Recursive reachability over the `${pfx}pairs` graph: exposes
+    * `reach(id, r)` (prefixed) — every (node, reachable-node) pair.
+    * Compose after [[minhashChainCtes]] + [[mhPairsCte]]; the query must
+    * start `WITH RECURSIVE`. */
+  private def mhReachCtes(pfx: String = "mh_"): String =
+    s""",
+       |${pfx}edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM ${pfx}pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM ${pfx}pairs),
+       |${pfx}reach AS (
+       |  SELECT src AS id, dst AS r FROM ${pfx}edges
+       |  UNION
+       |  SELECT ${pfx}reach.id, e.dst FROM ${pfx}reach JOIN ${pfx}edges e ON ${pfx}reach.r = e.src)""".stripMargin
 
   /** Oracle prefix for the components family: sentiment CTEs (recursive
     * form) + the minhash chain over RAW documents (no variants) + verified
@@ -383,7 +384,7 @@ object SparkEntry {
   private lazy val mhComponentsOracleCtes: String =
     Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
-      mhPairsCte(0.5) + mhReachCtes
+      mhPairsCte(0.5) + mhReachCtes()
 
   /** DuckDB CTE chain replaying [[Dedup.minhashProbePairs]] for the
     * `dd_incr_minhash` entry: probe batch = every 17th doc with its last
@@ -407,16 +408,16 @@ object SparkEntry {
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT id, p, $b AS band, $key AS key FROM mp_sig"
     }.mkString("\n  UNION ALL ")
-    s""", mp_toks AS (
+    s""", mp_toks AS MATERIALIZED (
        |  $corpusArm
        |  UNION ALL
        |  $probeArm),
-       |mp_sh AS (SELECT id, p, unnest(${shinglesSql(4)}) AS sh FROM mp_toks),
+       |mp_sh AS MATERIALIZED (SELECT id, p, unnest(${shinglesSql(4)}) AS sh FROM mp_toks),
        |mp_h AS (SELECT id, p, sh,
        |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS mp1,
        |    CAST(('0x' || substr(md5(sh), 16, 12)) AS BIGINT) AS mp2
        |  FROM mp_sh),
-       |mp_sig AS (SELECT id, p, CAST(count(*) AS BIGINT) AS sz,
+       |mp_sig AS MATERIALIZED (SELECT id, p, CAST(count(*) AS BIGINT) AS sz,
        |    $mins
        |  FROM mp_h GROUP BY id, p),
        |mp_band AS (
@@ -962,7 +963,7 @@ object SparkEntry {
       (s, d) => Dedup.canonicalComponents(docNearDupPairs(s, d)),
       Some(mhComponentsOracleCtes +
         """
-          |SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id
+          |SELECT id, LEAST(id, MIN(r)) AS canonical FROM mh_reach GROUP BY id
           |ORDER BY id""".stripMargin)),
 
     Q("pipe_corpus_report",
@@ -975,9 +976,9 @@ object SparkEntry {
       Some(Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         ",\ng AS (SELECT * FROM toks WHERE n_chars >= 30)" +
         minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM g") +
-        mhPairsCte(0.5) + mhReachCtes +
+        mhPairsCte(0.5) + mhReachCtes() +
         s""",
-           |gcanon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id),
+           |gcanon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM mh_reach GROUP BY id),
            |pruned AS (SELECT * FROM g
            |  WHERE doc_id NOT IN (SELECT id FROM gcanon WHERE id <> canonical)),
            |train AS (SELECT * FROM pruned
@@ -997,7 +998,7 @@ object SparkEntry {
       (s, d) => Dedup.clusterStats(docNearDupPairs(s, d)),
       Some(mhComponentsOracleCtes +
         """,
-          |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id),
+          |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM mh_reach GROUP BY id),
           |ccs AS (SELECT canonical, CAST(count(*) AS BIGINT) AS size FROM canon GROUP BY canonical),
           |cps AS (SELECT c.canonical, CAST(count(*) AS BIGINT) AS n_pairs,
           |    ROUND(AVG(jj.jaccard), 6) AS avg_jaccard
@@ -1019,7 +1020,7 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(mhComponentsOracleCtes +
         """,
-          |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id)
+          |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM mh_reach GROUP BY id)
           |SELECT d.doc_id, d.lang, d.source FROM documents d
           |WHERE d.doc_id NOT IN (SELECT id FROM canon WHERE id <> canonical)
           |ORDER BY d.doc_id""".stripMargin)),
@@ -2796,6 +2797,44 @@ object SparkEntry {
              |FROM lj, wm
              |WHERE p_us IS NOT NULL OR e_us < cut
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("st10_dedup_ingest",
+      // streaming near-dup-deduplicated corpus ingest: documents arrive
+      // in two file micro-batches (even doc_ids then odd), each batch is
+      // MinHash-probed against the accepted snapshot (band-key joins
+      // only), dropped on a verified match, self-deduped within the
+      // batch, and appended via the crash-safe snapshot swap. The FINAL
+      // SNAPSHOT is the oracle surface: batch-1 components + batch-2
+      // probe-then-components replayed in SQL (two prefixed chain
+      // instances + the probe chain, both recursive CTEs in one WITH)
+      (s, d) => graft.streaming.Streams.runDedupIngestToCompletion(s, d),
+      Some(Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        minhashChainCtes(32, 8,
+          "SELECT doc_id AS id, tokens FROM toks WHERE doc_id % 2 = 0",
+          pfx = "b1_") +
+        mhPairsCte(0.5, "b1_") + mhReachCtes("b1_") +
+        """,
+          |b1canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM b1_reach GROUP BY id),
+          |b1k AS (SELECT doc_id FROM toks WHERE doc_id % 2 = 0
+          |  AND doc_id NOT IN (SELECT id FROM b1canon WHERE id <> canonical))""".stripMargin +
+        minhashProbeOracleCtes(32, 8,
+          corpusArm = "SELECT doc_id AS id, FALSE AS p, tokens FROM toks WHERE doc_id IN (SELECT doc_id FROM b1k)",
+          probeArm = "SELECT doc_id AS id, TRUE AS p, tokens FROM toks WHERE doc_id % 2 = 1") +
+        """,
+          |b2fresh AS (SELECT doc_id FROM toks WHERE doc_id % 2 = 1
+          |  AND doc_id NOT IN (SELECT probe_id FROM mp_j
+          |    WHERE CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)))""".stripMargin +
+        minhashChainCtes(32, 8,
+          "SELECT doc_id AS id, tokens FROM toks WHERE doc_id IN (SELECT doc_id FROM b2fresh)",
+          pfx = "b2_") +
+        mhPairsCte(0.5, "b2_") + mhReachCtes("b2_") +
+        """,
+          |b2canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM b2_reach GROUP BY id),
+          |b2k AS (SELECT doc_id FROM b2fresh
+          |  WHERE doc_id NOT IN (SELECT id FROM b2canon WHERE id <> canonical))
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |WHERE d.doc_id IN (SELECT doc_id FROM b1k UNION ALL SELECT doc_id FROM b2k)
+          |ORDER BY d.doc_id""".stripMargin)),
 
     Q("st7_stream_static_join",
       // stream-static enrichment join: streaming fact x broadcast batch

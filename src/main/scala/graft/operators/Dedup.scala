@@ -361,6 +361,95 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** One-pass ingest pair generation: BOTH the batch-vs-corpus probe
+    * pairs and the within-batch pairs from a single tagged signature
+    * pipeline — the shape [[graft.streaming.Streams.dedupIngestBatch]]
+    * runs per micro-batch (two separate calls to [[minhashProbePairs]] +
+    * [[minhashNearDupPairs]] would shingle and signature the batch
+    * twice). Returns `(id_a, id_b, jaccard, vs_corpus)`: `vs_corpus`
+    * rows pair a batch doc (`id_a`) with a corpus doc (`id_b`); within
+    * rows pair two batch docs (`id_a < id_b`). Bands, signatures, and
+    * the exact-Jaccard verify are shared, so restricting the within
+    * rows to any batch subset gives exactly the pairs
+    * [[minhashNearDupPairs]] would produce on that subset (banding is
+    * per-document). The b-side shingle join keys on the probe/corpus
+    * tag as well as the id, so re-ingest (same id on both sides) never
+    * double-counts intersections. */
+  def minhashIngestPairs(batch: DataFrame, corpus: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 4, k: Int = 32, bands: Int = 16,
+                         minJaccard: Double = 0.6,
+                         family: MinhashFamily = NativeFamily): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val tagged = batch.select(col(idCol), col(textCol)).withColumn("__p", lit(true))
+      .unionByName(corpus.select(col(idCol), col(textCol)).withColumn("__p", lit(false)))
+    val sh = tagged
+      .select(col(idCol), col("__p"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("__p"),
+        explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+      .persist()
+    try {
+      val hashed = family match {
+        case NativeFamily => sh
+        case PortableFamily =>
+          val (h1, h2) = portableBaseHashes(col("sh"))
+          sh.select(col(idCol), col("__p"), col("sh"), h1.as("mh1"), h2.as("mh2"))
+      }
+      val sigAggs = (0 until k).map { i =>
+        val h = family match {
+          case NativeFamily   => xxhash64(lit(i), col("sh"))
+          case PortableFamily => (col("mh1") + lit(i.toLong) * col("mh2")) % lit(PortableMod)
+        }
+        min(h).as(s"h$i")
+      }
+      val sigs = hashed.groupBy(col(idCol).as("id"), col("__p"))
+        .agg(count(lit(1)).as("sz"), sigAggs: _*)
+      val bandCols = (0 until bands).map { b =>
+        val hs = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+        family match {
+          case NativeFamily   => hash(hs: _*)
+          case PortableFamily => concat_ws(",", hs: _*)
+        }
+      }
+      val banded = sigs.select(col("id"), col("__p"),
+          posexplode(array(bandCols: _*)))
+        .select(col("id"), col("__p"), col("pos").as("band"), col("col").as("bandhash"))
+      // one self-join forms BOTH candidate classes; the filter keeps
+      // probe×corpus (either order) and probe×probe with id_a < id_b
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bandhash") === col("y.bandhash") &&
+            col("x.__p") &&
+            (!col("y.__p") || col("x.id") < col("y.id")))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          (!col("y.__p")).as("vs_corpus"))
+        .distinct()
+      val inter = cand
+        .join(sh.filter(col("__p")).select(col(idCol).as("id_a"), col("sh")),
+          Seq("id_a"))
+        .join(sh.select(col(idCol).as("id_b"), col("__p").as("__bp"), col("sh")),
+          Seq("id_b", "sh"))
+        .filter(col("__bp") === !col("vs_corpus"))
+        .groupBy("id_a", "id_b", "vs_corpus").agg(count(lit(1)).as("inter"))
+      val sizes = sigs.select(col("id"), col("__p"), col("sz"))
+      val result = inter
+        .join(sizes.filter(col("__p"))
+          .select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("__p").as("__bp2"), col("sz").as("sz_b")),
+          Seq("id_b"))
+        .filter(col("__bp2") === !col("vs_corpus"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") > minJaccard)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+          col("vs_corpus"))
+        .orderBy("vs_corpus", "id_a", "id_b")
+      result.localCheckpoint(eager = true)
+    } finally sh.unpersist()
+  }
+
   /** Connected components over a near-dup pair graph + canonical member
     * selection — the step a dedup pipeline runs after pair generation:
     * every document in a component collapses to the component's minimum

@@ -272,6 +272,95 @@ object Streams {
     if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
+  /** One micro-batch of streaming near-dup-deduplicated ingest: probe the
+    * batch against the CURRENT snapshot's documents with banded MinHash
+    * ([[graft.operators.Dedup.minhashProbePairs]] — band-key joins only,
+    * the corpus side is the persisted index at scale), drop every batch
+    * doc with a verified match, self-dedup the survivors within the batch
+    * ([[graft.operators.Dedup.pruneToCanonical]]), and append what
+    * remains via the crash-safe snapshot swap of [[upsertSnapshotBatch]].
+    *
+    * Replay-idempotent (foreachBatch is at-least-once): a replayed batch
+    * finds its own previously-appended survivors in the snapshot at
+    * jaccard 1, so every doc drops as a dup and the merge is a no-op. */
+  def dedupIngestBatch(spark: SparkSession, snapshotDir: String,
+                       batch: DataFrame,
+                       minJaccard: Double = 0.5): Unit = {
+    import graft.operators.Dedup
+    val snap =
+      if (new java.io.File(snapshotDir).exists()) spark.read.parquet(snapshotDir)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+    // ONE tagged signature pass yields both the corpus-probe pairs and
+    // the within-batch pairs ([[Dedup.minhashIngestPairs]]); the result
+    // is eagerly checkpointed, so the filters below don't re-run it
+    val pairs = Dedup.minhashIngestPairs(
+      batch.select("doc_id", "text"), snap.select("doc_id", "text"),
+      "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = minJaccard,
+      family = Dedup.PortableFamily)
+    val hits = pairs.filter(col("vs_corpus"))
+      .select(col("id_a").as("doc_id")).distinct()
+    val fresh = batch.join(hits, Seq("doc_id"), "left_anti")
+    // within-batch pairs among fresh docs only == minhashNearDupPairs on
+    // the fresh subset (banding is per-document, verify is per-pair)
+    val freshPairs = pairs.filter(!col("vs_corpus"))
+      .join(hits.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(hits.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b", "jaccard")
+    val kept = Dedup.pruneToCanonical(fresh, freshPairs, "doc_id")
+    upsertSnapshotBatch(spark, snapshotDir, kept, "doc_id")
+  }
+
+  /** Streaming near-dup-deduplicated corpus ingest, run to completion —
+    * the continual-ingest shape of a 100 TB training-data pipeline as ONE
+    * streaming query: documents arrive in file micro-batches
+    * (`maxFilesPerTrigger=1`, mtime-ordered: even doc_ids then odd), each
+    * batch is deduplicated against everything already accepted and
+    * against itself, and survivors append to the parquet snapshot.
+    * Deterministic end to end (portable MinHash family, fixed batch
+    * split), so the FINAL SNAPSHOT is oracle-checkable: batch-1 self-dedup
+    * + batch-2 probe-then-self-dedup replayed in SQL. At scale the
+    * snapshot carries its band table as the persisted index (bucketed by
+    * band key) instead of re-signaturing on every probe — same dataflow,
+    * one fewer pass. Returns the final snapshot `(doc_id, lang, source)`
+    * ordered by id. */
+  def runDedupIngestToCompletion(spark: SparkSession, dir: String,
+                                 queryName: String = "stream_dedup_ingest")
+      : DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val tmp = Files.createTempDirectory("graft_ingest_").toString
+    val inDir = tmp + "/in"
+    val snapshotDir = tmp + "/snapshot"
+    Files.createDirectories(Paths.get(inDir))
+    def writeOne(df: DataFrame, stage: String, target: String, mtime: Long): Unit = {
+      val stageDir = s"$tmp/$stage"
+      df.coalesce(1).write.parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, target)
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 180000
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "b1", "1_even.parquet", t0)
+    writeOne(docs.filter(col("doc_id") % 2 =!= 0), "b2", "2_odd.parquet", t0 + 60000)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupIngestBatch(spark, snapshotDir, batch)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(snapshotDir)
+      .select("doc_id", "lang", "source").orderBy("doc_id")
+  }
+
   /** Incremental keyed-snapshot maintenance via `foreachBatch` — the
     * pattern that keeps a "current state per key" table fresh from an
     * event stream without a table format: each micro-batch is reduced to

@@ -347,6 +347,30 @@ class DedupSpec extends SparkSpec {
     assert(out(7L) == ((2L, 1L, 0.5)))
   }
 
+  test("minhashIngestPairs == probePairs ∪ nearDupPairs (one-pass fusion is exact)") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    val ing = Dedup.minhashIngestPairs(odd, even, "text", "doc_id",
+      n = 4, k = 32, bands = 8, minJaccard = 0.5,
+      family = Dedup.PortableFamily).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))
+    val vsCorpus = ing.filter(_.getAs[Boolean]("vs_corpus")).map(key).toSet
+    val within = ing.filterNot(_.getAs[Boolean]("vs_corpus")).map(key).toSet
+    val probe = Dedup.minhashProbePairs(odd, even, "text", "doc_id",
+        n = 4, k = 32, bands = 8, minJaccard = 0.5,
+        family = Dedup.PortableFamily).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    val self = Dedup.minhashNearDupPairs(odd, "text", "doc_id",
+        n = 4, k = 32, bands = 8, minJaccard = 0.5,
+        family = Dedup.PortableFamily).collect().map(key).toSet
+    assert(vsCorpus == probe, s"probe arm diverged: ${vsCorpus.size} vs ${probe.size}")
+    assert(within == self, s"within arm diverged: ${within.size} vs ${self.size}")
+    assert(vsCorpus.nonEmpty || within.nonEmpty) // corpus has planted near-dups
+  }
+
   test("clusterStats averages the PUBLISHED (rounded) pair jaccard — oracle alignment") {
     val s = spark
     import s.implicits._

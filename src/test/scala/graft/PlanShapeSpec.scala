@@ -96,7 +96,7 @@ class PlanShapeSpec extends SparkSpec {
     // are covered by their own oracles/tests.
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
       "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join",
-      "st9_stream_outer_join")
+      "st9_stream_outer_join", "st10_dedup_ingest")
     // A window over NOT-yet-aggregated rows is only scale-safe when its
     // partition key has cardinality that grows with the data (or the
     // cluster): each window group stays small and groups parallelize.
@@ -175,7 +175,7 @@ class PlanShapeSpec extends SparkSpec {
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
       "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join",
-      "st9_stream_outer_join")
+      "st9_stream_outer_join", "st10_dedup_ingest")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !streaming(name) && !allowed(name) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

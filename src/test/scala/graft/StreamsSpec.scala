@@ -25,6 +25,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("dedup ingest stream == decomposed two-stage batch computation") {
+    import graft.operators.Dedup
+    val got = Streams.runDedupIngestToCompletion(spark, sf0001, "st10_spec")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    // decomposed reference: batch-1 self-dedup, then batch-2 probe
+    // against the survivors + self-dedup — the unfused operator chain
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang", "source")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 =!= 0)
+    def selfDedup(df: org.apache.spark.sql.DataFrame) =
+      Dedup.pruneToCanonical(df,
+        Dedup.minhashNearDupPairs(df.select("doc_id", "text"), "text", "doc_id",
+          n = 4, k = 32, bands = 8, minJaccard = 0.5,
+          family = Dedup.PortableFamily), "doc_id")
+    val b1k = selfDedup(b1).localCheckpoint(true)
+    val hits = Dedup.minhashProbePairs(b2.select("doc_id", "text"),
+        b1k.select("doc_id", "text"), "text", "doc_id",
+        n = 4, k = 32, bands = 8, minJaccard = 0.5,
+        family = Dedup.PortableFamily)
+      .select(col("probe_id").as("doc_id")).distinct()
+    val b2k = selfDedup(b2.join(hits, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true))
+    val want = (b1k.collect() ++ b2k.collect())
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(got.sameElements(want), s"stream=${got.length} batch=${want.length}")
+    assert(got.nonEmpty)
+  }
+
   test("RocksDB state store: stateful windowed agg identical to default provider") {
     // provider is read at query start, so flipping the session conf swaps
     // the store for the next stream only — results must be bit-identical
