@@ -1309,6 +1309,69 @@ object SparkEntry {
               |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
               |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_ivfpq_res_ann",
+      // residual IVF-PQ (the FAISS IVFx,PQy default): PQ runs over
+      // v − centroid(cell(v)) — residuals cluster tighter than raw
+      // vectors, so the codebook budget spends its resolution where the
+      // data lives; the ADC table becomes per-probed-cell (the query's
+      // residual differs per cell). Same deterministic conventions as
+      // sim_ivfpq_ann, every step replayed in DuckDB
+      (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), queryId = 20,
+        k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16, shortlist = 50,
+        residual = true),
+      Some(s"""WITH $evecCteSql,
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS MATERIALIZED (
+              |  SELECT vec_id, v, nrm, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |rb AS MATERIALIZED (
+              |  SELECT a.vec_id, a.cell,
+              |    list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS ev
+              |  FROM asg a JOIN cents c ON a.cell = c.cell),
+              |ss AS (SELECT unnest(range(0, 8)) AS s),
+              |sl AS MATERIALIZED (SELECT vec_id, s, list_slice(ev, s * 8 + 1, s * 8 + 8) AS vs
+              |  FROM rb, ss),
+              |cb AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
+              |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
+              |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
+              |  FROM sl JOIN cb ON sl.s = cb.s),
+              |enc AS (SELECT vec_id, s, code FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+              |    FROM enc0) WHERE rn = 1),
+              |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 20),
+              |pb0 AS (SELECT cents.cell, cents.cv,
+              |    ${dotSql("cents.cv", "qv")} / (cents.cnrm * qnrm) AS qccos
+              |  FROM cents, q),
+              |probed AS (SELECT cell, cv FROM (
+              |    SELECT cell, cv, row_number() OVER (ORDER BY qccos DESC, cell) AS pr
+              |    FROM pb0) WHERE pr <= 4),
+              |qres AS (SELECT p.cell AS qcell,
+              |    list_transform(list_zip(qv, p.cv), x -> x[1] - x[2]) AS qr
+              |  FROM probed p, q),
+              |qsl AS (SELECT qcell, s, list_slice(qr, s * 8 + 1, s * 8 + 8) AS qvs
+              |  FROM qres, ss),
+              |qt AS (SELECT qsl.qcell, cb.s, cb.code,
+              |    ${dotSql("qvs", "qvs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("qvs", "cw")} AS qd2
+              |  FROM cb JOIN qsl ON cb.s = qsl.s),
+              |shortl AS (
+              |  SELECT a.vec_id, a.cell, ROUND(SUM(qd2), 6) AS adc_dist
+              |  FROM asg a
+              |  JOIN enc ON enc.vec_id = a.vec_id
+              |  JOIN qt ON qt.qcell = a.cell AND qt.s = enc.s AND qt.code = enc.code
+              |  WHERE a.vec_id <> 20
+              |  GROUP BY a.vec_id, a.cell
+              |  ORDER BY adc_dist, a.vec_id LIMIT 50)
+              |SELECT sh.vec_id, sh.cell, sh.adc_dist,
+              |  ROUND(${dotSql("en.v", "qv")} / (en.nrm * qnrm), 6) AS cos
+              |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
+              |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin)),
+
     Q("sim_mrl_ann",
       // Matryoshka prefix-dim ANN: exact cosine over the first 16 dims
       // re-normalized — the column-pruned cheap pass of an MRL funnel

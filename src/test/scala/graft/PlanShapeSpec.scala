@@ -151,7 +151,7 @@ class PlanShapeSpec extends SparkSpec {
       "f11b_insurance_breakdown", "ep3_chat_context", "ep2_results_document",
       "ep3b_suggestions", // resultsDocument's single-row broadcast frame
       "l2_reco_prompt", "sim_bruteforce_topk", "sim_ivf_ann",
-      "sim_ivfpq_ann", // sim_ivf's centroid assignment + single-row query probe/re-rank
+      "sim_ivfpq_ann", "sim_ivfpq_res_ann", // sim_ivf's centroid assignment + single-row query probe/re-rank
       // (sim_ivfpq_recall eagerly checkpoints — its plan is the checkpoint scan)
       "bf_bloom_prefilter_join", // single-broadcast-row bloom, never a shuffle
       "mix_token_budget", // 20 domain rows x ONE broadcast grand-total row
