@@ -1372,6 +1372,48 @@ object SparkEntry {
               |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
               |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_semdedup",
+      // SemDeDup (Abbas et al. 2023): semantic pruning in embedding
+      // space — coarse cells (IVF convention), duplicate groups by exact
+      // cosine WITHIN a cell only (co-located equi-join at scale, never
+      // all-pairs), one keeper per group = the member with the LOWEST
+      // centroid cosine (retain the semantic region's edge, drop the
+      // redundant core); untouched vectors survive
+      (s, d) => Similarity.semDedup(Tables.embeddings(s, d),
+        threshold = 0.4, nCells = 16),
+      Some(s"""WITH RECURSIVE $evecCteSql,
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS MATERIALIZED (
+              |  SELECT vec_id, v, nrm, cell, ROUND(ccos, 6) AS centroid_cos FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |sp AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) > CAST(0.4 AS DOUBLE)),
+              |sedges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM sp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM sp),
+              |sreach AS (
+              |  SELECT src AS id, dst AS r FROM sedges
+              |  UNION
+              |  SELECT sreach.id, e.dst FROM sreach JOIN sedges e ON sreach.r = e.src),
+              |scanon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM sreach GROUP BY id),
+              |skeep AS (SELECT vec_id FROM (
+              |    SELECT a.vec_id,
+              |      row_number() OVER (PARTITION BY c.canonical ORDER BY a.centroid_cos, a.vec_id) AS kr
+              |    FROM asg a JOIN scanon c ON a.vec_id = c.id) WHERE kr = 1)
+              |SELECT vec_id, cell, centroid_cos FROM asg
+              |WHERE vec_id NOT IN (SELECT id FROM scanon)
+              |   OR vec_id IN (SELECT vec_id FROM skeep)
+              |ORDER BY vec_id""".stripMargin)),
+
     Q("sim_mrl_ann",
       // Matryoshka prefix-dim ANN: exact cosine over the first 16 dims
       // re-normalized — the column-pruned cheap pass of an MRL funnel

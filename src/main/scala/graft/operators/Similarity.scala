@@ -750,6 +750,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * PRUNING in embedding space. Vectors are coarse-clustered (the
+    * [[ivfTopK]] deterministic cell convention — a trained k-means is the
+    * drop-in upgrade), duplicate groups are found by exact cosine >
+    * `threshold` WITHIN a cell only, and each group keeps exactly ONE
+    * member — per the paper, the example with the LOWEST cosine to its
+    * cluster centroid (retain the edge of the semantic region, drop the
+    * redundant core). Returns the KEPT vectors
+    * `(vec_id, cell, centroid_cos)`.
+    *
+    * Scale shape: pair formation is a cell equi-join — at 100 TB the
+    * corpus is written `partitionBy(cell)` so the join is co-located and
+    * each cell's pair count is bounded by its occupancy (the paper runs
+    * ~100k clusters for exactly this reason); no all-pairs scan exists in
+    * the plan. The dup-group collapse reuses
+    * [[graft.operators.Dedup.canonicalComponents]] (pointer-jumped label
+    * propagation over the O(dups) pair set). Cosines ROUND(6) before
+    * every comparison boundary, ties to the lower vec_id — the DuckDB
+    * oracle replays the whole pipeline. */
+  def semDedup(emb: DataFrame, threshold: Double,
+               nCells: Int = 16): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        round(col("ccos"), 6).as("centroid_cos"))
+      .persist()
+    try {
+      val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") > threshold)
+        .select(col("id_a"), col("id_b"))
+      val groups = Dedup.canonicalComponents(pairs)
+      // one keeper per dup group: LOWEST centroid cosine (ROUND(6)ed),
+      // ties to the lower vec_id; vectors in no group survive untouched
+      val keepers = assigned.join(groups.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+        .withColumn("kr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("canonical")
+            .orderBy(col("centroid_cos"), col("vec_id"))))
+        .filter(col("kr") === 1)
+        .select(col("vec_id"))
+      val grouped = groups.select(col("id").as("vec_id"))
+      val result = assigned
+        .join(grouped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"), col("centroid_cos"))
+        .unionByName(
+          assigned.join(keepers, Seq("vec_id"), "left_semi")
+            .select(col("vec_id"), col("cell"), col("centroid_cos")))
+        .orderBy("vec_id")
+      result.localCheckpoint(eager = true)
+    } finally assigned.unpersist()
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline —
     * kept as the recall oracle for [[lshNearDupPairs]] (unit tests only;
     * at 100 TB you never run all-pairs). */

@@ -312,6 +312,34 @@ class SimilaritySpec extends SparkSpec {
     assert(res.length == 10 && res.sameElements(res2))
   }
 
+  test("semDedup: one keeper per planted dup group; untouched vectors survive") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // pick a vector with NO near-dup pairs (computed from the data so
+    // testdata regeneration cannot break the premise), clone it twice
+    val paired = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+      .flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val x = emb.select("vec_id").collect().map(_.getLong(0))
+      .filter(id => id >= 100 && !paired(id)).min
+    val clones = emb.filter(col("vec_id") === x)
+      .select(explode(typedlit(Seq(990001L, 990002L))).as("vec_id"),
+        col("embedding"), col("label"))
+    val base = Similarity.semDedup(emb, 0.4, nCells = 16).collect()
+    val out = Similarity.semDedup(emb.unionByName(clones), 0.4, nCells = 16)
+      .collect()
+    // the trio {x, clone, clone} is one dup group (cosine exactly 1,
+    // same cell): exactly one survives, and identical centroid cosines
+    // tie-break to the lowest vec_id = x itself
+    val trio = out.map(_.getAs[Long]("vec_id")).filter(Set(x, 990001L, 990002L))
+    assert(trio.sameElements(Array(x)), s"trio survivors: ${trio.toSeq}")
+    // clones add nothing else: every other decision is unchanged
+    assert(out.length == base.length)
+    assert(out.map(_.getAs[Long]("vec_id")).toSet -- Set(x) ==
+      base.map(_.getAs[Long]("vec_id")).toSet -- Set(x))
+    // SemDeDup prunes only within-cell groups by design — never more
+    // than the corpus, and the planted trio above proves the collapse
+    assert(base.length <= emb.count())
+  }
+
   test("annRecallIvfPq: IVF-PQ recall dominates plain IVF on every panel query") {
     val emb = Tables.embeddings(spark, sf0001)
     val rows = Similarity.annRecallIvfPq(emb,
