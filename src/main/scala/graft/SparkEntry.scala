@@ -1076,6 +1076,47 @@ object SparkEntry {
           |WHERE CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)
           |ORDER BY probe_id, corpus_id""".stripMargin)),
 
+    Q("dd_incr_components",
+      // incremental label maintenance: the corpus's component labels are
+      // UPDATED with the probe batch's new pairs by reprocessing only the
+      // affected components (star edges preserve old connectivity) —
+      // O(batch) label work instead of O(corpus) recompute per ingest.
+      // The oracle is the FULL recompute over corpus ∪ probe pairs, so
+      // the hash gate proves the incremental algorithm exact
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val labels = Dedup.canonicalComponents(docNearDupPairs(s, d))
+        val batch = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat_ws(" ",
+              slice(TextFns.tokens(col("text")), lit(1),
+                greatest(size(TextFns.tokens(col("text"))) - 6, lit(4)))).as("text"))
+        val newPairs = Dedup.minhashProbePairs(batch, docs.select("doc_id", "text"),
+            "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+            family = Dedup.PortableFamily)
+          .select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"))
+        Dedup.incrementalComponents(labels, newPairs)
+      },
+      Some(Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
+        mhPairsCte(0.5) +
+        minhashProbeOracleCtes(32, 8) +
+        """,
+          |mp_pairs AS (
+          |  SELECT probe_id AS id_a, corpus_id AS id_b FROM mp_j
+          |  WHERE CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)),
+          |alledges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+          |  UNION SELECT id_b, id_a FROM mh_pairs
+          |  UNION SELECT id_a, id_b FROM mp_pairs
+          |  UNION SELECT id_b, id_a FROM mp_pairs),
+          |areach AS (
+          |  SELECT src AS id, dst AS r FROM alledges
+          |  UNION
+          |  SELECT areach.id, e.dst FROM areach JOIN alledges e ON areach.r = e.src)
+          |SELECT id, LEAST(id, MIN(r)) AS canonical FROM areach GROUP BY id
+          |ORDER BY id""".stripMargin)),
+
     Q("dd_simhash_neardup",
       // The FULL SimHash pipeline oracle-checked: the gate entry uses the
       // portable md5 token hash with the fingerprint as two 32-bit halves

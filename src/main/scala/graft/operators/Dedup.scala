@@ -539,6 +539,39 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Incremental connected-components maintenance: update an existing
+    * `(id, canonical)` labeling with a batch of NEW pairs, reprocessing
+    * ONLY the components the batch touches — the label-table counterpart
+    * of [[minhashProbePairs]]' incremental-ingest shape. A 100 TB dedup
+    * index keeps its component labels as a table; re-running
+    * [[canonicalComponents]] over ALL historical pairs per batch is
+    * O(corpus), while the affected-component frontier is O(batch).
+    *
+    * Algorithm: the old labeling's components are connectivity-preserved
+    * by their star edges (member → canonical), so running min-label
+    * propagation over `newPairs ∪ (star edges of affected components)`
+    * yields exactly the labels a full recompute over
+    * `oldPairs ∪ newPairs` would give for every touched node; untouched
+    * components pass through unchanged (DedupSpec pins the equality).
+    * Shuffles: two label-table joins to find the affected frontier +
+    * the component loop over the (small) affected subgraph. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val touched = newPairs.select(col("id_a").as("id"))
+      .union(newPairs.select(col("id_b").as("id"))).distinct()
+    // canonical of every touched node; a node new to the graph is its
+    // own (provisional) canonical
+    val touchedCanon = touched.join(labels, Seq("id"), "left")
+      .select(coalesce(col("canonical"), col("id")).as("canonical")).distinct()
+    val affected = labels.join(touchedCanon, Seq("canonical"), "left_semi")
+    val starEdges = affected.filter(col("id") =!= col("canonical"))
+      .select(col("id").as("id_a"), col("canonical").as("id_b"))
+    val relabeled = canonicalComponents(
+      newPairs.select("id_a", "id_b").union(starEdges))
+    labels.join(relabeled.select("id"), Seq("id"), "left_anti")
+      .unionByName(relabeled)
+      .orderBy("id")
+  }
+
   /** Per-cluster dedup report: for every near-dup component, its size,
     * verified-pair count and mean pair similarity — the triage view that
     * separates true duplicate cliques (high avg, size ≈ pairs) from

@@ -83,6 +83,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental components property: update(labels(P1), P2) == components(P1 ∪ P2)") {
+    val s = spark
+    import s.implicits._
+    val pairGen = for {
+      a <- Gen.chooseNum(0L, 19L)
+      b <- Gen.chooseNum(0L, 19L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val caseGen = for {
+      p1 <- Gen.nonEmptyListOf(pairGen).map(_.distinct)
+      p2 <- Gen.nonEmptyListOf(pairGen).map(_.distinct)
+    } yield (p1, p2)
+    for (((p1, p2), i) <- samples(caseGen, 6).zipWithIndex) {
+      val labels = graft.operators.Dedup.canonicalComponents(p1.toDF("id_a", "id_b"))
+      val got = graft.operators.Dedup
+        .incrementalComponents(labels, p2.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.operators.Dedup
+        .canonicalComponents((p1 ++ p2).distinct.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"case $i: p1=$p1 p2=$p2")
+    }
+  }
+
   test("A11 property: trend multiplier always in its documented domain") {
     val dayGen = for {
       neg <- Gen.chooseNum(0L, 20L)
