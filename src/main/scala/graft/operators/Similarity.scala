@@ -816,6 +816,21 @@ object Similarity {
     } finally assigned.unpersist()
   }
 
+  /** [[semDedup]] with data-sized cell count — the 100 TB form. At a
+    * FIXED nCells the within-cell pair join grows quadratically with
+    * occupancy (the [[lshNearDupPairsAuto]] fixed-r lesson); this
+    * variant spends one count() and sizes `nCells = ceil(n /
+    * targetOccupancy)` (floor 16) so per-cell pair volume stays bounded
+    * as the corpus grows — SemDeDup's own posture (~100 k clusters at
+    * web scale). Centroids keep the deterministic first-nCells
+    * convention, so no training pass is introduced. */
+  def semDedupAuto(emb: DataFrame, threshold: Double,
+                   targetOccupancy: Int = 256): DataFrame = {
+    val n = emb.count()
+    val nCells = math.max(16L, (n + targetOccupancy - 1) / targetOccupancy).toInt
+    semDedup(emb, threshold, nCells)
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline —
     * kept as the recall oracle for [[lshNearDupPairs]] (unit tests only;
     * at 100 TB you never run all-pairs). */

@@ -340,6 +340,21 @@ class SimilaritySpec extends SparkSpec {
     assert(base.length <= emb.count())
   }
 
+  test("semDedupAuto: occupancy-sized cells, floor 16, keeps the semantics") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // 500 vectors / occupancy 256 -> ceil = 2 -> floored to 16 cells:
+    // identical to the fixed-cell catalog entry on this corpus
+    val auto = Similarity.semDedupAuto(emb, 0.4, targetOccupancy = 256)
+      .collect().map(_.getAs[Long]("vec_id")).sorted
+    val fixed = Similarity.semDedup(emb, 0.4, nCells = 16)
+      .collect().map(_.getAs[Long]("vec_id")).sorted
+    assert(auto.sameElements(fixed))
+    // a tight occupancy target raises the cell count: 500/25 = 20 cells
+    val tight = Similarity.semDedupAuto(emb, 0.4, targetOccupancy = 25)
+      .collect()
+    assert(tight.map(_.getAs[Long]("cell")).distinct.length > 16)
+  }
+
   test("annRecallIvfPq: IVF-PQ recall dominates plain IVF on every panel query") {
     val emb = Tables.embeddings(spark, sf0001)
     val rows = Similarity.annRecallIvfPq(emb,
