@@ -130,6 +130,16 @@ object SparkEntry {
 
   /** DuckDB CTE producing the word stream of A8 (mirrors
     * [[Analytics.wordCounts]]); exposes `words(lang, source, word)`. */
+  /** Shared 32-token (exactly 2 × 16-token chunks) preamble injected by the
+    * `dd_passage_dedup` gate entry on both the Spark and DuckDB sides, so
+    * the synthetic corpus contains chunk-aligned repeated passages. No
+    * quotes/escapes — interpolated verbatim into the oracle SQL literal. */
+  private val passagePreamble: String =
+    ("this document is provided under the creative commons attribution " +
+      "license version four point zero international see https " +
+      "creativecommons org licenses by four zero for the full legal text " +
+      "of this license deed")
+
   private def wordsCte(stopWords: Seq[String]): String = {
     val stop = stopWords.map(w => s"'$w'").mkString("(", ",", ")")
     s"""words AS (
@@ -1052,6 +1062,56 @@ object SparkEntry {
           |WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dd_minhash_pr",
+      // banding eval harness: recall + candidate precision of the
+      // (k=32, bands=8) pipeline per jaccard threshold, vs the exact
+      // all-sharing-pairs ground truth — the measurement that picks the
+      // band shape before a production run. Exact side is EVAL-only cost
+      // (the brute-force arm of the ANN recall harness, for sketches).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val variants = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat_ws(" ",
+              slice(TextFns.tokens(col("text")), lit(1),
+                greatest(size(TextFns.tokens(col("text"))) - 8, lit(4)))).as("text"))
+        Dedup.minhashPrCurve(
+          docs.select("doc_id", "text").unionByName(variants),
+          "text", "doc_id", n = 4, k = 32, bands = 8,
+          family = Dedup.PortableFamily)
+      },
+      Some(Sentiment.oracleCte + minhashOracleCtes(k = 32, bands = 8) +
+        """,
+          |pr_ex_inter AS (
+          |  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+          |  FROM mh_sh a JOIN mh_sh b ON a.sh = b.sh AND a.id < b.id
+          |  GROUP BY 1, 2),
+          |pr_ex AS (
+          |  SELECT i.id_a, i.id_b,
+          |    ROUND(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+          |  FROM pr_ex_inter i
+          |  JOIN mh_sig sa ON i.id_a = sa.id
+          |  JOIN mh_sig sb ON i.id_b = sb.id),
+          |pr_cd AS (SELECT id_a, id_b FROM mh_j),
+          |pr_th AS (SELECT unnest([CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+          |    CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+          |    CAST(0.7 AS DOUBLE)]) AS threshold),
+          |pr_n AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM pr_cd),
+          |pr_j AS (
+          |  SELECT e.jaccard, (c.id_a IS NOT NULL) AS is_cand
+          |  FROM pr_ex e LEFT JOIN pr_cd c ON e.id_a = c.id_a AND e.id_b = c.id_b)
+          |SELECT threshold,
+          |  CAST(count(*) FILTER (WHERE jaccard >= threshold) AS BIGINT) AS n_true,
+          |  CAST(count(*) FILTER (WHERE jaccard >= threshold AND is_cand) AS BIGINT) AS n_found,
+          |  CASE WHEN count(*) FILTER (WHERE jaccard >= threshold) > 0
+          |    THEN ROUND(CAST(count(*) FILTER (WHERE jaccard >= threshold AND is_cand) AS DOUBLE)
+          |      / CAST(count(*) FILTER (WHERE jaccard >= threshold) AS DOUBLE), 6) END AS recall,
+          |  n_cand,
+          |  ROUND(CAST(count(*) FILTER (WHERE jaccard >= threshold AND is_cand) AS DOUBLE)
+          |    / CAST(n_cand AS DOUBLE), 6) AS precision_at_t
+          |FROM pr_j, pr_th, pr_n
+          |GROUP BY threshold, n_cand ORDER BY threshold""".stripMargin)),
+
     Q("dd_incr_minhash",
       // incremental dedup: NEW batch (every 17th doc, tail-truncated,
       // re-keyed) probed against the EXISTING corpus via band-key joins —
@@ -1197,6 +1257,30 @@ object SparkEntry {
               |SELECT vec_id, ROUND(${cosineSql("v", "qv")}, 6) AS cos
               |FROM evec, q WHERE vec_id <> 0
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("sim_sq_ann",
+      // scalar-quantized asymmetric ANN (FAISS SQ8): int8 code scan for
+      // the approximate rank (scale cancels out of cosine), exact float
+      // re-rank of the top-50 shortlist; both rank boundaries ROUND(6)
+      // with vec_id tiebreaks — engine-deterministic
+      (s, d) => Similarity.sqTopK(Tables.embeddings(s, d), queryId = 0,
+        k = 10, shortlist = 50),
+      Some(s"""WITH $evecCteSql,
+              |sq AS (SELECT vec_id, v,
+              |    list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale
+              |  FROM evec),
+              |cd AS (SELECT vec_id, v, list_transform(v, x -> round(x / scale, 0)) AS c
+              |  FROM sq WHERE scale > CAST(0.0 AS DOUBLE)),
+              |q AS (SELECT v AS qv, ${normSql("v")} AS qnrm FROM evec WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT vec_id, v, qv, qnrm,
+              |    ROUND(${dotSql("c", "qv")} / (${normSql("c")} * qnrm), 6) AS adc_cos
+              |  FROM cd, q WHERE vec_id <> 0
+              |  ORDER BY adc_cos DESC, vec_id LIMIT 50)
+              |SELECT vec_id,
+              |  ROUND(${dotSql("v", "qv")} / (${normSql("v")} * qnrm), 6) AS cos,
+              |  adc_cos
+              |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     Q("sim_lsh_ann",
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0, k = 10,
@@ -1985,6 +2069,41 @@ object SparkEntry {
           |    FILTER (WHERE k NOT IN (SELECT k FROM boil)), '') AS clean_text
           |FROM s1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("dd_passage_dedup",
+      // Lee et al. 2022 ExactSubstr restated at 16-token passage
+      // granularity: corpus-wide first occurrence of each chunk survives,
+      // every other occurrence is struck, docs reassembled. The corpus has
+      // no repeated 16-grams, so the gate input prepends a shared 32-token
+      // (= 2 chunk) preamble to every doc_id%3==0 document on BOTH sides —
+      // aligned at chunk offsets 0-1, so they are genuine corpus dups
+      // (the dd_boilerplate synthesized-input precedent)
+      (s, d) => operators.Dedup.passageDedup(
+        Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(passagePreamble + " "), col("text")))
+            .otherwise(col("text")).as("text")),
+        "text", "doc_id", width = 16),
+      Some(s"""WITH aug AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN '$passagePreamble ' || text ELSE text END AS text
+          |  FROM documents),
+          |toks AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM aug),
+          |ch AS (
+          |  SELECT doc_id, ts, unnest(range(0, CAST(ceil(len(ts) / 16.0) AS INT))) AS cidx
+          |  FROM toks WHERE len(ts) > 0),
+          |c1 AS (
+          |  SELECT doc_id, cidx, array_to_string(list_slice(ts, cidx*16+1, cidx*16+16), ' ') AS chunk
+          |  FROM ch),
+          |k AS (
+          |  SELECT doc_id, cidx, chunk,
+          |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+          |  FROM c1)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(coalesce(SUM(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT) AS n_removed,
+          |  coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1), '') AS dedup_text
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("mix_dsir_weights",
       // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
       // log-likelihood ratio of target (lang='en') vs raw corpus; ROUND(6)
@@ -2014,6 +2133,25 @@ object SparkEntry {
           |  ROUND(log_weight + gumbel, 6) AS sample_key
           |FROM gb ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin)),
 
+    Q("mix_curriculum",
+      // block-shuffled length curriculum (Bengio et al. 2009): quartile
+      // difficulty tiers from ONE exact-percentile aggregate (broadcast),
+      // md5 shuffle slot, output ordered (slot, tier, id) — each slot is
+      // a mini-epoch ramping easy -> hard; zero windows anywhere
+      (s, d) => TextAnalysis.curriculumInterleave(
+        Tables.documents(s, d), "text", "doc_id", tiers = 4, slots = 64),
+      Some("""WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |b AS (SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS bs FROM t)
+          |SELECT doc_id, n_tokens,
+          |  CAST(1 + (CASE WHEN CAST(n_tokens AS DOUBLE) > bs[1] THEN 1 ELSE 0 END)
+          |         + (CASE WHEN CAST(n_tokens AS DOUBLE) > bs[2] THEN 1 ELSE 0 END)
+          |         + (CASE WHEN CAST(n_tokens AS DOUBLE) > bs[3] THEN 1 ELSE 0 END) AS INT) AS tier,
+          |  CAST(CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS INT) AS slot
+          |FROM t, b ORDER BY slot, tier, doc_id""".stripMargin)),
+
     Q("ta_hashed_classifier",
       // fastText-shape hashed linear scorer: mean hashed-token weight ->
       // sigmoid; weights derived from md5(bucket) so both engines replay
@@ -2037,6 +2175,31 @@ object SparkEntry {
           |    + exp(-(sw / CAST(n_tokens AS DOUBLE)))), 6) >= CAST(0.5 AS DOUBLE)
           |    THEN 'keep' ELSE 'drop' END AS label
           |FROM hw ORDER BY doc_id""".stripMargin)),
+
+    Q("ta_zipf_fit",
+      // one-row Zipf-law lexical-health audit: least-squares ln freq ~
+      // ln rank over the ranked vocabulary (natural text s ~ -1;
+      // templated corpora flatten). ln terms bit-identical (logppl
+      // precedent); order-dependent sums absorbed by ROUND(6)
+      (s, d) => TextAnalysis.zipfFit(Tables.documents(s, d), "text"),
+      Some(Sentiment.oracleCte +
+        """,
+          |zw AS (SELECT unnest(tokens) AS t FROM toks),
+          |zc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM zw GROUP BY t),
+          |zr AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rank FROM zc),
+          |zxy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y, c FROM zr),
+          |zs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+          |    CAST(SUM(c) AS BIGINT) AS total_tokens,
+          |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+          |    SUM(x * x) AS sx2, SUM(y * y) AS sy2 FROM zxy)
+          |SELECT vocab_size, total_tokens,
+          |  ROUND((vocab_size * sxy - sx * sy) / (vocab_size * sx2 - sx * sx), 6) AS slope,
+          |  ROUND((sy - (vocab_size * sxy - sx * sy) / (vocab_size * sx2 - sx * sx) * sx)
+          |    / CAST(vocab_size AS DOUBLE), 6) AS intercept,
+          |  CASE WHEN vocab_size * sy2 - sy * sy > 0 THEN
+          |    ROUND(((vocab_size * sxy - sx * sy) * (vocab_size * sxy - sx * sy))
+          |      / ((vocab_size * sx2 - sx * sx) * (vocab_size * sy2 - sy * sy)), 6) END AS r2
+          |FROM zs""".stripMargin)),
 
     Q("ta_length_outliers",
       // per-language Tukey fences over token counts (report, not filter);
@@ -3000,6 +3163,22 @@ object SparkEntry {
         .orderBy("event_type"),
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("st11_dedup_within_wm",
+      // bounded-state streaming dedup (dropDuplicatesWithinWatermark — the
+      // 100 TB posture; st3's dropDuplicates state never shrinks): 3-file
+      // replay harness re-sends every event_id with ts+60d; a key is
+      // re-ADMITTED iff its state expired before the replay batch
+      // (orig_ts + 2h < max(ts) - 2h) — the oracle replays that eviction
+      // predicate in SQL, so the run is oracle-gated, not just
+      // stream==batch
+      (s, d) => graft.streaming.Streams
+        .runDedupWithinWatermarkToCompletion(s, d),
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+             |SELECT event_type,
+             |  CAST(count(*) + count(*) FILTER (
+             |    WHERE ts + INTERVAL 2 HOURS < mx - INTERVAL 2 HOURS) AS BIGINT) AS cnt
+             |FROM events, m GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     Q("aj_asof_purchase",
       // as-of join (union-tag + window formulation, no theta join) cross-

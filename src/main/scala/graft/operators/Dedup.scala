@@ -282,6 +282,54 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** MinHash banding precision/recall curve — the EVAL harness that picks
+    * (k, bands) before a production dedup run (the ANN-recall discipline,
+    * [[Similarity.annRecallIvf]], applied to set sketches): ground truth
+    * is the exact shingle-Jaccard of every shingle-sharing pair
+    * ([[ngramJaccardPairs]] at minJaccard 0), candidates are the banded
+    * pipeline's verified pairs at the same floor. Per threshold: how many
+    * true near-dup pairs exist (`n_true`), how many the banding surfaced
+    * (`n_found`, recall = found/true, null when no true pairs), and what
+    * fraction of the candidate budget they spent (`precision_at_t` =
+    * found/candidates — low values at high thresholds mean the bands are
+    * wider than the operating point needs).
+    *
+    * The exact side is an all-sharing-pairs join — EVAL-ONLY cost, same
+    * as the brute-force arm of the ANN recall harness; at 100 TB this
+    * runs on a sampled slice, and the banded pipeline being evaluated
+    * stays the production path. Threshold comparisons use the ROUND(6)
+    * published jaccard on both engines, so the counts are
+    * hash-deterministic. */
+  def minhashPrCurve(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 4, k: Int = 32, bands: Int = 8,
+                     thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7),
+                     family: MinhashFamily = NativeFamily): DataFrame = {
+    val exact = ngramJaccardPairs(df, textCol, idCol, n, minJaccard = 0.0)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val cand = minhashNearDupPairs(df, textCol, idCol, n, k, bands,
+        minJaccard = 0.0, family)
+      .select(col("id_a"), col("id_b"), lit(true).as("is_cand"))
+    val candTotal = cand.agg(count(lit(1)).as("n_cand"))
+    exact.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("jaccard"),
+        coalesce(col("is_cand"), lit(false)).as("is_cand"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        count(when(col("jaccard") >= col("threshold"), 1)).as("n_true"),
+        count(when(col("jaccard") >= col("threshold") && col("is_cand"), 1))
+          .as("n_found"))
+      .crossJoin(broadcast(candTotal))
+      .select(col("threshold"), col("n_true"), col("n_found"),
+        when(col("n_true") > 0,
+          round(col("n_found").cast("double") / col("n_true").cast("double"), 6))
+          .as("recall"),
+        col("n_cand"),
+        round(col("n_found").cast("double") / col("n_cand").cast("double"), 6)
+          .as("precision_at_t"))
+      .orderBy("threshold")
+  }
+
   /** Incremental MinHash dedup: probe a NEW batch against an EXISTING
     * corpus — the shape a continuously-ingesting 100 TB pipeline actually
     * runs (self-dedup of the full corpus happens once; every later batch
@@ -888,5 +936,60 @@ object Dedup {
         .orderBy("src_a", "src_b")
       result.localCheckpoint(eager = true)
     } finally sh.unpersist()
+  }
+
+  /** Exact repeated-passage removal (the Lee et al. 2022 "Deduplicating
+    * Training Data" ExactSubstr pass, restated at fixed-width passage
+    * granularity so it stays one relational plan instead of a suffix
+    * array): each document is cut into consecutive `width`-token chunks
+    * (row-local — no shuffle to form them), and every chunk occurrence
+    * except the corpus-wide FIRST (smallest `(id, chunk_idx)`) is struck;
+    * survivors reassemble in original order. Returns
+    * `(id, n_chunks, n_removed, dedup_text)` for every document with at
+    * least one token.
+    *
+    * Tokens are whitespace-split verbatim (no cleaning) so the pass is
+    * byte-faithful to the training corpus — run it after text
+    * normalization, not instead of it.
+    *
+    * Scale shape: chunking is a per-row projection; the only wide stages
+    * are one groupBy(chunk-key) to elect first occurrences and one
+    * groupBy(id) to reassemble — both map-side combined, neither touches
+    * more than the exploded chunk stream. The first-occurrence election
+    * aggregates `min(struct(id, cidx))`, so the reduction is a single
+    * min, not a per-chunk sort; the join back is an equi-join on the
+    * chunk string (Spark shuffles on its hash; width-bounded key, no
+    * digest needed). At 100 TB the chunk dictionary is corpus-sized: this
+    * stays a
+    * shuffle join on purpose (a broadcast would blow the driver), and AQE
+    * handles the skewed hot-chunk tail. */
+  def passageDedup(df: DataFrame, textCol: String, idCol: String,
+                   width: Int = 16): DataFrame = {
+    val ts = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val nChunks = ceil(size(col("ts")).cast("double") / lit(width.toDouble)).cast("int")
+    val chunks = df
+      .select(col(idCol).as("id"), ts.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("ts"), i * width + 1, lit(width)), " "))))
+      .select(col("id"), col("pos").as("cidx"), col("col").as("chunk"))
+    val first = chunks.groupBy("chunk")
+      .agg(min(struct(col("id"), col("cidx"))).as("keep"))
+      .select(col("chunk"), col("keep.id").as("keep_id"),
+        col("keep.cidx").as("keep_cidx"))
+    chunks.join(first, Seq("chunk"))
+      .withColumn("is_dup",
+        !(col("id") === col("keep_id") && col("cidx") === col("keep_cidx")))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("is_dup"), 1L)), lit(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("is_dup"),
+            struct(col("cidx"), col("chunk"))))),
+          x => x.getField("chunk"))).as("dedup_text"))
+      .withColumnRenamed("id", idCol)
+      .orderBy(idCol)
   }
 }

@@ -90,6 +90,49 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Scalar-quantized asymmetric ANN — the search half of
+    * [[scalarQuantizeReport]] (FAISS `SQ8` semantics): the corpus is
+    * stored as per-vector symmetric int8 codes (`scale = max|x| / 127`,
+    * `code_i = round(x_i / scale)`), the float query scans the CODES
+    * (asymmetric distance — query uncompressed, corpus compressed), and
+    * the top `shortlist` by approximate cosine get one exact-cosine
+    * re-rank over their float vectors for the final top-k.
+    *
+    * With symmetric per-vector quantization the scale cancels out of
+    * cosine — `cos(q, code·scale) = cos(q, code)` — so the approximate
+    * rank needs no dequantization at all: one dot fold over small
+    * integers. Zero vectors (scale 0) have no direction and are excluded
+    * from the candidate scan.
+    *
+    * Scale shape: the code scan reads dim bytes per vector vs 4·dim for
+    * floats — a 4× smaller index than brute force with NO bucketing
+    * assumption (SQ is the safety net when the corpus won't cluster);
+    * the exact re-rank is `shortlist` float point-lookups. Both rank
+    * boundaries ROUND(6)ed with vec_id tiebreaks — deterministic on both
+    * engines. */
+  def sqTopK(emb: DataFrame, queryId: Long, k: Int,
+             shortlist: Int = 50): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val coded = e.select(col("vec_id"), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("scale"))
+      .filter(col("scale") > 0.0)
+      .withColumn("c", transform(col("v"), x => round(x / col("scale"), 0)))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), normFast(col("v")).as("qnrm"))
+    coded.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("adc_cos", round(
+        dotFast(col("c"), col("qv")) / (normFast(col("c")) * col("qnrm")), 6))
+      .orderBy(col("adc_cos").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"),
+        round(dotFast(col("v"), col("qv")) /
+          (normFast(col("v")) * col("qnrm")), 6).as("cos"),
+        col("adc_cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact brute-force cosine top-k against one query vector (broadcast —
     * the corpus side streams, nothing shuffles). */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {

@@ -1089,4 +1089,83 @@ object TextAnalysis {
       result.localCheckpoint(eager = true)
     } finally postings.unpersist()
   }
+
+  /** Zipf-law fit over the corpus token-frequency distribution — the
+    * one-row lexical-health audit (natural text follows `freq ∝ rank^s`
+    * with s ≈ −1; templated or machine-generated corpora flatten, spam
+    * steepens): least-squares fit of `ln freq = intercept + slope·ln
+    * rank` over the ranked vocabulary, with `r2` as the fit quality.
+    *
+    * Scale shape: ONE token-count aggregation collapses the corpus to
+    * vocabulary-sized rows; the rank window runs over that aggregate
+    * (the documented bounded-vocabulary window exception — never fact
+    * rows), and the fit is a single 5-sum aggregate. `ln` terms are
+    * bit-identical across engines (the BM25/logppl precedent); the
+    * order-dependent double sums are absorbed by the final ROUND(6). */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val wc = df
+      .select(explode(TextFns.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val ranked = wc.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("t"))))
+    val xy = ranked.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"),
+      col("c"))
+    xy.agg(
+        count(lit(1)).as("vocab_size"),
+        sum(col("c")).as("total_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(col("vocab_size"), col("total_tokens"),
+        round((col("vocab_size") * col("sxy") - col("sx") * col("sy")) /
+          (col("vocab_size") * col("sx2") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") - (col("vocab_size") * col("sxy") - col("sx") * col("sy")) /
+          (col("vocab_size") * col("sx2") - col("sx") * col("sx")) * col("sx")) /
+          col("vocab_size").cast("double"), 6).as("intercept"),
+        when(col("vocab_size") * col("sy2") - col("sy") * col("sy") > 0,
+          round(((col("vocab_size") * col("sxy") - col("sx") * col("sy")) *
+            (col("vocab_size") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("vocab_size") * col("sx2") - col("sx") * col("sx")) *
+              (col("vocab_size") * col("sy2") - col("sy") * col("sy"))), 6))
+          .as("r2"))
+  }
+
+  /** Block-shuffled length curriculum (the curriculum-learning data order,
+    * Bengio et al. 2009, in the blockwise form training loaders actually
+    * consume): documents are cut into `tiers` difficulty tiers by token
+    * count (quantile boundaries — tier 1 = shortest = easiest), assigned a
+    * deterministic md5 shuffle `slot` (one of `slots` blocks), and emitted
+    * ordered `(slot, tier, id)` — every block is a mini-epoch that sees
+    * all tiers easy → hard, so difficulty ramps locally while the global
+    * mix stays stationary (no catastrophic all-hard tail).
+    *
+    * Scale shape: ZERO windows — tier boundaries are one exact-percentile
+    * aggregate (swap in `approx_percentile` at 100 TB: sketch-mergeable,
+    * single pass) broadcast via a one-row crossJoin; slot is row-local
+    * hash arithmetic; the output order is one total sort, which Spark
+    * range-partitions — writers consume it as `partitionBy(slot)` files,
+    * never one task. */
+  def curriculumInterleave(df: DataFrame, textCol: String, idCol: String,
+                           tiers: Int = 4, slots: Int = 64): DataFrame = {
+    val nTok = size(filter(split(col(textCol), " "), t => t =!= lit("")))
+    val base = df.select(col(idCol), nTok.cast("long").as("n_tokens"))
+    val bounds = base.agg(percentile(col("n_tokens"),
+      array((1 until tiers).map(i => lit(i.toDouble / tiers)): _*)).as("bs"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("tier",
+        (1 until tiers).foldLeft(lit(1)) { (acc, i) =>
+          acc + when(col("n_tokens").cast("double") >
+            element_at(col("bs"), i), 1).otherwise(0)
+        })
+      .withColumn("slot",
+        pmod(conv(substring(md5(concat(lit("cur:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(slots.toLong)).cast("int"))
+      .select(col(idCol), col("n_tokens"), col("tier"), col("slot"))
+      .orderBy(col("slot"), col("tier"), col(idCol))
+  }
 }

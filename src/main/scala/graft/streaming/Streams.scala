@@ -82,6 +82,82 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Bounded-state streaming dedup — `dropDuplicatesWithinWatermark`, the
+    * 100 TB posture: dedup state lives only `delay` past each key's event
+    * time (plain `dropDuplicates` keeps every key ever seen, which on an
+    * unbounded stream is an OOM on a timer). The price is bounded-window
+    * semantics: a key REAPPEARING after its state was evicted is admitted
+    * again. This harness pins that eviction rule deterministically with a
+    * 3-file mtime-ordered replay (the [[runLateDataToCompletion]]
+    * methodology): batch 1 = all events; batch 2 = a sentinel re-send of
+    * the max-ts row (advances nothing, absorbs the one-batch watermark
+    * lag); batch 3 = every event re-sent with the SAME event_id but event
+    * time shifted +60 days (at-least-once redelivery, hours later).
+    * At batch 3 the operator's watermark is `max(ts) - delay`; a replayed
+    * key is re-ADMITTED iff its original state expired, i.e.
+    * `orig_ts + delay < max(ts) - delay`. The DuckDB oracle replays
+    * exactly that predicate in SQL — this streaming run is oracle-gated,
+    * not just stream==batch. */
+  def dedupWithinWatermarkCounts(events: DataFrame,
+                                 delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Runs [[dedupWithinWatermarkCounts]] over the 3-file replay layout to
+    * completion (complete mode, memory sink) and returns the final
+    * per-type counts. */
+  def runDedupWithinWatermarkToCompletion(spark: SparkSession, dir: String,
+                                          queryName: String = "stream_dedup_wm")
+      : DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val tmp = Files.createTempDirectory("graft_dwm_").toString
+    val inDir = tmp + "/in"
+    Files.createDirectories(Paths.get(inDir))
+    def writeOne(df: DataFrame, stage: String, target: String, mtime: Long): Unit = {
+      val stageDir = s"$tmp/$stage"
+      df.coalesce(1).write.parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, target)
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 180000
+    writeOne(ev, "b1", "1_all.parquet", t0)
+    writeOne(ev.filter(col("ts") === lit(maxTs)).limit(1),
+      "b2", "2_sentinel.parquet", t0 + 60000)
+    writeOne(ev.withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS")),
+      "b3", "3_replay.parquet", t0 + 120000)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      dedupWithinWatermarkCounts(
+          spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inDir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    def rmTree(f: java.io.File): Unit = {
+      if (!Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
+    rmTree(new java.io.File(tmp))
+    spark.table(queryName).orderBy("event_type")
+  }
+
   /** Stream-static enrichment join: the streaming fact joined to a
     * dimension read as a plain batch table. Spark re-plans the static
     * side each micro-batch and broadcasts it (size permitting), so the

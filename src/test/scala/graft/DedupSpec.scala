@@ -235,6 +235,56 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, "totally unrelated content here")))
   }
 
+  test("minhashPrCurve: exact copy recalled at every threshold, counts consistent") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val docs = df1(Seq((1L, base), (2L, base), (3L, other)))
+    val out = Dedup.minhashPrCurve(docs, "text", "doc_id",
+        thresholds = Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("threshold") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_found"),
+          r.getAs[Double]("recall"), r.getAs[Long]("n_cand"),
+          r.getAs[Double]("precision_at_t")))).toMap
+    // the only sharing pair is the exact copy (jaccard 1.0): identical
+    // signatures collide in every band, so banding recall is exactly 1.0
+    assert(out(0.5) == ((1L, 1L, 1.0, 1L, 1.0)))
+    assert(out(0.9) == ((1L, 1L, 1.0, 1L, 1.0)))
+  }
+
+  test("passageDedup: corpus-wide first chunk occurrence survives, later ones struck") {
+    val s = spark
+    import s.implicits._
+    // width=2 chunks: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [c d][a b][z]
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d a b z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "text", "doc_id", width = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc1 owns both [a b] and [c d]; doc2 loses [a b]; doc3 loses both
+    // ([a b] at cidx 1 != first occurrence (1,0); [c d] owned by doc1),
+    // but its odd-length tail chunk [z] is unique and survives
+    assert(out(1L) == ((2L, 0L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((3L, 2L, "z")))
+  }
+
+  test("passageDedup: within-doc repeat struck; fully-duplicated doc empties") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "p q p q p q"), // width=2: [p q] three times -> keep first only
+      (2L, "p q"))         // entire doc already seen -> empty survivor text
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "text", "doc_id", width = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "p q")))
+    assert(out(2L) == ((1L, 1L, "")))
+  }
+
   test("boilerplateRemoval: doc of only boilerplate reassembles to empty text") {
     val s = spark
     import s.implicits._

@@ -170,12 +170,15 @@ class PlanShapeSpec extends SparkSpec {
       "sim_binary_ann", // signature scan x ONE broadcast query-signature row
       "dx_skew_report", // two stats rows x ONE broadcast hottest-key row
       "sim_mrl_ann", // prefix-dim corpus x the single query vector
+      "sim_sq_ann", // int8 code scan x the single broadcast query-vector row
+      "dd_minhash_pr", // 6 threshold rows x ONE broadcast candidate-total row
+      "mix_curriculum", // per-doc rows x ONE broadcast tier-boundaries row
       "ts_gap_fill") // distinct groups x ONE broadcast (min,max)-day bounds row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
       "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join",
-      "st9_stream_outer_join", "st10_dedup_ingest")
+      "st9_stream_outer_join", "st10_dedup_ingest", "st11_dedup_within_wm")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !streaming(name) && !allowed(name) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

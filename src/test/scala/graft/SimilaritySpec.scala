@@ -257,6 +257,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("sqTopK: corpus-wide shortlist == brute force; tight shortlist keeps exact cos") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count().toInt
+    // shortlist >= corpus: exact re-rank covers everything -> brute force
+    val full = Similarity.sqTopK(emb, queryId = 0, k = 5, shortlist = n)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0, k = 5)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(full.toSeq == brute.toSeq)
+    // tight shortlist: a subset of the shortlist, cos values still EXACT
+    val tight = Similarity.sqTopK(emb, queryId = 0, k = 5, shortlist = 20)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toMap
+    val bruteAll = Similarity.bruteForceTopK(emb, queryId = 0, k = n)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toMap
+    tight.foreach { case (id, c) => assert(bruteAll(id) == c) }
+    // int8 quantization barely moves cosine: approx within 0.02 of exact
+    Similarity.sqTopK(emb, queryId = 0, k = 5, shortlist = 20).collect()
+      .foreach { r =>
+        assert(math.abs(r.getAs[Double]("adc_cos") - r.getAs[Double]("cos")) < 0.02)
+      }
+  }
+
   test("pqTopK: planted duplicate ranks first; useful recall vs brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     // plant an exact duplicate of the query vector under a new id: it

@@ -206,6 +206,27 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark: expired keys re-admitted, live keys deduped") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.runDedupWithinWatermarkToCompletion(
+        spark, sf0001, "streams_dwm_spec_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replayed key re-admitted iff its original state expired before the
+    // replay batch: orig_ts + 2h < max(ts) - 2h
+    val ev = Tables.events(spark, sf0001)
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val expect = ev.groupBy("event_type").agg(
+        (count(lit(1)) + count(when(
+          col("ts") + expr("INTERVAL 2 HOURS") <
+            lit(maxTs) - expr("INTERVAL 2 HOURS"), 1))).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == expect)
+    // the re-admissions actually happened: counts strictly above plain dedup
+    val plain = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.exists { case (k, v) => v > plain(k) })
+  }
+
   test("stream-static enrichment join == batch join (no join state kept)") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.runStreamStaticToCompletion(spark, sf0001, "streams_static_spec_out")

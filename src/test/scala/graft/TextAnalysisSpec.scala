@@ -389,6 +389,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit: mirrors a driver-side least-squares fit on a tiny corpus") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "text").collect()(0)
+    // freq: a=5 b=3 c=1 d=1 -> ranks 1,2,3,4 (freq desc, token asc)
+    val pts = Seq((1.0, 5.0), (2.0, 3.0), (3.0, 1.0), (4.0, 1.0))
+      .map { case (rk, c) => (math.log(rk), math.log(c)) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sx2 = pts.map(p => p._1 * p._1).sum
+    val sy2 = pts.map(p => p._2 * p._2).sum
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    assert(r.getAs[Long]("vocab_size") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 10L)
+    assert(r.getAs[Double]("slope") == r6(slope))
+    assert(r.getAs[Double]("intercept") == r6((sy - slope * sx) / n))
+    assert(r.getAs[Double]("r2") == r6(
+      (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        ((n * sx2 - sx * sx) * (n * sy2 - sy * sy))))
+    assert(r.getAs[Double]("slope") < 0.0) // frequency falls with rank
+  }
+
   test("lengthOutliers: Tukey fences per group, only the extreme doc flagged") {
     val s = spark
     import s.implicits._
