@@ -1228,6 +1228,69 @@ object SparkEntry {
               |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p
               |WHERE cos > CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("sim_dbscan",
+      // DBSCAN over banded cosine neighbors: core = neighborhood >= 3
+      // (self incl.), clusters = components over core-core edges, border
+      // attaches to MIN core-cluster label (classic DBSCAN leaves this
+      // scan-order-dependent — min-label pins it), rest is noise. The
+      // oracle replays banding, degrees, recursive reachability, and the
+      // border rule
+      (s, d) => Similarity.densityClusters(Tables.embeddings(s, d),
+        threshold = 0.4, minPts = 3, targetOccupancy = 63, bands = 4,
+        dim = 64),
+      // evec/bd/pr MATERIALIZED: the recursive tail + the per-band CASE
+      // arms reference them many times — inlined, DuckDB re-opens the
+      // parquet per reference and trips fd limits at parse time
+      Some(s"""WITH RECURSIVE evec AS MATERIALIZED (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |params AS (SELECT ${autoBandWidthSql("(SELECT count(*) FROM evec)", 63, 4)} AS r),
+              |bd AS MATERIALIZED (
+              |  SELECT vec_id, 0 AS band, ${autoBandBucketSql("v", 0, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 1 AS band, ${autoBandBucketSql("v", 1, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 2 AS band, ${autoBandBucketSql("v", 2, 64)} AS bucket FROM evec
+              |  UNION ALL SELECT vec_id, 3 AS band, ${autoBandBucketSql("v", 3, 64)} AS bucket FROM evec),
+              |cand AS (
+              |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              |  FROM bd x JOIN bd y
+              |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+              |pr AS MATERIALIZED (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT id_a, id_b, ${cosineSql("a.v", "b.v")} AS cos
+              |    FROM cand JOIN evec a ON a.vec_id = cand.id_a
+              |              JOIN evec b ON b.vec_id = cand.id_b) t
+              |  WHERE cos > CAST(0.4 AS DOUBLE)),
+              |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+              |    SELECT id_a AS id FROM pr UNION ALL SELECT id_b AS id FROM pr) u
+              |  GROUP BY id),
+              |core AS (SELECT id FROM dg WHERE degree + 1 >= 3),
+              |lc_pairs AS (
+              |  SELECT p.id_a, p.id_b FROM pr p
+              |  JOIN core ca ON ca.id = p.id_a
+              |  JOIN core cb ON cb.id = p.id_b)""".stripMargin +
+        mhReachCtes("lc_") +
+        """,
+          |clbl AS (
+          |  SELECT c.id, least(c.id, coalesce(min(r.r), c.id)) AS cluster
+          |  FROM core c LEFT JOIN lc_reach r ON r.id = c.id GROUP BY c.id),
+          |sym AS (SELECT id_a AS src, id_b AS dst FROM pr
+          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pr),
+          |blbl AS (
+          |  SELECT s.src AS id, min(cl.cluster) AS cluster
+          |  FROM sym s JOIN clbl cl ON cl.id = s.dst
+          |  WHERE s.src NOT IN (SELECT id FROM core)
+          |  GROUP BY s.src)
+          |SELECT e.vec_id,
+          |  coalesce(dg.degree, CAST(0 AS BIGINT)) AS degree,
+          |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+          |       WHEN bl.id IS NOT NULL THEN 'border'
+          |       ELSE 'noise' END AS role,
+          |  coalesce(cl.cluster, bl.cluster) AS cluster
+          |FROM evec e
+          |LEFT JOIN dg ON dg.id = e.vec_id
+          |LEFT JOIN clbl cl ON cl.id = e.vec_id
+          |LEFT JOIN blbl bl ON bl.id = e.vec_id
+          |ORDER BY e.vec_id""".stripMargin)),
+
     Q("emb_scalar_quantize",
       // int8 symmetric scalar quantization report (FAISS SQ semantics):
       // per-vector scale + reconstruction mse / max-abs-err; all folds are

@@ -677,6 +677,80 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** DBSCAN (Ester et al. 1996) over embedding cosine similarity — the
+    * density clustering a dedup triage wants where k-means' fixed k and
+    * spherical cells mislead: clusters are maximal sets reachable through
+    * `minPts`-dense neighborhoods, everything else is labeled noise.
+    *
+    * Restated for the banded dataflow: the eps-neighbor relation is
+    * [[lshNearDupPairsAuto]] (cosine > `threshold`, candidates only from
+    * the (band, bucket) equi-join — never all-pairs); a point is CORE iff
+    * its neighborhood (itself + neighbors) has at least `minPts` members;
+    * clusters are connected components over CORE-CORE edges
+    * ([[Dedup.canonicalComponents]] min-label propagation, canonical =
+    * min member id); a non-core point with a core neighbor is a BORDER
+    * point attached to its minimum core-cluster label (classic DBSCAN
+    * leaves border assignment scan-order-dependent — min-label pins it
+    * deterministically); everything else is noise.
+    *
+    * Scale shape: the pair stream is computed once and persisted (degree
+    * count, core-core restriction, and border attach all read it); every
+    * stage after pair formation is linear in pairs. Returns one row per
+    * input vector: `(vec_id, degree, role core|border|noise, cluster —
+    * null for noise)`. */
+  def densityClusters(emb: DataFrame, threshold: Double, minPts: Int,
+                      targetOccupancy: Int = 63, bands: Int = 4,
+                      dim: Int = 64): DataFrame =
+    densityClustersFromPairs(emb.select(col("vec_id")),
+      lshNearDupPairsAuto(emb, threshold, targetOccupancy, bands, dim)
+        .select("id_a", "id_b"), minPts)
+
+  /** The clustering algebra of [[densityClusters]] over a precomputed
+    * neighbor-pair relation — split out so the core/border/noise logic is
+    * testable on hand-built graphs (the
+    * [[Dedup.simhashPairsFromFingerprints]] convention). `nodes` must
+    * carry every point as `vec_id` (isolated points never appear in
+    * `pairs` but still need their noise row). */
+  def densityClustersFromPairs(nodes: DataFrame, pairs: DataFrame,
+                               minPts: Int): DataFrame = {
+    val pr = pairs.persist()
+    try {
+      val deg = pr.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val core = deg.filter(col("degree") + 1 >= minPts).select(col("id"))
+      val coreEdges = pr
+        .join(core.select(col("id").as("id_a")), Seq("id_a"))
+        .join(core.select(col("id").as("id_b")), Seq("id_b"))
+      // components label only nodes WITH core-core edges; an isolated
+      // core (all its neighbors non-core) is its own cluster
+      val comp = Dedup.canonicalComponents(coreEdges)
+      val coreLbl = core.join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("canonical"), col("id")).as("cluster"))
+      val sym = pr.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val borderLbl = sym
+        .join(core.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(coreLbl.select(col("id").as("dst"), col("cluster")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("cluster")).as("cluster"))
+      val result = nodes
+        .join(deg.select(col("id").as("vec_id"), col("degree")), Seq("vec_id"), "left")
+        .join(coreLbl.select(col("id").as("vec_id"),
+          col("cluster").as("c_core"), lit(true).as("is_core")), Seq("vec_id"), "left")
+        .join(borderLbl.select(col("id").as("vec_id"),
+          col("cluster").as("c_border")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          when(col("is_core"), lit("core"))
+            .when(col("c_border").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("c_core"), col("c_border")).as("cluster"))
+        .orderBy("vec_id")
+      result.localCheckpoint(eager = true)
+    } finally pr.unpersist()
+  }
+
   /** Band width for [[lshNearDupPairsAuto]]: the smallest r >= 3 with
     * `targetOccupancy * 2^r >= n` (= ceil(log2(n/occupancy)) clamped to
     * [3, 100/bands]), computed with INTEGER arithmetic only — a float

@@ -107,6 +107,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("passageDedup property: all-unique corpus is untouched; doubling a doc strikes its chunks") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // docs over DISJOINT token alphabets: no chunk can repeat, so the op
+    // must reassemble every doc verbatim with n_removed = 0
+    val docGen = Gen.chooseNum(5, 40)
+    val lens = samples(docGen, 8)
+    val docs = lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (0 until len).map(j => s"d${i}t$j").mkString(" "))
+    }
+    val out = graft.operators.Dedup
+      .passageDedup(docs.toDF("doc_id", "text"), "text", "doc_id", width = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == ((0L, text)), s"doc $id mutated by dedup")
+    }
+    // append an exact re-send of doc 0 under a later id: every one of its
+    // chunks is already owned by doc 0, so the copy reassembles to ""
+    val withCopy = (docs :+ (999L, docs.head._2)).toDF("doc_id", "text")
+    val out2 = graft.operators.Dedup
+      .passageDedup(withCopy, "text", "doc_id", width = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out2(999L)._2 == "")
+    assert(out2(0L) == ((0L, docs.head._2)))
+  }
+
   test("A11 property: trend multiplier always in its documented domain") {
     val dayGen = for {
       neg <- Gen.chooseNum(0L, 20L)

@@ -257,6 +257,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("densityClustersFromPairs: core/border/noise roles on a hand-built graph") {
+    val s = spark
+    import s.implicits._
+    // graph: 1-2, 2-3 (chain: 2 is core at minPts=3, 1 and 3 are border);
+    // 4-5 (both degree 1: non-core, no core neighbor -> noise);
+    // 10-11, 10-12, 11-12 (triangle: all core, one cluster, canonical 10);
+    // 13-10 (border hanging off the triangle); 99 isolated -> noise
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (10L, 11L), (10L, 12L),
+        (11L, 12L), (10L, 13L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 13L, 99L).toDF("vec_id")
+    val out = graft.operators.Similarity
+      .densityClustersFromPairs(nodes, pairs, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(2L) == ((2L, "core", Some(2L))))   // isolated core: own cluster
+    assert(out(1L) == ((1L, "border", Some(2L))))
+    assert(out(3L) == ((1L, "border", Some(2L))))
+    assert(out(4L) == ((1L, "noise", None)))
+    assert(out(5L) == ((1L, "noise", None)))
+    assert(out(10L) == ((3L, "core", Some(10L))))
+    assert(out(11L) == ((2L, "core", Some(10L))))
+    assert(out(12L) == ((2L, "core", Some(10L))))
+    assert(out(13L) == ((1L, "border", Some(10L))))
+    assert(out(99L) == ((0L, "noise", None)))
+  }
+
   test("sqTopK: corpus-wide shortlist == brute force; tight shortlist keeps exact cos") {
     val emb = Tables.embeddings(spark, sf0001)
     val n = emb.count().toInt
