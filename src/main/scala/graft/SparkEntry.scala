@@ -1321,6 +1321,25 @@ object SparkEntry {
               |FROM evec, q WHERE vec_id <> 0
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("sim_batch_topk",
+      // batched exact top-k: ONE corpus scan scores the whole query panel
+      // (0..4); per-query top-10 reduces through the native bounded-heap
+      // aggregate — partial heaps cap the shuffle at k rows per (task,
+      // query), vs a window rank sorting all corpus x panel scored rows
+      (s, d) => Similarity.batchTopK(Tables.embeddings(s, d),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10),
+      Some(s"""WITH $evecCteSql,
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM evec
+              |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+              |sc AS (SELECT q.query_id, e.vec_id,
+              |    ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM evec e, q WHERE e.vec_id <> q.query_id),
+              |rk AS (SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              |  FROM sc)
+              |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+              |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     Q("sim_sq_ann",
       // scalar-quantized asymmetric ANN (FAISS SQ8): int8 code scan for
       // the approximate rank (scale cancels out of cosine), exact float

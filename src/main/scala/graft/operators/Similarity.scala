@@ -677,6 +677,35 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Batched exact top-k — ONE corpus scan serves a whole query panel
+    * (the offline-scoring shape: score every eval/benchmark query in one
+    * pass instead of |panel| separate corpus scans): the panel broadcasts
+    * (q rows), every corpus row scores against all q queries row-locally,
+    * and the per-query top-k reduces through the native bounded-heap
+    * aggregate ([[graft.plans.TopK.topKByScore]]) — partial heaps cap the
+    * shuffle at k rows per (task, query) where a window rank would
+    * shuffle and sort all |corpus|·q scored rows. Cosines ROUND(6)ed
+    * before ranking with vec_id tiebreak (the [[bruteForceTopK]]
+    * determinism convention). Returns `(query_id, rank, vec_id, cos)`. */
+  def batchTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopK.topKByScore(col("cos"), col("vec_id"),
+        struct(col("vec_id"), col("cos")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.cos").as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** DBSCAN (Ester et al. 1996) over embedding cosine similarity — the
     * density clustering a dedup triage wants where k-means' fixed k and
     * spherical cells mislead: clusters are maximal sets reachable through

@@ -171,6 +171,7 @@ class PlanShapeSpec extends SparkSpec {
       "dx_skew_report", // two stats rows x ONE broadcast hottest-key row
       "sim_mrl_ann", // prefix-dim corpus x the single query vector
       "sim_sq_ann", // int8 code scan x the single broadcast query-vector row
+      "sim_batch_topk", // corpus scan x the broadcast 5-row query panel
       "dd_minhash_pr", // 6 threshold rows x ONE broadcast candidate-total row
       "mix_curriculum", // per-doc rows x ONE broadcast tier-boundaries row
       "ts_gap_fill") // distinct groups x ONE broadcast (min,max)-day bounds row

@@ -257,6 +257,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("batchTopK: each panel member's slice equals its solo brute-force run") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val panel = Seq(0L, 7L)
+    val got = Similarity.batchTopK(emb, panel, k = 5)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq)
+      .toMap
+    panel.foreach { qid =>
+      val solo = Similarity.bruteForceTopK(emb, qid, 5)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+      assert(got(qid) == solo, s"panel slice for query $qid diverged")
+    }
+  }
+
   test("densityClustersFromPairs: core/border/noise roles on a hand-built graph") {
     val s = spark
     import s.implicits._
