@@ -396,6 +396,79 @@ object SparkEntry {
       minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
       mhPairsCte(0.5) + mhReachCtes()
 
+  /** Oracle for `gr_pagerank`: the same fixed-iteration power method as
+    * [[operators.Graph.pageRank]], unrolled into chained MATERIALIZED CTEs
+    * (pr0..prN — MATERIALIZED because each prᵢ is referenced by both the
+    * contribution and dangling arms of prᵢ₊₁; an inlining engine would
+    * otherwise double the plan per iteration). Row-level arithmetic is
+    * written in the exact operand order the Spark expression uses; the
+    * only cross-engine divergence is the order of the contribution SUM,
+    * absorbed by the final ROUND(6) (repo convention). */
+  private def pageRankOracle(iterations: Int, damping: Double): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s""",
+         |dg$i AS (SELECT COALESCE(SUM(p.rank), CAST(0 AS DOUBLE)) AS dang
+         |  FROM pr${i - 1} p LEFT JOIN outd o ON o.src = p.id WHERE o.src IS NULL),
+         |ct$i AS (SELECT e.dst AS id, SUM(p.rank / o.deg) AS contrib
+         |  FROM edges e JOIN outd o ON o.src = e.src
+         |  JOIN pr${i - 1} p ON p.id = e.src
+         |  GROUP BY e.dst),
+         |pr$i AS MATERIALIZED (SELECT n.id,
+         |    (CAST(1 AS DOUBLE) - CAST($damping AS DOUBLE)) / nn.n +
+         |      CAST($damping AS DOUBLE) *
+         |      (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + d.dang / nn.n) AS rank
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN dg$i d
+         |  LEFT JOIN ct$i c ON c.id = n.id)""".stripMargin
+    }.mkString
+    s"""WITH eraw AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+       |    's' || CAST(l.l_suppkey AS VARCHAR) AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outd AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+       |pr0 AS MATERIALIZED (
+       |  SELECT id, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)""".stripMargin +
+      iterCtes +
+      s"""
+         |SELECT id, ROUND(rank, 6) AS rank FROM pr$iterations
+         |ORDER BY 2 DESC, 1""".stripMargin
+  }
+
+  /** Oracle for `gr_dup_triangles`: id-order triangle enumeration over the
+    * verified near-dup pair graph (`mh_pairs` is distinct with
+    * id_a < id_b, so each triangle appears exactly once). The Spark side
+    * enumerates degree-oriented instead — triangle counts are
+    * orientation-invariant, so the two agree exactly (integers
+    * throughout; the clustering coefficient is row-level IEEE). */
+  private lazy val mhTriangleOracleSql: String =
+    Sentiment.oracleCte +
+      minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
+      mhPairsCte(0.5) +
+      """,
+        |te AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM mh_pairs),
+        |tr AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM te e1 JOIN te e2 ON e2.u = e1.v
+        |  JOIN te e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT a AS id FROM tr UNION ALL SELECT b FROM tr
+        |  UNION ALL SELECT c FROM tr),
+        |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM tn GROUP BY id),
+        |tg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS id FROM te UNION ALL SELECT v AS id FROM te)
+        |  GROUP BY id)
+        |SELECT tg.id, tg.deg,
+        |  COALESCE(tc.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |  CASE WHEN tg.deg >= 2 THEN
+        |    ROUND(CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE) /
+        |      CAST(tg.deg * (tg.deg - 1) AS DOUBLE), 6)
+        |  ELSE CAST(0 AS DOUBLE) END AS clustering
+        |FROM tg LEFT JOIN tc ON tc.id = tg.id
+        |ORDER BY tg.id""".stripMargin
+
   /** DuckDB CTE chain replaying [[Dedup.minhashProbePairs]] for the
     * `dd_incr_minhash` entry: probe batch = every 17th doc with its last
     * 6 tokens dropped (new ids +2000000), corpus = all documents; tagged
@@ -4098,7 +4171,93 @@ object SparkEntry {
              |  FROM snc)
              |SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM snj
              |WHERE jac > CAST(0.1 AS DOUBLE)
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("ts_ohlc_bars",
+      // OHLC candles per (event_type, hour): open/close via min_by/max_by
+      // on a (ts, event_id) struct key — one map-side-combinable pass, no
+      // per-bucket sort; the oracle's windowed first/last_value picks the
+      // same rows because the key is a total order
+      (s, d) => operators.Analytics.ohlcBars(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t, event_id, value FROM events),
+             |b AS (SELECT event_type, date_trunc('hour', t) AS bk, t, event_id, value FROM e),
+             |oc AS (SELECT event_type, bk, value,
+             |    first_value(value) OVER w AS open,
+             |    last_value(value) OVER w AS close
+             |  FROM b
+             |  WINDOW w AS (PARTITION BY event_type, bk ORDER BY t, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |SELECT event_type, strftime(bk, '%Y-%m-%d %H:00') AS bucket,
+             |  max(open) AS open, max(value) AS high, min(value) AS low,
+             |  max(close) AS close, CAST(count(*) AS BIGINT) AS volume,
+             |  ROUND(SUM(value), 6) AS total
+             |FROM oc GROUP BY event_type, bk
+             |ORDER BY event_type, bucket""".stripMargin)),
+
+    Q("gov_k_anonymity",
+      // k-anonymity audit on customer quasi-identifiers (nation, segment,
+      // balance rounded to 1000s): equivalence-class sizes + the
+      // re-identification flag — one map-side-combined aggregation over a
+      // row-side QI projection, the release gate for a 100 TB corpus
+      (s, d) => operators.Analytics.kAnonymity(Tables.customer(s, d), Seq(
+          "nation" -> col("c_nationkey"),
+          "segment" -> col("c_mktsegment"),
+          "bal_bucket" -> floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long")),
+        k = 5),
+      Some("""WITH q AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             |    CAST(floor(CAST(c_acctbal AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT) AS bal_bucket
+             |  FROM customer)
+             |SELECT nation, segment, bal_bucket,
+             |  CAST(count(*) AS BIGINT) AS class_size,
+             |  count(*) < 5 AS at_risk
+             |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("ev_mad_anomaly",
+      // robust median/MAD outlier summary per event_type — the
+      // contamination-proof twin of ev_zscore_anomaly (an outlier inflates
+      // a stddev threshold but not a median one); exact percentile at test
+      // scale, percentile_approx the documented 100 TB swap
+      (s, d) => operators.Analytics.madAnomalies(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT event_type, value FROM events),
+             |m AS (SELECT event_type, quantile_cont(value, CAST(0.5 AS DOUBLE)) AS med
+             |  FROM e GROUP BY 1),
+             |d AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+             |  FROM e JOIN m USING (event_type)),
+             |md AS (SELECT event_type, quantile_cont(adev, CAST(0.5 AS DOUBLE)) AS mad
+             |  FROM d GROUP BY 1),
+             |f AS (SELECT d.event_type, d.med, md.mad, d.value,
+             |    CASE WHEN abs(d.value - d.med) >
+             |        CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * md.mad
+             |      THEN 1 ELSE 0 END AS an
+             |  FROM d JOIN md USING (event_type))
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  ROUND(max(med), 6) AS median, ROUND(max(mad), 6) AS mad,
+             |  CAST(SUM(an) AS BIGINT) AS n_anomalies,
+             |  ROUND(CAST(SUM(an) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS anomaly_pct
+             |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("gr_pagerank",
+      // fixed-iteration PageRank over the symmetrized customer↔supplier
+      // trade graph: per iteration ONE edge⋈rank equi-join + one dst-keyed
+      // aggregation (co-partitioned on the node key at scale), dangling
+      // mass as a broadcast one-row aggregate, localCheckpoint lineage
+      // truncation per round (the canonicalComponents discipline). The
+      // oracle unrolls the identical 8 iterations as chained CTEs.
+      (s, d) => operators.Graph.pageRank(
+        operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
+        iterations = 8, damping = 0.85),
+      Some(pageRankOracle(8, 0.85))),
+
+    Q("gr_dup_triangles",
+      // per-node triangle count + local clustering coefficient over the
+      // verified near-dup pair graph — the transitivity audit that says
+      // whether collapsing dup components to one canonical doc (clique-
+      // shaped, clustering→1) is safe or whether marginal-pair chains are
+      // gluing distinct docs (clustering→0). Degree-oriented wedge join
+      // (Schank–Wagner) bounds fan-out by √m; counts are orientation-
+      // invariant so the id-ordered oracle agrees exactly.
+      (s, d) => operators.Graph.triangleStats(docNearDupPairs(s, d)),
+      Some(mhTriangleOracleSql))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */

@@ -983,4 +983,88 @@ object Analytics {
         round(col("pair_cnt").cast("double") * col("__n") / (col("__ca") * col("__cb")), 6).as("lift"))
       .orderBy("item_a", "item_b")
   }
+
+  /** OHLC candle bars per (event_type, hour): open/close = value at the
+    * earliest/latest (ts, event_id) in the bucket, high/low = extremes,
+    * volume = row count, total = summed value.
+    *
+    * Open/close use `min_by`/`max_by` on a (ts, event_id) struct key —
+    * ONE map-side-combinable aggregation pass, no window: a windowed
+    * first/last-value would sort every bucket's rows; min_by carries a
+    * single (key, value) pair per partial and merges in O(1), the shape
+    * that turns a 100 TB tick stream into O(types × hours) rows with one
+    * shuffle. The (ts, event_id) struct is a total order (event_id
+    * unique), so the picked rows are engine-deterministic and the oracle
+    * (windowed first_value, necessarily — DuckDB's arg_min is typed
+    * differently) agrees exactly. */
+  def ohlcBars(events: DataFrame, typeCol: String = "event_type",
+               tsCol: String = "ts", valCol: String = "value",
+               idCol: String = "event_id"): DataFrame = {
+    val key = struct(col(tsCol), col(idCol))
+    events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("__b"))
+      .agg(
+        min_by(col(valCol), key).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), key).as("close"),
+        count(lit(1)).as("volume"),
+        round(sum(col(valCol)), 6).as("total"))
+      .select(col(typeCol),
+        date_format(col("__b"), "yyyy-MM-dd HH:00").as("bucket"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("total"))
+      .orderBy(typeCol, "bucket")
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: group rows into
+    * equivalence classes on the QI tuple, report each class's size and
+    * whether it re-identifies (size < k) — the governance gate a corpus
+    * passes before release (a class of 1 on (nation, segment, balance
+    * bucket) IS a person). One map-side-combined aggregation; the QI
+    * bucketing is a row-side projection. Returns per-class rows plus the
+    * at-risk flag; callers roll up risky_rows/classes from it. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[(String, Column)], k: Int): DataFrame = {
+    val named = qiCols.map { case (n, c) => c.as(n) }
+    val keys = qiCols.map { case (n, _) => col(n) }
+    df.select(named: _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+      .orderBy(keys: _*)
+  }
+
+  /** Robust anomaly summary per group: median / MAD (median absolute
+    * deviation) of `valCol`, flagging values beyond `cut` scaled MADs
+    * (1.4826·MAD ≈ σ under normality — the estimator that shrugs off the
+    * very outliers a mean/stddev z-score lets poison its own threshold).
+    *
+    * Three group-keyed aggregation passes (median → absolute deviations →
+    * MAD + flags), each re-joining the O(groups)-row stats frame back by
+    * broadcast — the raw stream is scanned, never sorted globally, and
+    * exact percentile sorts only within groups (at 100 TB swap
+    * `percentile` for `percentile_approx`: same plan shape, sketch
+    * mergeable — the [[quantiles]] exact/approx split). */
+  def madAnomalies(events: DataFrame, typeCol: String = "event_type",
+                   valCol: String = "value", cut: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col(typeCol))
+      .agg(percentile(col(valCol), lit(0.5)).as("__med"))
+    val dev = events.select(col(typeCol), col(valCol))
+      .join(broadcast(med), Seq(typeCol))
+      .withColumn("__adev", abs(col(valCol) - col("__med")))
+    val mad = dev.groupBy(col(typeCol))
+      .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad), Seq(typeCol))
+      .withColumn("__an",
+        when(abs(col(valCol) - col("__med")) >
+          lit(cut) * lit(1.4826) * col("__mad"), 1L).otherwise(0L))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__med")), 6).as("median"),
+        round(max(col("__mad")), 6).as("mad"),
+        sum(col("__an")).as("n_anomalies"),
+        round(sum(col("__an")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("anomaly_pct"))
+      .orderBy(typeCol)
+  }
 }

@@ -406,4 +406,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("skew_factor") == BigDecimal(3.0 / (8.0 / 3.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("ohlcBars: open/close picked by (ts, event_id), extremes exact") {
+    val s = spark
+    import s.implicits._
+    // two rows share the same ts — event_id breaks the tie for open
+    val df = Seq(
+      ("click", "2024-01-01 10:05:00", 2L, 7.0),
+      ("click", "2024-01-01 10:05:00", 1L, 3.0),
+      ("click", "2024-01-01 10:59:00", 9L, 1.0),
+      ("click", "2024-01-01 11:00:00", 4L, 9.0))
+      .toDF("event_type", "ts_s", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Analytics.ohlcBars(df).collect()
+      .map(r => r.getString(1) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))).toMap
+    // hour 10: open=3 (id 1 wins the ts tie), high=7, low=1, close=1
+    assert(out("2024-01-01 10:00") == ((3.0, 7.0, 1.0, 1.0, 3L, 11.0)))
+    assert(out("2024-01-01 11:00") == ((9.0, 9.0, 9.0, 9.0, 1L, 9.0)))
+  }
+
+  test("kAnonymity: class sizes and at-risk flag") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("DE", "A"), ("DE", "A"), ("DE", "A"), ("FR", "B"))
+      .toDF("country", "seg")
+    val out = Analytics.kAnonymity(df,
+      Seq("country" -> col("country"), "seg" -> col("seg")), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(("DE", "A")) == ((3L, false)))
+    assert(out(("FR", "B")) == ((1L, true)))
+  }
+
+  test("madAnomalies: outlier flagged, median/MAD unpoisoned by it") {
+    val s = spark
+    import s.implicits._
+    // 1,2,3,4,100: median 3, deviations 2,1,0,1,97 → MAD 1;
+    // threshold 3·1.4826·1 = 4.4478 flags only the 100
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(v => ("x", v))
+      .toDF("event_type", "value")
+    val r = Analytics.madAnomalies(df).collect()(0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("median") == 3.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n_anomalies") == 1L)
+    assert(r.getAs[Double]("anomaly_pct") == 0.2)
+  }
+
+  test("madAnomalies: zero MAD flags every off-median value") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(5)(2.0) ++ Seq(2.5)).map(v => ("x", v))
+      .toDF("event_type", "value")
+    val r = Analytics.madAnomalies(df).collect()(0)
+    assert(r.getAs[Double]("mad") == 0.0)
+    assert(r.getAs[Long]("n_anomalies") == 1L)
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Graph
+
+/** Hand-computed goldens for the graph operators. The catalog's trade
+  * graph is symmetric (no dangling nodes by construction), so the
+  * dangling-mass redistribution semantics is pinned HERE on a directed
+  * 3-node chain. */
+class GraphSpec extends SparkSpec {
+
+  private def edges(rows: Seq[(String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  private def pairs(rows: Seq[(Long, Long)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id_a", "id_b")
+  }
+
+  test("pageRank one iteration with a dangling node: hand-computed") {
+    // a→b, b→c, c dangling. r0 = 1/3 each; dangling mass 1/3 re-spread.
+    // a: 0.15/3 + 0.85*(0 + 1/9)         = 0.144444
+    // b: 0.15/3 + 0.85*(1/3 + 1/9)       = 0.427778
+    // c: 0.15/3 + 0.85*(1/3 + 1/9)       = 0.427778
+    val r = Graph.pageRank(edges(Seq("a" -> "b", "b" -> "c")), iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") == 0.144444)
+    assert(r("b") == 0.427778)
+    assert(r("c") == 0.427778)
+  }
+
+  test("pageRank conserves total rank mass across iterations") {
+    // star + chain + dangling tail: mass must stay 1 (up to round-6 noise)
+    val e = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "c" -> "d")
+    for (k <- Seq(1, 5, 10)) {
+      val total = Graph.pageRank(edges(e), iterations = k)
+        .agg(org.apache.spark.sql.functions.sum("rank")).collect()(0).getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-5, s"mass drifted at k=$k: $total")
+    }
+  }
+
+  test("pageRank on a symmetric pair gives the uniform fixpoint") {
+    // a↔b is already stationary: rank stays 1/2 whatever the iterations
+    val e = Seq("a" -> "b", "b" -> "a")
+    val r = Graph.pageRank(edges(e), iterations = 7)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") == 0.5 && r("b") == 0.5)
+  }
+
+  test("triangleStats: one triangle with a pendant vertex") {
+    // (1,2),(2,3),(1,3) triangle; 4 pendant off 3
+    val r = Graph.triangleStats(pairs(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)))
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 1.0)))
+    assert(r(2L) == ((2L, 1L, 1.0)))
+    assert(r(3L) == ((3L, 1L, 0.333333)))
+    assert(r(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleStats canonicalizes reversed and duplicate pairs") {
+    val canon = Graph.triangleStats(pairs(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)))
+      .collect().toSeq.map(_.toSeq)
+    val messy = Graph.triangleStats(pairs(Seq(2L -> 1L, 2L -> 3L, 3L -> 1L,
+      1L -> 2L, 3L -> 2L)))
+      .collect().toSeq.map(_.toSeq)
+    assert(canon == messy)
+  }
+
+  test("triangleStats on K4: every node in 3 triangles, clustering 1") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield a -> b
+    val r = Graph.triangleStats(pairs(k4)).collect()
+    assert(r.length == 4)
+    r.foreach { x =>
+      assert(x.getLong(1) == 3L && x.getLong(2) == 3L && x.getDouble(3) == 1.0)
+    }
+  }
+
+  test("tradeEdges is symmetric and prefix-disambiguated") {
+    val e = Graph.tradeEdges(Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001)).cache()
+    try {
+      val n = e.count()
+      assert(n > 0 && n % 2 == 0)
+      // every forward arc has its reverse
+      val asym = e.as("x").join(e.as("y"),
+        org.apache.spark.sql.functions.col("x.src") === org.apache.spark.sql.functions.col("y.dst") &&
+          org.apache.spark.sql.functions.col("x.dst") === org.apache.spark.sql.functions.col("y.src"),
+        "left_anti").count()
+      assert(asym == 0)
+      val badPrefix = e.filter(!org.apache.spark.sql.functions.col("src").rlike("^[cs]\\d+$")).count()
+      assert(badPrefix == 0)
+    } finally e.unpersist()
+  }
+}
