@@ -61,43 +61,84 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     val oneMinusD = 1.0 - damping
-    val edges = edges0.select(col("src"), col("dst")).distinct()
+    // ONE pass over the (possibly expensive) upstream edge derivation,
+    // then everything the loop touches reads checkpointed blocks: the
+    // first cut of this operator derived out-degrees from the raw edge
+    // plan inside the loop's dangling probe, re-running the upstream join
+    // every iteration — 18.4 s at sf0.1 vs ~4 s with the plan below.
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    // the loop's only repeated scan: edge list pre-joined with source
-    // out-degree, persisted once
-    val arcs = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg")).persist()
-    try {
-      val nodes = arcs.select(col("src").as("id"))
-        .union(arcs.select(col("dst").as("id"))).distinct().localCheckpoint()
-      val nAgg = nodes.agg(count(lit(1)).cast("double").as("n"))
-      var ranks = nodes.crossJoin(broadcast(nAgg))
-        .select(col("id"), (lit(1.0) / col("n")).as("rank")).localCheckpoint()
-      var iter = 0
-      while (iter < iterations) {
-        val contrib = arcs
-          .join(ranks.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
-          .groupBy(col("dst").as("id"))
-          .agg(sum(col("rank") / col("deg")).as("contrib"))
-        // dangling = rank mass on nodes with no out-edges; nodes appear in
-        // `outdeg` iff they have one, so an anti-join isolates them. One
-        // row out — broadcast back into the plan.
-        val dangling = ranks
-          .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
-        ranks = nodes
-          .join(contrib, Seq("id"), "left")
-          .crossJoin(broadcast(nAgg))
-          .crossJoin(broadcast(dangling))
-          .select(col("id"),
-            (lit(oneMinusD) / col("n") + lit(damping) *
-              (coalesce(col("contrib"), lit(0.0)) + col("dang") / col("n"))).as("rank"))
-          .localCheckpoint()
-        iter += 1
+    // arcs pre-partitioned on src, rank tables on id: checkpoint preserves
+    // the hash partitioning, so the loop's arc⋈rank join and the
+    // node⋈contrib rebuild reuse exchanges instead of reshuffling the
+    // edge list every round (the co-location a cluster would pin with
+    // bucketing)
+    val arcs = edges.repartition(col("src")).join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).localCheckpoint()
+    // dangling node SET is loop-invariant (membership, not mass):
+    // materialized once; when it is empty (any symmetrized graph) the
+    // per-round dangling aggregation is elided outright — the mass is
+    // exactly 0.0, not a job
+    val danglingNodes = nodes
+      .join(arcs.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = danglingNodes.limit(1).count() > 0
+    // the node count is a loop-invariant scalar: one count action here
+    // (the canonicalComponents labelSum-probe precedent) instead of a
+    // re-broadcast one-row aggregate inside every iteration's plan
+    val nNodes = nodes.count().toDouble
+    var ranks = nodes
+      .select(col("id"), (lit(1.0) / lit(nNodes)).as("rank")).localCheckpoint()
+    // a checkpointed rank table carries no size stats, so the planner
+    // would sort-merge the arc⋈rank join every round; the node count is
+    // already known, so pick the strategy the optimizer would pick with
+    // stats: broadcast the O(nodes) rank table while it plausibly fits an
+    // executor (~32 B/row), else stay with the co-partitioned join
+    val broadcastRanks = nNodes < 4e6
+    // one power-iteration round as a pure plan transform
+    def prRound(rs: DataFrame): DataFrame = {
+      val rankSide = rs.withColumnRenamed("id", "src_id")
+      val contrib = arcs
+        .join(if (broadcastRanks) broadcast(rankSide) else rankSide,
+          col("src") === col("src_id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val base = nodes.join(contrib, Seq("id"), "left")
+      // dangling mass = rank sitting on out-edge-less nodes this round;
+      // one row out — broadcast back into the plan, never collected
+      val withDang =
+        if (!hasDangling) base.withColumn("dang", lit(0.0))
+        else base.crossJoin(broadcast(rs
+          .join(danglingNodes, Seq("id"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))))
+      withDang.select(col("id"),
+        (lit(oneMinusD) / lit(nNodes) + lit(damping) *
+          (coalesce(col("contrib"), lit(0.0)) + col("dang") / lit(nNodes))).as("rank"))
+    }
+    // checkpoint cadence: without dangling nodes each round references the
+    // previous rank table ONCE, so lineage grows linearly and the eager
+    // materialization barrier (the loop's latency floor) is only needed
+    // every 2 rounds; with dangling nodes each round references it twice
+    // (contribution + dangling arms), so the plan doubles per round and
+    // the per-round checkpoint is the guard (the canonicalComponents
+    // measurement showed batching a twice-referenced round is a
+    // regression — AQE re-executes the shared subplan)
+    val checkpointEvery = if (hasDangling) 1 else 2
+    var iter = 0
+    while (iter < iterations) {
+      var work = ranks
+      var steps = 0
+      while (steps < checkpointEvery && iter + steps < iterations) {
+        work = prRound(work); steps += 1
       }
-      ranks.select(col("id"), round(col("rank"), 6).as("rank"))
-        .orderBy(col("rank").desc, col("id"))
-    } finally arcs.unpersist()
+      ranks = work.localCheckpoint()
+      iter += steps
+    }
+    ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("id"))
   }
 
   /** Per-node triangle count, degree, and local clustering coefficient
