@@ -4236,6 +4236,26 @@ object SparkEntry {
              |  ROUND(CAST(SUM(an) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS anomaly_pct
              |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("tok_bpe_pairs",
+      // BPE learning's iteration-1 statistic: adjacent symbol-pair counts
+      // (chars + </w>) weighted by word frequency, over the O(vocab)
+      // word-count table — the corpus collapses once, then tokenizer
+      // induction never rescans it (operators/Tokenizer.scala; learning
+      // loop + merge application are unit-pinned in TokenizerSpec)
+      (s, d) => operators.Tokenizer.bpePairCounts(
+        operators.Tokenizer.wordCounts(Tables.documents(s, d))),
+      Some(Sentiment.oracleCte + """,
+             |w AS (SELECT unnest(tokens) AS word FROM toks),
+             |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+             |p AS (SELECT cnt,
+             |    unnest(list_transform(range(1, len(word) + 1), i ->
+             |      {'a': word[i],
+             |       'b': CASE WHEN i = len(word) THEN '</w>' ELSE word[i + 1] END})) AS pr
+             |  FROM wc)
+             |SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+             |FROM p GROUP BY 1, 2
+             |ORDER BY pair_cnt DESC, a, b""".stripMargin)),
+
     Q("gr_pagerank",
       // fixed-iteration PageRank over the symmetrized customer↔supplier
       // trade graph: per iteration ONE edge⋈rank equi-join + one dst-keyed

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") over the
+  * corpus word-frequency table — the tokenizer-training half of a
+  * training-data pipeline (token counting over a LEARNED subword
+  * vocabulary, not just whitespace).
+  *
+  * Scale shape: BPE learning never touches documents after the first
+  * word-count aggregation — the corpus collapses to the O(vocabulary)
+  * word-frequency table (millions of rows at 100 TB, not billions), and
+  * every merge iteration is one pair-count aggregation plus one
+  * higher-order-function fold over that table. The per-iteration argmax is
+  * a 1-row driver scalar (the convergence-probe precedent), the symbol
+  * table re-checkpoints per merge (bounded lineage), and the fold is a
+  * Catalyst `aggregate` lambda — no UDF, no per-row JVM closure. */
+object Tokenizer {
+
+  /** Corpus word-frequency table: one shuffle with map-side combine over
+    * the exploded token stream ([[TextFns.tokens]] — the same tokenization
+    * every oracle replays via the `toks` CTE). */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** End-of-word marker: distinguishes "est" inside "restless" from "est"
+    * ending "widest" — the standard word-boundary symbol. */
+  val EndOfWord = "</w>"
+
+  /** Adjacent-symbol pair statistics over the word-frequency table — the
+    * quantity BPE greedily maximizes, and iteration 1 of learning. Symbols
+    * here are single characters plus the end-of-word marker; each word
+    * contributes its frequency to every adjacent pair. One projection
+    * (char-pair explosion is O(word length), bounded) + one aggregation on
+    * the (a, b) pair key. */
+  def bpePairCounts(wordCounts: DataFrame): DataFrame = {
+    val n = length(col("word"))
+    val pairs = transform(sequence(lit(1), n), i => struct(
+      col("word").substr(i, lit(1)).as("a"),
+      when(i === n, lit(EndOfWord))
+        .otherwise(col("word").substr(i + lit(1), lit(1))).as("b")))
+    wordCounts
+      .select(col("cnt"), explode(pairs).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("a"), col("b"))
+  }
+
+  /** One greedy BPE merge applied to a symbol-array column: the left fold
+    * that rewrites every adjacent (a, b) into the joined symbol (greedy
+    * leftmost, so "aaa" under (a,a) becomes [aa, a] — the reference
+    * algorithm's behavior). A Catalyst `aggregate` lambda over the bounded
+    * per-word symbol array — stays in the optimized expression layer, no
+    * UDF. */
+  def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Apply a learned merge list (rank order) to a symbol-array column. */
+  def applyBpeMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (a, b)) => mergeOnce(c, a, b) }
+
+  /** Initial symbol array for a word column: characters + end-of-word. */
+  def initialSymbols(word: Column): Column =
+    concat(filter(split(word, ""), s => s =!= lit("")), array(lit(EndOfWord)))
+
+  /** Learn `nMerges` BPE merges from a word-frequency table. Ties on pair
+    * count break lexicographically (a, then b) so the learned vocabulary
+    * is engine-deterministic. Each iteration: one pair-count aggregation
+    * over the O(vocab) symbol table, a 1-row argmax collect (scalar probe,
+    * never row data), one fold rewrite, one localCheckpoint (the
+    * [[Dedup.canonicalComponents]] lineage discipline). Stops early when
+    * no pair repeats. */
+  def bpeLearn(wordCounts: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var syms = wordCounts
+      .select(col("cnt"), initialSymbols(col("word")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val n = size(col("syms"))
+      val pairs = transform(sequence(lit(0), n - lit(2)), i => struct(
+        element_at(col("syms"), i + lit(1)).as("a"),
+        element_at(col("syms"), i + lit(2)).as("b")))
+      val top = syms.where(n >= 2)
+        .select(col("cnt"), explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("pc") < 2) done = true
+      else {
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        merges += ((a, b))
+        syms = syms
+          .withColumn("syms", mergeOnce(col("syms"), a, b))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Subword token counts for a corpus under a learned merge list: the
+    * "token counting" a mixture planner runs before committing a data
+    * budget — one fold per word over the O(vocab) table, then counts
+    * weighted by word frequency. */
+  def bpeTokenCounts(wordCounts: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame =
+    wordCounts
+      .select(col("cnt"),
+        applyBpeMerges(initialSymbols(col("word")), merges).as("syms"))
+      .select(col("cnt"), explode(col("syms")).as("token"))
+      .groupBy("token").agg(sum(col("cnt")).as("token_cnt"))
+      .orderBy(col("token_cnt").desc, col("token"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Tokenizer
+
+/** BPE goldens, hand-computed (Sennrich et al. 2016 greedy merge rule with
+  * lexicographic tie-break pinned for engine determinism). */
+class TokenizerSpec extends SparkSpec {
+
+  private def wc(rows: Seq[(String, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("word", "cnt")
+  }
+
+  test("bpePairCounts: char pairs + end-of-word, frequency-weighted") {
+    // "abc"×3: (a,b)3 (b,c)3 (c,</w>)3; "abd"×2: (a,b)2 (b,d)2 (d,</w>)2
+    val out = Tokenizer.bpePairCounts(wc(Seq("abc" -> 3L, "abd" -> 2L)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("a", "b")) == 5L)
+    assert(out(("b", "c")) == 3L)
+    assert(out(("c", "</w>")) == 3L)
+    assert(out(("b", "d")) == 2L)
+    assert(out(("d", "</w>")) == 2L)
+    assert(out.size == 5)
+  }
+
+  test("bpeLearn: greedy merges with lexicographic tie-break") {
+    // round 1: (a,b)=5 wins; round 2: (ab,c)=3 ties (c,</w>)=3, "ab"<"c"
+    // wins; round 3: (abc,</w>)=3
+    val merges = Tokenizer.bpeLearn(wc(Seq("abc" -> 3L, "abd" -> 2L)), 3)
+    assert(merges == Seq(("a", "b"), ("ab", "c"), ("abc", "</w>")))
+  }
+
+  test("bpeLearn stops when no pair repeats") {
+    val merges = Tokenizer.bpeLearn(wc(Seq("ab" -> 1L, "cd" -> 1L)), 10)
+    assert(merges.isEmpty)
+  }
+
+  test("mergeOnce is greedy leftmost on overlaps") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(Seq("a", "a", "a")).toDF("syms")
+      .select(Tokenizer.mergeOnce(col("syms"), "a", "a").as("m"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+  }
+
+  test("applyBpeMerges reproduces the learned segmentation") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("a", "b"), ("ab", "c"), ("abc", "</w>"))
+    val out = Seq("abc", "abd", "xab").toDF("word")
+      .select(col("word"),
+        Tokenizer.applyBpeMerges(Tokenizer.initialSymbols(col("word")), merges).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("abc") == Seq("abc</w>"))
+    assert(out("abd") == Seq("ab", "d", "</w>"))
+    assert(out("xab") == Seq("x", "ab", "</w>"))
+  }
+
+  test("bpeTokenCounts: frequency-weighted subword counts") {
+    val merges = Seq(("a", "b"))
+    val out = Tokenizer.bpeTokenCounts(wc(Seq("ab" -> 4L, "abd" -> 2L)), merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("ab") == 6L)
+    assert(out("</w>") == 6L)
+    assert(out("d") == 2L)
+  }
+
+  test("bpeLearn on corpus words is deterministic across runs") {
+    val base = Tokenizer.wordCounts(Tables.documents(spark, sf0001))
+    val m1 = Tokenizer.bpeLearn(base, 8)
+    val m2 = Tokenizer.bpeLearn(base, 8)
+    assert(m1 == m2 && m1.length == 8)
+  }
+}
