@@ -469,6 +469,45 @@ object SparkEntry {
         |FROM tg LEFT JOIN tc ON tc.id = tg.id
         |ORDER BY tg.id""".stripMargin
 
+  /** Oracle for `tok_subword_counts`: the pinned BPE merge list replayed
+    * as a bracketed replace chain. Encoding: every symbol is wrapped in
+    * distinct open/close bytes (`chr(1)||sym||chr(2)`), so a merge (a,b)
+    * is the literal replace of `⟨a⟩⟨b⟩` with `⟨ab⟩` — fully
+    * boundary-anchored on BOTH sides (a pattern can match neither a
+    * symbol suffix nor a symbol prefix — a one-sided separator fails on
+    * e.g. (i,n) against symbol `n</w>` — and adjacent matches share no
+    * bytes), which makes greedy left-to-right string replace exactly the
+    * Catalyst aggregate() fold the engine runs. Single source of truth:
+    * the CTE chain is generated from
+    * [[operators.Tokenizer.PinnedMerges]]. */
+  private lazy val bpeSubwordOracleSql: String = {
+    val (o, c) = ("chr(1)", "chr(2)")
+    val merges = operators.Tokenizer.PinnedMerges
+    val mergeCtes = merges.zipWithIndex.map { case ((a, b), i) =>
+      s""",
+         |bs${i + 1} AS (SELECT cnt,
+         |  replace(s, $o || '$a' || $c || $o || '$b' || $c, $o || '${a + b}' || $c) AS s
+         |  FROM bs$i)""".stripMargin
+    }.mkString
+    Sentiment.oracleCte + s""",
+       |bw AS (SELECT unnest(tokens) AS word FROM toks),
+       |bwc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM bw GROUP BY word),
+       |bwg AS (SELECT word, cnt FROM bwc
+       |  WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2))),
+       |bs0 AS (SELECT cnt,
+       |  array_to_string(list_transform(string_split(word, ''), ch -> $o || ch || $c), '')
+       |    || $o || '</w>' || $c AS s
+       |  FROM bwg)""".stripMargin +
+      mergeCtes + s"""
+         |SELECT token, CAST(SUM(cnt) AS BIGINT) AS token_cnt
+         |FROM (SELECT cnt,
+         |    unnest(list_filter(
+         |      list_transform(string_split(s, $c), t -> replace(t, $o, '')),
+         |      t -> t <> '')) AS token
+         |  FROM bs${merges.length})
+         |GROUP BY token ORDER BY token_cnt DESC, token""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying [[Dedup.minhashProbePairs]] for the
     * `dd_incr_minhash` entry: probe batch = every 17th doc with its last
     * 6 tokens dropped (new ids +2000000), corpus = all documents; tagged
@@ -4255,6 +4294,22 @@ object SparkEntry {
              |SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
              |FROM p GROUP BY 1, 2
              |ORDER BY pair_cnt DESC, a, b""".stripMargin)),
+
+    Q("tok_subword_counts",
+      // frequency-weighted subword token counts under the pinned BPE merge
+      // list — the token-budget accounting a mixture planner runs. The
+      // engine applies merges with the Catalyst aggregate() fold; the
+      // oracle replays them as a bracketed replace chain (every symbol
+      // wrapped chr(1)…chr(2): boundaries unforgeable on both sides, so
+      // string replace == the greedy fold — proven equivalent in
+      // TokenizerSpec and by this hash gate). Words containing either
+      // bracket byte are excluded on both sides (none exist here).
+      (s, d) => operators.Tokenizer.bpeTokenCounts(
+        operators.Tokenizer.wordCounts(Tables.documents(s, d))
+          .where(!col("word").contains("\u0001") &&
+            !col("word").contains("\u0002")),
+        operators.Tokenizer.PinnedMerges),
+      Some(bpeSubwordOracleSql)),
 
     Q("gr_pagerank",
       // fixed-iteration PageRank over the symmetrized customer↔supplier

@@ -107,6 +107,17 @@ object Tokenizer {
     merges.toSeq
   }
 
+  /** 16 merges learned by [[bpeLearn]] over the sf0.001 corpus word table —
+    * pinned as configuration (the stoplist convention) so downstream
+    * segmentation is static, reproducible, and oracle-replayable. At
+    * 100 TB the list would be learned once on a sample and shipped as
+    * broadcast config exactly like this. */
+  val PinnedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "e" -> "</w>", "n" -> "</w>", "o" -> "r", "t" -> "</w>",
+    "er" -> "</w>", "o" -> "w", "ow" -> "</w>", "l" -> "u", "i" -> "n",
+    "y" -> "</w>", "a" -> "r", "p" -> "ar", "g" -> "</w>", "a" -> "s",
+    "h" -> "</w>")
+
   /** Subword token counts for a corpus under a learned merge list: the
     * "token counting" a mixture planner runs before committing a data
     * budget — one fold per word over the O(vocab) table, then counts

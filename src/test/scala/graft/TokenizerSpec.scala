@@ -68,6 +68,33 @@ class TokenizerSpec extends SparkSpec {
     assert(out("d") == 2L)
   }
 
+  test("fold-apply equals the oracle's replace-chain on corpus words") {
+    // the tok_subword_counts oracle replays merges as a bracketed replace
+    // chain (each symbol wrapped chr(1)...chr(2)); prove the encoding
+    // equivalence against the real aggregate() fold over every sf0.001
+    // corpus word. (A one-sided separator encoding fails exactly here:
+    // merge (i,n) must not fire against the symbol "n</w>" in "join".)
+    val s = spark
+    val (o, c) = ("\u0001", "\u0002")
+    val words = Tokenizer.wordCounts(Tables.documents(s, sf0001))
+      .where(!col("word").contains(o) && !col("word").contains(c))
+    val viaFold = words.select(col("word"),
+      Tokenizer.applyBpeMerges(Tokenizer.initialSymbols(col("word")),
+        Tokenizer.PinnedMerges).as("syms"))
+    val encoded = concat(
+      array_join(transform(filter(split(col("word"), ""), ch => ch =!= lit("")),
+        ch => concat(lit(o), ch, lit(c))), ""),
+      lit(o + "</w>" + c))
+    val chain = Tokenizer.PinnedMerges.foldLeft(encoded) { case (col0, (a, b)) =>
+      replace(col0, lit(o + a + c + o + b + c), lit(o + a + b + c))
+    }
+    val viaReplace = words.select(col("word"),
+      filter(transform(split(chain, c), t => regexp_replace(t, o, "")),
+        t => t =!= lit("")).as("syms"))
+    assert(viaFold.exceptAll(viaReplace).isEmpty &&
+      viaReplace.exceptAll(viaFold).isEmpty)
+  }
+
   test("bpeLearn on corpus words is deterministic across runs") {
     val base = Tokenizer.wordCounts(Tables.documents(spark, sf0001))
     val m1 = Tokenizer.bpeLearn(base, 8)
