@@ -4275,6 +4275,31 @@ object SparkEntry {
              |  ROUND(CAST(SUM(an) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS anomaly_pct
              |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("st12_stream_leaderboard",
+      // streaming top-5 users per event type: the counts accumulate in
+      // streaming aggregation state (update-mode + RocksDB at the 100 TB
+      // posture; complete-mode memory sink on the finite harness), the
+      // final snapshot ranks through a type-keyed window over the
+      // O(types × users) state table — the oracle is the batch answer the
+      // stream must converge to
+      (s, d) => {
+        val snap = graft.streaming.Streams.runLeaderboardToCompletion(s, d)
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cnt").desc, col("user_id"))
+        snap.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("event_type"), col("user_id"), col("cnt"), col("rn"))
+          .orderBy("event_type", "rn")
+      },
+      Some("""WITH c AS (SELECT event_type, user_id,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number()
+             |    OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn
+             |  FROM c)
+             |SELECT event_type, user_id, cnt, rn FROM r WHERE rn <= 5
+             |ORDER BY event_type, rn""".stripMargin)),
+
     Q("tok_bpe_pairs",
       // BPE learning's iteration-1 statistic: adjacent symbol-pair counts
       // (chars + </w>) weighted by word frequency, over the O(vocab)

@@ -547,6 +547,36 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming leaderboard state: per-(event_type, user) counts maintained
+    * by the streaming aggregation. State is O(types × active users) — at
+    * 100 TB posture this runs in update mode over the RocksDB store
+    * ([[graft.Sessions]] `RocksDbProvider` knob) with the sink keeping
+    * the top-k; the finite harness uses complete mode + memory sink and
+    * ranks the final snapshot. */
+  def userTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Runs [[userTypeCounts]] to completion and returns the final
+    * per-(type, user) count snapshot. */
+  def runLeaderboardToCompletion(spark: SparkSession, dir: String,
+                                 queryName: String = "stream_leaderboard")
+      : DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      userTypeCounts(readEvents(spark, dir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   def runToCompletion(spark: SparkSession, dir: String,
                       queryName: String = "stream_out"): DataFrame = {
     // Stateful-stream partitioning is pinned at query start from

@@ -330,4 +330,13 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want, s"stream=${got.size} batch=${want.size}")
   }
+
+  test("st12 leaderboard snapshot equals the batch per-(type,user) counts") {
+    val snap = Streams.runLeaderboardToCompletion(spark, sf0001, "lb_spec_out")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(snap.exceptAll(batch).isEmpty && batch.exceptAll(snap).isEmpty)
+    assert(snap.count() > 0)
+  }
 }
