@@ -4348,6 +4348,32 @@ object SparkEntry {
         iterations = 8, damping = 0.85),
       Some(pageRankOracle(8, 0.85))),
 
+    Q("gr_hops",
+      // multi-source BFS over the trade graph: min hop distance from the
+      // 3 top-degree hubs, capped at 4 — per round ONE edge⋈distance join
+      // + a min aggregation, checkpointed (distance table referenced
+      // twice per round); the oracle is a recursive CTE with UNION
+      // dedup so accumulated rows stay bounded by nodes × hops
+      (s, d) => operators.Graph.hopDistancesFromTopDegree(
+        operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
+        seedCount = 3, maxHops = 4),
+      Some("""WITH RECURSIVE eraw AS MATERIALIZED (
+             |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+             |    's' || CAST(l.l_suppkey AS VARCHAR) AS b
+             |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+             |edges AS MATERIALIZED (
+             |  SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+             |outd AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+             |  FROM edges GROUP BY src),
+             |seeds AS (SELECT id FROM outd ORDER BY deg DESC, id LIMIT 3),
+             |reach AS (
+             |  SELECT id, 0 AS dist FROM seeds
+             |  UNION
+             |  SELECT e.dst AS id, r.dist + 1 AS dist
+             |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.dist < 4)
+             |SELECT id, MIN(dist) AS dist FROM reach GROUP BY id
+             |ORDER BY 2, 1""".stripMargin)),
+
     Q("gr_dup_triangles",
       // per-node triangle count + local clustering coefficient over the
       // verified near-dup pair graph — the transitivity audit that says

@@ -141,6 +141,48 @@ object Graph {
       .orderBy(col("rank").desc, col("id"))
   }
 
+  /** Multi-source BFS: minimum hop distance from a seed set, capped at
+    * `maxHops` (nodes farther than the cap are absent — on a big graph
+    * the frontier is the work bound, not the node count). Iterative
+    * min-distance propagation: each round is one edge⋈distance equi-join
+    * plus a min aggregation on the node key, checkpointed per round (the
+    * distance table is referenced twice per round, so lineage would
+    * double without it — the [[Dedup.canonicalComponents]] cadence).
+    * Exactly `maxHops` rounds: round k finalizes every node at distance
+    * ≤ k, so the cap IS the iteration count — deterministic and
+    * recursive-CTE-replayable. */
+  def hopDistances(edges0: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var dist = seeds.select(col("id"), lit(0).as("dist")).localCheckpoint()
+    var k = 0
+    while (k < maxHops) {
+      val nbr = edges
+        .join(dist.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(nbr)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      k += 1
+    }
+    dist.orderBy("dist", "id")
+  }
+
+  /** [[hopDistances]] from the graph's `seedCount` top-degree nodes
+    * (degree desc, id asc — deterministic): "how far is everything from
+    * the hubs", the reachability audit of a trade or dependency graph.
+    * The edge list is materialized once and shared by the seed ranking
+    * and the BFS loop. */
+  def hopDistancesFromTopDegree(edges0: DataFrame, seedCount: Int,
+                                maxHops: Int): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val seeds = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("id")).limit(seedCount)
+      .select(col("id"))
+    hopDistances(edges, seeds, maxHops)
+  }
+
   /** Per-node triangle count, degree, and local clustering coefficient
     * over an undirected pair list — the transitivity audit of a near-dup
     * pair graph (high clustering ⇒ dup components are clique-shaped ⇒

@@ -79,6 +79,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hopDistances: hand-computed BFS with the cap excluding the tail") {
+    // path a-b-c-d-e (symmetric), seed {a}, cap 2 → a:0 b:1 c:2; d,e absent
+    val e = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "c" -> "d", "d" -> "c", "d" -> "e", "e" -> "d")
+    val s = spark
+    import s.implicits._
+    val seeds = Seq("a").toDF("id")
+    val r = Graph.hopDistances(edges(e), seeds, maxHops = 2)
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("hopDistances: min over multiple seeds and shortcut edges") {
+    // seeds {a, e} on the a-b-c-d-e path: c is 2 from both, d is 1 from e
+    val e = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "c" -> "d", "d" -> "c", "d" -> "e", "e" -> "d")
+    val s = spark
+    import s.implicits._
+    val r = Graph.hopDistances(edges(e), Seq("a", "e").toDF("id"), maxHops = 4)
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r == Map("a" -> 0, "e" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
+  }
+
   test("tradeEdges is symmetric and prefix-disambiguated") {
     val e = Graph.tradeEdges(Tables.orders(spark, sf0001),
       Tables.lineitem(spark, sf0001)).cache()

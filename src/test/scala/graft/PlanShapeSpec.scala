@@ -96,7 +96,11 @@ class PlanShapeSpec extends SparkSpec {
     // are covered by their own oracles/tests.
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
       "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join",
-      "st9_stream_outer_join", "st10_dedup_ingest")
+      "st9_stream_outer_join", "st10_dedup_ingest",
+      // st12's window ranks the FINAL aggregation-state snapshot (memory
+      // table, O(types × users) rows) — the sweep sees a bare table scan
+      // below the window and cannot tell it is already aggregated
+      "st12_stream_leaderboard")
     // A window over NOT-yet-aggregated rows is only scale-safe when its
     // partition key has cardinality that grows with the data (or the
     // cluster): each window group stays small and groups parallelize.
