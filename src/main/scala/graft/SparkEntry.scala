@@ -623,6 +623,37 @@ object SparkEntry {
       "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
       family = Dedup.PortableFamily)
 
+  /** Shared scored-frame for the ML-evaluation family (`ml_auc`,
+    * `ml_calibration`, `ml_prf`): the hashed linear classifier's
+    * probability ([[TextAnalysis.hashedLinearScore]]) as the prediction,
+    * and a length gate (`n_chars >= 200`) as the ground-truth label —
+    * "does the cheap hashed scorer rank long-form documents above
+    * fragments?", the distill-a-gate-into-a-classifier measurement. */
+  private def mlScored(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashedLinearScore(
+        Tables.documents(s, d), "text", "doc_id", buckets = 1024,
+        keep = Seq("n_chars"))
+      .select(col("doc_id"), col("score"),
+        (col("n_chars") >= 200).cast("int").as("y"))
+
+  /** DuckDB replay of [[mlScored]]: the ta_hashed_classifier weight
+    * expression (md5-derived bucket weights) with `n_chars` carried for
+    * the label. Ends with the `mls (doc_id, score, y)` CTE. */
+  private val mlScoredCte: String = Sentiment.oracleCte +
+    """,
+      |hw AS (SELECT doc_id, n_chars, CAST(len(tokens) AS BIGINT) AS n_tokens,
+      |    list_sum(list_transform(tokens, t ->
+      |      (CAST(CAST('0x' || substr(md5('w:' || CAST(
+      |          CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024
+      |        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 AS DOUBLE)
+      |       - CAST(1000.0 AS DOUBLE)) / CAST(1000.0 AS DOUBLE))) AS sw
+      |  FROM toks WHERE len(tokens) > 0),
+      |mls AS (SELECT doc_id,
+      |    ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |      + exp(-(sw / CAST(n_tokens AS DOUBLE)))), 6) AS score,
+      |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+      |  FROM hw)""".stripMargin
+
   // ------------------------------------------------------------------
   // Query catalog
   // ------------------------------------------------------------------
@@ -4383,7 +4414,143 @@ object SparkEntry {
       // (Schank–Wagner) bounds fan-out by √m; counts are orientation-
       // invariant so the id-ordered oracle agrees exactly.
       (s, d) => operators.Graph.triangleStats(docNearDupPairs(s, d)),
-      Some(mhTriangleOracleSql))
+      Some(mhTriangleOracleSql)),
+
+    Q("gr_assortativity",
+      // degree assortativity of the trade graph (Newman 2002): Pearson
+      // corr of endpoint degrees over all arcs, assembled from exact
+      // integer power sums in DECIMAL(38,0) so both engines agree
+      // bit-for-bit through the one final double expression — strongly
+      // negative = hubs fan to the periphery, the hot-key early warning
+      (s, d) => operators.Graph.degreeAssortativity(
+        operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d))),
+      Some("""WITH eraw AS MATERIALIZED (
+             |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+             |    's' || CAST(l.l_suppkey AS VARCHAR) AS b
+             |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+             |edges AS MATERIALIZED (
+             |  SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+             |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+             |  FROM edges GROUP BY src),
+             |wd AS (SELECT dx.deg AS dx, dy.deg AS dy FROM edges e
+             |  JOIN deg dx ON dx.id = e.src JOIN deg dy ON dy.id = e.dst),
+             |sums AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             |    SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy,
+             |    SUM(dx * dx) AS sx2, SUM(dy * dy) AS sy2 FROM wd)
+             |SELECT m,
+             |  CASE WHEN (m * sx2 - sx * sx) > 0 AND (m * sy2 - sy * sy) > 0
+             |    THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)
+             |           * CAST(m * sy2 - sy * sy AS DOUBLE)), 6)
+             |  END AS assortativity
+             |FROM sums""".stripMargin)),
+
+    Q("ml_auc",
+      // exact rank-sum ROC-AUC of the hashed classifier score against the
+      // length-gate label — Mann-Whitney pair counts over score GROUPS
+      // with a range-bucketed prefix sum (never a single-partition window
+      // over rows); pair counts in DECIMAL(38,0)
+      (s, d) => operators.MLEval.rocAuc(mlScored(s, d), "score", "y"),
+      Some(mlScoredCte +
+        """,
+          |g AS (SELECT score AS sc, CAST(SUM(y) AS BIGINT) AS p,
+          |    CAST(SUM(1 - y) AS BIGINT) AS n FROM mls GROUP BY 1),
+          |r AS (SELECT p, n, COALESCE(CAST(SUM(n) OVER (ORDER BY sc
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+          |    CAST(0 AS BIGINT)) AS neg_below FROM g),
+          |a AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+          |    CAST(SUM(n) AS BIGINT) AS n_neg,
+          |    SUM(p * neg_below) AS conc, SUM(p * n) AS tied FROM r),
+          |a2 AS (SELECT n_pos, n_neg,
+          |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          |      ROUND((CAST(conc AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(tied AS DOUBLE))
+          |        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+          |    END AS auc FROM a)
+          |SELECT n_pos, n_neg, auc,
+          |  ROUND(CAST(2.0 AS DOUBLE) * auc - CAST(1.0 AS DOUBLE), 6) AS gini
+          |FROM a2""".stripMargin)),
+
+    Q("ml_calibration",
+      // reliability diagram: 10 equal-width probability bins with count,
+      // mean predicted probability, observed positive rate, signed gap —
+      // one map-side-combinable aggregation, O(bins) output
+      (s, d) => operators.MLEval.calibrationBins(mlScored(s, d), "score", "y"),
+      Some(mlScoredCte +
+        """,
+          |c AS (SELECT LEAST(CAST(floor(score * 10) AS BIGINT),
+          |    CAST(9 AS BIGINT)) AS bin, score, y FROM mls),
+          |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+          |    ROUND(AVG(score), 6) AS mean_score,
+          |    ROUND(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate
+          |  FROM c GROUP BY bin)
+          |SELECT bin, cnt, mean_score, pos_rate,
+          |  ROUND(pos_rate - mean_score, 6) AS gap
+          |FROM cb ORDER BY bin""".stripMargin)),
+
+    Q("ml_prf",
+      // confusion counts + operating-point metrics at score >= 0.5, one
+      // row from ONE aggregation of boolean products; F1 in the integer
+      // form 2tp/(2tp+fp+fn) so it is a single exact-operand division
+      (s, d) => operators.MLEval.confusionStats(mlScored(s, d), "score", "y"),
+      Some(mlScoredCte +
+        """,
+          |cm AS (SELECT CASE WHEN score >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS pred,
+          |    y FROM mls),
+          |t AS (SELECT CAST(SUM(pred * y) AS BIGINT) AS tp,
+          |    CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+          |    CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+          |    CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn FROM cm)
+          |SELECT tp, fp, fn, tn,
+          |  CASE WHEN tp + fp + fn + tn > 0 THEN
+          |    ROUND(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+          |  END AS accuracy,
+          |  CASE WHEN tp + fp > 0 THEN
+          |    ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+          |  END AS "precision",
+          |  CASE WHEN tp + fn > 0 THEN
+          |    ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+          |  END AS recall,
+          |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+          |    ROUND(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+          |  END AS f1
+          |FROM t""".stripMargin)),
+
+    Q("ts_acf",
+      // autocorrelation of the daily event-count series at lags 0..7 —
+      // the weekly-seasonality detector; fact rows collapse to O(days)
+      // FIRST, lead windows and sums run on the reduced frame only
+      (s, d) => Analytics.acf(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1),
+             |m AS (SELECT SUM(x) / count(*) AS xbar FROM daily),
+             |ld AS (SELECT x, xbar,
+             |    lead(x, 1) OVER (ORDER BY day) AS l1,
+             |    lead(x, 2) OVER (ORDER BY day) AS l2,
+             |    lead(x, 3) OVER (ORDER BY day) AS l3,
+             |    lead(x, 4) OVER (ORDER BY day) AS l4,
+             |    lead(x, 5) OVER (ORDER BY day) AS l5,
+             |    lead(x, 6) OVER (ORDER BY day) AS l6,
+             |    lead(x, 7) OVER (ORDER BY day) AS l7
+             |  FROM daily, m),
+             |a AS (SELECT SUM((x - xbar) * (x - xbar)) AS den,
+             |    SUM(CASE WHEN l1 IS NOT NULL THEN (x - xbar) * (l1 - xbar) ELSE CAST(0 AS DOUBLE) END) AS n1,
+             |    SUM(CASE WHEN l2 IS NOT NULL THEN (x - xbar) * (l2 - xbar) ELSE CAST(0 AS DOUBLE) END) AS n2,
+             |    SUM(CASE WHEN l3 IS NOT NULL THEN (x - xbar) * (l3 - xbar) ELSE CAST(0 AS DOUBLE) END) AS n3,
+             |    SUM(CASE WHEN l4 IS NOT NULL THEN (x - xbar) * (l4 - xbar) ELSE CAST(0 AS DOUBLE) END) AS n4,
+             |    SUM(CASE WHEN l5 IS NOT NULL THEN (x - xbar) * (l5 - xbar) ELSE CAST(0 AS DOUBLE) END) AS n5,
+             |    SUM(CASE WHEN l6 IS NOT NULL THEN (x - xbar) * (l6 - xbar) ELSE CAST(0 AS DOUBLE) END) AS n6,
+             |    SUM(CASE WHEN l7 IS NOT NULL THEN (x - xbar) * (l7 - xbar) ELSE CAST(0 AS DOUBLE) END) AS n7
+             |  FROM ld)
+             |SELECT lag, acf FROM (
+             |  SELECT CAST(0 AS BIGINT) AS lag, CAST(1.0 AS DOUBLE) AS acf FROM a
+             |  UNION ALL SELECT CAST(1 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n1 / den, 6) END FROM a
+             |  UNION ALL SELECT CAST(2 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n2 / den, 6) END FROM a
+             |  UNION ALL SELECT CAST(3 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n3 / den, 6) END FROM a
+             |  UNION ALL SELECT CAST(4 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n4 / den, 6) END FROM a
+             |  UNION ALL SELECT CAST(5 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n5 / den, 6) END FROM a
+             |  UNION ALL SELECT CAST(6 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n6 / den, 6) END FROM a
+             |  UNION ALL SELECT CAST(7 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n7 / den, 6) END FROM a)
+             |ORDER BY lag""".stripMargin))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */

@@ -1067,4 +1067,42 @@ object Analytics {
           .as("anomaly_pct"))
       .orderBy(typeCol)
   }
+
+  /** Autocorrelation function of the daily event-count series at lags
+    * 0..`maxLag` — the seasonality detector (weekly traffic shows a
+    * spike at lag 7) that decides whether a forecast/gap-fill downstream
+    * needs a seasonal term. ACF_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+    *
+    * Scale shape: the fact stream collapses to O(days) daily counts in
+    * one map-side-combined aggregation FIRST; the lead windows and the
+    * final sums run over that reduced frame (the [[Risk]] trends
+    * precedent — an unpartitioned window over O(days), never over fact
+    * rows). The mean is exact (integer counts summed in doubles below
+    * 2⁵³), numerator/denominator sums are ROUND(6)-absorbed. */
+  def acf(events: DataFrame, tsCol: String = "ts", maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val mean = daily.agg((sum(col("x")) / count(lit(1))).as("xbar"))
+    val w = Window.orderBy("day")
+    val withLeads = (1 to maxLag).foldLeft(daily.crossJoin(broadcast(mean))) {
+      (df, k) => df.withColumn(s"__lead_$k", lead(col("x"), k).over(w))
+    }
+    val denom = sum((col("x") - col("xbar")) * (col("x") - col("xbar")))
+    val nums = (1 to maxLag).map { k =>
+      sum(when(col(s"__lead_$k").isNotNull,
+        (col("x") - col("xbar")) * (col(s"__lead_$k") - col("xbar")))
+        .otherwise(lit(0.0))).as(s"__num_$k")
+    }
+    val aggd = withLeads.agg(denom.as("__den"), nums: _*)
+    val pairs = struct(lit(0L).as("lag"), lit(1.0).as("acf")) +:
+      (1 to maxLag).map { k =>
+        struct(lit(k.toLong).as("lag"),
+          when(col("__den") > 0, round(col(s"__num_$k") / col("__den"), 6))
+            .as("acf"))
+      }
+    aggd.select(explode(array(pairs: _*)).as("__p"))
+      .select(col("__p.lag").as("lag"), col("__p.acf").as("acf"))
+      .orderBy("lag")
+  }
 }

@@ -249,4 +249,43 @@ object Graph {
       } finally deg.unpersist()
     } finally e.unpersist()
   }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of the
+    * endpoint degrees across all directed arcs of the symmetrized graph —
+    * one number telling whether hubs trade with hubs (positive, social
+    * shape) or hubs fan out to the periphery (negative, infrastructure
+    * shape). On the trade graph it is the skew early-warning: strongly
+    * negative assortativity means the big customers concentrate on few
+    * suppliers, exactly the hot-key profile that later needs
+    * [[Analytics.saltedJoin]].
+    *
+    * Shape: degree table O(nodes) from one aggregation, joined onto the
+    * arc list twice (plain equi-joins on the node key — shuffle-
+    * partitioned, hub rows spread by the join key being the OTHER
+    * endpoint on one side). The correlation is assembled from exact
+    * integer power sums in DECIMAL(38,0) (degrees are integers; Σxy over
+    * 10¹² arcs of 10⁶-degree hubs still fits), so engine and oracle agree
+    * bit-for-bit through the single final double expression. */
+  def degreeAssortativity(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), "dst")
+    val dec = "decimal(38,0)"
+    withDeg.agg(
+        count(lit(1)).as("m"),
+        sum(col("dx").cast(dec)).as("sx"), sum(col("dy").cast(dec)).as("sy"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sx2"),
+        sum((col("dy") * col("dy")).cast(dec)).as("sy2"))
+      .select(col("m"),
+        when((col("m") * col("sx2") - col("sx") * col("sx")) > 0 &&
+            (col("m") * col("sy2") - col("sy") * col("sy")) > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("m") * col("sx2") - col("sx") * col("sx")).cast("double")
+              * (col("m") * col("sy2") - col("sy") * col("sy")).cast("double")), 6))
+          .as("assortativity"))
+  }
 }

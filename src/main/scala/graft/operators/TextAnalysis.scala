@@ -788,14 +788,17 @@ object TextAnalysis {
     * (md5 → uniform in [-1, 1]) — the stand-in for a trained weight
     * table; production swaps the weight expression for a `buckets`-row
     * broadcast dim without touching the dataflow. Returns
-    * `(id, n_tokens, margin, score, label)`.
+    * `(id, [keep...,] n_tokens, margin, score, label)` — `keep` columns
+    * ride along so downstream evaluation (e.g. [[MLEval.rocAuc]] against
+    * a ground-truth label derived from them) needs no join back.
     *
     * Scale shape: pure per-row column arithmetic — the token fold runs
     * inside [[functions.aggregate]] over the already-split array, so
     * scoring is shuffle-free and pipelines into whatever scan precedes it
     * (the inference analogue of [[qualityScore]]). */
   def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
-                        buckets: Int = 1024): DataFrame = {
+                        buckets: Int = 1024,
+                        keep: Seq[String] = Nil): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     def weight(t: Column): Column = {
       val b = pmod(hash60(t), lit(buckets.toLong))
@@ -803,14 +806,16 @@ object TextAnalysis {
         .cast("double") - lit(1000.0)) / lit(1000.0)
     }
     val toks = TextFns.tokens(col(textCol))
-    df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)).as("sw"))
+    val kept = keep.map(col)
+    df.select(col(idCol) +: kept :+ size(toks).cast("long").as("n_tokens") :+
+        aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)).as("sw"): _*)
       .filter(col("n_tokens") > 0)
       .withColumn("margin", round(col("sw") / col("n_tokens").cast("double"), 6))
       .withColumn("score", round(lit(1.0) /
         (lit(1.0) + exp(-col("sw") / col("n_tokens").cast("double"))), 6))
-      .select(col(idCol), col("n_tokens"), col("margin"), col("score"),
-        when(col("score") >= 0.5, "keep").otherwise("drop").as("label"))
+      .select(col(idCol) +: kept :+ col("n_tokens") :+ col("margin") :+
+        col("score") :+
+        when(col("score") >= 0.5, "keep").otherwise("drop").as("label"): _*)
       .orderBy(idCol)
   }
 

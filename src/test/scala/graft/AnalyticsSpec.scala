@@ -463,4 +463,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("mad") == 0.0)
     assert(r.getAs[Long]("n_anomalies") == 1L)
   }
+
+  test("acf: alternating daily counts give the hand-computed correlogram") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    // counts per day: 1,2,1,2,1,2 → x̄=1.5, dev=±0.5, den=1.5
+    val rows = (0 until 6).flatMap(d => Seq.fill(1 + d % 2)(Tuple1(t(d))))
+    val df = rows.toDF("ts")
+    val r = Analytics.acf(df).collect()
+      .map(x => x.getAs[Long]("lag") -> x.getAs[Double]("acf")).toMap
+    assert(r(0L) == 1.0)
+    assert(r(1L) == -0.833333) // 5·(−0.25)/1.5
+    assert(r(2L) == 0.666667)  // 4·(0.25)/1.5
+    assert(r(3L) == -0.5)      // 3·(−0.25)/1.5
+    assert(r(6L) == 0.0 && r(7L) == 0.0) // beyond the series: no pairs
+  }
+
+  test("acf: constant series has zero variance, lags are NULL") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    val df = (0 until 5).map(d => Tuple1(t(d))).toDF("ts")
+    val rows = Analytics.acf(df).collect()
+    assert(rows.find(_.getAs[Long]("lag") == 0L).get.getAs[Double]("acf") == 1.0)
+    assert(rows.filter(_.getAs[Long]("lag") > 0L)
+      .forall(_.isNullAt(1)))
+  }
 }

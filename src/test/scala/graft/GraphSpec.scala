@@ -102,6 +102,20 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("a" -> 0, "e" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
   }
 
+  test("degreeAssortativity: star graph is exactly -1, regular graph is NULL") {
+    // symmetric star a-{b,c,d}: every arc pairs deg 3 with deg 1 → r = −1
+    val star = Seq("a" -> "b", "b" -> "a", "a" -> "c", "c" -> "a",
+      "a" -> "d", "d" -> "a")
+    val r1 = Graph.degreeAssortativity(edges(star)).collect().head
+    assert(r1.getAs[Long]("m") == 6L)
+    assert(r1.getAs[Double]("assortativity") == -1.0)
+    // 3-cycle: all degrees equal → zero variance → undefined, NULL
+    val cyc = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "c" -> "a", "a" -> "c")
+    val r2 = Graph.degreeAssortativity(edges(cyc)).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
+  }
+
   test("tradeEdges is symmetric and prefix-disambiguated") {
     val e = Graph.tradeEdges(Tables.orders(spark, sf0001),
       Tables.lineitem(spark, sf0001)).cache()

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.MLEval
+
+/** Hand-computed goldens for the classifier-evaluation operators. AUC
+  * cases cover perfect separation, perfect inversion, ties (the ½ term),
+  * and the undefined single-class case — the rank-sum identity is easy
+  * to get subtly wrong at exactly those edges. */
+class MLEvalSpec extends SparkSpec {
+
+  private def scored(rows: Seq[(Double, Int)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("score", "y")
+  }
+
+  test("rocAuc: perfect separation is 1.0, perfect inversion is 0.0") {
+    val perfect = scored(Seq(0.9 -> 1, 0.8 -> 1, 0.2 -> 0, 0.1 -> 0))
+    val r1 = MLEval.rocAuc(perfect, "score", "y").collect().head
+    assert(r1.getAs[Double]("auc") == 1.0)
+    assert(r1.getAs[Double]("gini") == 1.0)
+    val inverted = scored(Seq(0.9 -> 0, 0.8 -> 0, 0.2 -> 1, 0.1 -> 1))
+    val r2 = MLEval.rocAuc(inverted, "score", "y").collect().head
+    assert(r2.getAs[Double]("auc") == 0.0)
+    assert(r2.getAs[Double]("gini") == -1.0)
+  }
+
+  test("rocAuc: ties contribute half a pair each") {
+    // pos scores {0.5, 0.7}, neg scores {0.5, 0.3}: pairs
+    //   (0.5 pos vs 0.5 neg) tie → 0.5, (0.5 vs 0.3) win → 1,
+    //   (0.7 vs 0.5) win → 1, (0.7 vs 0.3) win → 1  ⇒ AUC = 3.5/4
+    val r = MLEval.rocAuc(
+      scored(Seq(0.5 -> 1, 0.7 -> 1, 0.5 -> 0, 0.3 -> 0)), "score", "y")
+      .collect().head
+    assert(r.getAs[Double]("auc") == 0.875)
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+  }
+
+  test("rocAuc: single-class input yields NULL, not an invented 0.5") {
+    val r = MLEval.rocAuc(scored(Seq(0.9 -> 1, 0.1 -> 1)), "score", "y")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("auc")))
+    assert(r.isNullAt(r.fieldIndex("gini")))
+  }
+
+  test("rocAuc agrees with the brute-force pair count on a mixed sample") {
+    // deterministic pseudo-random sample with repeated scores
+    val rows = (1 to 200).map { i =>
+      val sc = (i * 37 % 19).toDouble / 19.0
+      val y = if ((i * 53 % 7) < 3 == (sc > 0.4)) 1 else 0
+      (sc, y)
+    }
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val pairs = for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val expected = math.round(pairs.sum / (pos.size * neg.size) * 1e6) / 1e6
+    val r = MLEval.rocAuc(scored(rows), "score", "y").collect().head
+    assert(r.getAs[Double]("auc") == expected)
+  }
+
+  test("calibrationBins: per-bin counts, rates, and the top-edge clamp") {
+    val r = MLEval.calibrationBins(
+      scored(Seq(0.05 -> 0, 0.05 -> 1, 0.55 -> 1, 0.95 -> 1, 1.0 -> 1)),
+      "score", "y", bins = 10)
+      .collect().map(x => x.getAs[Long]("bin") ->
+        (x.getAs[Long]("cnt"), x.getAs[Double]("pos_rate"))).toMap
+    assert(r(0L) == (2L, 0.5))
+    assert(r(5L) == (1L, 1.0))
+    assert(r(9L) == (2L, 1.0)) // score 1.0 clamps into bin 9
+  }
+
+  test("confusionStats: hand-computed cells and the integer-form F1") {
+    // threshold 0.5: tp=2 (0.9,0.5 pos), fp=1 (0.6), fn=1 (0.2 pos), tn=1
+    val r = MLEval.confusionStats(
+      scored(Seq(0.9 -> 1, 0.5 -> 1, 0.2 -> 1, 0.6 -> 0, 0.3 -> 0)),
+      "score", "y")
+      .collect().head
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 1L)
+    assert(r.getAs[Long]("fn") == 1L && r.getAs[Long]("tn") == 1L)
+    assert(r.getAs[Double]("accuracy") == 0.6)
+    assert(r.getAs[Double]("precision") == 0.666667)
+    assert(r.getAs[Double]("recall") == 0.666667)
+    assert(r.getAs[Double]("f1") == 0.666667) // 2·2/(2·2+1+1)
+  }
+
+  test("confusionStats: empty-denominator metrics are NULL") {
+    // every score below threshold, all labels negative: tp=fp=fn=0
+    val r = MLEval.confusionStats(
+      scored(Seq(0.1 -> 0, 0.2 -> 0)), "score", "y").collect().head
+    assert(r.getAs[Long]("tn") == 2L)
+    assert(r.isNullAt(r.fieldIndex("precision")))
+    assert(r.isNullAt(r.fieldIndex("f1")))
+    assert(r.getAs[Double]("accuracy") == 1.0)
+  }
+}

@@ -178,7 +178,8 @@ class PlanShapeSpec extends SparkSpec {
       "sim_batch_topk", // corpus scan x the broadcast 5-row query panel
       "dd_minhash_pr", // 6 threshold rows x ONE broadcast candidate-total row
       "mix_curriculum", // per-doc rows x ONE broadcast tier-boundaries row
-      "ts_gap_fill") // distinct groups x ONE broadcast (min,max)-day bounds row
+      "ts_gap_fill", // distinct groups x ONE broadcast (min,max)-day bounds row
+      "ts_acf") // O(days) daily counts x ONE broadcast mean row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
