@@ -4442,6 +4442,7 @@ object SparkEntry {
              |    THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
              |      / sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)
              |           * CAST(m * sy2 - sy * sy AS DOUBLE)), 6)
+             |      + CAST(0.0 AS DOUBLE)
              |  END AS assortativity
              |FROM sums""".stripMargin)),
 
@@ -4467,7 +4468,7 @@ object SparkEntry {
           |        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
           |    END AS auc FROM a)
           |SELECT n_pos, n_neg, auc,
-          |  ROUND(CAST(2.0 AS DOUBLE) * auc - CAST(1.0 AS DOUBLE), 6) AS gini
+          |  ROUND(CAST(2.0 AS DOUBLE) * auc - CAST(1.0 AS DOUBLE), 6) + CAST(0.0 AS DOUBLE) AS gini
           |FROM a2""".stripMargin)),
 
     Q("ml_calibration",
@@ -4484,7 +4485,7 @@ object SparkEntry {
           |    ROUND(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate
           |  FROM c GROUP BY bin)
           |SELECT bin, cnt, mean_score, pos_rate,
-          |  ROUND(pos_rate - mean_score, 6) AS gap
+          |  ROUND(pos_rate - mean_score, 6) + CAST(0.0 AS DOUBLE) AS gap
           |FROM cb ORDER BY bin""".stripMargin)),
 
     Q("ml_prf",
@@ -4543,14 +4544,194 @@ object SparkEntry {
              |  FROM ld)
              |SELECT lag, acf FROM (
              |  SELECT CAST(0 AS BIGINT) AS lag, CAST(1.0 AS DOUBLE) AS acf FROM a
-             |  UNION ALL SELECT CAST(1 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n1 / den, 6) END FROM a
-             |  UNION ALL SELECT CAST(2 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n2 / den, 6) END FROM a
-             |  UNION ALL SELECT CAST(3 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n3 / den, 6) END FROM a
-             |  UNION ALL SELECT CAST(4 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n4 / den, 6) END FROM a
-             |  UNION ALL SELECT CAST(5 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n5 / den, 6) END FROM a
-             |  UNION ALL SELECT CAST(6 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n6 / den, 6) END FROM a
-             |  UNION ALL SELECT CAST(7 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n7 / den, 6) END FROM a)
-             |ORDER BY lag""".stripMargin))
+             |  UNION ALL SELECT CAST(1 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n1 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a
+             |  UNION ALL SELECT CAST(2 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n2 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a
+             |  UNION ALL SELECT CAST(3 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n3 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a
+             |  UNION ALL SELECT CAST(4 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n4 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a
+             |  UNION ALL SELECT CAST(5 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n5 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a
+             |  UNION ALL SELECT CAST(6 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n6 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a
+             |  UNION ALL SELECT CAST(7 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n7 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a)
+             |ORDER BY lag""".stripMargin)),
+
+    Q("ml_ks",
+      // Kolmogorov-Smirnov class separation: max |CDF_pos − CDF_neg| over
+      // score groups with the first score attaining it — CDFs are exact
+      // integer divisions after the range-bucketed inclusive prefix sums,
+      // so the argmax needs no rounding epsilon
+      (s, d) => operators.MLEval.ksStatistic(mlScored(s, d), "score", "y"),
+      Some(mlScoredCte +
+        """,
+          |g AS (SELECT score AS s, CAST(SUM(y) AS BIGINT) AS p,
+          |    CAST(SUM(1 - y) AS BIGINT) AS n FROM mls GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+          |    CAST(SUM(n) AS BIGINT) AS n_neg FROM g),
+          |r AS (SELECT s,
+          |    CAST(SUM(p) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS BIGINT) AS cp,
+          |    CAST(SUM(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS BIGINT) AS cn FROM g),
+          |d AS (SELECT s, CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          |    abs(CAST(cp AS DOUBLE) / CAST(n_pos AS DOUBLE)
+          |      - CAST(cn AS DOUBLE) / CAST(n_neg AS DOUBLE)) END AS diff
+          |  FROM r, tot),
+          |mx AS (SELECT MAX(diff) AS ksv FROM d)
+          |SELECT n_pos, n_neg, ROUND(ksv, 6) AS ks,
+          |  (SELECT MIN(s) FROM d, mx WHERE diff = ksv) AS ks_score
+          |FROM tot, mx""".stripMargin)),
+
+    Q("ml_pr_curve",
+      // precision-recall curve: one row per distinct threshold, cells by
+      // suffix-count subtraction from the same bucketed prefix sums as
+      // ml_ks — every metric a single exact-integer division, no epsilon
+      (s, d) => operators.MLEval.prCurve(mlScored(s, d), "score", "y"),
+      Some(mlScoredCte +
+        """,
+          |g AS (SELECT score AS threshold, CAST(SUM(y) AS BIGINT) AS p,
+          |    CAST(SUM(1 - y) AS BIGINT) AS n FROM mls GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS tp_all,
+          |    CAST(SUM(n) AS BIGINT) AS tn_all FROM g),
+          |r AS (SELECT threshold, p, n,
+          |    CAST(SUM(p) OVER w AS BIGINT) AS cp,
+          |    CAST(SUM(n) OVER w AS BIGINT) AS cn
+          |  FROM g WINDOW w AS (ORDER BY threshold
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |c AS (SELECT threshold, tp_all - (cp - p) AS tp,
+          |    tn_all - (cn - n) AS fp, tp_all FROM r, tot)
+          |SELECT threshold, tp, fp,
+          |  CASE WHEN tp + fp > 0 THEN
+          |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
+          |  CASE WHEN tp_all > 0 THEN
+          |    CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE) END AS recall,
+          |  CASE WHEN tp + fp + tp_all > 0 THEN
+          |    CAST(2 * tp AS DOUBLE) / CAST(tp + fp + tp_all AS DOUBLE) END AS f1
+          |FROM c ORDER BY threshold""".stripMargin)),
+
+    Q("ml_kappa",
+      // Cohen's kappa at the deployed threshold — chance-corrected
+      // agreement; marginal products in exact integers (HUGEINT/decimal),
+      // a fixed IEEE op sequence before the final ROUND(6)
+      (s, d) => operators.MLEval.cohensKappa(mlScored(s, d), "score", "y"),
+      Some(mlScoredCte +
+        """,
+          |cm AS (SELECT CASE WHEN score >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS pred,
+          |    y FROM mls),
+          |t AS (SELECT CAST(SUM(pred * y) AS BIGINT) AS tp,
+          |    CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+          |    CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+          |    CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn FROM cm),
+          |k AS (SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n FROM t),
+          |k2 AS (SELECT n,
+          |    CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          |    CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)
+          |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe FROM k)
+          |SELECT n, ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+          |  CASE WHEN pe < CAST(1.0 AS DOUBLE) THEN
+          |    ROUND((po - pe) / (CAST(1.0 AS DOUBLE) - pe), 6)
+          |      + CAST(0.0 AS DOUBLE) END AS kappa
+          |FROM k2""".stripMargin)),
+
+    Q("ml_brier",
+      // Brier score + log-loss in ONE aggregation; probabilities clamped
+      // to [1e-15, 1−1e-15] identically on both engines so a saturated
+      // score stays finite; order-dependent averages ROUND(6)-absorbed
+      (s, d) => operators.MLEval.brierLogLoss(mlScored(s, d), "score", "y"),
+      Some(mlScoredCte +
+        """,
+          |cl AS (SELECT LEAST(GREATEST(score, CAST(1e-15 AS DOUBLE)),
+          |    CAST(1.0 AS DOUBLE) - CAST(1e-15 AS DOUBLE)) AS pc,
+          |    CAST(y AS DOUBLE) AS yd FROM mls)
+          |SELECT CAST(count(*) AS BIGINT) AS n,
+          |  ROUND(AVG((pc - yd) * (pc - yd)), 6) AS brier,
+          |  ROUND(AVG(-(yd * ln(pc)
+          |    + (CAST(1.0 AS DOUBLE) - yd) * ln(CAST(1.0 AS DOUBLE) - pc))), 6)
+          |    AS logloss
+          |FROM cl""".stripMargin)),
+
+    Q("ir_rrf",
+      // reciprocal-rank-fusion hybrid retrieval (Cormack 2009): BM25
+      // lexical top-20 ⊕ embedding cosine top-20, RRF k=60, final top-10
+      // — the standard hybrid-search combiner over the shared id space;
+      // fusion is a full-outer join of two ≤20-row frames
+      (s, d) => TextAnalysis.rrfHybridTopK(
+        Tables.documents(s, d), Tables.embeddings(s, d), "text", "doc_id",
+        Seq("hash", "join", "vector"), queryId = 0),
+      Some(Sentiment.oracleCte +
+        s""",
+          |$evecCteSql,
+          |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(tokens)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          |  FROM toks),
+          |bt AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+          |    unnest(list_filter(tokens, t -> t IN ('hash', 'join', 'vector'))) AS t
+          |  FROM toks),
+          |btf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+          |  FROM bt GROUP BY doc_id, dl, t),
+          |bdf AS (SELECT t, CAST(count(*) AS BIGINT) AS nt FROM btf GROUP BY t),
+          |bsc AS (SELECT doc_id, ROUND(SUM(
+          |      ln((CAST(n_docs AS DOUBLE) - CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          |          / (CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          |      * tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+          |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+          |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+          |  FROM btf JOIN bdf USING (t), bs GROUP BY doc_id),
+          |lr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id)
+          |    AS lex_rank FROM bsc QUALIFY lex_rank <= 20),
+          |q AS (SELECT v AS qv FROM evec WHERE vec_id = 0),
+          |sc AS (SELECT vec_id, ROUND(${cosineSql("v", "qv")}, 6) AS cos
+          |  FROM evec, q WHERE vec_id <> 0),
+          |sr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id)
+          |    AS sem_rank FROM sc QUALIFY sem_rank <= 20),
+          |f AS (SELECT COALESCE(lr.id, sr.id) AS id, lex_rank, sem_rank
+          |  FROM lr FULL OUTER JOIN sr ON lr.id = sr.id)
+          |SELECT id, lex_rank, sem_rank,
+          |  ROUND(COALESCE(CAST(1.0 AS DOUBLE)
+          |      / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+          |    + COALESCE(CAST(1.0 AS DOUBLE)
+          |      / (CAST(60.0 AS DOUBLE) + CAST(sem_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)), 6)
+          |    AS rrf
+          |FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
+
+    Q("ev_cpd",
+      // CUSUM change-point scan (Page 1954): S_t = Σ(x_i − x̄) over the
+      // daily counts, |S| peak flagged — fact rows collapse to O(days)
+      // first; both engines run the identical day-ordered IEEE sum so
+      // the peak flag needs no epsilon
+      (s, d) => Analytics.cusumChangePoint(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+             |m AS (SELECT SUM(CAST(cnt AS DOUBLE)) / count(*) AS xbar FROM daily),
+             |s AS (SELECT day, cnt, SUM(CAST(cnt AS DOUBLE) - xbar)
+             |    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+             |  FROM daily, m),
+             |mx AS (SELECT MAX(abs(cs)) AS mxv FROM s)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, cnt,
+             |  -- + 0.0 normalizes IEEE −0.0 (the full-series sum of
+             |  -- deviations is exactly zero; Spark's ROUND drops the sign,
+             |  -- DuckDB's keeps it)
+             |  ROUND(cs, 6) + CAST(0.0 AS DOUBLE) AS cusum,
+             |  abs(cs) = mxv AS is_peak
+             |FROM s, mx ORDER BY day""".stripMargin)),
+
+    Q("ts_stl",
+      // additive seasonal decomposition: centered 7-day MA trend (NULL
+      // edges — no invented values), day-of-week seasonal means of the
+      // detrended series (ROUND(6) before the residual), residual =
+      // observed − trend − seasonal; dow emitted 0=Sunday on both engines
+      (s, d) => Analytics.stlDecompose(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+             |t AS (SELECT day, cnt,
+             |    CASE WHEN count(*) OVER w = 7
+             |      THEN SUM(CAST(cnt AS DOUBLE)) OVER w / CAST(7.0 AS DOUBLE) END AS trend,
+             |    dayofweek(day) AS dow
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |d2 AS (SELECT day, cnt, trend, dow,
+             |    CAST(cnt AS DOUBLE) - trend AS det FROM t),
+             |se AS (SELECT dow, ROUND(AVG(det), 6) + CAST(0.0 AS DOUBLE) AS seasonal FROM d2 GROUP BY dow)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, dow, cnt, trend, seasonal,
+             |  ROUND(det - seasonal, 6) + CAST(0.0 AS DOUBLE) AS residual
+             |FROM d2 JOIN se USING (dow) ORDER BY day""".stripMargin))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */

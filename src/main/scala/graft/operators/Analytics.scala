@@ -1105,4 +1105,59 @@ object Analytics {
       .select(col("__p.lag").as("lag"), col("__p.acf").as("acf"))
       .orderBy("lag")
   }
+
+  /** CUSUM change-point scan over the daily event-count series:
+    * S_t = Σ_{i≤t}(x_i − x̄), with the day(s) where |S| peaks flagged —
+    * the classic "did the ingest rate shift, and when" audit (Page 1954).
+    * A level shift makes |S| a tent with its apex at the change point.
+    *
+    * Fact rows collapse to O(days) first (the [[acf]] frame); the
+    * cumulative runs in day order on the reduced frame, so both engines
+    * execute the identical IEEE addition sequence and the peak flag
+    * needs no rounding epsilon. */
+  def cusumChangePoint(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mean = daily.agg((sum(col("cnt").cast("double")) / count(lit(1))).as("xbar"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val withS = daily.crossJoin(broadcast(mean))
+      .withColumn("__s", sum(col("cnt").cast("double") - col("xbar")).over(w))
+    val mx = withS.agg(max(abs(col("__s"))).as("__mx"))
+    withS.crossJoin(broadcast(mx))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("cnt"),
+        round(col("__s"), 6).as("cusum"),
+        (abs(col("__s")) === col("__mx")).as("is_peak"))
+      .orderBy("day")
+  }
+
+  /** Additive seasonal decomposition of the daily event-count series:
+    * trend = centered 7-day moving average (NULL on the 3-day edges —
+    * no invented values), seasonal = day-of-week mean of the detrended
+    * series, residual = observed − trend − seasonal. The "is the weekly
+    * rhythm stable and what is left over" audit feeding [[acf]]'s
+    * seasonality verdict with the actual profile.
+    *
+    * O(days) after the first aggregation. The trend sum is 7 exact
+    * integers → one exact division; the day-of-week means are
+    * order-dependent doubles → ROUND(6) before the residual subtraction
+    * on both engines. Day-of-week is emitted 0=Sunday (Spark's
+    * `dayofweek` minus 1 == DuckDB's `dayofweek`). */
+  def stlDecompose(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("__trend", when(count(lit(1)).over(w7) === 7,
+        sum(col("cnt").cast("double")).over(w7) / lit(7.0)))
+      .withColumn("__dow", dayofweek(col("day")) - lit(1))
+      .withColumn("__det", col("cnt").cast("double") - col("__trend"))
+    val seasonal = withTrend.groupBy("__dow")
+      .agg(round(avg(col("__det")), 6).as("seasonal"))
+    withTrend.join(broadcast(seasonal), Seq("__dow"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("__dow").as("dow"), col("cnt"), col("__trend").as("trend"),
+        col("seasonal"),
+        round(col("__det") - col("seasonal"), 6).as("residual"))
+      .orderBy("day")
+  }
 }

@@ -152,8 +152,13 @@ object Graph {
     * ≤ k, so the cap IS the iteration count — deterministic and
     * recursive-CTE-replayable. */
   def hopDistances(edges0: DataFrame, seeds: DataFrame,
-                   maxHops: Int): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+                   maxHops: Int, edgesPrepared: Boolean = false): DataFrame = {
+    // callers that already distinct+checkpointed the edge list (the
+    // top-degree wrapper shares it with seed ranking) skip the second
+    // materialization — it was the whole-edge-list cost paid twice
+    val edges =
+      if (edgesPrepared) edges0
+      else edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
     var dist = seeds.select(col("id"), lit(0).as("dist")).localCheckpoint()
     var k = 0
     while (k < maxHops) {
@@ -180,7 +185,7 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("id")).limit(seedCount)
       .select(col("id"))
-    hopDistances(edges, seeds, maxHops)
+    hopDistances(edges, seeds, maxHops, edgesPrepared = true)
   }
 
   /** Per-node triangle count, degree, and local clustering coefficient

@@ -127,4 +127,157 @@ object MLEval {
         ratio(lit(2L) * col("tp"),
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
   }
+
+  /** Kolmogorov-Smirnov separation of the two score distributions:
+    * D = max over scores of |CDF_pos − CDF_neg|, with the score where the
+    * max is first attained (`ks_score`, min-score tie-break). The
+    * threshold-free "how separable are the classes at the best single
+    * cut" companion to [[rocAuc]] — credit-scoring's standard statistic.
+    *
+    * Same scale frame as AUC: collapse to score groups, inclusive
+    * cumulatives of p and n via the range-bucketed prefix sum, then the
+    * CDFs are exact integer/integer divisions — every per-group diff is
+    * bit-identical across engines, so the argmax needs no rounding
+    * epsilon. Two single-row broadcasts (totals, max-diff) close it. */
+  def ksStatistic(scored: DataFrame, scoreCol: String, labelCol: String,
+                  buckets: Int = 32): DataFrame = {
+    val g = scored
+      .groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(sum(col(labelCol).cast("long")).as("p"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("n"))
+    val cuts = g.stat
+      .approxQuantile("s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("s") > lit(c), 1).otherwise(0)
+    }
+    val withPid = g.withColumn("__pid", pid)
+    val localW = Window.partitionBy("__pid").orderBy("s")
+    val cum = Window.orderBy("__pid")
+    val offsets = withPid.groupBy("__pid")
+      .agg(sum(col("p")).as("__bp"), sum(col("n")).as("__bn"))
+      .withColumn("__offp", coalesce(
+        sum(col("__bp")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offn", coalesce(
+        sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offp", "__offn")
+    val incl = localW.rowsBetween(Window.unboundedPreceding, 0)
+    val totals = g.agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"))
+    val diffs = withPid
+      .withColumn("__lp", sum(col("p")).over(incl))
+      .withColumn("__ln", sum(col("n")).over(incl))
+      .join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__diff", when(col("n_pos") > 0 && col("n_neg") > 0, abs(
+        (col("__lp") + col("__offp")).cast("double") / col("n_pos").cast("double")
+          - (col("__ln") + col("__offn")).cast("double") / col("n_neg").cast("double"))))
+      .select(col("s"), col("__diff"))
+    val mx = diffs.agg(max(col("__diff")).as("__ks"))
+    diffs.crossJoin(broadcast(mx))
+      .filter(col("__diff") === col("__ks"))
+      .agg(min(col("s")).as("ks_score"), max(col("__ks")).as("__ksv"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("__ksv"), 6).as("ks"), col("ks_score"))
+  }
+
+  /** Full precision-recall curve: one row per distinct score threshold
+    * (predict positive at `score >= threshold`), with the confusion
+    * counts and precision/recall/F1 at that cut — the operating-curve
+    * companion to [[rocAuc]]'s single number, and the artifact a gate
+    * owner actually reads to pick the deployed threshold.
+    *
+    * Same bucketed-prefix-sum frame as [[ksStatistic]]: inclusive
+    * ascending cumulatives convert to suffix counts by subtraction
+    * (tp at s = P − cum_p(<s)), so every cell is an exact integer and
+    * every metric a single exact-operand division — bit-identical
+    * across engines with no rounding epsilon. Output is O(distinct
+    * scores), already reduced. */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+              buckets: Int = 32): DataFrame = {
+    val g = scored
+      .groupBy(col(scoreCol).cast("double").as("threshold"))
+      .agg(sum(col(labelCol).cast("long")).as("p"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("n"))
+    val cuts = g.stat
+      .approxQuantile("threshold",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("threshold") > lit(c), 1).otherwise(0)
+    }
+    val withPid = g.withColumn("__pid", pid)
+    val localW = Window.partitionBy("__pid").orderBy("threshold")
+    val cum = Window.orderBy("__pid")
+    val offsets = withPid.groupBy("__pid")
+      .agg(sum(col("p")).as("__bp"), sum(col("n")).as("__bn"))
+      .withColumn("__offp", coalesce(
+        sum(col("__bp")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offn", coalesce(
+        sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offp", "__offn")
+    val incl = localW.rowsBetween(Window.unboundedPreceding, 0)
+    val totals = g.agg(sum(col("p")).as("__tp_all"), sum(col("n")).as("__tn_all"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+    withPid
+      .withColumn("__cp", sum(col("p")).over(incl))
+      .withColumn("__cn", sum(col("n")).over(incl))
+      .join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(totals))
+      // score >= threshold ⇔ NOT strictly below ⇔ total − exclusive-cum
+      .withColumn("tp", col("__tp_all") - (col("__cp") + col("__offp") - col("p")))
+      .withColumn("fp", col("__tn_all") - (col("__cn") + col("__offn") - col("n")))
+      .select(col("threshold"), col("tp"), col("fp"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("__tp_all")).as("recall"),
+        ratio(lit(2L) * col("tp"),
+          col("tp") + col("fp") + col("__tp_all")).as("f1"))
+      .orderBy("threshold")
+  }
+
+  /** Cohen's kappa between the thresholded prediction and the label —
+    * chance-corrected agreement, the honest twin of raw accuracy on an
+    * imbalanced gate. All cells and marginals are exact integers
+    * (DECIMAL(38,0) products — n² overflows BIGINT past ~3·10⁹ rows), so
+    * p_o, p_e, and kappa are a fixed sequence of IEEE ops, identical on
+    * both engines before the final ROUND(6). */
+  def cohensKappa(scored: DataFrame, scoreCol: String, labelCol: String,
+                  threshold: Double = 0.5): DataFrame = {
+    val pred = (col(scoreCol).cast("double") >= lit(threshold)).cast("long")
+    val act = col(labelCol).cast("long")
+    val dec = "decimal(38,0)"
+    scored.agg(
+        sum(pred * act).as("tp"), sum(pred * (lit(1L) - act)).as("fp"),
+        sum((lit(1L) - pred) * act).as("fn"),
+        sum((lit(1L) - pred) * (lit(1L) - act)).as("tn"))
+      .withColumn("n", col("tp") + col("fp") + col("fn") + col("tn"))
+      .withColumn("__po", (col("tp") + col("tn")).cast("double") / col("n").cast("double"))
+      .withColumn("__pe",
+        ((col("tp") + col("fp")).cast(dec) * (col("tp") + col("fn")).cast(dec)
+          + (col("fn") + col("tn")).cast(dec) * (col("fp") + col("tn")).cast(dec))
+          .cast("double") / (col("n").cast("double") * col("n").cast("double")))
+      .select(col("n"), round(col("__po"), 6).as("po"), round(col("__pe"), 6).as("pe"),
+        when(col("__pe") < 1.0,
+          round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
+          .as("kappa"))
+  }
+
+  /** Brier score and log-loss in one aggregation — the proper scoring
+    * rules that complement [[calibrationBins]] with a single number each.
+    * Probabilities are clamped to [1e-15, 1−1e-15] on BOTH engine and
+    * oracle (identical ops → identical bits) so log-loss stays finite on
+    * a saturated score; the order-dependent double averages are
+    * ROUND(6)-absorbed. */
+  def brierLogLoss(scored: DataFrame, scoreCol: String,
+                   labelCol: String): DataFrame = {
+    val pr = least(greatest(col(scoreCol).cast("double"), lit(1e-15)),
+      lit(1.0 - 1e-15))
+    val y = col(labelCol).cast("double")
+    scored.agg(
+      count(lit(1)).as("n"),
+      round(avg((pr - y) * (pr - y)), 6).as("brier"),
+      round(avg(-(y * log(pr) + (lit(1.0) - y) * log(lit(1.0) - pr))), 6)
+        .as("logloss"))
+  }
 }

@@ -499,6 +499,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reciprocal-rank-fusion hybrid retrieval (Cormack et al. 2009):
+    * fuse the lexical [[bm25TopK]] ranking with the semantic
+    * [[Similarity.bruteForceTopK]] embedding ranking by
+    * RRF(d) = Σ_r 1/(kRrf + rank_r(d)) — the standard hybrid-search
+    * combiner (rank-based, so the incomparable score scales never meet).
+    * Documents and embeddings share the id space (vec_id ≡ doc_id).
+    *
+    * Shape: both inputs are already-bounded top-`kEach` lists, so the
+    * fusion is a full-outer join of two ≤kEach-row frames plus one
+    * TakeOrderedAndProject — O(kEach), nothing fact-scale. The
+    * row_number windows rank k-row frames, not fact rows. RRF terms are
+    * exact reciprocals of small integers; the ≤2-term sum is one IEEE
+    * add, ROUND(6)ed for the deterministic k-boundary. */
+  def rrfHybridTopK(docs: DataFrame, emb: DataFrame, textCol: String,
+                    idCol: String, queryTerms: Seq[String], queryId: Long,
+                    kEach: Int = 20, k: Int = 10,
+                    kRrf: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, textCol, idCol, queryTerms, kEach)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol).as("id"), col("lex_rank"))
+    val sem = Similarity.bruteForceTopK(emb, queryId, kEach)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("id"), col("sem_rank"))
+    def term(rank: Column): Column = coalesce(
+      lit(1.0) / (lit(kRrf.toDouble) + rank.cast("double")), lit(0.0))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("sem_rank"),
+        round(term(col("lex_rank")) + term(col("sem_rank")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
   /** Per-document TF-IDF keyword extraction (sklearn smooth-idf variant:
     * `idf = ln((1+N)/(1+df)) + 1`, tf normalized by document length) —
     * the per-doc salient-term pass behind corpus tagging, topic routing

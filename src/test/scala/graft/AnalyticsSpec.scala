@@ -480,6 +480,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(6L) == 0.0 && r(7L) == 0.0) // beyond the series: no pairs
   }
 
+  test("cusumChangePoint: level shift peaks exactly at the change point") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    // 4 days at 1/day then 4 days at 3/day: x̄=2, S = −1,−2,−3,−4,−3,−2,−1,0
+    val rows = (0 until 8).flatMap(d => Seq.fill(if (d < 4) 1 else 3)(Tuple1(t(d))))
+    val out = Analytics.cusumChangePoint(rows.toDF("ts")).collect()
+    val peaks = out.filter(_.getAs[Boolean]("is_peak")).map(_.getAs[String]("day"))
+    assert(peaks.toSeq == Seq("2024-01-04")) // day index 3, |S|=4
+    assert(out.map(_.getAs[Double]("cusum")).toSeq ==
+      Seq(-1.0, -2.0, -3.0, -4.0, -3.0, -2.0, -1.0, 0.0))
+  }
+
+  test("stlDecompose: trend NULL on edges, dow means absorb the weekly cycle") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    // 21 days, count = 10 + 3 on Sundays (day 6, 13, 20 of the window:
+    // 2024-01-01 is a Monday so dow cycles 1..6,0)
+    val rows = (0 until 21).flatMap { d =>
+      val dow = (d + 1) % 7 // 2024-01-01 → Monday → dayofweek-1 = 1
+      Seq.fill(if (dow == 0) 13 else 10)(Tuple1(t(d)))
+    }
+    val out = Analytics.stlDecompose(rows.toDF("ts")).collect()
+    val byDay = out.map(r => r.getAs[String]("day") -> r).toMap
+    // edges: first and last 3 days have NULL trend
+    assert(byDay("2024-01-01").isNullAt(byDay("2024-01-01").fieldIndex("trend")))
+    assert(byDay("2024-01-21").isNullAt(byDay("2024-01-21").fieldIndex("trend")))
+    // interior: every full 7-day window holds one Sunday → trend constant
+    val mid = byDay("2024-01-10")
+    assert(mid.getAs[Double]("trend") == (6 * 10 + 13) / 7.0)
+    // Sunday rows carry the positive seasonal, weekdays the negative
+    val sun = out.filter(_.getAs[Int]("dow") == 0)
+    val wk = out.filter(r => r.getAs[Int]("dow") != 0 && !r.isNullAt(r.fieldIndex("trend")))
+    assert(sun.forall(r => r.isNullAt(r.fieldIndex("seasonal")) ||
+      r.getAs[Double]("seasonal") > 2.0))
+    assert(wk.forall(_.getAs[Double]("seasonal") < 0.0))
+    // residuals vanish where trend and seasonal are both defined
+    assert(out.filter(r => !r.isNullAt(r.fieldIndex("residual")))
+      .forall(r => math.abs(r.getAs[Double]("residual")) < 1e-4))
+  }
+
   test("acf: constant series has zero variance, lags are NULL") {
     val s = spark
     import s.implicits._

@@ -85,6 +85,59 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("f1") == 0.666667) // 2·2/(2·2+1+1)
   }
 
+  test("ksStatistic: perfect separation has KS 1.0 at the top negative score") {
+    // neg scores {0.1, 0.2}, pos {0.8, 0.9}: at s=0.2 CDF_neg=1, CDF_pos=0
+    val r = MLEval.ksStatistic(
+      scored(Seq(0.8 -> 1, 0.9 -> 1, 0.1 -> 0, 0.2 -> 0)), "score", "y")
+      .collect().head
+    assert(r.getAs[Double]("ks") == 1.0)
+    assert(r.getAs[Double]("ks_score") == 0.2)
+  }
+
+  test("ksStatistic: hand-computed mixed case with a tie") {
+    // scores asc: 0.2(n) 0.4(p,n) 0.6(p)
+    //   s=0.2: |0/2 − 1/2| = 0.5
+    //   s=0.4: |1/2 − 2/2| = 0.5  (tie — first attained at 0.2)
+    //   s=0.6: |2/2 − 2/2| = 0
+    val r = MLEval.ksStatistic(
+      scored(Seq(0.2 -> 0, 0.4 -> 1, 0.4 -> 0, 0.6 -> 1)), "score", "y")
+      .collect().head
+    assert(r.getAs[Double]("ks") == 0.5)
+    assert(r.getAs[Double]("ks_score") == 0.2)
+  }
+
+  test("prCurve: hand-computed cells at every distinct threshold") {
+    val out = MLEval.prCurve(
+      scored(Seq(0.2 -> 0, 0.4 -> 1, 0.4 -> 0, 0.6 -> 1)), "score", "y")
+      .collect().map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+    assert(out(0.2) == (2L, 2L, 0.5, 1.0))
+    assert(out(0.4) == (2L, 1L, 2.0 / 3.0, 1.0))
+    assert(out(0.6) == (1L, 0L, 1.0, 0.5))
+  }
+
+  test("cohensKappa: hand-computed chance-corrected agreement") {
+    val r = MLEval.cohensKappa(
+      scored(Seq(0.9 -> 1, 0.5 -> 1, 0.2 -> 1, 0.6 -> 0, 0.3 -> 0)),
+      "score", "y").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("po") == 0.6)
+    assert(r.getAs[Double]("pe") == 0.52)
+    assert(r.getAs[Double]("kappa") == 0.166667) // 0.08/0.48
+  }
+
+  test("brierLogLoss: hand-computed on two rows") {
+    // (0.8, 1): sq err 0.04, ll −ln(0.8); (0.4, 0): sq err 0.16, ll −ln(0.6)
+    val r = MLEval.brierLogLoss(
+      scored(Seq(0.8 -> 1, 0.4 -> 0)), "score", "y").collect().head
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("brier") == 0.1) // (0.04+0.16)/2
+    val expected = math.round(
+      (-math.log(0.8) - math.log(0.6)) / 2 * 1e6) / 1e6
+    assert(r.getAs[Double]("logloss") == expected)
+  }
+
   test("confusionStats: empty-denominator metrics are NULL") {
     // every score below threshold, all labels negative: tp=fp=fn=0
     val r = MLEval.confusionStats(

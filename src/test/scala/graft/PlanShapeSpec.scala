@@ -179,7 +179,11 @@ class PlanShapeSpec extends SparkSpec {
       "dd_minhash_pr", // 6 threshold rows x ONE broadcast candidate-total row
       "mix_curriculum", // per-doc rows x ONE broadcast tier-boundaries row
       "ts_gap_fill", // distinct groups x ONE broadcast (min,max)-day bounds row
-      "ts_acf") // O(days) daily counts x ONE broadcast mean row
+      "ts_acf", // O(days) daily counts x ONE broadcast mean row
+      "ev_cpd", // O(days) daily counts x ONE broadcast mean + max rows
+      "ml_ks", // score groups x ONE broadcast totals + max-diff rows
+      "ml_pr_curve", // score groups x ONE broadcast totals row
+      "ir_rrf") // BM25's single-row corpus stats + the single query vector
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
