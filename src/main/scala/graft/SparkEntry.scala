@@ -4553,6 +4553,76 @@ object SparkEntry {
              |  UNION ALL SELECT CAST(7 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n7 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a)
              |ORDER BY lag""".stripMargin)),
 
+    Q("gr_modularity",
+      // Newman modularity of the near-dup component partition over its
+      // own pair graph — every edge is intra-component, so Q = 1 −
+      // Σ(d_c/2m)²: the fragmentation score (→1 balanced clusters, →0 a
+      // giant component hoarding the edges). Pair pipeline persisted once
+      // and shared by labels and modularity
+      (s, d) => {
+        val p = docNearDupPairs(s, d).persist()
+        operators.Graph.modularity(p, Dedup.canonicalComponents(p))
+      },
+      Some(mhComponentsOracleCtes +
+        """,
+          |lab AS (SELECT id, LEAST(id, MIN(r)) AS c FROM mh_reach GROUP BY id),
+          |me AS (SELECT id_a AS u, id_b AS v FROM mh_pairs),
+          |mm2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM me),
+          |mdeg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+          |  FROM (SELECT u AS id FROM me UNION ALL SELECT v FROM me) GROUP BY id),
+          |mdc AS (SELECT c, CAST(SUM(deg) AS BIGINT) AS d_c
+          |  FROM mdeg JOIN lab USING (id) GROUP BY c),
+          |mmc AS (SELECT lu.c AS c, CAST(count(*) AS BIGINT) AS m_c
+          |  FROM me JOIN lab lu ON lu.id = me.u JOIN lab lv ON lv.id = me.v
+          |  WHERE lu.c = lv.c GROUP BY lu.c),
+          |mt AS (SELECT mdc.c, COALESCE(m_c, CAST(0 AS BIGINT)) AS m_c, d_c, m
+          |  FROM mdc LEFT JOIN mmc ON mmc.c = mdc.c, mm2)
+          |SELECT CAST(count(*) AS BIGINT) AS communities, m,
+          |  ROUND(SUM(CAST(m_c AS DOUBLE) / CAST(m AS DOUBLE)
+          |    - (CAST(d_c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
+          |    * (CAST(d_c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))), 6)
+          |    + CAST(0.0 AS DOUBLE) AS modularity
+          |FROM mt GROUP BY m""".stripMargin)),
+
+    Q("sim_filtered_ann",
+      // filtered vector search: IVF probe with the metadata predicate
+      // (label = 3) pushed inside the probed cell — the "vector search
+      // WHERE ..." shape of every production ANN store; nprobe stays 1,
+      // short cells surface short results rather than silently widening
+      (s, d) => Similarity.ivfFilteredTopK(Tables.embeddings(s, d),
+        queryId = 20, k = 10, pred = col("label") === 3,
+        metaCols = Seq("label")),
+      Some(s"""WITH ev2 AS (SELECT vec_id, label,
+              |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |en AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM ev2),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.label, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, label, v, nrm, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |q AS (SELECT v AS qv, nrm AS qnrm, cell AS qcell FROM asg WHERE vec_id = 20)
+              |SELECT vec_id, label, cell, ROUND(${dotSql("v", "qv")} / (nrm * qnrm), 6) AS cos
+              |FROM asg, q WHERE vec_id <> 20 AND label = 3 AND cell = qcell
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("emb_dim_stats",
+      // per-dimension embedding health: mean/std/min/max per dim — dead
+      // dims, runaway dims, drift; one posexplode → 64-group map-side-
+      // combined aggregation, group count constant in corpus size
+      (s, d) => Similarity.dimStats(Tables.embeddings(s, d)),
+      Some("""WITH ed AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+             |    CAST(embedding AS DOUBLE[])[i] AS x
+             |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i))
+             |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             |  ROUND(AVG(x), 6) + CAST(0.0 AS DOUBLE) AS mean,
+             |  ROUND(STDDEV_SAMP(x), 6) AS std,
+             |  MIN(x) AS min_x, MAX(x) AS max_x
+             |FROM ed GROUP BY dim ORDER BY dim""".stripMargin)),
+
     Q("ml_ks",
       // Kolmogorov-Smirnov class separation: max |CDF_pos − CDF_neg| over
       // score groups with the first score attaining it — CDFs are exact

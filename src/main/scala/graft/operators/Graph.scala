@@ -255,6 +255,48 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** Newman modularity Q of a node partition over an undirected pair
+    * graph: Q = Σ_c [ m_c/m − (d_c/2m)² ] — how much denser inside the
+    * communities than a degree-preserving random graph. Over the near-dup
+    * component partition every edge is intra-community by construction,
+    * so Q reduces to 1 − Σ(d_c/2m)²: a fragmentation score (→1 = many
+    * small balanced clusters, →0 = one giant component hoarding the
+    * edges) — the one-number companion to [[triangleStats]]' per-node
+    * clustering audit.
+    *
+    * Shape: degrees from one aggregation, labels joined twice onto the
+    * edge list (node-key equi-joins), both Σ terms from per-community
+    * aggregates; `m` is ONE broadcast row. All counts are exact integers;
+    * the per-community double terms sum order-dependently → ROUND(6). */
+  def modularity(pairs: DataFrame, labels: DataFrame,
+                 idA: String = "id_a", idB: String = "id_b",
+                 labelCol: String = "canonical"): DataFrame = {
+    val e = pairs
+      .select(least(col(idA), col(idB)).as("u"), greatest(col(idA), col(idB)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val lab = labels.select(col("id"), col(labelCol).as("c"))
+    val mm = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dc = deg.join(lab, "id").groupBy("c").agg(sum(col("deg")).as("d_c"))
+    val mc = e
+      .join(lab.select(col("id").as("u"), col("c").as("cu")), "u")
+      .join(lab.select(col("id").as("v"), col("c").as("cv")), "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("m_c"))
+    dc.join(mc, Seq("c"), "left")
+      .select(col("c"), coalesce(col("m_c"), lit(0L)).as("m_c"), col("d_c"))
+      .crossJoin(broadcast(mm))
+      .withColumn("__term",
+        col("m_c").cast("double") / col("m").cast("double")
+          - (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double")))
+          * (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double"))))
+      .groupBy("m")
+      .agg(count(lit(1)).as("communities"),
+        round(sum(col("__term")), 6).as("modularity"))
+      .select(col("communities"), col("m"), col("modularity"))
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of the
     * endpoint degrees across all directed arcs of the symmetrized graph —
     * one number telling whether hubs trade with hubs (positive, social

@@ -238,6 +238,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Filtered vector search ([[ivfTopK]] with a metadata predicate pushed
+    * INSIDE the probed cell): top-k cosine among only the vectors
+    * satisfying `pred` — the "vector search WHERE label = x" shape every
+    * production ANN store exposes (pgvector/Qdrant filtered search). The
+    * predicate lands on the cell scan, after cell assignment and before
+    * ranking, so at 100 TB it prunes inside the one partition the probe
+    * reads (and with the corpus written `partitionBy(cell, label)`, at
+    * planning time). nprobe stays 1: a cell holding fewer than k matches
+    * returns fewer rows — surfaced, not silently widened; the recall
+    * remedy is more probes, the [[lshTopKMultiprobe]] pattern.
+    * `metaCols` ride through assignment so `pred` can reference them. */
+  def ivfFilteredTopK(emb: DataFrame, queryId: Long, k: Int, pred: Column,
+                      metaCols: Seq[String], nCells: Int = 16): DataFrame = {
+    val meta = metaCols.map(col)
+    val e = emb.select(col("vec_id") +: meta :+
+      toDoubleArray(col("embedding")).as("v"): _*)
+      .withColumn("nrm", normFast(col("v")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id") +: meta :+ col("v") :+ col("nrm") :+ col("cell"): _*)
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cell").as("qcell"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .filter(pred)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id") +: meta :+ col("cell") :+
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+          .as("cos"): _*)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-dimension embedding health statistics: mean, sample stddev, min,
+    * max over every dimension — the audit that catches dead dimensions
+    * (std ≈ 0 wastes index bytes and distorts cosine), runaway dimensions
+    * (one dim dominating the norm), and train/serve drift when compared
+    * across snapshots. One posexplode → 64-group aggregation with
+    * map-side partials; group count equals the dimensionality, constant
+    * in corpus size. avg/std are order-dependent double sums → ROUND(6)
+    * (the a6 convention); min/max of floats are exact. */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean"),
+        round(stddev_samp(col("x")), 6).as("std"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .orderBy("dim")
+
   /** Product-quantization ANN (Jégou et al. 2011) with asymmetric
     * distance computation (ADC): the 64-dim vector splits into `m`
     * subspaces of `dim/m` dims; each sub-vector is encoded as the id of

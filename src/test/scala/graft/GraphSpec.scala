@@ -116,6 +116,30 @@ class GraphSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("assortativity")))
   }
 
+  test("modularity: two disjoint triangles under their component labels") {
+    // m=6; each community: m_c=3, d_c=6 → Q = 2·(3/6 − (6/12)²) = 0.5
+    val s = spark
+    import s.implicits._
+    val p = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("id_a", "id_b")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "canonical")
+    val r = Graph.modularity(p, lab).collect().head
+    assert(r.getAs[Long]("communities") == 2L)
+    assert(r.getAs[Long]("m") == 6L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+  }
+
+  test("modularity: one community containing every edge scores 1 − (1)² = 0") {
+    // single triangle, single label: Q = 3/3 − (6/6)² = 0
+    val s = spark
+    import s.implicits._
+    val p = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "canonical")
+    val r = Graph.modularity(p, lab).collect().head
+    assert(r.getAs[Double]("modularity") == 0.0)
+  }
+
   test("tradeEdges is symmetric and prefix-disambiguated") {
     val e = Graph.tradeEdges(Tables.orders(spark, sf0001),
       Tables.lineitem(spark, sf0001)).cache()

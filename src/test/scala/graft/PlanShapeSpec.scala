@@ -183,7 +183,9 @@ class PlanShapeSpec extends SparkSpec {
       "ev_cpd", // O(days) daily counts x ONE broadcast mean + max rows
       "ml_ks", // score groups x ONE broadcast totals + max-diff rows
       "ml_pr_curve", // score groups x ONE broadcast totals row
-      "ir_rrf") // BM25's single-row corpus stats + the single query vector
+      "ir_rrf", // BM25's single-row corpus stats + the single query vector
+      "gr_modularity", // per-community terms x ONE broadcast edge-count row
+      "sim_filtered_ann") // sim_ivf's centroid assignment + single-row probe
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

@@ -444,4 +444,34 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("recall_ivf") == ivfOnly(r.getAs[Long]("query_id")))
     }
   }
+
+  test("ivfFilteredTopK: every hit satisfies the predicate, ranking descends") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = Similarity.ivfFilteredTopK(emb, queryId = 20, k = 10,
+      pred = col("label") === 3, metaCols = Seq("label")).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getAs[Int]("label") == 3))
+    val cos = rows.map(_.getAs[Double]("cos"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    // the filtered list is exactly the unfiltered cell ranking restricted
+    // to the predicate (pushdown changes selection, never order)
+    val cellAll = Similarity.ivfTopK(emb, queryId = 20, k = 1000)
+      .collect().map(r => r.getAs[Long]("vec_id"))
+    val lab3 = emb.filter(col("label") === 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq ==
+      cellAll.filter(lab3).take(10).toSeq)
+  }
+
+  test("dimStats: hand-computed per-dimension stats") {
+    val df = vecsDf(Seq((1L, Seq(1.0, 10.0)), (2L, Seq(3.0, 10.0))))
+    val out = Similarity.dimStats(df).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean"), r.getAs[Double]("std"),
+          r.getAs[Double]("min_x"), r.getAs[Double]("max_x"))).toMap
+    assert(out(0L) == (2L, 2.0, math.sqrt(2.0) match {
+      case s => math.round(s * 1e6) / 1e6
+    }, 1.0, 3.0))
+    assert(out(1L) == (2L, 10.0, 0.0, 10.0, 10.0))
+  }
 }
