@@ -159,16 +159,33 @@ object Graph {
     val edges =
       if (edgesPrepared) edges0
       else edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // frontier BFS: in an unweighted graph the minimum hop distance IS
+    // the first round a node is reached, so each round only the NEW
+    // frontier joins the edge list and an anti-join against the settled
+    // set keeps first-touch wins — identical semantics to re-aggregating
+    // the full distance table (min over union), but round k's work is
+    // O(frontier_k × avg-degree), and on a hub-seeded trade graph the
+    // frontier collapses after 2 hops instead of re-scanning every
+    // settled node each round
     var dist = seeds.select(col("id"), lit(0).as("dist")).localCheckpoint()
+    var frontier = dist
     var k = 0
     while (k < maxHops) {
-      val nbr = edges
-        .join(dist.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
-        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(nbr)
-        .groupBy("id").agg(min(col("dist")).as("dist"))
+      val next = edges
+        .join(frontier.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(k + 1).as("dist"))
         .localCheckpoint()
-      k += 1
+      // scalar probe on the already-checkpointed frontier: once the BFS
+      // exhausts the component the remaining rounds are no-ops — skip
+      // them (the convergence-probe precedent; probes a bit, not rows)
+      if (next.isEmpty) k = maxHops
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+        k += 1
+      }
     }
     dist.orderBy("dist", "id")
   }
