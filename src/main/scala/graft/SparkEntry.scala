@@ -4553,6 +4553,63 @@ object SparkEntry {
              |  UNION ALL SELECT CAST(7 AS BIGINT), CASE WHEN den > 0 THEN ROUND(n7 / den, 6) + CAST(0.0 AS DOUBLE) END FROM a)
              |ORDER BY lag""".stripMargin)),
 
+    Q("ml_auc_by_source",
+      // per-source AUC of the hashed classifier — the grouped gate-quality
+      // dashboard that catches one domain failing while the aggregate
+      // number looks fine; every window additionally partitioned by the
+      // source key, totals joined back on it
+      (s, d) => operators.MLEval.rocAucBy(
+        TextAnalysis.hashedLinearScore(Tables.documents(s, d), "text",
+            "doc_id", buckets = 1024, keep = Seq("n_chars", "source"))
+          .select(col("doc_id"), col("source"), col("score"),
+            (col("n_chars") >= 200).cast("int").as("y")),
+        "source", "score", "y"),
+      Some(Sentiment.oracleCte +
+        """,
+          |hw2 AS (SELECT doc_id, source, n_chars,
+          |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+          |    list_sum(list_transform(tokens, t ->
+          |      (CAST(CAST('0x' || substr(md5('w:' || CAST(
+          |          CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024
+          |        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 AS DOUBLE)
+          |       - CAST(1000.0 AS DOUBLE)) / CAST(1000.0 AS DOUBLE))) AS sw
+          |  FROM toks WHERE len(tokens) > 0),
+          |msrc AS (SELECT source,
+          |    ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+          |      + exp(-(sw / CAST(n_tokens AS DOUBLE)))), 6) AS score,
+          |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+          |  FROM hw2),
+          |g AS (SELECT source, score AS sc, CAST(SUM(y) AS BIGINT) AS p,
+          |    CAST(SUM(1 - y) AS BIGINT) AS n FROM msrc GROUP BY 1, 2),
+          |r AS (SELECT source, p, n, COALESCE(CAST(SUM(n) OVER (
+          |      PARTITION BY source ORDER BY sc
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+          |    CAST(0 AS BIGINT)) AS neg_below FROM g),
+          |a AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+          |    CAST(SUM(n) AS BIGINT) AS n_neg,
+          |    SUM(p * neg_below) AS conc, SUM(p * n) AS tied FROM r GROUP BY source),
+          |a2 AS (SELECT source, n_pos, n_neg,
+          |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          |      ROUND((CAST(conc AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(tied AS DOUBLE))
+          |        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+          |    END AS auc FROM a)
+          |SELECT source, n_pos, n_neg, auc,
+          |  ROUND(CAST(2.0 AS DOUBLE) * auc - CAST(1.0 AS DOUBLE), 6)
+          |    + CAST(0.0 AS DOUBLE) AS gini
+          |FROM a2 ORDER BY source""".stripMargin)),
+
+    Q("dd_hot_ngrams",
+      // memorization-risk scan: the most document-frequent 8-gram
+      // shingles (df >= 3, top-50) — the phrases a model would memorize
+      // (Lee et al. 2022); per-doc-distinct, one shingle-key groupBy,
+      // TakeOrderedAndProject
+      (s, d) => Dedup.hotNgrams(Tables.documents(s, d), "text", "doc_id"),
+      Some(Sentiment.oracleCte + s""",
+          |${dshCteSql(8)}
+          |SELECT sh, CAST(count(*) AS BIGINT) AS df FROM dsh
+          |GROUP BY sh HAVING count(*) >= 3
+          |ORDER BY df DESC, sh LIMIT 50""".stripMargin)),
+
     Q("gr_modularity",
       // Newman modularity of the near-dup component partition over its
       // own pair graph — every edge is intra-component, so Q = 1 −

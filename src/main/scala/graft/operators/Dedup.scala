@@ -52,6 +52,24 @@ object Dedup {
       .select(col(idCol), shinglesFromTokens(col("toks"), n).as("shs"))
       .select(col(idCol), explode(col("shs")).as("sh"))
 
+  /** Hot n-gram scan: the `k` most document-frequent n-token shingles
+    * with df ≥ `minDf` — the memorization-risk / boilerplate audit at
+    * n-gram granularity (Lee et al. 2022's observation that a phrase
+    * repeated across many training documents is what a model memorizes).
+    * [[ngramJaccardPairs]] finds *pairs* of similar docs; this finds the
+    * *phrases* doing the repeating, which is what you grep the corpus
+    * for. Per-doc-distinct shingles (so a phrase looping inside ONE doc
+    * counts once), one groupBy on the shingle key with map-side combine,
+    * top-k as TakeOrderedAndProject. */
+  def hotNgrams(df: DataFrame, textCol: String, idCol: String,
+                n: Int = 8, minDf: Long = 3, k: Int = 50): DataFrame =
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("sh"))
+      .limit(k)
+
   /** Exact n-gram Jaccard similarity pairs with similarity > minJaccard.
     * One shuffle on the shingle key to form candidate pairs (only pairs
     * sharing >= 1 shingle are ever materialized), then pure arithmetic.

@@ -131,6 +131,54 @@ object MLEval {
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
   }
 
+  /** Per-group [[rocAuc]]: one AUC row per `keyCol` value — the audit
+    * that catches a gate scoring well in aggregate while failing one
+    * domain (the per-source gate-quality dashboard). Same rank-sum
+    * identity and bucket machinery, with every window additionally
+    * partitioned by the key: local cumulatives on (key, bucket), bucket
+    * offsets cumulated per key, totals joined back on the key (an
+    * equi-join — AQE broadcasts the O(keys) side at runtime). Quantile
+    * cuts are computed once globally: per-key bucketing correctness
+    * doesn't depend on the cut placement, only the prefix-sum algebra. */
+  def rocAucBy(scored: DataFrame, keyCol: String, scoreCol: String,
+               labelCol: String, buckets: Int = 32): DataFrame = {
+    val g = scored
+      .groupBy(col(keyCol).as("k"), col(scoreCol).cast("double").as("s"))
+      .agg(sum(col(labelCol).cast("long")).as("p"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("n"))
+    g.persist()
+    val cuts = g.stat
+      .approxQuantile("s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("s") > lit(c), 1).otherwise(0)
+    }
+    val withPid = g.withColumn("__pid", pid)
+    val localW = Window.partitionBy("k", "__pid").orderBy("s")
+    val cum = Window.partitionBy("k").orderBy("__pid")
+    val offsets = withPid.groupBy("k", "__pid").agg(sum(col("n")).as("__bn"))
+      .withColumn("__off", coalesce(
+        sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("k", "__pid", "__off")
+    val ranked = withPid
+      .withColumn("__ln", coalesce(
+        sum(col("n")).over(localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(offsets, Seq("k", "__pid"))
+      .withColumn("neg_below", col("__ln") + col("__off"))
+    val dec = "decimal(38,0)"
+    ranked.groupBy("k")
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum((col("p") * col("neg_below")).cast(dec)).as("__conc"),
+        sum((col("p") * col("n")).cast(dec)).as("__tied"))
+      .select(col("k").as(keyCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__conc").cast("double") + lit(0.5) * col("__tied").cast("double"))
+            / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+      .withColumn("gini", round(lit(2.0) * col("auc") - lit(1.0), 6))
+      .orderBy(keyCol)
+  }
+
   /** Kolmogorov-Smirnov separation of the two score distributions:
     * D = max over scores of |CDF_pos − CDF_neg|, with the score where the
     * max is first attained (`ks_score`, min-score tie-break). The

@@ -439,4 +439,23 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("canonical") -> r.getAs[Double]("avg_jaccard")).toMap
     assert(got(1L) == 0.583334, s"got ${got(1L)} — expected the mean of ROUNDED inputs")
   }
+
+  test("hotNgrams: cross-doc df counts once per doc, minDf and k bound the list") {
+    val s = spark
+    import s.implicits._
+    val phrase = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$phrase tail a"),
+      (2L, s"head $phrase"),
+      (3L, phrase),
+      // internal repetition: the phrase appears twice in ONE doc → df +1
+      (4L, s"$phrase $phrase"),
+      (5L, "totally different words that never repeat anywhere else here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.hotNgrams(docs, "text", "doc_id", n = 8, minDf = 3, k = 10)
+      .collect().map(r => r.getAs[String]("sh") -> r.getAs[Long]("df")).toMap
+    assert(out(phrase) == 4L) // docs 1-4, doc 4 counted once
+    assert(out.values.forall(_ >= 3L))
+    assert(!out.keys.exists(_.contains("different")))
+  }
 }

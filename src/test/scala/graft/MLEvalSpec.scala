@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.operators.MLEval
 
 /** Hand-computed goldens for the classifier-evaluation operators. AUC
@@ -83,6 +84,25 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("precision") == 0.666667)
     assert(r.getAs[Double]("recall") == 0.666667)
     assert(r.getAs[Double]("f1") == 0.666667) // 2·2/(2·2+1+1)
+  }
+
+  test("rocAucBy: per-key AUC equals rocAuc run on each key alone") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 120).map { i =>
+      val key = if (i % 2 == 0) "a" else "b"
+      val sc = (i * 37 % 17).toDouble / 17.0
+      val y = if ((i * 31 % 5) < 2 == (sc > 0.5)) 1 else 0
+      (key, sc, y)
+    }
+    val df = rows.toDF("k", "score", "y")
+    val grouped = MLEval.rocAucBy(df, "k", "score", "y").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Double]("auc")).toMap
+    for (key <- Seq("a", "b")) {
+      val solo = MLEval.rocAuc(df.filter(col("k") === key), "score", "y")
+        .collect().head.getAs[Double]("auc")
+      assert(grouped(key) == solo, s"key $key: ${grouped(key)} vs $solo")
+    }
   }
 
   test("ksStatistic: perfect separation has KS 1.0 at the top negative score") {
