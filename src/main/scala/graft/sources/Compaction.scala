@@ -73,4 +73,33 @@ object Compaction {
     fs.delete(bak, true)
     (before, dataFiles(path).size, bytes)
   }
+
+  /** Data-skipping audit for a parquet directory: per-file row count and
+    * min/max of `keyCol`, plus each file's range-overlap degree — how
+    * many OTHER files' [min,max] ranges intersect its own. A well
+    * clustered table (post-[[compact]] with `sortCols`, or Z-ordered)
+    * audits at overlap 0: a point/range predicate prunes to ~one file.
+    * An append-ordered table audits at overlap ≈ n_files: every file
+    * must be read for any key. This is the measurement that says whether
+    * re-clustering is worth the rewrite — run it BEFORE paying for one.
+    *
+    * The per-file stats come from one scan grouped by `input_file_name`
+    * (file count is the group cardinality — small); the overlap join is
+    * an interval self-join over that O(files) frame, never over rows. */
+  def layoutAudit(spark: SparkSession, dir: String,
+                  keyCol: String): DataFrame = {
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"))
+    val other = stats.select(col("file").as("f2"),
+      col("key_min").as("lo2"), col("key_max").as("hi2"))
+    stats.join(other,
+        col("file") =!= col("f2") &&
+          col("key_min") <= col("hi2") && col("key_max") >= col("lo2"),
+        "left")
+      .groupBy("file", "rows", "key_min", "key_max")
+      .agg(sum(when(col("f2").isNotNull, 1L).otherwise(0L)).as("overlapping_files"))
+      .orderBy("key_min", "file")
+  }
 }

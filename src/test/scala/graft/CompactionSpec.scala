@@ -55,6 +55,21 @@ class CompactionSpec extends SparkSpec {
       Tables.documents(spark, sf0001).count())
   }
 
+  test("layoutAudit: clustered files audit at overlap 0, random layout does not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_la").toString + "/t"
+    fragmented(dir, 10) // round-robin: every file spans ~the full id range
+    val before = Compaction.layoutAudit(spark, dir, "doc_id").collect()
+    assert(before.length == 10)
+    assert(before.forall(_.getAs[Long]("overlapping_files") == 9L))
+    val bytes = Compaction.dataBytes(spark, dir)
+    Compaction.compact(spark, dir, targetBytes = bytes / 4 + 1,
+      sortCols = Seq("doc_id"))
+    val after = Compaction.layoutAudit(spark, dir, "doc_id").collect()
+    assert(after.length >= 2)
+    assert(after.forall(_.getAs[Long]("overlapping_files") == 0L))
+    assert(after.map(_.getAs[Long]("rows")).sum == before.map(_.getAs[Long]("rows")).sum)
+  }
+
   test("targetFiles: never zero, rounds up") {
     assert(Compaction.targetFiles(1L, 1000L) == 1)
     assert(Compaction.targetFiles(1000L, 1000L) == 1)
