@@ -4488,6 +4488,26 @@ object SparkEntry {
           |  ROUND(pos_rate - mean_score, 6) + CAST(0.0 AS DOUBLE) AS gap
           |FROM cb ORDER BY bin""".stripMargin)),
 
+    Q("ml_ece",
+      // expected + maximum calibration error from the PUBLISHED
+      // (rounded) ml_calibration bins — the model-card summary that
+      // always reconciles with the table it summarizes
+      (s, d) => operators.MLEval.calibrationError(mlScored(s, d), "score", "y"),
+      Some(mlScoredCte +
+        """,
+          |c AS (SELECT LEAST(CAST(floor(score * 10) AS BIGINT),
+          |    CAST(9 AS BIGINT)) AS bin, score, y FROM mls),
+          |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+          |    ROUND(AVG(score), 6) AS mean_score,
+          |    ROUND(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate
+          |  FROM c GROUP BY bin),
+          |cg AS (SELECT cnt, ROUND(pos_rate - mean_score, 6) AS gap FROM cb)
+          |SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+          |  ROUND(SUM(CAST(cnt AS DOUBLE) * abs(gap))
+          |    / SUM(CAST(cnt AS DOUBLE)), 6) AS ece,
+          |  MAX(abs(gap)) AS mce
+          |FROM cg""".stripMargin)),
+
     Q("ml_prf",
       // confusion counts + operating-point metrics at score >= 0.5, one
       // row from ONE aggregation of boolean products; F1 in the integer

@@ -104,6 +104,20 @@ object MLEval {
       .orderBy("bin")
   }
 
+  /** Expected / maximum calibration error over the [[calibrationBins]]
+    * frame: ECE = Σ (cnt/N)·|gap|, MCE = max|gap| — the two numbers a
+    * model card quotes, computed from the PUBLISHED (rounded) bin stats
+    * so the summary always reconciles with the table it summarizes (the
+    * clusterStats rounded-inputs convention). One O(bins) aggregation
+    * over an already-aggregated frame. */
+  def calibrationError(scored: DataFrame, scoreCol: String, labelCol: String,
+                       bins: Int = 10): DataFrame =
+    calibrationBins(scored, scoreCol, labelCol, bins)
+      .agg(sum(col("cnt")).as("n"),
+        round(sum(col("cnt").cast("double") * abs(col("gap")))
+          / sum(col("cnt").cast("double")), 6).as("ece"),
+        max(abs(col("gap"))).as("mce"))
+
   /** Thresholded confusion counts plus the derived operating-point
     * metrics, one row: accuracy, precision, recall, F1 at
     * `score >= threshold`. All four cells come from ONE aggregation of

@@ -137,6 +137,26 @@ class MLEvalSpec extends SparkSpec {
     assert(out(0.6) == (1L, 0L, 1.0, 0.5))
   }
 
+  test("prCurve: endpoints and monotonicity on a mixed sample") {
+    val rows = (1 to 150).map { i =>
+      ((i * 41 % 23).toDouble / 23.0, if (i * 29 % 3 == 0) 1 else 0)
+    }
+    val out = MLEval.prCurve(scored(rows), "score", "y")
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    val p = rows.count(_._2 == 1)
+    val n = rows.size - p
+    // lowest threshold predicts everything positive
+    assert(out.head.getAs[Long]("tp") == p && out.head.getAs[Long]("fp") == n)
+    assert(out.head.getAs[Double]("recall") == 1.0)
+    // tp and fp never increase as the threshold rises
+    val tps = out.map(_.getAs[Long]("tp"))
+    val fps = out.map(_.getAs[Long]("fp"))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b })
+    // highest threshold keeps at least one prediction (its own group)
+    assert(out.last.getAs[Long]("tp") + out.last.getAs[Long]("fp") >= 1L)
+  }
+
   test("cohensKappa: hand-computed chance-corrected agreement") {
     val r = MLEval.cohensKappa(
       scored(Seq(0.9 -> 1, 0.5 -> 1, 0.2 -> 1, 0.6 -> 0, 0.3 -> 0)),
@@ -145,6 +165,16 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("po") == 0.6)
     assert(r.getAs[Double]("pe") == 0.52)
     assert(r.getAs[Double]("kappa") == 0.166667) // 0.08/0.48
+  }
+
+  test("calibrationError: ECE/MCE reconcile with the published bins") {
+    // bin 0: cnt 2, mean 0.05, pos 0.5 → gap 0.45
+    // bin 9: cnt 2, mean 0.975, pos 1.0 → gap 0.025
+    val df = scored(Seq(0.05 -> 0, 0.05 -> 1, 0.95 -> 1, 1.0 -> 1))
+    val r = MLEval.calibrationError(df, "score", "y").collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("ece") == 0.2375) // (2·0.45 + 2·0.025)/4
+    assert(r.getAs[Double]("mce") == 0.45)
   }
 
   test("brierLogLoss: hand-computed on two rows") {
