@@ -20,6 +20,12 @@ import graft.operators.{Analytics, AsOf, Dedup, Multimodal, RangeJoin, Risk, Sim
   *  - order-dependent double aggregates (avg/sum/stddev over doubles) are
   *    rounded on both sides; purely row-level double arithmetic is left
   *    exact (IEEE ops on identical operands are bit-identical);
+  *  - any oracle ROUND whose argument can be a tiny NEGATIVE (signed
+  *    gaps, residuals, correlations, cancelling cumulative sums) appends
+  *    `+ CAST(0.0 AS DOUBLE)`: Spark's ROUND goes through BigDecimal and
+  *    normalizes −0.0 to +0.0, DuckDB's float ROUND keeps the sign
+  *    (−0.0 + 0.0 = +0.0 is a no-op for every other value; first seen
+  *    live on ev_cpd's exactly-zero full-series CUSUM);
   *  - every query pins a deterministic total ORDER BY on both sides.
   */
 object SparkEntry {
