@@ -4844,6 +4844,31 @@ object SparkEntry {
           |    AS rrf
           |FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
 
+    Q("ev_funnel_windowed",
+      // funnel with a 24 h conversion window from first touch — the form
+      // product analytics reports; fixed per-user deadline keeps greedy
+      // earliest-hit provably optimal (per-STEP deadlines would not)
+      (s, d) => Analytics.funnelWindowed(Tables.events(s, d),
+        Seq("view", "click", "purchase"), windowSec = 86400),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |f1 AS (SELECT user_id, MIN(us) AS t,
+             |    MIN(us) + CAST(86400 AS BIGINT) * 1000000 AS dl
+             |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+             |f2 AS (SELECT e.user_id, MIN(dl) AS dl, MIN(us) AS t
+             |  FROM e JOIN f1 USING (user_id)
+             |  WHERE event_type = 'click' AND us > f1.t AND us <= f1.dl
+             |  GROUP BY e.user_id),
+             |f3 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN f2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND us > f2.t AND us <= f2.dl
+             |  GROUP BY e.user_id),
+             |c AS (
+             |  SELECT 1 AS stage, 'view' AS stage_name, (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_users
+             |  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM f2)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM f3))
+             |SELECT CAST(stage AS INT) AS stage, stage_name, n_users,
+             |  ROUND(CAST(n_users AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM f1), 6) AS conversion
+             |FROM c ORDER BY stage""".stripMargin)),
+
     Q("ev_cpd",
       // CUSUM change-point scan (Page 1954): S_t = Σ(x_i − x̄) over the
       // daily counts, |S| peak flagged — fact rows collapse to O(days)

@@ -505,6 +505,47 @@ object Analytics {
       .orderBy("stage")
   }
 
+  /** [[funnel]] with a conversion window: every later stage must land
+    * within `windowSec` of the user's FIRST stage-1 event — "converted
+    * within 24 h of first touch", the form product analytics actually
+    * reports. The deadline is fixed per user (first touch + window), so
+    * greedy earliest-hit per stage is provably optimal: a smaller
+    * `t_prev` strictly enlarges the feasible set `(t_prev, deadline]` of
+    * the next stage. (A per-STEP deadline would break that greedy —
+    * taking the earliest stage-k hit can strand stage k+1 — and needs a
+    * per-user sequence scan instead; this variant is chosen because it
+    * is both the standard metric and relationally exact.)
+    * Time is compared in epoch microseconds on both engines. */
+  def funnelWindowed(events: DataFrame, stages: Seq[String], windowSec: Long,
+                     userCol: String = "user_id", typeCol: String = "event_type",
+                     tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    val ev = events.select(col(userCol), col(typeCol),
+      unix_micros(col(tsCol)).as("us"))
+    val first = ev.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col("us")).as("t"))
+      .withColumn("dl", col("t") + lit(windowSec * 1000000L))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col(typeCol) === stage)
+        .join(prev.select(col(userCol), col("t").as("t_prev"), col("dl")),
+          Seq(userCol))
+        .filter(col("us") > col("t_prev") && col("us") <= col("dl"))
+        .groupBy(col(userCol), col("dl")).agg(min(col("us")).as("t"))
+    }
+    val rows = reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("stage_name"),
+          col("n_users"))
+    }
+    val base = rows.head.select(col("n_users").as("n_base"))
+    rows.reduce(_ unionByName _)
+      .crossJoin(broadcast(base))
+      .withColumn("conversion",
+        round(col("n_users").cast("double") / col("n_base").cast("double"), 6))
+      .select(col("stage"), col("stage_name"), col("n_users"), col("conversion"))
+      .orderBy("stage")
+  }
+
   /** Event-type transition counts — the first-order Markov view of user
     * behavior (which event follows which): for each user's time-ordered
     * event stream, count (previous type → type) transitions and report

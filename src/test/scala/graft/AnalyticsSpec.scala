@@ -480,6 +480,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(6L) == 0.0 && r(7L) == 0.0) // beyond the series: no pairs
   }
 
+  test("funnelWindowed: deadline from FIRST touch cuts late chains") {
+    val s = spark
+    import s.implicits._
+    def t(h: Int) = new java.sql.Timestamp(1704067200000L + h * 3600000L)
+    val ev = Seq(
+      // A: full chain inside 24h
+      (1L, "view", t(0)), (1L, "click", t(1)), (1L, "purchase", t(2)),
+      // B: purchase lands after the 24h deadline → stops at click
+      (2L, "view", t(0)), (2L, "click", t(1)), (2L, "purchase", t(30)),
+      // C: deadline pins to the FIRST view; the 51h click is outside it
+      (3L, "view", t(0)), (3L, "view", t(50)), (3L, "click", t(51))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnelWindowed(ev, Seq("view", "click", "purchase"),
+      windowSec = 86400).collect()
+      .map(r => r.getAs[String]("stage_name") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
   test("cusumChangePoint: level shift peaks exactly at the change point") {
     val s = spark
     import s.implicits._

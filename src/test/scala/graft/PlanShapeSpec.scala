@@ -165,7 +165,7 @@ class PlanShapeSpec extends SparkSpec {
       "ir_bm25_topk", // query-term hits x ONE broadcast (N, avgdl) row
       "ta_keywords_tfidf", // (doc, term) counts x ONE broadcast N row
       "mix_dsir_weights", // bucket histogram x ONE broadcast totals row
-      "ev_funnel", // 3 stage-count rows x ONE broadcast stage-1 base row
+      "ev_funnel", "ev_funnel_windowed", // 3 stage-count rows x ONE broadcast stage-1 base row
       "ev_rfm", // O(customers) aggregate x ONE broadcast max-date row
       "hh_heavy_hitters", // candidate counts x ONE broadcast total row
       "ta_drift_words", // O(vocab) joined counts x TWO broadcast totals rows
