@@ -4636,6 +4636,30 @@ object SparkEntry {
           |GROUP BY sh HAVING count(*) >= 3
           |ORDER BY df DESC, sh LIMIT 50""".stripMargin)),
 
+    Q("gr_kcore",
+      // 2-core of the near-dup pair graph after 3 fixed peels: strips the
+      // tree-like fringe of one-off marginal pairs, leaving the densely
+      // duplicated cores where clique-collapse is unambiguous; each peel
+      // unrolls to one oracle CTE (the pageRank convention)
+      (s, d) => operators.Graph.kCore(docNearDupPairs(s, d), k = 2, peels = 3),
+      Some(Sentiment.oracleCte +
+        minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
+        mhPairsCte(0.5) +
+        """,
+          |ka0 AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+          |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+          |kk1 AS (SELECT src AS id FROM (SELECT src, count(*) AS deg FROM ka0 GROUP BY src) WHERE deg >= 2),
+          |ka1 AS (SELECT ka0.src, ka0.dst FROM ka0
+          |  JOIN kk1 x ON x.id = ka0.src JOIN kk1 y ON y.id = ka0.dst),
+          |kk2 AS (SELECT src AS id FROM (SELECT src, count(*) AS deg FROM ka1 GROUP BY src) WHERE deg >= 2),
+          |ka2 AS (SELECT ka1.src, ka1.dst FROM ka1
+          |  JOIN kk2 x ON x.id = ka1.src JOIN kk2 y ON y.id = ka1.dst),
+          |kk3 AS (SELECT src AS id FROM (SELECT src, count(*) AS deg FROM ka2 GROUP BY src) WHERE deg >= 2),
+          |ka3 AS (SELECT ka2.src, ka2.dst FROM ka2
+          |  JOIN kk3 x ON x.id = ka2.src JOIN kk3 y ON y.id = ka2.dst)
+          |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+          |FROM ka3 GROUP BY src ORDER BY id""".stripMargin)),
+
     Q("gr_modularity",
       // Newman modularity of the near-dup component partition over its
       // own pair graph — every edge is intra-component, so Q = 1 −

@@ -272,6 +272,44 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** k-core peeling (fixed rounds): repeatedly drop nodes of induced
+    * degree < k, `peels` times, and report the survivors with their final
+    * induced degree. The 2-core of a near-dup pair graph strips the
+    * tree-like fringe (chains of one-off marginal pairs) and leaves the
+    * densely-duplicated cores — the subset where clique-collapse dedup
+    * is unambiguous. Fixed peel count keeps the op oracle-replayable
+    * (each peel is one CTE, the pageRank unroll convention); once the
+    * peel converges further rounds are no-ops, so R just needs to exceed
+    * the observed convergence depth.
+    *
+    * Each round is one degree aggregation + two node-key semi-join
+    * restrictions over the arc list, checkpointed (the arc table is
+    * referenced twice per round — the cadence-1 rule). */
+  def kCore(pairs: DataFrame, k: Int, peels: Int,
+            idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(k >= 1 && peels >= 1, "k and peels must be positive")
+    val e0 = pairs
+      .select(least(col(idA), col(idB)).as("u"), greatest(col(idA), col(idB)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    var arcs = e0.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("a"))
+      .select(col("a.src").as("src"), col("a.dst").as("dst"))
+      .localCheckpoint()
+    var i = 0
+    while (i < peels) {
+      val keep = arcs.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      arcs = arcs
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint()
+      i += 1
+    }
+    arcs.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .orderBy("id")
+  }
+
   /** Newman modularity Q of a node partition over an undirected pair
     * graph: Q = Σ_c [ m_c/m − (d_c/2m)² ] — how much denser inside the
     * communities than a degree-preserving random graph. Over the near-dup

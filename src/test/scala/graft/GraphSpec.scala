@@ -116,6 +116,21 @@ class GraphSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("assortativity")))
   }
 
+  test("kCore: tail peels off round by round, triangle core survives") {
+    // triangle {1,2,3} with a pendant chain 3-4-5: 2-core = the triangle
+    val s = spark
+    import s.implicits._
+    val p = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    // peel 1 drops 5 (deg 1); peel 2 drops 4 (deg fell to 1); converged
+    val r = Graph.kCore(p, k = 2, peels = 3).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("deg")).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // insufficient peels leave the intermediate fringe — rounds matter
+    val r1 = Graph.kCore(p, k = 2, peels = 1).collect().map(_.getAs[Long]("id")).toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L))
+  }
+
   test("modularity: two disjoint triangles under their component labels") {
     // m=6; each community: m_c=3, d_c=6 → Q = 2·(3/6 − (6/12)²) = 0.5
     val s = spark
