@@ -35,6 +35,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
+    // ERROR-only logging for the bench session: the driver captures only
+    // the final ~2000 chars of output, and the adjudicated-safe bounded
+    // WindowExec WARNs ("No Partition Defined", O(buckets) frames only —
+    // PlanShapeSpec guards the ones that matter) flooded that tail in two
+    // consecutive rounds, nearly truncating the headline JSON line. The
+    // warnings carry no information here; the signal channel must be
+    // deterministic.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warmup pass (codegen compile + JIT), then two measured passes taking
     // the per-query minimum: the bench grades engine throughput, and this
     // host shows transient multi-second kernel stalls that would otherwise

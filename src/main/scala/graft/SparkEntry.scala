@@ -660,6 +660,70 @@ object SparkEntry {
       |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
       |  FROM hw)""".stripMargin
 
+  /** DuckDB replay of the V4 seam carrying [[Sentiment.hashedBatchScorer]]
+    * (requires the `toks` CTE from [[Sentiment.oracleCte]] in scope):
+    * per-token md5 bucket weights, SEEDED left-fold sum (list_prepend 0.0
+    * — the [[dotSql]] convention, bit-identical to the driver-side
+    * reduceLeft because no weight is −0.0), standardized-margin
+    * confidence, then the unchanged F8 + F7 downstream. Exposes
+    * `hsent` (through 3-class sentiment) and `hscored`
+    * (+original_score). */
+  private val seamCteSql: String = {
+    def likeSumSql(c: String, words: Seq[String]): String =
+      words.map(w => s"(CASE WHEN $c LIKE '%$w%' THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""hw0 AS (
+       |  SELECT doc_id, text, CAST(len(tokens) AS INT) AS wc,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(tokens, t ->
+       |      (CAST(CAST('0x' || substr(md5('w:' || CAST(
+       |          CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024
+       |        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 AS DOUBLE)
+       |       - CAST(1000.0 AS DOUBLE)) / CAST(1000.0 AS DOUBLE))),
+       |      (x, y) -> x + y) AS sw
+       |  FROM toks),
+       |hw1 AS (SELECT doc_id, text, wc,
+       |    CASE WHEN wc = 0 THEN CAST(0.5 AS DOUBLE)
+       |         ELSE LEAST(CAST(0.99 AS DOUBLE), CAST(0.5 AS DOUBLE)
+       |           + CAST(0.3 AS DOUBLE) * abs(sw) / sqrt(CAST(wc AS DOUBLE))) END
+       |      AS confidence,
+       |    CASE WHEN wc = 0 OR sw >= CAST(0.0 AS DOUBLE)
+       |         THEN 'POSITIVE' ELSE 'NEGATIVE' END AS raw_label
+       |  FROM hw0),
+       |hsent AS (SELECT *, CASE WHEN confidence > CAST(0.8 AS DOUBLE)
+       |    THEN raw_label ELSE 'NEUTRAL' END AS sentiment FROM hw1),
+       |hscored AS (SELECT *, CASE WHEN wc <= 4 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(0.05 AS DOUBLE) * CAST(wc - 4 AS DOUBLE) + CAST(0.1 AS DOUBLE) * CAST(
+       |      CASE WHEN sentiment = 'POSITIVE' THEN ${likeSumSql("text", Sentiment.PositiveWords)}
+       |           WHEN sentiment = 'NEGATIVE' THEN ${likeSumSql("text", Sentiment.NegativeWords)}
+       |           ELSE ${likeSumSql("text", Sentiment.NeutralWords)} END AS DOUBLE)
+       |    END AS original_score
+       |  FROM hsent)""".stripMargin
+  }
+
+  /** Shared oracle for the two incremental-components entries
+    * (`dd_incr_components`, `dd_incr_indexed`): the FULL recompute over
+    * corpus ∪ probe pairs via the recursive-CTE closure — both engine
+    * paths (recompute-everything and persisted-index) must hash to this. */
+  private lazy val incrComponentsOracle: String =
+    Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
+      mhPairsCte(0.5) +
+      minhashProbeOracleCtes(32, 8) +
+      """,
+        |mp_pairs AS (
+        |  SELECT probe_id AS id_a, corpus_id AS id_b FROM mp_j
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)),
+        |alledges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        |  UNION SELECT id_b, id_a FROM mh_pairs
+        |  UNION SELECT id_a, id_b FROM mp_pairs
+        |  UNION SELECT id_b, id_a FROM mp_pairs),
+        |areach AS (
+        |  SELECT src AS id, dst AS r FROM alledges
+        |  UNION
+        |  SELECT areach.id, e.dst FROM areach JOIN alledges e ON areach.r = e.src)
+        |SELECT id, LEAST(id, MIN(r)) AS canonical FROM areach GROUP BY id
+        |ORDER BY id""".stripMargin
+
   // ------------------------------------------------------------------
   // Query catalog
   // ------------------------------------------------------------------
@@ -1306,25 +1370,68 @@ object SparkEntry {
           .select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"))
         Dedup.incrementalComponents(labels, newPairs)
       },
-      Some(Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
-        mhPairsCte(0.5) +
-        minhashProbeOracleCtes(32, 8) +
-        """,
-          |mp_pairs AS (
-          |  SELECT probe_id AS id_a, corpus_id AS id_b FROM mp_j
-          |  WHERE CAST(inter AS DOUBLE) / CAST(sz_p + sz_c - inter AS DOUBLE) > CAST(0.5 AS DOUBLE)),
-          |alledges AS (
-          |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
-          |  UNION SELECT id_b, id_a FROM mh_pairs
-          |  UNION SELECT id_a, id_b FROM mp_pairs
-          |  UNION SELECT id_b, id_a FROM mp_pairs),
-          |areach AS (
-          |  SELECT src AS id, dst AS r FROM alledges
-          |  UNION
-          |  SELECT areach.id, e.dst FROM areach JOIN alledges e ON areach.r = e.src)
-          |SELECT id, LEAST(id, MIN(r)) AS canonical FROM areach GROUP BY id
-          |ORDER BY id""".stripMargin)),
+      Some(incrComponentsOracle)),
+
+    Q("dd_incr_indexed",
+      // the PRODUCTION-shaped incremental ingest (r7 task 5):
+      // dd_incr_components is oracle-complete but rebuilds corpus labels
+      // + band signatures from scratch every run. This entry PRE-SEEDS
+      // the state — component labels, the banded signature table, and
+      // the shingle stream, persisted as parquet tables the way st10's
+      // snapshot already is (built once, keyed by the source file's
+      // identity so a regenerated corpus auto-invalidates) — and the
+      // measured step is ONLY the update: shingle/signature the batch,
+      // probe the stored band table, verify against the stored shingle
+      // stream, relabel the touched components. Same hash gate as the
+      // recompute form: the oracle is the FULL recompute over
+      // corpus ∪ probe pairs, so the amortized path is proven exact
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val src = new java.io.File(d, "documents.parquet")
+        val stateDir = new java.io.File(
+          s"spark-warehouse/graft_state/incr_${src.length}_${src.lastModified}")
+        val labelsP = new java.io.File(stateDir, "labels").toString
+        val bandsP = new java.io.File(stateDir, "bands").toString
+        val shP = new java.io.File(stateDir, "shingles").toString
+        if (!new java.io.File(labelsP, "_SUCCESS").exists) {
+          Dedup.canonicalComponents(docNearDupPairs(s, d))
+            .write.mode("overwrite").parquet(labelsP)
+          val (bands, shingles) = Dedup.minhashIndexFrames(docs,
+            "text", "doc_id", n = 4, k = 32, bands = 8,
+            family = Dedup.PortableFamily)
+          bands.write.mode("overwrite").parquet(bandsP)
+          shingles.write.mode("overwrite").parquet(shP)
+        }
+        val batch = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat_ws(" ",
+              slice(TextFns.tokens(col("text")), lit(1),
+                greatest(size(TextFns.tokens(col("text"))) - 6, lit(4)))).as("text"))
+        val newPairs = Dedup.minhashProbePairsIndexed(batch,
+            s.read.parquet(bandsP), s.read.parquet(shP),
+            "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+            family = Dedup.PortableFamily)
+          .select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"))
+        Dedup.incrementalComponents(s.read.parquet(labelsP), newPairs)
+      },
+      Some(incrComponentsOracle)),
+
+    Q("dd_native_minhash",
+      // the 100 TB default hash family as a first-class catalog entry:
+      // xxhash64 seeded permutations — one engine-native codegen'd hash
+      // per (shingle, perm), no md5 digest, no per-row string concat —
+      // over the SAME shingling/banding/verification dataflow as
+      // dd_minhash_neardup. xxhash64 is not DuckDB-expressible, so the
+      // driver records a rows-only check; DedupSpec pins verified-pair
+      // parity vs the portable family on planted near-dups (verification
+      // is exact Jaccard either way — the family only shapes the
+      // candidate set), and SCALE.md records the measured signature-pass
+      // delta at sf1
+      (s, d) => Dedup.minhashNearDupPairs(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+        family = Dedup.NativeFamily),
+      None),
 
     Q("dd_simhash_neardup",
       // The FULL SimHash pipeline oracle-checked: the gate entry uses the
@@ -1770,6 +1877,52 @@ object SparkEntry {
               |   OR vec_id IN (SELECT vec_id FROM skeep)
               |ORDER BY vec_id""".stripMargin)),
 
+    Q("sim_semdedup_auto",
+      // the 100 TB form of sim_semdedup IS a catalog entry: cell count
+      // sized from the corpus (nCells = max(16, ceil(n/occupancy)),
+      // integer arithmetic only) so per-cell pair volume stays bounded as
+      // data grows — at a FIXED nCells the within-cell pair join is
+      // quadratic in occupancy (SCALE.md's fixed-r lesson). The oracle
+      // derives nCells from the SAME integer rule (params CTE), so engine
+      // and oracle cannot diverge on dataset-size drift: here occupancy
+      // 24 -> 21 cells at the 500-vector oracle sf, 84 cells at sf0.1
+      (s, d) => Similarity.semDedupAuto(Tables.embeddings(s, d),
+        threshold = 0.4, targetOccupancy = 24),
+      Some(s"""WITH RECURSIVE $evecCteSql,
+              |params AS (SELECT GREATEST(16, (SELECT (count(*) + 23) // 24 FROM evec)) AS nc),
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en
+              |  WHERE vec_id < (SELECT nc FROM params)),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS MATERIALIZED (
+              |  SELECT vec_id, v, nrm, cell, ROUND(ccos, 6) AS centroid_cos FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |sp AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) > CAST(0.4 AS DOUBLE)),
+              |sedges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM sp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM sp),
+              |sreach AS (
+              |  SELECT src AS id, dst AS r FROM sedges
+              |  UNION
+              |  SELECT sreach.id, e.dst FROM sreach JOIN sedges e ON sreach.r = e.src),
+              |scanon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM sreach GROUP BY id),
+              |skeep AS (SELECT vec_id FROM (
+              |    SELECT a.vec_id,
+              |      row_number() OVER (PARTITION BY c.canonical ORDER BY a.centroid_cos, a.vec_id) AS kr
+              |    FROM asg a JOIN scanon c ON a.vec_id = c.id) WHERE kr = 1)
+              |SELECT vec_id, cell, centroid_cos FROM asg
+              |WHERE vec_id NOT IN (SELECT id FROM scanon)
+              |   OR vec_id IN (SELECT vec_id FROM skeep)
+              |ORDER BY vec_id""".stripMargin)),
+
     Q("sim_mrl_ann",
       // Matryoshka prefix-dim ANN: exact cosine over the first 16 dims
       // re-normalized — the column-pruned cheap pass of an MRL funnel
@@ -1946,6 +2099,70 @@ object SparkEntry {
               |  n_hit_ivfpq,
               |  ROUND(CAST(n_hit_ivfpq AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall_ivfpq
               |FROM hx ORDER BY query_id""".stripMargin)),
+
+    Q("sim_trained_recall",
+      // the TRAINED quantizer gate (r7 headliner): fitted cosine-KMeans
+      // coarse cells (64) + fitted per-subspace PQ codebooks, probed at
+      // the SAME code-scan budget as the deterministic entry (16/64
+      // trained cells = 4/16 deterministic cells = 25% of corpus code
+      // bytes). The hash gate pins the semantic claim: the trained index
+      // STRICTLY beats the deterministic first-n convention on every
+      // panel query (measured 0.6-0.9 vs 0.4-0.6 recall@10; 0.8
+      // everywhere is data-infeasible at this budget on this
+      // near-isotropic corpus — SCALE.md carries the sweep and the
+      // evidence). Training is partition-layout-deterministic
+      // (single-partition sorted sample, fixed seed), so the booleans
+      // replay run-to-run and the VALUES oracle is exact.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val panel = Seq(20L, 111L, 222L, 333L, 444L)
+        val cents = Similarity.trainCentroids(emb, nCells = 64)
+        val cb = Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+        val trained = Similarity.annRecallIvfPqWith(emb, cents, cb,
+            panel, k = 10, nprobe = 16, shortlist = 100)
+          .select(col("query_id"), col("n_exact"),
+            col("recall_ivfpq").as("r_trained"))
+        val det = Similarity.annRecallIvfPq(emb, panel, k = 10)
+          .select(col("query_id"), col("recall_ivfpq").as("r_det"))
+        trained.join(det, "query_id")
+          .select(col("query_id"), col("n_exact"),
+            (col("r_trained") > col("r_det")).as("trained_wins"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(20 AS BIGINT), CAST(10 AS BIGINT), true),
+             |  (CAST(111 AS BIGINT), CAST(10 AS BIGINT), true),
+             |  (CAST(222 AS BIGINT), CAST(10 AS BIGINT), true),
+             |  (CAST(333 AS BIGINT), CAST(10 AS BIGINT), true),
+             |  (CAST(444 AS BIGINT), CAST(10 AS BIGINT), true))
+             |  AS t(query_id, n_exact, trained_wins)
+             |ORDER BY query_id""".stripMargin)),
+
+    Q("sim_trained_recall08",
+      // the recall@10 >= 0.8 bar, met where the corpus permits: 24 of 64
+      // trained cells = 37.5% of code bytes (1.5x the deterministic
+      // budget — the knee of the measured recall-vs-scan curve, SCALE.md).
+      // Every panel query clears 0.8; the boolean is hash-gated against
+      // the VALUES oracle
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.trainCentroids(emb, nCells = 64)
+        val cb = Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+        Similarity.annRecallIvfPqWith(emb, cents, cb,
+            Seq(20L, 111L, 222L, 333L, 444L), k = 10,
+            nprobe = 24, shortlist = 100)
+          .select(col("query_id"), col("n_exact"),
+            (col("recall_ivfpq") >= 0.8).as("recall_at_least_08"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(20 AS BIGINT), CAST(10 AS BIGINT), true),
+             |  (CAST(111 AS BIGINT), CAST(10 AS BIGINT), true),
+             |  (CAST(222 AS BIGINT), CAST(10 AS BIGINT), true),
+             |  (CAST(333 AS BIGINT), CAST(10 AS BIGINT), true),
+             |  (CAST(444 AS BIGINT), CAST(10 AS BIGINT), true))
+             |  AS t(query_id, n_exact, recall_at_least_08)
+             |ORDER BY query_id""".stripMargin)),
 
     Q("ta_text_profile",
       (s, d) => Tables.documents(s, d)
@@ -4665,10 +4882,13 @@ object SparkEntry {
       // own pair graph — every edge is intra-component, so Q = 1 −
       // Σ(d_c/2m)²: the fragmentation score (→1 balanced clusters, →0 a
       // giant component hoarding the edges). Pair pipeline persisted once
-      // and shared by labels and modularity
+      // and shared by labels and modularity; released before returning
+      // (1-row result localCheckpoint'ed — the triangleStats discipline)
       (s, d) => {
         val p = docNearDupPairs(s, d).persist()
-        operators.Graph.modularity(p, Dedup.canonicalComponents(p))
+        try operators.Graph.modularity(p, Dedup.canonicalComponents(p))
+          .localCheckpoint(eager = true)
+        finally p.unpersist()
       },
       Some(mhComponentsOracleCtes +
         """,
@@ -4933,7 +5153,54 @@ object SparkEntry {
              |se AS (SELECT dow, ROUND(AVG(det), 6) + CAST(0.0 AS DOUBLE) AS seasonal FROM d2 GROUP BY dow)
              |SELECT strftime(day, '%Y-%m-%d') AS day, dow, cnt, trend, seasonal,
              |  ROUND(det - seasonal, 6) + CAST(0.0 AS DOUBLE) AS residual
-             |FROM d2 JOIN se USING (dow) ORDER BY day""".stripMargin))
+             |FROM d2 JOIN se USING (dow) ORDER BY day""".stripMargin)),
+
+    Q("v4_seam_pipeline",
+      // the V4 inference seam carrying a scorer that genuinely DISAGREES
+      // with the lexicon (the hashed-logistic model, driver-side batch
+      // inference through scoreWithModel's mapPartitions) — then the
+      // UNCHANGED downstream family: F8 thresholding, F7 original_score,
+      // A1 distribution + A6-style per-class stats. Hash-green here
+      // proves the downstream is model-agnostic (SURVEY §7.1): swap the
+      // model, nothing downstream changes
+      (s, d) => Sentiment.scoreWithModel(
+          Tables.documents(s, d).select("doc_id", "text"),
+          Sentiment.hashedBatchScorer)
+        .groupBy("sentiment")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("confidence")), 6).as("avg_confidence"),
+          round(avg(col("original_score")), 6).as("avg_score"))
+        .orderBy("sentiment"),
+      Some(Sentiment.oracleCte + ",\n" + seamCteSql +
+        """
+          |SELECT sentiment, CAST(count(*) AS BIGINT) AS cnt,
+          |  ROUND(AVG(confidence), 6) AS avg_confidence,
+          |  ROUND(AVG(original_score), 6) AS avg_score
+          |FROM hscored GROUP BY sentiment ORDER BY sentiment""".stripMargin)),
+
+    Q("v4_seam_disagreement",
+      // lexicon-vs-seam confusion matrix: the measured proof the hashed
+      // scorer carried through the V4 seam holds DIFFERENT opinions (off-
+      // diagonal mass > 0, pinned in SentimentSpec) — i.e. the seam is a
+      // real model swap, not a re-labeled copy of the expression path
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lex = Sentiment.score(docs)
+          .select(col("doc_id"), col("sentiment").as("lex_sentiment"))
+        val seam = Sentiment.scoreWithModel(
+            docs.select("doc_id", "text"), Sentiment.hashedBatchScorer)
+          .select(col("doc_id"), col("sentiment").as("seam_sentiment"))
+        lex.join(seam, "doc_id")
+          .groupBy("lex_sentiment", "seam_sentiment")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lex_sentiment", "seam_sentiment")
+      },
+      Some(Sentiment.oracleCte + ",\n" + seamCteSql +
+        """
+          |SELECT sent.sentiment AS lex_sentiment,
+          |  hsent.sentiment AS seam_sentiment, CAST(count(*) AS BIGINT) AS cnt
+          |FROM sent JOIN hsent USING (doc_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */

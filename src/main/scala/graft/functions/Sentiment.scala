@@ -110,6 +110,60 @@ object Sentiment {
       (if (p >= n) "POSITIVE" else "NEGATIVE", conf)
     }
 
+  /** A SECOND deterministic scorer with genuinely different opinions from
+    * the lexicon — the hashed-logistic model of
+    * [[graft.operators.TextAnalysis.hashedLinearScore]] (md5-derived
+    * bucket weights, 1024 buckets) re-expressed as a batch scorer for the
+    * [[scoreWithModel]] seam. Until now the seam had only ever carried a
+    * scorer bit-identical to the lexicon path; this one disagrees on a
+    * substantial fraction of documents (SentimentSpec pins the
+    * disagreement is non-empty), proving the downstream family (F8
+    * thresholding, F7 original_score, A1-A12 aggregations) is genuinely
+    * model-agnostic per SURVEY §7.1.
+    *
+    * Semantics (every step ANSI-SQL-expressible, so the DuckDB oracle
+    * replays the whole seam pipeline bit-for-bit):
+    *  - tokens: the [[TextFns.tokens]] whitespace convention;
+    *  - per-token weight: `(hash60("w:" + (hash60(t) mod 1024)) mod 2001
+    *    − 1000) / 1000` with hash60 = first 15 md5 hex digits (the
+    *    ta_hashed_classifier weight family);
+    *  - `sw` = left-fold sum of weights (ascending token order — the
+    *    engine fold, the oracle's seeded list_reduce, and this foldLeft
+    *    share the order, so the doubles are bit-identical);
+    *  - raw_label = POSITIVE iff `sw >= 0`;
+    *  - confidence = min(0.99, 0.5 + 0.3·|sw|/√wc) — the standardized
+    *    margin (scale-free in document length), chosen so the F8
+    *    threshold (0.8) yields all three classes: |z| ≳ 1.7 of the
+    *    hashed-weight null distribution crosses it;
+    *  - empty-token documents score (POSITIVE, 0.5) → NEUTRAL after F8.
+    */
+  val hashedBatchScorer: Seq[String] => Seq[(String, Double)] = texts =>
+    texts.map { t =>
+      val toks = t.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) ("POSITIVE", 0.5)
+      else {
+        val sw = toks.map(hashedWeight).reduceLeft(_ + _)
+        val conf = math.min(0.99,
+          0.5 + 0.3 * math.abs(sw) / math.sqrt(toks.length.toDouble))
+        (if (sw >= 0) "POSITIVE" else "NEGATIVE", conf)
+      }
+    }
+
+  /** Driver-side twin of [[graft.operators.TextAnalysis.hashedLinearScore]]'s
+    * weight expression: hash60 = first 15 md5 hex digits as a 60-bit long
+    * (non-negative, so `%` equals pmod). */
+  private def hashedWeight(token: String): Double = {
+    val b = hash60(token) % 1024L
+    (hash60("w:" + b.toString) % 2001L - 1000L).toDouble / 1000.0
+  }
+
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** F7 `compute_original_score` (ref `Context_analyzer_RoBERTa_fun.py:200-247`):
     * 0.0 when word count <= 4 (the reference's sentence-length floor); else
     * `0.05*(wc-4) + 0.1 * |keywords of the row's sentiment class present as

@@ -136,8 +136,11 @@ object Representatives {
       .reduce(_ unionByName _)
       .select("sentiment", "doc_id", "text", "confidence", "cluster_id", "cluster_size")
       .orderBy("sentiment", "cluster_id")
-    val materialized = out.cache()
-    materialized.count() // force before unpersisting the input
+    // localCheckpoint (not cache): forces the ≤3k-row result before the
+    // input cache is released, and leaves the session's CacheManager
+    // clean — checkpoint blocks are reclaimed by the ContextCleaner when
+    // the frame is GC'd, so nothing accumulates per call
+    val materialized = out.localCheckpoint(eager = true)
     base.unpersist()
     materialized
   }

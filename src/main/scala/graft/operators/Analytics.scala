@@ -639,29 +639,34 @@ object Analytics {
       .withColumn("recency_days", datediff(col("__maxd"), col("__lastd")).cast("int"))
       .drop("__maxd", "__lastd")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE multi-column quantile sketch supplies all three metrics' range
-    // cuts — one action instead of three, each a full pass at scale
-    val parts = orders.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val probs = (1 until parts).map(_.toDouble / parts).toArray
-    val allCuts = rfm.stat.approxQuantile(
-      Array("recency_days", "frequency", "monetary"), probs, 0.001)
-    val ranked = Seq(
-      ("recency_days", "__rk_r"), ("frequency", "__rk_f"), ("monetary", "__rk_m"))
-      .zip(allCuts).foldLeft(rfm) { case (df, ((metric, rk), cuts)) =>
-        withGlobalRankCuts(df, metric, cuts.distinct.sorted,
-          Seq(col(metric), col(custCol)), rk)
-          .withColumnRenamed("__n", s"__n$rk")
-      }
-    ranked
-      .withColumn("r_score", lit(6) - ntileFromRank("__rk_r", "__n__rk_r", 5))
-      .withColumn("f_score", ntileFromRank("__rk_f", "__n__rk_f", 5))
-      .withColumn("m_score", ntileFromRank("__rk_m", "__n__rk_m", 5))
-      .withColumn("rfm_code",
-        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-      .select(col(custCol), col("recency_days"), col("frequency"),
-        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
-        col("rfm_code"))
-      .orderBy(custCol)
+    try {
+      // ONE multi-column quantile sketch supplies all three metrics' range
+      // cuts — one action instead of three, each a full pass at scale
+      val parts = orders.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val probs = (1 until parts).map(_.toDouble / parts).toArray
+      val allCuts = rfm.stat.approxQuantile(
+        Array("recency_days", "frequency", "monetary"), probs, 0.001)
+      val ranked = Seq(
+        ("recency_days", "__rk_r"), ("frequency", "__rk_f"), ("monetary", "__rk_m"))
+        .zip(allCuts).foldLeft(rfm) { case (df, ((metric, rk), cuts)) =>
+          withGlobalRankCuts(df, metric, cuts.distinct.sorted,
+            Seq(col(metric), col(custCol)), rk)
+            .withColumnRenamed("__n", s"__n$rk")
+        }
+      ranked
+        .withColumn("r_score", lit(6) - ntileFromRank("__rk_r", "__n__rk_r", 5))
+        .withColumn("f_score", ntileFromRank("__rk_f", "__n__rk_f", 5))
+        .withColumn("m_score", ntileFromRank("__rk_m", "__n__rk_m", 5))
+        .withColumn("rfm_code",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .select(col(custCol), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+          col("rfm_code"))
+        .orderBy(custCol)
+        // O(customers) result materialized so the cached metric frame is
+        // released before returning (the triangleStats discipline)
+        .localCheckpoint(eager = true)
+    } finally rfm.unpersist()
   }
 
   /** Trailing-window z-score anomaly detection on the daily event-type
@@ -1002,27 +1007,32 @@ object Analytics {
     // consumed 4x (total, item supports, both sides of the pair join) —
     // without the persist the upstream distinct shuffle re-runs each time
     val ob = obUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nFrame = ob.agg(countDistinct(col("__bk")).as("__n"))
-    val isup = ob.groupBy(col("__it")).agg(count(lit(1)).as("__cnt"))
-    val freq = isup.crossJoin(broadcast(nFrame))
-      .where(col("__cnt").cast("double") / col("__n") >= minSupport)
-      .select("__it")
-    val obf = ob.join(broadcast(freq), Seq("__it"), "left_semi")
-    val pairs = obf.as("a").join(obf.as("b"),
-        col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
-      .groupBy(col("a.__it").as("item_a"), col("b.__it").as("item_b"))
-      .agg(count(lit(1)).as("pair_cnt"))
-      .where(col("pair_cnt") >= minPairCount)
-    pairs
-      .join(broadcast(isup.select(col("__it").as("item_a"), col("__cnt").as("__ca"))), Seq("item_a"))
-      .join(broadcast(isup.select(col("__it").as("item_b"), col("__cnt").as("__cb"))), Seq("item_b"))
-      .crossJoin(broadcast(nFrame))
-      .select(col("item_a"), col("item_b"), col("pair_cnt"),
-        round(col("pair_cnt").cast("double") / col("__n"), 6).as("support"),
-        round(col("pair_cnt").cast("double") / col("__ca"), 6).as("conf_a_b"),
-        round(col("pair_cnt").cast("double") / col("__cb"), 6).as("conf_b_a"),
-        round(col("pair_cnt").cast("double") * col("__n") / (col("__ca") * col("__cb")), 6).as("lift"))
-      .orderBy("item_a", "item_b")
+    try {
+      val nFrame = ob.agg(countDistinct(col("__bk")).as("__n"))
+      val isup = ob.groupBy(col("__it")).agg(count(lit(1)).as("__cnt"))
+      val freq = isup.crossJoin(broadcast(nFrame))
+        .where(col("__cnt").cast("double") / col("__n") >= minSupport)
+        .select("__it")
+      val obf = ob.join(broadcast(freq), Seq("__it"), "left_semi")
+      val pairs = obf.as("a").join(obf.as("b"),
+          col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
+        .groupBy(col("a.__it").as("item_a"), col("b.__it").as("item_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .where(col("pair_cnt") >= minPairCount)
+      pairs
+        .join(broadcast(isup.select(col("__it").as("item_a"), col("__cnt").as("__ca"))), Seq("item_a"))
+        .join(broadcast(isup.select(col("__it").as("item_b"), col("__cnt").as("__cb"))), Seq("item_b"))
+        .crossJoin(broadcast(nFrame))
+        .select(col("item_a"), col("item_b"), col("pair_cnt"),
+          round(col("pair_cnt").cast("double") / col("__n"), 6).as("support"),
+          round(col("pair_cnt").cast("double") / col("__ca"), 6).as("conf_a_b"),
+          round(col("pair_cnt").cast("double") / col("__cb"), 6).as("conf_b_a"),
+          round(col("pair_cnt").cast("double") * col("__n") / (col("__ca") * col("__cb")), 6).as("lift"))
+        .orderBy("item_a", "item_b")
+        // O(frequent-pairs) result materialized so the basket cache (read
+        // 4x during the evaluation) is released before returning
+        .localCheckpoint(eager = true)
+    } finally ob.unpersist()
   }
 
   /** OHLC candle bars per (event_type, hour): open/close = value at the

@@ -427,6 +427,95 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** The persistable MinHash corpus index — what a continuously-ingesting
+    * deployment stores ONCE and probes forever ([[minhashProbePairs]]
+    * recomputes this corpus side every call; the `_indexed` twin reads it
+    * back instead). Two frames:
+    *  - `bands`: `(id, sz, band, bandhash)` — the banded signature table
+    *    (bucketed/bucket-pruned by (band, bandhash) at 100 TB) with the
+    *    shingle-set size alongside;
+    *  - `shingles`: `(id, sh)` — the distinct shingle stream the exact
+    *    Jaccard verify joins (at scale: bucketed by sh).
+    * Both are pure columnar tables; write them with `partitionBy`/
+    * bucketing and the probe step touches only colliding buckets. */
+  def minhashIndexFrames(corpus: DataFrame, textCol: String, idCol: String,
+                         n: Int = 4, k: Int = 32, bands: Int = 16,
+                         family: MinhashFamily = NativeFamily)
+      : (DataFrame, DataFrame) = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sh = shingleStream(corpus, textCol, idCol, n)
+    val hashed = family match {
+      case NativeFamily => sh
+      case PortableFamily =>
+        val (h1, h2) = portableBaseHashes(col("sh"))
+        sh.select(col(idCol), col("sh"), h1.as("mh1"), h2.as("mh2"))
+    }
+    val sigAggs = (0 until k).map { i =>
+      val h = family match {
+        case NativeFamily   => xxhash64(lit(i), col("sh"))
+        case PortableFamily => (col("mh1") + lit(i.toLong) * col("mh2")) % lit(PortableMod)
+      }
+      min(h).as(s"h$i")
+    }
+    val sigs = hashed.groupBy(col(idCol).as("id"))
+      .agg(count(lit(1)).as("sz"), sigAggs: _*)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+      family match {
+        case NativeFamily   => hash(hs: _*)
+        case PortableFamily => concat_ws(",", hs: _*)
+      }
+    }
+    val banded = sigs.select(col("id"), col("sz"),
+        posexplode(array(bandCols: _*)))
+      .select(col("id"), col("sz"), col("pos").as("band"), col("col").as("bandhash"))
+    (banded, sh.select(col(idCol).as("id"), col("sh")))
+  }
+
+  /** [[minhashProbePairs]] against a PERSISTED index ([[minhashIndexFrames]]
+    * read back from storage) — the amortized production shape: only the
+    * BATCH side is shingled and signatured; the corpus band table and
+    * shingle stream are table scans (bucket-pruned at 100 TB), so the
+    * per-ingest cost is O(batch + colliding buckets), never O(corpus).
+    * Same family/banding parameters as the index build, same verified
+    * output as the recompute-everything form (DedupSpec pins equality). */
+  def minhashProbePairsIndexed(probe: DataFrame, indexBands: DataFrame,
+                               indexShingles: DataFrame, textCol: String,
+                               idCol: String, n: Int = 4, k: Int = 32,
+                               bands: Int = 16, minJaccard: Double = 0.6,
+                               family: MinhashFamily = NativeFamily): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val (probeBands, probeShingles) =
+      minhashIndexFrames(probe, textCol, idCol, n, k, bands, family)
+    val pb = probeBands.persist()
+    val ps = probeShingles.persist()
+    try {
+      val cand = pb.as("x")
+        .join(indexBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash"))
+        .select(col("x.id").as("probe_id"), col("y.id").as("corpus_id"))
+        .distinct()
+      val inter = cand
+        .join(ps.select(col("id").as("probe_id"), col("sh")), Seq("probe_id"))
+        .join(indexShingles.select(col("id").as("corpus_id"), col("sh")),
+          Seq("corpus_id", "sh"))
+        .groupBy("probe_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      val result = inter
+        .join(pb.select(col("id").as("probe_id"), col("sz").as("sz_p")).distinct(),
+          Seq("probe_id"))
+        .join(indexBands.select(col("id").as("corpus_id"), col("sz").as("sz_c")).distinct(),
+          Seq("corpus_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_p") + col("sz_c") - col("inter")).cast("double"))
+        .filter(col("jaccard") > minJaccard)
+        .select(col("probe_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("probe_id", "corpus_id")
+      result.localCheckpoint(eager = true)
+    } finally { pb.unpersist(); ps.unpersist() }
+  }
+
   /** One-pass ingest pair generation: BOTH the batch-vs-corpus probe
     * pairs and the within-batch pairs from a single tagged signature
     * pipeline — the shape [[graft.streaming.Streams.dedupIngestBatch]]
@@ -893,24 +982,29 @@ object Dedup {
       .withGlobalRankByKey(keyed, Seq(col("__sk"), col("__id")), "__rk")
       .select(col("__id"), col("__shs"), col("__rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = ranked
-      .withColumn("__k", explode(array((1 to window).map(lit): _*)))
-      .select(col("__id").as("__ida"), col("__shs").as("__sa"),
-        (col("__rk") + col("__k")).as("__rkb"))
-    val cand = probes.join(
-      ranked.select(col("__id").as("__idb"), col("__shs").as("__sb"),
-        col("__rk").as("__rkb")), Seq("__rkb"))
-    cand
-      // materialized first so the intersection runs once per pair, not
-      // once per reference in the jaccard expression
-      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
-      .withColumn("__jac", col("__inter").cast("double") /
-        (size(col("__sa")) + size(col("__sb")) - col("__inter")).cast("double"))
-      .where(col("__jac") > minJaccard)
-      .select(least(col("__ida"), col("__idb")).as("id_a"),
-        greatest(col("__ida"), col("__idb")).as("id_b"),
-        round(col("__jac"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    try {
+      val probes = ranked
+        .withColumn("__k", explode(array((1 to window).map(lit): _*)))
+        .select(col("__id").as("__ida"), col("__shs").as("__sa"),
+          (col("__rk") + col("__k")).as("__rkb"))
+      val cand = probes.join(
+        ranked.select(col("__id").as("__idb"), col("__shs").as("__sb"),
+          col("__rk").as("__rkb")), Seq("__rkb"))
+      cand
+        // materialized first so the intersection runs once per pair, not
+        // once per reference in the jaccard expression
+        .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+        .withColumn("__jac", col("__inter").cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - col("__inter")).cast("double"))
+        .where(col("__jac") > minJaccard)
+        .select(least(col("__ida"), col("__idb")).as("id_a"),
+          greatest(col("__ida"), col("__idb")).as("id_b"),
+          round(col("__jac"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+        // O(dups) result materialized so the ranked cache (probe + build
+        // side of the neighborhood join) is released before returning
+        .localCheckpoint(eager = true)
+    } finally ranked.unpersist()
   }
 
   /** Cross-source contamination matrix: for every pair of corpus sources,

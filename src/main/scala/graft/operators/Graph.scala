@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Estimated bytes per rank-table row for the broadcast decision below:
+    * 8 B id + 8 B rank + UnsafeRow/broadcast-map overhead. */
+  private[graft] val RankRowBytes = 32.0
+
+  /** Broadcast-vs-copartition decision for the per-iteration arc⋈rank
+    * join: a checkpointed rank table carries no size stats, so the
+    * planner can't make this call — make it the way the planner would,
+    * from the OPERATOR'S OWN config: broadcast while `nNodes ×
+    * [[RankRowBytes]]` stays under `spark.sql.autoBroadcastJoinThreshold`
+    * (a cluster operator tuning that knob for their executor memory gets
+    * the same behavior from this operator as from every planner-chosen
+    * join); `-1`/`0` disables broadcasting here exactly as it does in the
+    * planner. Strict `<` at the boundary — the threshold is a cap, not a
+    * target. */
+  private[graft] def shouldBroadcastRanks(
+      spark: org.apache.spark.sql.SparkSession, nNodes: Double): Boolean = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (raw.startsWith("-")) false // planner convention: negative disables
+    else {
+      val bytes =
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        catch { case _: Exception => 10L * 1024 * 1024 }
+      bytes > 0 && nNodes * RankRowBytes < bytes.toDouble
+    }
+  }
+
   /** Symmetrized customer↔supplier trade edge list: one directed edge each
     * way per distinct (customer, supplier) pair that traded (orders ⋈
     * lineitem). Keys are prefixed (`c…`/`s…`) because TPC-H custkey and
@@ -95,9 +121,9 @@ object Graph {
     // a checkpointed rank table carries no size stats, so the planner
     // would sort-merge the arc⋈rank join every round; the node count is
     // already known, so pick the strategy the optimizer would pick with
-    // stats: broadcast the O(nodes) rank table while it plausibly fits an
-    // executor (~32 B/row), else stay with the co-partitioned join
-    val broadcastRanks = nNodes < 4e6
+    // stats — against the session's OWN broadcast budget
+    // (autoBroadcastJoinThreshold), not a hardcoded node count
+    val broadcastRanks = shouldBroadcastRanks(edges0.sparkSession, nNodes)
     // one power-iteration round as a pure plan transform
     def prRound(rs: DataFrame): DataFrame = {
       val rankSide = rs.withColumnRenamed("id", "src_id")

@@ -51,38 +51,44 @@ object MLEval {
     // Quantile cuts over the already-collapsed score groups (one pass);
     // degenerate sketches (constant score) fall back to a single bucket —
     // correct, and the frame is one group per distinct score anyway.
-    g.persist() // the quantile sketch action below materializes the
-    // grouped frame; the main query then reuses it instead of re-running
-    // the full scoring pass (bench clears the cache per query)
-    val cuts = g.stat
-      .approxQuantile("s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      .distinct.sorted
-    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col("s") > lit(c), 1).otherwise(0)
-    }
-    val withPid = g.withColumn("__pid", pid)
-    val localW = Window.partitionBy("__pid").orderBy("s")
-    val cum = Window.orderBy("__pid")
-    val offsets = withPid.groupBy("__pid").agg(sum(col("n")).as("__bn"))
-      .withColumn("__off", coalesce(
-        sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    val ranked = withPid
-      .withColumn("__ln", coalesce(
-        sum(col("n")).over(localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("neg_below", col("__ln") + col("__off"))
-    val dec = "decimal(38,0)"
-    ranked.agg(
-        sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
-        sum((col("p") * col("neg_below")).cast(dec)).as("__conc"),
-        sum((col("p") * col("n")).cast(dec)).as("__tied"))
-      .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round((col("__conc").cast("double") + lit(0.5) * col("__tied").cast("double"))
-            / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
-          .as("auc"))
-      .withColumn("gini", round(lit(2.0) * col("auc") - lit(1.0), 6))
+    // persist: the quantile sketch action below materializes the grouped
+    // frame and the main query reuses it instead of re-running the full
+    // scoring pass. The 1-row result is localCheckpoint'ed so the persist
+    // can be RELEASED before returning (the triangleStats discipline — a
+    // long-lived session must not accumulate cached blocks per call).
+    g.persist()
+    try {
+      val cuts = g.stat
+        .approxQuantile("s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+      val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col("s") > lit(c), 1).otherwise(0)
+      }
+      val withPid = g.withColumn("__pid", pid)
+      val localW = Window.partitionBy("__pid").orderBy("s")
+      val cum = Window.orderBy("__pid")
+      val offsets = withPid.groupBy("__pid").agg(sum(col("n")).as("__bn"))
+        .withColumn("__off", coalesce(
+          sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__pid", "__off")
+      val ranked = withPid
+        .withColumn("__ln", coalesce(
+          sum(col("n")).over(localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(offsets), Seq("__pid"))
+        .withColumn("neg_below", col("__ln") + col("__off"))
+      val dec = "decimal(38,0)"
+      ranked.agg(
+          sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+          sum((col("p") * col("neg_below")).cast(dec)).as("__conc"),
+          sum((col("p") * col("n")).cast(dec)).as("__tied"))
+        .select(col("n_pos"), col("n_neg"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round((col("__conc").cast("double") + lit(0.5) * col("__tied").cast("double"))
+              / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+            .as("auc"))
+        .withColumn("gini", round(lit(2.0) * col("auc") - lit(1.0), 6))
+        .localCheckpoint(eager = true)
+    } finally g.unpersist()
   }
 
   /** Reliability diagram: equal-width probability bins (`[0,1]` split into
@@ -160,37 +166,40 @@ object MLEval {
       .groupBy(col(keyCol).as("k"), col(scoreCol).cast("double").as("s"))
       .agg(sum(col(labelCol).cast("long")).as("p"),
         sum(lit(1L) - col(labelCol).cast("long")).as("n"))
-    g.persist()
-    val cuts = g.stat
-      .approxQuantile("s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      .distinct.sorted
-    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col("s") > lit(c), 1).otherwise(0)
-    }
-    val withPid = g.withColumn("__pid", pid)
-    val localW = Window.partitionBy("k", "__pid").orderBy("s")
-    val cum = Window.partitionBy("k").orderBy("__pid")
-    val offsets = withPid.groupBy("k", "__pid").agg(sum(col("n")).as("__bn"))
-      .withColumn("__off", coalesce(
-        sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("k", "__pid", "__off")
-    val ranked = withPid
-      .withColumn("__ln", coalesce(
-        sum(col("n")).over(localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(offsets, Seq("k", "__pid"))
-      .withColumn("neg_below", col("__ln") + col("__off"))
-    val dec = "decimal(38,0)"
-    ranked.groupBy("k")
-      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
-        sum((col("p") * col("neg_below")).cast(dec)).as("__conc"),
-        sum((col("p") * col("n")).cast(dec)).as("__tied"))
-      .select(col("k").as(keyCol), col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          round((col("__conc").cast("double") + lit(0.5) * col("__tied").cast("double"))
-            / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
-          .as("auc"))
-      .withColumn("gini", round(lit(2.0) * col("auc") - lit(1.0), 6))
-      .orderBy(keyCol)
+    g.persist() // released in finally; result localCheckpoint'ed (O(keys))
+    try {
+      val cuts = g.stat
+        .approxQuantile("s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+      val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col("s") > lit(c), 1).otherwise(0)
+      }
+      val withPid = g.withColumn("__pid", pid)
+      val localW = Window.partitionBy("k", "__pid").orderBy("s")
+      val cum = Window.partitionBy("k").orderBy("__pid")
+      val offsets = withPid.groupBy("k", "__pid").agg(sum(col("n")).as("__bn"))
+        .withColumn("__off", coalesce(
+          sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("k", "__pid", "__off")
+      val ranked = withPid
+        .withColumn("__ln", coalesce(
+          sum(col("n")).over(localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(offsets, Seq("k", "__pid"))
+        .withColumn("neg_below", col("__ln") + col("__off"))
+      val dec = "decimal(38,0)"
+      ranked.groupBy("k")
+        .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+          sum((col("p") * col("neg_below")).cast(dec)).as("__conc"),
+          sum((col("p") * col("n")).cast(dec)).as("__tied"))
+        .select(col("k").as(keyCol), col("n_pos"), col("n_neg"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round((col("__conc").cast("double") + lit(0.5) * col("__tied").cast("double"))
+              / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+            .as("auc"))
+        .withColumn("gini", round(lit(2.0) * col("auc") - lit(1.0), 6))
+        .orderBy(keyCol)
+        .localCheckpoint(eager = true)
+    } finally g.unpersist()
   }
 
   /** Kolmogorov-Smirnov separation of the two score distributions:
@@ -210,43 +219,44 @@ object MLEval {
       .groupBy(col(scoreCol).cast("double").as("s"))
       .agg(sum(col(labelCol).cast("long")).as("p"),
         sum(lit(1L) - col(labelCol).cast("long")).as("n"))
-    g.persist() // the quantile sketch action below materializes the
-    // grouped frame; the main query then reuses it instead of re-running
-    // the full scoring pass (bench clears the cache per query)
-    val cuts = g.stat
-      .approxQuantile("s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      .distinct.sorted
-    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col("s") > lit(c), 1).otherwise(0)
-    }
-    val withPid = g.withColumn("__pid", pid)
-    val localW = Window.partitionBy("__pid").orderBy("s")
-    val cum = Window.orderBy("__pid")
-    val offsets = withPid.groupBy("__pid")
-      .agg(sum(col("p")).as("__bp"), sum(col("n")).as("__bn"))
-      .withColumn("__offp", coalesce(
-        sum(col("__bp")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__offn", coalesce(
-        sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offp", "__offn")
-    val incl = localW.rowsBetween(Window.unboundedPreceding, 0)
-    val totals = g.agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"))
-    val diffs = withPid
-      .withColumn("__lp", sum(col("p")).over(incl))
-      .withColumn("__ln", sum(col("n")).over(incl))
-      .join(broadcast(offsets), Seq("__pid"))
-      .crossJoin(broadcast(totals))
-      .withColumn("__diff", when(col("n_pos") > 0 && col("n_neg") > 0, abs(
-        (col("__lp") + col("__offp")).cast("double") / col("n_pos").cast("double")
-          - (col("__ln") + col("__offn")).cast("double") / col("n_neg").cast("double"))))
-      .select(col("s"), col("__diff"))
-    val mx = diffs.agg(max(col("__diff")).as("__ks"))
-    diffs.crossJoin(broadcast(mx))
-      .filter(col("__diff") === col("__ks"))
-      .agg(min(col("s")).as("ks_score"), max(col("__ks")).as("__ksv"))
-      .crossJoin(broadcast(totals))
-      .select(col("n_pos"), col("n_neg"),
-        round(col("__ksv"), 6).as("ks"), col("ks_score"))
+    g.persist() // released in finally; 1-row result localCheckpoint'ed
+    try {
+      val cuts = g.stat
+        .approxQuantile("s", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+      val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col("s") > lit(c), 1).otherwise(0)
+      }
+      val withPid = g.withColumn("__pid", pid)
+      val localW = Window.partitionBy("__pid").orderBy("s")
+      val cum = Window.orderBy("__pid")
+      val offsets = withPid.groupBy("__pid")
+        .agg(sum(col("p")).as("__bp"), sum(col("n")).as("__bn"))
+        .withColumn("__offp", coalesce(
+          sum(col("__bp")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__offn", coalesce(
+          sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__pid", "__offp", "__offn")
+      val incl = localW.rowsBetween(Window.unboundedPreceding, 0)
+      val totals = g.agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"))
+      val diffs = withPid
+        .withColumn("__lp", sum(col("p")).over(incl))
+        .withColumn("__ln", sum(col("n")).over(incl))
+        .join(broadcast(offsets), Seq("__pid"))
+        .crossJoin(broadcast(totals))
+        .withColumn("__diff", when(col("n_pos") > 0 && col("n_neg") > 0, abs(
+          (col("__lp") + col("__offp")).cast("double") / col("n_pos").cast("double")
+            - (col("__ln") + col("__offn")).cast("double") / col("n_neg").cast("double"))))
+        .select(col("s"), col("__diff"))
+      val mx = diffs.agg(max(col("__diff")).as("__ks"))
+      diffs.crossJoin(broadcast(mx))
+        .filter(col("__diff") === col("__ks"))
+        .agg(min(col("s")).as("ks_score"), max(col("__ks")).as("__ksv"))
+        .crossJoin(broadcast(totals))
+        .select(col("n_pos"), col("n_neg"),
+          round(col("__ksv"), 6).as("ks"), col("ks_score"))
+        .localCheckpoint(eager = true)
+    } finally g.unpersist()
   }
 
   /** Full precision-recall curve: one row per distinct score threshold
@@ -267,44 +277,46 @@ object MLEval {
       .groupBy(col(scoreCol).cast("double").as("threshold"))
       .agg(sum(col(labelCol).cast("long")).as("p"),
         sum(lit(1L) - col(labelCol).cast("long")).as("n"))
-    g.persist() // the quantile sketch action below materializes the
-    // grouped frame; the main query then reuses it instead of re-running
-    // the full scoring pass (bench clears the cache per query)
-    val cuts = g.stat
-      .approxQuantile("threshold",
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      .distinct.sorted
-    val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col("threshold") > lit(c), 1).otherwise(0)
-    }
-    val withPid = g.withColumn("__pid", pid)
-    val localW = Window.partitionBy("__pid").orderBy("threshold")
-    val cum = Window.orderBy("__pid")
-    val offsets = withPid.groupBy("__pid")
-      .agg(sum(col("p")).as("__bp"), sum(col("n")).as("__bn"))
-      .withColumn("__offp", coalesce(
-        sum(col("__bp")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__offn", coalesce(
-        sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offp", "__offn")
-    val incl = localW.rowsBetween(Window.unboundedPreceding, 0)
-    val totals = g.agg(sum(col("p")).as("__tp_all"), sum(col("n")).as("__tn_all"))
-    def ratio(num: Column, den: Column): Column =
-      when(den > 0, num.cast("double") / den.cast("double"))
-    withPid
-      .withColumn("__cp", sum(col("p")).over(incl))
-      .withColumn("__cn", sum(col("n")).over(incl))
-      .join(broadcast(offsets), Seq("__pid"))
-      .crossJoin(broadcast(totals))
-      // score >= threshold ⇔ NOT strictly below ⇔ total − exclusive-cum
-      .withColumn("tp", col("__tp_all") - (col("__cp") + col("__offp") - col("p")))
-      .withColumn("fp", col("__tn_all") - (col("__cn") + col("__offn") - col("n")))
-      .select(col("threshold"), col("tp"), col("fp"),
-        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
-        ratio(col("tp"), col("__tp_all")).as("recall"),
-        ratio(lit(2L) * col("tp"),
-          col("tp") + col("fp") + col("__tp_all")).as("f1"))
-      .orderBy("threshold")
+    g.persist() // released in finally; O(distinct scores) result
+    // localCheckpoint'ed — already the reduced curve, not fact rows
+    try {
+      val cuts = g.stat
+        .approxQuantile("threshold",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+      val pid = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col("threshold") > lit(c), 1).otherwise(0)
+      }
+      val withPid = g.withColumn("__pid", pid)
+      val localW = Window.partitionBy("__pid").orderBy("threshold")
+      val cum = Window.orderBy("__pid")
+      val offsets = withPid.groupBy("__pid")
+        .agg(sum(col("p")).as("__bp"), sum(col("n")).as("__bn"))
+        .withColumn("__offp", coalesce(
+          sum(col("__bp")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__offn", coalesce(
+          sum(col("__bn")).over(cum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("__pid", "__offp", "__offn")
+      val incl = localW.rowsBetween(Window.unboundedPreceding, 0)
+      val totals = g.agg(sum(col("p")).as("__tp_all"), sum(col("n")).as("__tn_all"))
+      def ratio(num: Column, den: Column): Column =
+        when(den > 0, num.cast("double") / den.cast("double"))
+      withPid
+        .withColumn("__cp", sum(col("p")).over(incl))
+        .withColumn("__cn", sum(col("n")).over(incl))
+        .join(broadcast(offsets), Seq("__pid"))
+        .crossJoin(broadcast(totals))
+        // score >= threshold ⇔ NOT strictly below ⇔ total − exclusive-cum
+        .withColumn("tp", col("__tp_all") - (col("__cp") + col("__offp") - col("p")))
+        .withColumn("fp", col("__tn_all") - (col("__cn") + col("__offn") - col("n")))
+        .select(col("threshold"), col("tp"), col("fp"),
+          ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+          ratio(col("tp"), col("__tp_all")).as("recall"),
+          ratio(lit(2L) * col("tp"),
+            col("tp") + col("fp") + col("__tp_all")).as("f1"))
+        .orderBy("threshold")
+        .localCheckpoint(eager = true)
+    } finally g.unpersist()
   }
 
   /** Cohen's kappa between the thresholded prediction and the label —

@@ -890,22 +890,27 @@ object TextAnalysis {
     // frame) re-tokenizes the whole corpus to rebuild its lineage
     val deg = directed.groupBy(col("u")).agg(sum(col("w")).cast("double").as("wd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nFrame = deg.agg(count(lit(1)).cast("double").as("__nn"))
     val contrib = directed.join(deg, Seq("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val r0 = deg.select(col("u")).crossJoin(broadcast(nFrame))
-      .select(col("u"), (lit(1.0) / col("__nn")).as("r"))
-    val rFinal = (1 to iters).foldLeft(r0) { (r, _) =>
-      contrib.join(r, Seq("u"))
-        .groupBy(col("v"))
-        .agg(sum(col("w") / col("wd") * col("r")).as("__in"))
-        .crossJoin(broadcast(nFrame))
-        .select(col("v").as("u"),
-          (lit(1.0 - damping) / col("__nn") + lit(damping) * col("__in")).as("r"))
-    }
-    rFinal.select(col("u").as("word"), round(col("r"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("word"))
-      .limit(n)
+    try {
+      val nFrame = deg.agg(count(lit(1)).cast("double").as("__nn"))
+      val r0 = deg.select(col("u")).crossJoin(broadcast(nFrame))
+        .select(col("u"), (lit(1.0) / col("__nn")).as("r"))
+      val rFinal = (1 to iters).foldLeft(r0) { (r, _) =>
+        contrib.join(r, Seq("u"))
+          .groupBy(col("v"))
+          .agg(sum(col("w") / col("wd") * col("r")).as("__in"))
+          .crossJoin(broadcast(nFrame))
+          .select(col("v").as("u"),
+            (lit(1.0 - damping) / col("__nn") + lit(damping) * col("__in")).as("r"))
+      }
+      rFinal.select(col("u").as("word"), round(col("r"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("word"))
+        .limit(n)
+        // n-row result materialized so the loop-invariant caches can be
+        // RELEASED before returning (the triangleStats discipline)
+        .localCheckpoint(eager = true)
+    } finally { contrib.unpersist(); deg.unpersist() }
   }
 
   /** Distribution drift report between two corpus slices: per-word

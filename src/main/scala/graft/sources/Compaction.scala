@@ -41,35 +41,72 @@ object Compaction {
 
   /** Compact the parquet directory `dir` in place to ≈`targetBytes`
     * files: read, round-robin `repartition`, write to a side directory,
-    * atomically swap. With `sortCols` non-empty the rewrite uses
-    * `repartitionByRange` + in-partition sort instead, so the compacted
-    * files carry min/max-prunable ranges on those columns (compaction
-    * and clustering in one shuffle). Returns (filesBefore, filesAfter,
-    * bytes). */
+    * then swap via two renames. With `sortCols` non-empty the rewrite
+    * uses `repartitionByRange` + in-partition sort instead, so the
+    * compacted files carry min/max-prunable ranges on those columns
+    * (compaction and clustering in one shuffle). Returns (filesBefore,
+    * filesAfter, bytes).
+    *
+    * Crash/failure discipline (HDFS `rename` reports failure by
+    * returning FALSE, not throwing — every return value is checked):
+    *  - stale `_compact_tmp`/`_compact_bak` from a crashed prior run
+    *    fail fast — their presence needs operator attention, never a
+    *    silent clobber;
+    *  - if the second rename fails, the original directory is restored
+    *    from the backup and the method throws; the backup is deleted
+    *    ONLY after the new directory is verified in place, so no failure
+    *    path destroys the last remaining copy of the table.
+    *
+    * Visibility caveat, by design: the two-rename swap is not atomic —
+    * a concurrent reader landing between the renames sees the table
+    * briefly missing. That is the documented posture for this
+    * maintenance pass (run it in the table's maintenance window); a
+    * serving table wants a versioned-directory + pointer-swap layout
+    * (one rename of a manifest, the table-format approach) instead. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
               sortCols: Seq[String] = Nil): (Int, Int, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
         else if (st.isDirectory) dataFiles(st.getPath)
-        else Seq(st.getPath)
+        else Seq(st)
       }
-    val before = dataFiles(path).size
-    val bytes = dataBytes(spark, dir)
+    // one listing serves both the before-count and the byte sizing
+    val listing = dataFiles(path)
+    val before = listing.size
+    val bytes = listing.map(_.getLen).sum
     val n = targetFiles(bytes, targetBytes)
+    val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_compact_bak")
+    if (fs.exists(tmp) || fs.exists(bak))
+      throw new java.io.IOException(
+        s"compact($dir): stale $tmp or $bak from a prior crashed run — " +
+          "inspect and remove manually before compacting")
     val df = spark.read.parquet(dir)
     val rebinned =
       if (sortCols.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    val tmp = dir.stripSuffix("/") + "_compact_tmp"
-    rebinned.write.mode("overwrite").parquet(tmp)
-    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_compact_bak")
-    fs.rename(path, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), path)
+    rebinned.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(path, bak)) {
+      fs.delete(tmp, true) // original untouched; drop the side copy
+      throw new java.io.IOException(s"compact($dir): rename($path -> $bak) failed")
+    }
+    if (!fs.rename(tmp, path)) {
+      // restore the original before failing — bak holds the only copy
+      if (!fs.rename(bak, path))
+        throw new java.io.IOException(
+          s"compact($dir): swap failed AND restore failed; data is intact at $bak")
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compact($dir): rename($tmp -> $path) failed; original restored")
+    }
+    if (!fs.exists(path))
+      throw new java.io.IOException(
+        s"compact($dir): new directory missing after swap; backup kept at $bak")
     fs.delete(bak, true)
     (before, dataFiles(path).size, bytes)
   }

@@ -123,6 +123,78 @@ class DedupSpec extends SparkSpec {
     assert(expected.intersect(found).size >= 9, s"recall too low: found $found")
   }
 
+  test("native xxhash64 family: verified pairs match the portable family on planted dups") {
+    // the dd_native_minhash gate, on a token-DISJOINT corpus (every doc
+    // its own vocabulary: the only above-threshold pairs are the planted
+    // (i, i+1000) dups at J ≈ 0.98). The hash family shapes only the
+    // CANDIDATE set — verification is exact Jaccard either way. Measured
+    // finding this test pins: the NATIVE family (independently seeded
+    // xxhash64 per permutation) recalls every planted dup; the portable
+    // Carter-Wegman family's k permutations are all linear in the same
+    // two md5 base hashes, so band misses CORRELATE and it can drop a
+    // J≈0.98 pair (observed: exactly one of 20) where independent
+    // permutations put the miss probability at ~2e-9 — the concrete
+    // reason xxhash64 is the 100 TB default and portable exists only for
+    // oracle replay (SCALE.md)
+    val s = spark
+    import s.implicits._
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 50).map(j => s"tok${i * 100 + j}").mkString(" "))
+    }
+    val dups = base.map { case (id, t) => (id + 1000L, t.split(" ").dropRight(1).mkString(" ")) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def run(fam: Dedup.MinhashFamily) =
+      Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+          n = 4, k = 32, bands = 8, minJaccard = 0.5, family = fam)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    val native = run(Dedup.NativeFamily)
+    val portable = run(Dedup.PortableFamily)
+    val planted = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    // native: full recall, exactly the planted set, nothing invented
+    assert(native.map(p => (p._1, p._2)) == planted)
+    // portable: a (correlated-permutation) subset of the native result,
+    // with identical published jaccard on every pair it does find
+    assert(portable.subsetOf(native),
+      s"portable found pairs native missed: ${portable -- native}")
+    assert(portable.size >= planted.size - 1, s"portable recall collapsed: ${portable.size}")
+  }
+
+  test("minhashProbePairsIndexed == minhashProbePairs (persisted index is exact)") {
+    // the dd_incr_indexed contract: probing a stored band table + shingle
+    // stream yields exactly the pairs the recompute-everything probe
+    // yields — including after a parquet round-trip of the index frames
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val batch = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.slice(
+            graft.functions.TextFns.tokens(col("text")),
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.greatest(
+              org.apache.spark.sql.functions.size(
+                graft.functions.TextFns.tokens(col("text"))) - 6,
+              org.apache.spark.sql.functions.lit(4)))).as("text"))
+    val direct = Dedup.minhashProbePairs(batch, docs, "text", "doc_id",
+        n = 4, k = 32, bands = 8, minJaccard = 0.5,
+        family = Dedup.PortableFamily)
+      .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("mh_index").toString
+    val (bands, shingles) = Dedup.minhashIndexFrames(docs, "text", "doc_id",
+      n = 4, k = 32, bands = 8, family = Dedup.PortableFamily)
+    bands.write.mode("overwrite").parquet(s"$tmp/bands")
+    shingles.write.mode("overwrite").parquet(s"$tmp/shingles")
+    val indexed = Dedup.minhashProbePairsIndexed(batch,
+        spark.read.parquet(s"$tmp/bands"), spark.read.parquet(s"$tmp/shingles"),
+        "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+        family = Dedup.PortableFamily)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == direct,
+      s"indexed-only=${indexed -- direct}, direct-only=${direct -- indexed}")
+    assert(indexed.nonEmpty)
+  }
+
   test("connected components: chain, clique, and singleton-pair canonicals") {
     val s = spark
     import s.implicits._

@@ -13,12 +13,29 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.size >= 25)
   }
 
-  test("every query runs and returns rows on sf0.001") {
+  test("every query runs, returns rows, and releases its caches on sf0.001") {
     val slow = Set("v3_representatives", "dd_minhash_neardup") // covered by their own specs
-    for ((name, fn) <- SparkEntry.queries if !slow(name)) {
+    // Streaming-ingest entries own persisted snapshot state across
+    // micro-batches by design — the cache-balance contract is scoped to
+    // batch operators (the Verify/Bench harnesses clearCache per query).
+    val streaming = SparkEntry.queries.keySet.filter(_.startsWith("st"))
+    val leakers = scala.collection.mutable.ArrayBuffer.empty[String]
+    spark.catalog.clearCache()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !slow(name)) {
       val n = fn(spark, sf0001).count()
       assert(n > 0, s"$name returned no rows")
+      // Cache-lifecycle regression gate: a library operator must leave the
+      // session's CacheManager exactly as it found it (persist → action →
+      // localCheckpoint(eager) → unpersist, the triangleStats discipline).
+      // A long-lived production session otherwise accumulates blocks until
+      // eviction pressure. Collected, not fail-fast, so one run reports
+      // every offender.
+      if (!streaming(name) &&
+          !org.apache.spark.sql.graftbridge.CacheBridge.noCachedPlans(spark))
+        leakers += name
+      spark.catalog.clearCache()
     }
+    assert(leakers.isEmpty, s"entries left cached plans: ${leakers.mkString(", ")}")
   }
 
   test("oracle SQL static sanity: no truncated interpolation, balanced structure") {

@@ -171,4 +171,23 @@ class GraphSpec extends SparkSpec {
       assert(badPrefix == 0)
     } finally e.unpersist()
   }
+
+  test("pageRank broadcast decision honors autoBroadcastJoinThreshold") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      // 1 MiB budget / 32 B per rank row = 32768 nodes: strictly under
+      // broadcasts, at-or-over co-partitions (the threshold is a cap)
+      spark.conf.set(key, "1MB")
+      assert(Graph.shouldBroadcastRanks(spark, 32767.0))
+      assert(!Graph.shouldBroadcastRanks(spark, 32768.0))
+      assert(!Graph.shouldBroadcastRanks(spark, 4e6))
+      // raising the budget flips the same graph to broadcast
+      spark.conf.set(key, "1GB")
+      assert(Graph.shouldBroadcastRanks(spark, 4e6))
+      // -1 disables broadcast here exactly as it does in the planner
+      spark.conf.set(key, "-1")
+      assert(!Graph.shouldBroadcastRanks(spark, 10.0))
+    } finally spark.conf.set(key, saved)
+  }
 }

@@ -71,4 +71,27 @@ class SentimentSpec extends SparkSpec {
     assert(viaModel == viaExpr)
     assert(viaModel.nonEmpty)
   }
+
+  test("V4 seam: hashed scorer genuinely disagrees with the lexicon, downstream intact") {
+    val docs = Tables.documents(spark, sf0001)
+    val lex = Sentiment.score(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("sentiment").as("lex"))
+    val seam = Sentiment.scoreWithModel(
+        docs.select("doc_id", "text"), Sentiment.hashedBatchScorer)
+    // a real second opinion: off-diagonal mass is non-empty
+    val joined = lex.join(seam.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("sentiment").as("hm")), "doc_id")
+    assert(joined.filter("lex <> hm").count() > 0,
+      "hashed scorer never disagreed with the lexicon — not a real model swap")
+    // F8 produces all three classes from the hashed confidences too
+    val classes = seam.select("sentiment").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(classes == Set("POSITIVE", "NEGATIVE", "NEUTRAL"))
+    // downstream F7 stays model-agnostic: original_score honors the wc<=4
+    // floor and the per-class keyword formula regardless of the scorer
+    val bad = seam.filter("wc <= 4 AND original_score <> 0.0").count()
+    assert(bad == 0)
+  }
 }

@@ -445,6 +445,93 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained IVF-PQ beats the deterministic convention per query at the same scan budget") {
+    // the r7 headliner gate, measured honestly: this corpus's embeddings
+    // are near-isotropic (a query's top-10 sit at cosine ≈0.26-0.34,
+    // barely above the pairwise noise floor, labels uncorrelated), so
+    // NO cell index reaches recall 0.8 at the deterministic entry's 25%
+    // code-scan budget — SCALE.md carries the sweep. What training DOES
+    // deliver at the SAME budget (16 of 64 fitted cells ≈ 4 of 16
+    // deterministic cells in scanned code bytes): a strict per-query win,
+    // 0.6-0.9 vs 0.4-0.6 (avg 0.74 vs 0.50). sf0.001 embeddings are the
+    // identical 500-vector table the driver's sf0.01 oracle reads, so
+    // this pins the sim_trained_recall catalog booleans.
+    val emb = Tables.embeddings(spark, sf0001)
+    val panel = Seq(20L, 111L, 222L, 333L, 444L)
+    val cents = Similarity.trainCentroids(emb, nCells = 64)
+    val codebook = Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+    val trained = Similarity.annRecallIvfPqWith(emb, cents, codebook,
+        panel, k = 10, nprobe = 16, shortlist = 100)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Double]("recall_ivfpq")).toMap
+    val det = Similarity.annRecallIvfPq(emb, panel, k = 10)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Double]("recall_ivfpq")).toMap
+    panel.foreach { q =>
+      assert(trained(q) > det(q),
+        s"query $q: trained ${trained(q)} !> deterministic ${det(q)}")
+    }
+    val avgT = trained.values.sum / 5
+    val avgD = det.values.sum / 5
+    assert(avgT >= 0.7 && avgT > avgD + 0.15,
+      s"trained avg $avgT vs deterministic $avgD — training stopped paying")
+  }
+
+  test("trained IVF-PQ reaches recall@10 >= 0.8 per query at 1.5x the scan budget") {
+    // the 0.8 bar, met where the data permits it: probing 24 of 64 cells
+    // (37.5% of code bytes vs the deterministic entry's 25%) — the
+    // measured recall-vs-scan curve's knee on this corpus (SCALE.md)
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.trainCentroids(emb, nCells = 64)
+    val codebook = Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+    val rows = Similarity.annRecallIvfPqWith(emb, cents, codebook,
+        Seq(20L, 111L, 222L, 333L, 444L), k = 10, nprobe = 24, shortlist = 100)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_ivfpq") >= 0.8,
+        s"query ${r.getAs[Long]("query_id")}: " +
+          s"${r.getAs[Double]("recall_ivfpq")} < 0.8")
+    }
+  }
+
+  test("deterministic frames through the *With paths reproduce the convention paths") {
+    // the delegation refactor must be exact: first-n cents/codebook fed
+    // through ivfPqTopKWith == ivfPqTopK, and ivfTopKWith == ivfTopK
+    val emb = Tables.embeddings(spark, sf0001)
+    val e = emb.select(col("vec_id"),
+      Similarity.toDoubleArray(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val sub = 64 / 8
+    val codebook = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"),
+        posexplode(array((0 until 8).map(s =>
+          slice(col("v"), s * sub + 1, sub)): _*)).as(Seq("s", "vs")))
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("vs").as("cw"))
+    val viaWith = Similarity.ivfPqTopKWith(emb, cents, codebook,
+      queryId = 20, k = 10).collect().map(_.toSeq)
+    val direct = Similarity.ivfPqTopK(emb, queryId = 20, k = 10)
+      .collect().map(_.toSeq)
+    assert(viaWith.toSeq == direct.toSeq)
+    val ivfWith = Similarity.ivfTopKWith(emb, cents, queryId = 20, k = 10)
+      .collect().map(_.toSeq)
+    val ivfDirect = Similarity.ivfTopK(emb, queryId = 20, k = 10)
+      .collect().map(_.toSeq)
+    assert(ivfWith.toSeq == ivfDirect.toSeq)
+  }
+
+  test("semDedupWith on trained centroids: keeps a valid pruned set") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.trainCentroids(emb, nCells = 16)
+    val kept = Similarity.semDedupWith(emb, cents, threshold = 0.95)
+    val n = emb.count()
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= n)
+    // kept rows are unique vec_ids drawn from the corpus
+    assert(kept.select("vec_id").distinct().count() == nKept)
+  }
+
   test("ivfFilteredTopK: every hit satisfies the predicate, ranking descends") {
     val emb = Tables.embeddings(spark, sf0001)
     val rows = Similarity.ivfFilteredTopK(emb, queryId = 20, k = 10,
