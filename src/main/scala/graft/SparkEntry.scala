@@ -699,6 +699,29 @@ object SparkEntry {
        |  FROM hsent)""".stripMargin
   }
 
+  /** Trained quantizer state for the `sim_trained_*` entries — the
+    * production posture the entries exist to demonstrate: fit ONCE
+    * (deterministic: single-partition sorted sample, fixed seed), persist
+    * centroids + codebook as parquet tables keyed by the embeddings
+    * file's identity (a regenerated corpus auto-invalidates), broadcast
+    * at query time. Re-running an entry pays the query path only, not a
+    * retrain — exactly how a 100 TB deployment amortizes training. */
+  private def trainedQuantizers(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val src = new java.io.File(d, "embeddings.parquet")
+    val dir = new java.io.File(
+      s"spark-warehouse/graft_state/tq_${src.length}_${src.lastModified}")
+    val centsP = new java.io.File(dir, "cents").toString
+    val cbP = new java.io.File(dir, "codebook").toString
+    if (!new java.io.File(cbP, "_SUCCESS").exists) {
+      val emb = Tables.embeddings(s, d)
+      Similarity.trainCentroids(emb, nCells = 64)
+        .write.mode("overwrite").parquet(centsP)
+      Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+        .write.mode("overwrite").parquet(cbP)
+    }
+    (s.read.parquet(centsP), s.read.parquet(cbP))
+  }
+
   /** Shared oracle for the two incremental-components entries
     * (`dd_incr_components`, `dd_incr_indexed`): the FULL recompute over
     * corpus ∪ probe pairs via the recursive-CTE closure — both engine
@@ -2116,8 +2139,7 @@ object SparkEntry {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val panel = Seq(20L, 111L, 222L, 333L, 444L)
-        val cents = Similarity.trainCentroids(emb, nCells = 64)
-        val cb = Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+        val (cents, cb) = trainedQuantizers(s, d)
         val trained = Similarity.annRecallIvfPqWith(emb, cents, cb,
             panel, k = 10, nprobe = 16, shortlist = 100)
           .select(col("query_id"), col("n_exact"),
@@ -2146,8 +2168,7 @@ object SparkEntry {
       // the VALUES oracle
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val cents = Similarity.trainCentroids(emb, nCells = 64)
-        val cb = Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+        val (cents, cb) = trainedQuantizers(s, d)
         Similarity.annRecallIvfPqWith(emb, cents, cb,
             Seq(20L, 111L, 222L, 333L, 444L), k = 10,
             nprobe = 24, shortlist = 100)

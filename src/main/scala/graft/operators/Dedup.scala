@@ -490,22 +490,46 @@ object Dedup {
       minhashIndexFrames(probe, textCol, idCol, n, k, bands, family)
     val pb = probeBands.persist()
     val ps = probeShingles.persist()
+    // candidates are read three times (verify join + the two prefilters
+    // below) — persist the small pair frame
+    // BROADCAST the batch band table (O(batch × bands) rows — bounded by
+    // the probe-batch contract) against the corpus-sized stored band
+    // table: the index side streams map-side with no shuffle, the exact
+    // shape a 100 TB probe wants (and what bucketing would co-locate)
+    val cand = indexBands.as("y")
+      .join(broadcast(pb.as("x")),
+        col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash"))
+      .select(col("x.id").as("probe_id"), col("y.id").as("corpus_id"))
+      .distinct()
+      .persist()
+    val candIds = cand.select(col("corpus_id").as("id")).distinct()
+    val corpusShP = indexShingles
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id").as("corpus_id"), col("sh"))
+      .persist()
     try {
-      val cand = pb.as("x")
-        .join(indexBands.as("y"),
-          col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash"))
-        .select(col("x.id").as("probe_id"), col("y.id").as("corpus_id"))
-        .distinct()
+      // corpusShP is the broadcast-semi-join prefilter of the stored
+      // shingle stream: that table is corpus-sized (the dominant state
+      // table — ~100 shingles/doc), but the verify only needs the
+      // CANDIDATES' corpus docs, so the O(candidates) id set cuts the
+      // verify-side scan+shuffle from |corpus shingles| to |colliding
+      // docs' shingles|. Probe batches are bounded by contract (a
+      // corpus-scale re-probe belongs to [[minhashProbePairs]]); at
+      // 100 TB the same effect comes free from bucketing the stored
+      // stream by id and bucket-pruning.
+      val corpusSh = corpusShP
+      // set sizes recomputed from the PREFILTERED shingle stream (it is
+      // distinct per doc by construction) instead of re-scanning the fat
+      // band table — one small aggregation over rows already in memory
+      val corpusSz = corpusSh.groupBy("corpus_id").agg(count(lit(1)).as("sz_c"))
       val inter = cand
         .join(ps.select(col("id").as("probe_id"), col("sh")), Seq("probe_id"))
-        .join(indexShingles.select(col("id").as("corpus_id"), col("sh")),
-          Seq("corpus_id", "sh"))
+        .join(corpusSh, Seq("corpus_id", "sh"))
         .groupBy("probe_id", "corpus_id").agg(count(lit(1)).as("inter"))
       val result = inter
         .join(pb.select(col("id").as("probe_id"), col("sz").as("sz_p")).distinct(),
           Seq("probe_id"))
-        .join(indexBands.select(col("id").as("corpus_id"), col("sz").as("sz_c")).distinct(),
-          Seq("corpus_id"))
+        .join(corpusSz, Seq("corpus_id"))
         .withColumn("jaccard",
           col("inter").cast("double") /
             (col("sz_p") + col("sz_c") - col("inter")).cast("double"))
@@ -513,7 +537,9 @@ object Dedup {
         .select(col("probe_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("probe_id", "corpus_id")
       result.localCheckpoint(eager = true)
-    } finally { pb.unpersist(); ps.unpersist() }
+    } finally {
+      pb.unpersist(); ps.unpersist(); cand.unpersist(); corpusShP.unpersist()
+    }
   }
 
   /** One-pass ingest pair generation: BOTH the batch-vs-corpus probe

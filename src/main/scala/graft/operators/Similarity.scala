@@ -624,7 +624,7 @@ object Similarity {
   def annRecallIvfPqWith(emb: DataFrame, centsIn: DataFrame,
                          codebookIn: DataFrame, queryIds: Seq[Long], k: Int,
                          nprobe: Int = 4, m: Int = 8, shortlist: Int = 50,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, residual: Boolean = false): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
     require(dim % m == 0, "m must divide dim")
     val W = org.apache.spark.sql.expressions.Window
@@ -664,9 +664,23 @@ object Similarity {
         .filter(col("pr") <= nprobe)
         .select(col("qid"), col("cell"))
       val sub = dim / m
-      val slices = e.select(col("vec_id"),
-        posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
-          .as(Seq("s", "vs")))
+      def sliceCols(v: Column): Column =
+        posexplode(array((0 until m).map(s => slice(v, s * sub + 1, sub)): _*))
+      // residual = true: PQ runs over v − centroid(cell(v)) (the FAISS
+      // IVF-PQ default — residuals cluster tighter than raw vectors, so
+      // the codebook budget spends its resolution where the data lives);
+      // the codebook passed in must then be residual-trained
+      // ([[trainCodebookResidual]]). The ADC table becomes per-PROBED-
+      // CELL (the query residual differs per cell) — nprobe × m × nCodes
+      // rows, still broadcast-sized.
+      val slices =
+        if (!residual) e.select(col("vec_id"),
+          sliceCols(col("v")).as(Seq("s", "vs")))
+        else assigned
+          .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+          .select(col("vec_id"),
+            sliceCols(zip_with(col("v"), col("cv"), (x, c) => x - c))
+              .as(Seq("s", "vs")))
       def l2sq(a: Column, b: Column): Column =
         dotFast(a, a) + dotFast(b, b) - lit(2.0) * dotFast(a, b)
       val enc = slices.join(broadcast(codebook), Seq("s"))
@@ -675,16 +689,36 @@ object Similarity {
           W.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("s"), col("code"))
-      val qtab = codebook
-        .join(broadcast(slices.join(broadcast(qs.select(col("qid"))),
-            col("vec_id") === col("qid"))
-          .select(col("qid"), col("s"), col("vs").as("qvs"))), Seq("s"))
-        .select(col("qid"), col("s"), col("code"), l2sq(col("qvs"), col("cw")).as("qd2"))
-      val short = assigned.join(broadcast(probed), Seq("cell"))
+      val cand = assigned.join(broadcast(probed), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"))
+        .select(col("qid"), col("cell"), col("vec_id"))
         .join(enc, Seq("vec_id"))
-        .join(broadcast(qtab), Seq("qid", "s", "code"))
+      val joined =
+        if (!residual) {
+          val qtab = codebook
+            .join(broadcast(slices.join(broadcast(qs.select(col("qid"))),
+                col("vec_id") === col("qid"))
+              .select(col("qid"), col("s"), col("vs").as("qvs"))), Seq("s"))
+            .select(col("qid"), col("s"), col("code"),
+              l2sq(col("qvs"), col("cw")).as("qd2"))
+          cand.join(broadcast(qtab), Seq("qid", "s", "code"))
+        } else {
+          val qres = probed
+            .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
+            .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+            .select(col("qid"), col("cell").as("qcell"),
+              zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+          val qsl = qres.select(col("qid"), col("qcell"),
+            sliceCols(col("qr")).as(Seq("s", "qvs")))
+          val qtab = codebook.join(broadcast(qsl), Seq("s"))
+            .select(col("qid"), col("qcell"), col("s"), col("code"),
+              l2sq(col("qvs"), col("cw")).as("qd2"))
+          cand.join(broadcast(qtab),
+            cand("qid") === qtab("qid") && col("cell") === col("qcell") &&
+              cand("s") === qtab("s") && cand("code") === qtab("code"))
+            .select(cand("qid"), col("vec_id"), col("qd2"))
+        }
+      val short = joined
         .groupBy(col("qid"), col("vec_id"))
         .agg(round(sum(col("qd2")), 6).as("adc_dist"))
         .withColumn("sk", row_number().over(
@@ -1167,6 +1201,53 @@ object Similarity {
       model.clusterCenters.toSeq.zipWithIndex
         .map { case (c, i) => (s, i, c.toArray.toSeq) }
     }.toDF("s", "code", "cw")
+  }
+
+  /** Residual-trained PQ codebooks (the FAISS IVF-PQ default): per-
+    * subspace k-means over `v − centroid(cell(v))` — cell assignment by
+    * the shared cosine-argmax convention against `centsIn`. Residuals
+    * cluster tighter than raw vectors, so the same codebook budget
+    * resolves finer; pair with `annRecallIvfPqWith(..., residual=true)`.
+    * Same determinism posture as [[trainCodebook]] (single-partition
+    * sorted sample, fixed seeds). */
+  def trainCodebookResidual(emb: DataFrame, centsIn: DataFrame, m: Int = 8,
+                            nCodes: Int = 16, dim: Int = 64, seed: Long = 42,
+                            sampleFraction: Double = 1.0,
+                            maxIter: Int = 20): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = centsIn
+      .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))
+    val res = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+    val sampled =
+      if (sampleFraction >= 1.0) res
+      else res.sample(withReplacement = false, sampleFraction, seed)
+    val flat = sampled.sort("vec_id").coalesce(1)
+      .persist() // m fits read the same single-partition residual sample
+    try {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      (0 until m).flatMap { s =>
+        val model = new KMeans()
+          .setK(nCodes).setSeed(seed + s).setMaxIter(maxIter)
+          .setFeaturesCol("features")
+          .fit(flat.select(
+            array_to_vector(slice(col("v"), s * sub + 1, sub)).as("features")))
+        model.clusterCenters.toSeq.zipWithIndex
+          .map { case (c, i) => (s, i, c.toArray.toSeq) }
+      }.toDF("s", "code", "cw")
+    } finally flat.unpersist()
   }
 
   /** [[ivfTopK]] with caller-supplied centroids `(cell, cv)` — the

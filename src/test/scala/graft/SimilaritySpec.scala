@@ -521,6 +521,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfWith.toSeq == ivfDirect.toSeq)
   }
 
+  test("residual-trained IVF-PQ: full-probe closure == brute force; measured parity at budget") {
+    // closure: probing EVERY cell with a corpus-wide shortlist leaves no
+    // place for the residual machinery (per-probed-cell ADC tables,
+    // residual-trained codebooks) to lose a true hit — recall must be
+    // exactly 1.0. This pins the residual dataflow's wiring.
+    val emb = Tables.embeddings(spark, sf0001)
+    val panel = Seq(20L, 111L, 222L, 333L, 444L)
+    val cents = Similarity.trainCentroids(emb, nCells = 16)
+    val cbRes = Similarity.trainCodebookResidual(emb, cents, m = 8, nCodes = 16)
+    val closure = Similarity.annRecallIvfPqWith(emb, cents, cbRes, panel,
+        k = 10, nprobe = 16, shortlist = 1000, residual = true)
+      .collect()
+    assert(closure.length == 5)
+    closure.foreach(r => assert(r.getAs[Double]("recall_ivfpq") == 1.0,
+      s"query ${r.getAs[Long]("query_id")}: ${r.getAs[Double]("recall_ivfpq")}"))
+    // measured finding (SCALE.md round 8): on this near-isotropic corpus
+    // residual encoding does NOT beat the raw-trained codebook — cells
+    // are wide, so residuals are no tighter than raw vectors. Pin only
+    // that the residual path stays a working index at the usual budget
+    // (no collapse), not a data-specific ordering between the two.
+    val c64 = Similarity.trainCentroids(emb, nCells = 64)
+    val cbRes64 = Similarity.trainCodebookResidual(emb, c64, m = 8, nCodes = 16)
+    val atBudget = Similarity.annRecallIvfPqWith(emb, c64, cbRes64, panel,
+        k = 10, nprobe = 16, shortlist = 100, residual = true)
+      .collect()
+    atBudget.foreach(r => assert(r.getAs[Double]("recall_ivfpq") >= 0.5,
+      s"query ${r.getAs[Long]("query_id")}: residual path collapsed to " +
+        s"${r.getAs[Double]("recall_ivfpq")}"))
+  }
+
   test("semDedupWith on trained centroids: keeps a valid pruned set") {
     val emb = Tables.embeddings(spark, sf0001)
     val cents = Similarity.trainCentroids(emb, nCells = 16)
