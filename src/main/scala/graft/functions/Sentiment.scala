@@ -137,17 +137,25 @@ object Sentiment {
     *    hashed-weight null distribution crosses it;
     *  - empty-token documents score (POSITIVE, 0.5) → NEUTRAL after F8.
     */
-  val hashedBatchScorer: Seq[String] => Seq[(String, Double)] = texts =>
+  val hashedBatchScorer: Seq[String] => Seq[(String, Double)] = texts => {
+    // per-batch weight memo: the md5 weight is a pure function of the
+    // token, and real corpora are Zipfian — caching turns ~2 md5 digests
+    // per token OCCURRENCE into ~2 per distinct token per batch (values
+    // bit-identical; this is the batch-level amortization a real model
+    // scorer gets from its own tokenizer cache)
+    val memo = scala.collection.mutable.HashMap.empty[String, Double]
     texts.map { t =>
       val toks = t.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
       if (toks.isEmpty) ("POSITIVE", 0.5)
       else {
-        val sw = toks.map(hashedWeight).reduceLeft(_ + _)
+        val sw = toks.map(tk => memo.getOrElseUpdate(tk, hashedWeight(tk)))
+          .reduceLeft(_ + _)
         val conf = math.min(0.99,
           0.5 + 0.3 * math.abs(sw) / math.sqrt(toks.length.toDouble))
         (if (sw >= 0) "POSITIVE" else "NEGATIVE", conf)
       }
     }
+  }
 
   /** Driver-side twin of [[graft.operators.TextAnalysis.hashedLinearScore]]'s
     * weight expression: hash60 = first 15 md5 hex digits as a 60-bit long
@@ -157,11 +165,24 @@ object Sentiment {
     (hash60("w:" + b.toString) % 2001L - 1000L).toDouble / 1000.0
   }
 
-  private def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  /** First 15 md5 hex digits as a 60-bit long, computed from the digest
+    * bytes directly (= bytes 0..6 in full plus the high nibble of byte 7
+    * — identical to parsing the 15-char hex prefix). MessageDigest is
+    * reused per thread: a fresh getInstance per token dominated the seam
+    * scorer's profile before. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[graft] def hash60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
   /** F7 `compute_original_score` (ref `Context_analyzer_RoBERTa_fun.py:200-247`):

@@ -242,4 +242,53 @@ class PlanShapeSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_docs")
     spark.sql("DROP TABLE IF EXISTS b_scores")
   }
+
+  test("dd_incr_indexed: probe broadcasts the batch side; no shuffle of the stored band table") {
+    // the amortized-ingest contract: the candidate join must BROADCAST
+    // the O(batch × bands) side so the corpus-sized stored band table
+    // streams map-side — a sort-merge/shuffle-hash band join would
+    // re-shuffle the whole index per ingest
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ps_mh_index").toString
+    val (bands, shingles) = graft.operators.Dedup.minhashIndexFrames(
+      docs, "text", "doc_id", n = 4, k = 32, bands = 8,
+      family = graft.operators.Dedup.PortableFamily)
+    bands.write.mode("overwrite").parquet(s"$tmp/bands")
+    shingles.write.mode("overwrite").parquet(s"$tmp/shingles")
+    val batch = docs.limit(50)
+    val probe = graft.operators.Dedup.minhashProbePairsIndexed(batch,
+      spark.table("parquet.`" + tmp + "/bands`"),
+      spark.table("parquet.`" + tmp + "/shingles`"),
+      "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+      family = graft.operators.Dedup.PortableFamily)
+    // the probe materializes eagerly (localCheckpoint); plan evidence
+    // comes from the same dataflow rebuilt lazily up to the candidate join
+    val pbLazy = graft.operators.Dedup.minhashIndexFrames(batch,
+      "text", "doc_id", n = 4, k = 32, bands = 8,
+      family = graft.operators.Dedup.PortableFamily)._1
+    val candPlan = spark.read.parquet(s"$tmp/bands").as("y")
+      .join(org.apache.spark.sql.functions.broadcast(pbLazy.as("x")),
+        org.apache.spark.sql.functions.col("x.band") ===
+          org.apache.spark.sql.functions.col("y.band") &&
+        org.apache.spark.sql.functions.col("x.bandhash") ===
+          org.apache.spark.sql.functions.col("y.bandhash"))
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("BroadcastHashJoin"), candPlan)
+    assert(!candPlan.contains("SortMergeJoin"), candPlan)
+    assert(probe.columns.toSeq == Seq("probe_id", "corpus_id", "jaccard"))
+  }
+
+  test("trained quantizer fits are layout-deterministic (re-train == re-train)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val c1 = graft.operators.Similarity.trainCentroids(emb, nCells = 16)
+      .collect().map(_.toSeq).toSet
+    val c2 = graft.operators.Similarity.trainCentroids(emb, nCells = 16)
+      .collect().map(_.toSeq).toSet
+    assert(c1 == c2, "trainCentroids is not deterministic across calls")
+    val b1 = graft.operators.Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+      .collect().map(_.toSeq).toSet
+    val b2 = graft.operators.Similarity.trainCodebook(emb, m = 8, nCodes = 16)
+      .collect().map(_.toSeq).toSet
+    assert(b1 == b2, "trainCodebook is not deterministic across calls")
+  }
 }

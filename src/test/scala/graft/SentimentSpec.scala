@@ -72,6 +72,24 @@ class SentimentSpec extends SparkSpec {
     assert(viaModel.nonEmpty)
   }
 
+  test("hash60 byte math equals the md5 hex-prefix expression (oracle contract)") {
+    // the driver-side scorer's hash must agree bit-for-bit with the SQL
+    // expression the oracle replays: CAST(conv(substr(md5(t),1,15),16,10))
+    val s = spark
+    import s.implicits._
+    val toks = Seq("tok", "w:123", "alpha", "value", "Ωθ-mixed", "")
+    val exprVals = toks.toDF("t")
+      .select(org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("t")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(_.getLong(0))
+    toks.zip(exprVals).foreach { case (t, expect) =>
+      assert(Sentiment.hash60(t) == expect, s"hash60('$t')")
+    }
+  }
+
   test("V4 seam: hashed scorer genuinely disagrees with the lexicon, downstream intact") {
     val docs = Tables.documents(spark, sf0001)
     val lex = Sentiment.score(docs)
