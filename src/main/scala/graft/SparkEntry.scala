@@ -2428,6 +2428,48 @@ object SparkEntry {
           |SELECT doc_id, n_terms, score FROM bsc
           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    Q("ir_rerank_seam",
+      // two-stage retrieval with a pluggable re-ranker — the cross-
+      // encoder serving shape: BM25 retrieves 20 candidates cheap, a
+      // batched mapPartitions scorer re-ranks them (the scoreWithModel
+      // seam applied to retrieval; a real cross-encoder slots in at the
+      // batchScore without touching the dataflow). The deterministic
+      // reference scorer is distinct-token overlap F1 in the exact-
+      // integer form 2·|∩| / (|distinct toks| + |q|) — fully DuckDB-
+      // replayed, so the seam's output is hash-gated end to end
+      (s, d) => TextAnalysis.rerankWithModel(Tables.documents(s, d),
+        "text", "doc_id", Seq("hash", "join", "vector"),
+        candidateK = 20, k = 10,
+        TextAnalysis.overlapF1Scorer(Seq("hash", "join", "vector"))),
+      Some(Sentiment.oracleCte +
+        """,
+          |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(tokens)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          |  FROM toks),
+          |bt AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+          |    unnest(list_filter(tokens, t -> t IN ('hash', 'join', 'vector'))) AS t
+          |  FROM toks),
+          |btf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+          |  FROM bt GROUP BY doc_id, dl, t),
+          |bdf AS (SELECT t, CAST(count(*) AS BIGINT) AS nt FROM btf GROUP BY t),
+          |bsc AS (SELECT doc_id, ROUND(SUM(
+          |      ln((CAST(n_docs AS DOUBLE) - CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          |          / (CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          |      * tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+          |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+          |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+          |  FROM btf JOIN bdf USING (t), bs GROUP BY doc_id),
+          |cand AS (SELECT doc_id,
+          |    row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+          |  FROM bsc QUALIFY bm25_rank <= 20),
+          |rr AS (SELECT cand.doc_id, bm25_rank,
+          |    ROUND(CAST(2 * len(list_filter(list_distinct(tokens),
+          |        t -> t IN ('hash', 'join', 'vector'))) AS DOUBLE)
+          |      / CAST(len(list_distinct(tokens)) + 3 AS DOUBLE), 6) AS rerank_score
+          |  FROM cand JOIN toks USING (doc_id))
+          |SELECT doc_id, bm25_rank, rerank_score FROM rr
+          |ORDER BY rerank_score DESC, doc_id LIMIT 10""".stripMargin)),
+
     Q("ir_phrase_match",
       // exact phrase search via a positional posting self-join (posexplode
       // → hits-only filter → (doc, pos+i) equi-joins); the oracle counts

@@ -499,6 +499,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Two-stage retrieval with a PLUGGABLE re-ranker — the cross-encoder
+    * serving shape (retrieve cheap, re-rank expensive): [[bm25TopK]]
+    * supplies `candidateK` candidates, then a batched `batchScore`
+    * (texts → score per text) re-ranks them through the same
+    * `mapPartitions` seam as [[graft.functions.Sentiment.scoreWithModel]]
+    * — a real cross-encoder model slots in at `batchScore` without
+    * touching the dataflow, and the retrieval stage is proven
+    * model-agnostic the same way the V4 sentiment seam is.
+    *
+    * Scale shape: the candidate frame is O(candidateK) rows; only those
+    * rows cross the inference boundary (batched — the whole point of
+    * retrieve-then-rerank is that the expensive scorer sees `candidateK`
+    * docs, not the corpus). Scores ROUND(6) before the final rank,
+    * doc-id tiebreak — deterministic k-boundary on both engines.
+    * Returns `(idCol, bm25_rank, rerank_score)` ordered by the re-rank. */
+  def rerankWithModel(docs: DataFrame, textCol: String, idCol: String,
+                      queryTerms: Seq[String], candidateK: Int, k: Int,
+                      batchScore: Seq[String] => Seq[Double],
+                      batchSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.DoubleType
+    val cands = bm25TopK(docs, textCol, idCol, queryTerms, candidateK)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("bm25_rank"))
+    val withText = cands
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    val outSchema = withText.schema.add("rerank_score", DoubleType)
+    val ti = withText.schema.fieldIndex(textCol)
+    val scored = withText.toDF().mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => // amortized per-batch model call
+        val ss = batchScore(batch.map(_.getString(ti)))
+        batch.lazyZip(ss).map { case (r, sc) => Row.fromSeq(r.toSeq :+ sc) }
+      }
+    }(Encoders.row(outSchema))
+    scored
+      .select(col(idCol), col("bm25_rank"),
+        round(col("rerank_score"), 6).as("rerank_score"))
+      .orderBy(col("rerank_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic reference re-ranker for [[rerankWithModel]]: distinct-
+    * token overlap F1 between the document and the query, in the exact-
+    * integer form `2·|overlap| / (|distinct doc tokens| + |query terms|)`
+    * (algebraically the F1 harmonic mean, but a SINGLE division of exact
+    * ints — bit-identical on both engines, the confusionStats
+    * convention). Tokenization is the [[TextFns.tokens]] whitespace
+    * convention, driver-side twin. */
+  def overlapF1Scorer(queryTerms: Seq[String]): Seq[String] => Seq[Double] = {
+    val q = queryTerms.distinct
+    texts => texts.map { t =>
+      val toks = t.trim.replaceAll("\\s+", " ").split(" ")
+        .filter(_.nonEmpty).distinct
+      val inter = toks.count(q.contains)
+      2.0 * inter / (toks.length + q.length)
+    }
+  }
+
   /** Reciprocal-rank-fusion hybrid retrieval (Cormack et al. 2009):
     * fuse the lexical [[bm25TopK]] ranking with the semantic
     * [[Similarity.bruteForceTopK]] embedding ranking by

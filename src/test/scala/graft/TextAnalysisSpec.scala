@@ -628,4 +628,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("padded_tokens") == 4096L)
     assert(out(0).getAs[Double]("padding_waste") == 0.0)
   }
+
+  test("rerankWithModel: seam scorer bit-identical to the expression twin, candidates from BM25") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("hash", "join", "vector")
+    val out = TextAnalysis.rerankWithModel(docs, "text", "doc_id", terms,
+      candidateK = 20, k = 10, TextAnalysis.overlapF1Scorer(terms)).collect()
+    assert(out.length == 10)
+    // every result is a BM25 top-20 candidate, rank carried through
+    val cands = TextAnalysis.bm25TopK(docs, "text", "doc_id", terms, 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    out.foreach { r =>
+      assert(cands(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Int]("bm25_rank") >= 1 && r.getAs[Int]("bm25_rank") <= 20)
+    }
+    // expression-path twin of the F1 scorer: identical doubles
+    val twin = docs
+      .select(col("doc_id"),
+        round((lit(2.0) * size(array_intersect(
+            array_distinct(graft.functions.TextFns.tokens(col("text"))),
+            typedLit(terms))).cast("double")) /
+          (size(array_distinct(graft.functions.TextFns.tokens(col("text")))) +
+            lit(terms.size)).cast("double"), 6).as("f1"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("f1")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Double]("rerank_score") == twin(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: seam ${r.getAs[Double]("rerank_score")} " +
+          s"!= expr ${twin(r.getAs[Long]("doc_id"))}")
+    }
+    // descending rank with doc-id tiebreak
+    val scores = out.map(r => (r.getAs[Double]("rerank_score"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy { case (s0, id) => (-s0, id) }))
+  }
 }
