@@ -209,6 +209,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cell assignment — argmax centroid cosine, ties to the LOWEST cell —
+    * as a map-side-combinable `max_by` aggregation over a SLIM
+    * (vec_id, cell, ccos) projection, with the vector columns joined
+    * back afterwards. The first formulation of this step was a
+    * crossJoin + per-vector row_number window, which shuffles
+    * |vectors| × |cells| rows each CARRYING the 0.5 KB vector arrays: at
+    * sf1 with occupancy-sized cells (20k vectors × 834 cells) that is a
+    * ~16 GB exchange and measured 47 s for sim_semdedup_auto alone. The
+    * max_by form reduces to |vectors| rows BEFORE any exchange (partial
+    * aggregation) and never shuffles an array column.
+    *
+    * Tie/NaN semantics are identical to the window form (`ORDER BY ccos
+    * DESC, cell`): the max_by key is `(ccos, -cell)`, Spark orders NaN
+    * greatest in both window sorts and max/greatest aggregation, and
+    * NaN = NaN for ordering, so a zero-norm vector (all-NaN ccos)
+    * resolves to its lowest cell either way. Returns
+    * `(vec_id, v, nrm, cell, ccos)`. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val best = e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        (dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cell"), col("ccos")),
+        struct(col("ccos"), (col("cell") * lit(-1L)).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.ccos").as("ccos"))
+    // every column of `e` rides through (metadata for the filtered-search
+    // path); callers project what they need
+    e.join(best, Seq("vec_id"))
+  }
+
   /** IVF-style ANN (nprobe=1): coarse-quantize every vector to its
     * nearest of `nCells` centroid vectors (here the deterministic choice:
     * the vectors with vec_id < nCells — a real deployment would train
@@ -221,12 +253,7 @@ object Similarity {
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
     // assign: argmax cosine to centroid, ties to lowest cell id
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cell").as("qcell"))
@@ -257,12 +284,7 @@ object Similarity {
       .withColumn("nrm", normFast(col("v")))
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignCells(e, cents)
       .select(col("vec_id") +: meta :+ col("v") :+ col("nrm") :+ col("cell"): _*)
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cell").as("qcell"))
@@ -390,12 +412,7 @@ object Similarity {
       .withColumn("nrm", normFast(col("v")))
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     // the encoded vector: raw, or the residual against the assigned cell
     val encBase =
@@ -537,12 +554,7 @@ object Similarity {
       .withColumn("nrm", normFast(col("v")))
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .persist()
     try {
@@ -633,11 +645,7 @@ object Similarity {
     val cents = centsIn
       .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))
     val codebook = codebookIn.select(col("s"), col("code"), col("cw"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        W.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .persist()
     try {
@@ -1056,12 +1064,7 @@ object Similarity {
       .withColumn("nrm", normFast(col("v")))
     val cents = centsIn
       .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         round(col("ccos"), 6).as("centroid_cos"))
       .persist()
@@ -1222,12 +1225,8 @@ object Similarity {
       .withColumn("nrm", normFast(col("v")))
     val cents = centsIn
       .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))
-    val res = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val res = assignCells(e, cents)
+      .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
       .select(col("vec_id"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
     val sampled =
@@ -1260,12 +1259,7 @@ object Similarity {
       .withColumn("nrm", normFast(col("v")))
     val cents = centsIn
       .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cell").as("qcell"))
@@ -1293,12 +1287,7 @@ object Similarity {
     val cents = centsIn
       .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))
     val codebook = codebookIn.select(col("s"), col("code"), col("cw"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rn") === 1)
+    val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val slices = assigned.select(col("vec_id"),
       posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
