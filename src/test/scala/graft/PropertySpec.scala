@@ -170,4 +170,36 @@ class PropertySpec extends SparkSpec {
       if (sentiment != "NEUTRAL") assert(conf > 0.8)
     }
   }
+
+  test("hashed seam scorer property: label/confidence domain on arbitrary text") {
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""), Gen.const("  "), Gen.const("a b"),
+      Gen.const("\ttab\nnewline ")))
+    for (texts <- samples(gen, 8); if texts.nonEmpty) {
+      val out = graft.functions.Sentiment.hashedBatchScorer(texts)
+      assert(out.length == texts.length)
+      out.foreach { case (label, conf) =>
+        assert(label == "POSITIVE" || label == "NEGATIVE")
+        assert(conf >= 0.5 && conf <= 0.99, s"confidence $conf out of domain")
+      }
+      // pure function: a second invocation is identical (memo is per-batch)
+      assert(graft.functions.Sentiment.hashedBatchScorer(texts) == out)
+    }
+  }
+
+  test("overlapF1 scorer property: [0,1] bounds, 1 iff token set == query set") {
+    val terms = Seq("hash", "join", "vector")
+    val scorer = graft.operators.TextAnalysis.overlapF1Scorer(terms)
+    val word = Gen.oneOf("hash", "join", "vector", "alpha", "beta", "gamma")
+    val gen = Gen.listOf(word).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(20, gen), 5)) {
+      val scores = scorer(texts)
+      scores.zip(texts).foreach { case (s0, t) =>
+        assert(s0 >= 0.0 && s0 <= 1.0, s"score $s0 for '$t'")
+        val distinct = t.split("\\s+").filter(_.nonEmpty).distinct.toSet
+        if (distinct == terms.toSet) assert(s0 == 1.0)
+        if (distinct.intersect(terms.toSet).isEmpty) assert(s0 == 0.0)
+      }
+    }
+  }
 }
