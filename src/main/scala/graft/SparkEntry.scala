@@ -1416,7 +1416,10 @@ object SparkEntry {
         val labelsP = new java.io.File(stateDir, "labels").toString
         val bandsP = new java.io.File(stateDir, "bands").toString
         val shP = new java.io.File(stateDir, "shingles").toString
-        if (!new java.io.File(labelsP, "_SUCCESS").exists) {
+        // gate on the LAST-written table: a crash mid-build leaves the
+        // final _SUCCESS absent, so the next run rebuilds everything
+        // instead of probing a half-written index
+        if (!new java.io.File(shP, "_SUCCESS").exists) {
           Dedup.canonicalComponents(docNearDupPairs(s, d))
             .write.mode("overwrite").parquet(labelsP)
           val (bands, shingles) = Dedup.minhashIndexFrames(docs,
