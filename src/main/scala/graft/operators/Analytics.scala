@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *  - top-k uses `orderBy + limit`, which Catalyst plans as
   *    `TakeOrderedAndProject` — per-partition heaps + driver merge, no
   *    global sort.
+  *
+  * Operators returning `localCheckpoint(eager = true)` follow the
+  * eager-materialization contract documented on [[MLEval]]: executed at
+  * call time, lineage truncated, not lazily composable.
   */
 object Analytics {
 

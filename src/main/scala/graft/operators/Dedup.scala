@@ -17,6 +17,10 @@ import graft.functions.TextFns
   *    narrow pass, candidate pairs via band-bucket join, exact-Jaccard
   *    verification on candidates only;
   *  - SimHash: 64-bit fingerprint + banded Hamming candidate join.
+  *
+  * Operators returning `localCheckpoint(eager = true)` follow the
+  * eager-materialization contract documented on [[MLEval]]: executed at
+  * call time, lineage truncated, not lazily composable.
   */
 object Dedup {
 

@@ -37,7 +37,18 @@ object Graph {
     else {
       val bytes =
         try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-        catch { case _: Exception => 10L * 1024 * 1024 }
+        catch {
+          case e: Exception =>
+            // surface the malformed config instead of silently substituting
+            // the default — the planner itself rejects an unparseable
+            // threshold, and a silent fallback here would re-enable the
+            // broadcast the caller believed they disabled
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"unparseable spark.sql.autoBroadcastJoinThreshold='$raw' " +
+                s"(${e.getMessage}); falling back to 10MB for the rank-table " +
+                "broadcast decision")
+            10L * 1024 * 1024
+        }
       bytes > 0 && nNodes * RankRowBytes < bytes.toDouble
     }
   }

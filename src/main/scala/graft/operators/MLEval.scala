@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   * O(buckets) offsets), the [[Analytics.withGlobalRankCuts]] machinery,
   * so no single-partition window ever sees fact rows. Calibration and
   * confusion are plain map-side-combinable aggregations.
+  *
+  * MATERIALIZATION CONTRACT (applies to every operator here — and in
+  * [[Dedup]]/[[Analytics]]/[[Similarity]]/[[TextAnalysis]] — that returns
+  * `localCheckpoint(eager = true)`): the returned frame is EAGERLY
+  * EXECUTED at call time and its lineage is truncated to local
+  * (non-replicated) blocks. That is deliberate — these operators persist
+  * intermediates internally and must release them before returning, so
+  * the result cannot keep a lazy plan over freed caches — but it means
+  * (a) callers do not get lazy composition: filters composed on top do
+  * not push into the operator, and (b) on a real cluster an executor
+  * loss makes the result unrecoverable (re-run the operator; at 100 TB
+  * use `spark.checkpoint` storage instead). Operators without an
+  * internal persist stay lazy as usual.
   */
 object MLEval {
 

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * Scale note: at 100 TB the signature/bucket computation runs in the
   * ingest pass and is persisted + bucketed-by; queries then touch one
   * bucket (partition pruning), not the corpus.
+  *
+  * Operators returning `localCheckpoint(eager = true)` follow the
+  * eager-materialization contract documented on [[MLEval]]: executed at
+  * call time, lineage truncated, not lazily composable.
   */
 object Similarity {
 

@@ -9,6 +9,10 @@ import graft.functions.TextFns
 /** Text-analysis operators for a training-data pipeline: language ID,
   * quality scoring, token counting, document fingerprinting. All pure
   * column expressions — per-row, shuffle-free, SQL-oracle-expressible.
+  *
+  * Operators returning `localCheckpoint(eager = true)` follow the
+  * eager-materialization contract documented on [[MLEval]]: executed at
+  * call time, lineage truncated, not lazily composable.
   */
 object TextAnalysis {
 
