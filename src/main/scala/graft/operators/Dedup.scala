@@ -739,8 +739,23 @@ object Dedup {
     * `oldPairs ∪ newPairs` would give for every touched node; untouched
     * components pass through unchanged (DedupSpec pins the equality).
     * Shuffles: two label-table joins to find the affected frontier +
-    * the component loop over the (small) affected subgraph. */
-  def incrementalComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    * the component relabel over the (small) affected subgraph.
+    *
+    * Relabel fast path: the affected subgraph is O(batch + touched
+    * components) BY CONSTRUCTION — that bound, not optimism, justifies a
+    * driver-side union-find when the edge count fits under
+    * `driverEdgeLimit` (500k edges ≈ 8 MB collected — the
+    * autoBroadcastJoinThreshold ballpark). The distributed
+    * [[canonicalComponents]] loop pays ~4 jobs of fixed per-round
+    * overhead per pointer-jumping round regardless of data size, which
+    * floored the sf1 incremental update at ~5 s (SCALE.md) while the
+    * actual subgraph was a few thousand edges; the union-find path is
+    * one count + one collect + one parallelize. Identical output
+    * (canonical = min member id — DedupSpec pins driver vs distributed
+    * equality); adversarial batches touching giant components exceed
+    * the gate and fall back to the loop. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+                            driverEdgeLimit: Long = 500000L): DataFrame = {
     val touched = newPairs.select(col("id_a").as("id"))
       .union(newPairs.select(col("id_b").as("id"))).distinct()
     // canonical of every touched node; a node new to the graph is its
@@ -750,11 +765,45 @@ object Dedup {
     val affected = labels.join(touchedCanon, Seq("canonical"), "left_semi")
     val starEdges = affected.filter(col("id") =!= col("canonical"))
       .select(col("id").as("id_a"), col("canonical").as("id_b"))
-    val relabeled = canonicalComponents(
-      newPairs.select("id_a", "id_b").union(starEdges))
+    // materialize once: both the size gate and whichever relabel path
+    // wins read it (the canonicalComponents checkpoint discipline)
+    val edges = newPairs.select("id_a", "id_b").union(starEdges)
+      .localCheckpoint(eager = true)
+    val relabeled =
+      if (edges.count() <= driverEdgeLimit) unionFindComponents(edges)
+      else canonicalComponents(edges)
     labels.join(relabeled.select("id"), Seq("id"), "left_anti")
       .unionByName(relabeled)
       .orderBy("id")
+  }
+
+  /** Driver-side connected components over a COLLECTED edge list —
+    * union-find with path halving, canonical = min member id (the exact
+    * [[canonicalComponents]] contract). Only ever called under an edge-
+    * count gate; O(E α(E)) time, O(V) memory. */
+  private def unionFindComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.select(col("id_a"), col("id_b")).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by min: the smaller id becomes the root, so the root IS
+      // the canonical and no second pass is needed
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      .toDF("id", "canonical")
   }
 
   /** Per-cluster dedup report: for every near-dup component, its size,

@@ -94,6 +94,101 @@ object Multimodal {
         sum(col("frame_checksum")).as("sum_checksum"))
       .orderBy("doc_id")
 
+  /** REAL image payloads: deterministic RGB images PNG-ENCODED through
+    * `javax.imageio` — actual codec bytes, not a checksum stand-in.
+    * Dimensions and pixels are pure functions of `doc_id` (width
+    * `16 + id % 16`, height `16 + id % 8`, channel c at (x, y) =
+    * `(id*31 + x*7 + y*13 + c*101) mod 256`), so a downstream decode is
+    * independently verifiable in closed form. Batched `mapPartitions`
+    * encode — the narrow, shuffle-free media-generation stage. */
+  def withImagePayload(spark: SparkSession, docs: DataFrame,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => // amortized per-batch encode
+        batch.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (16 + id % 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              def ch(c: Int) = ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+              img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode over binary payloads: `javax.imageio.ImageIO.read`
+    * in batched `mapPartitions` (the codec amortization shape), emitting
+    * typed metadata (width, height, band count) and exact per-channel
+    * pixel sums/means from the decoded raster. Narrow — no shuffle; at
+    * 100 TB the decode stage scales with input splits and the means
+    * aggregate map-side. Unreadable payloads surface as NULL stats rows
+    * (the error-column posture), never exceptions. */
+  def imageDecodeStats(spark: SparkSession, payloads: DataFrame,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch => // amortized per-batch decode
+          batch.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, None: Option[(Int, Int, Int, Long, Long, Long)])
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val sums = new Array[Long](3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var c = 0
+                  while (c < 3) { sums(c) += raster.getSample(x, y, c); c += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              (id, Some((w, h, raster.getNumBands, sums(0), sums(1), sums(2))))
+            }
+          }
+        }
+      }
+      .map { case (id, st) =>
+        (id, st.map(_._1), st.map(_._2), st.map(_._3),
+          st.map(_._4), st.map(_._5), st.map(_._6))
+      }
+      .toDF("doc_id", "width", "height", "n_bands", "sum_r", "sum_g", "sum_b")
+      .withColumn("mean_r", col("sum_r").cast("double") /
+        (col("width") * col("height")).cast("double"))
+      .withColumn("mean_g", col("sum_g").cast("double") /
+        (col("width") * col("height")).cast("double"))
+      .withColumn("mean_b", col("sum_b").cast("double") /
+        (col("width") * col("height")).cast("double"))
+  }
+
+  /** Encode → decode round trip per document, ordered — the
+    * `mm_image_decode` catalog entry. The hash gate is real: the engine
+    * side pushes every pixel through an actual PNG encode and an actual
+    * `ImageIO` decode; the DuckDB oracle computes the same sums in
+    * closed form from the pixel formula — so a lossy or misindexed
+    * decode (band order, row stride, premultiplication) breaks the
+    * hash. */
+  def imageDecodeReport(spark: SparkSession, docs: DataFrame): DataFrame =
+    imageDecodeStats(spark, withImagePayload(spark, docs)).orderBy("doc_id")
+
   /** Per-kind rollup over the extracted features (count, bytes, checksum
     * sum — the checksum aggregate is oracle-checkable because the stub is
     * deterministic byte arithmetic). */

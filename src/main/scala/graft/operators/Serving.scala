@@ -89,6 +89,99 @@ object Serving {
         "neutral_summary", "recommendations", "statistics")
   }
 
+  /** EP4 — the COMPLETE report document: every data-bearing field of the
+    * reference's 10-section PDF report in ONE composed plan, one
+    * flattened row (the data half of `pdf_generation/pdf_sections.py:
+    * 20-561`; the ReportLab renderer stays out of engine scope per
+    * SURVEY S11). Section → fields:
+    *  - 1 title / 2 TOC / 4 methodology: static renderer text — no data;
+    *  - 3 executive summary (`pdf_sections.py:76-110`): `source_info`,
+    *    `total_comments`, per-class counts and `{:.1f}%` shares rendered
+    *    via integer permille arithmetic (the F13 convention — never
+    *    double→string);
+    *  - 5 visualizations (`:205-254`): images (oos); the data feeding
+    *    them is already the a1/a4/a8 catalog entries;
+    *  - 6 vector-mean comments (`:286-318`): one representative + its
+    *    confidence per class. The oracle-replayable representative here
+    *    is the comment whose confidence is NEAREST THE CLASS MEAN
+    *    (ties → lower doc_id) — "closest to the class centroid" in the
+    *    one dimension DuckDB can replay bit-for-bit; the TF-IDF/KMeans
+    *    V3 selection ([[graft.ml.Representatives]]) stays the library
+    *    surface with its own rows-only entry. Text truncated at 300 +
+    *    "..." (`:307-309`, F9);
+    *  - 7 highest confidence (`:321-366`): per-class argmax-confidence
+    *    comment (ties → lower doc_id = pandas idxmax-first), trunc 300;
+    *  - 8 LLM summaries (`:369-416`) / 9 recommendations (`:419-453`):
+    *    generation is the external-LLM seam; the per-class evidence the
+    *    generator consumes (80-char top example, the ep2 convention) is
+    *    the data — `summary_positive_basis` / `summary_negative_basis`;
+    *  - 10 insurance risk (`:456-534`) + technical details (`:537-560`):
+    *    the full [[Risk.insuranceRisk]] multiplier breakdown plus
+    *    average confidence; `total_samples` ≡ `total_comments`.
+    *
+    * Scale shape: two map-side-combinable aggregations over the scored
+    * corpus (class mean pass, then the per-class argmin/argmax pass —
+    * the mean must exist before the nearest-to-mean reduction), the A4
+    * trends aggregation, then everything is single-row broadcast
+    * cross-joins — O(1) assembled data at any input scale. */
+  def reportDocument(scored: DataFrame, trends: DataFrame,
+                     sourceInfo: String = "documents"): DataFrame = {
+    val cavg = scored.groupBy("sentiment")
+      .agg(round(avg(col("confidence")), 9).as("cavg"))
+    val t300 = graft.functions.TextFns.truncateWithEllipsis(col("text"), 300)
+    val per = scored.join(broadcast(cavg), "sentiment")
+      .groupBy("sentiment")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min_by(struct(t300.as("text"), col("confidence")),
+          struct(abs(col("confidence") - col("cavg")).as("d"), col("doc_id")))
+          .as("rep"),
+        max_by(struct(t300.as("text"), col("confidence")),
+          struct(col("confidence"), (-col("doc_id")).as("neg_id"))).as("hc"),
+        max_by(substring(col("text"), 1, 80),
+          struct(col("confidence"), (-col("doc_id")).as("neg_id"))).as("ex80"))
+    def cOf(cls: String): Column =
+      coalesce(max(when(col("sentiment") === cls, col("cnt"))), lit(0L))
+    def fOf(cls: String, field: String): Column =
+      max(when(col("sentiment") === cls, col(field)))
+    val merged = per.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("total_comments"),
+      cOf("POSITIVE").as("positive_cnt"),
+      cOf("NEGATIVE").as("negative_cnt"),
+      cOf("NEUTRAL").as("neutral_cnt"),
+      fOf("POSITIVE", "rep.text").as("rep_positive_text"),
+      fOf("POSITIVE", "rep.confidence").as("rep_positive_confidence"),
+      fOf("NEGATIVE", "rep.text").as("rep_negative_text"),
+      fOf("NEGATIVE", "rep.confidence").as("rep_negative_confidence"),
+      fOf("NEUTRAL", "rep.text").as("rep_neutral_text"),
+      fOf("NEUTRAL", "rep.confidence").as("rep_neutral_confidence"),
+      fOf("POSITIVE", "hc.text").as("hc_positive_text"),
+      fOf("POSITIVE", "hc.confidence").as("hc_positive_confidence"),
+      fOf("NEGATIVE", "hc.text").as("hc_negative_text"),
+      fOf("NEGATIVE", "hc.confidence").as("hc_negative_confidence"),
+      fOf("NEUTRAL", "hc.text").as("hc_neutral_text"),
+      fOf("NEUTRAL", "hc.confidence").as("hc_neutral_confidence"),
+      fOf("POSITIVE", "ex80").as("summary_positive_basis"),
+      fOf("NEGATIVE", "ex80").as("summary_negative_basis"))
+    // {:.1f}% share via integer permille (the chatContext convention)
+    def pct(cnt: Column): Column = {
+      val pm = round(cnt * lit(1000.0) / col("total_comments"), 0).cast("long")
+      concat((pm / 10).cast("long"), lit("."), pmod(pm, lit(10)))
+    }
+    val withPct = merged
+      .withColumn("positive_pct", pct(col("positive_cnt")))
+      .withColumn("negative_pct", pct(col("negative_cnt")))
+      .withColumn("neutral_pct", pct(col("neutral_cnt")))
+    val risk = Risk.insuranceRisk(scored, trends).select(
+      col("insurance_cost"), col("risk_level"), col("risk_score"),
+      col("sentiment_multiplier"), col("confidence_multiplier"),
+      col("sample_multiplier"), col("trend_multiplier"), col("trend_status"),
+      col("average_confidence").as("avg_confidence"))
+    broadcast(withPct).crossJoin(broadcast(risk))
+      .select(lit(sourceInfo).as("source_info") +: withPct.columns.map(col) ++:
+        risk.columns.map(col): _*)
+  }
+
   /** Renders a confidence as the reference's `{c:.2f}` (two decimals) via
     * integer-cent arithmetic — never double→string, which differs across
     * engines (see F13 conventions).

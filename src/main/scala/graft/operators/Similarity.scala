@@ -953,6 +953,66 @@ object Similarity {
     lshNearDupPairs(emb, threshold, planes = bands * r, bands = bands, dim = dim)
   }
 
+  /** Within-cell embedding near-dup pairs — the trained-cells (IVF-style)
+    * pair-generation path that BOUNDS the candidate volume where
+    * [[lshNearDupPairsAuto]]'s band widening cannot: auto-banding keeps
+    * bucket occupancy bounded only in expectation over random directions,
+    * and measured sf0.1→sf1 it was the catalog's one super-linear scaler
+    * (15.1× wall at 10× data — band width widens 5→9 and the residual
+    * hot buckets still blow up). Cells are an explicit equi-partition:
+    * every vector is assigned to exactly ONE cell (cosine-argmax against
+    * `centsIn`, the [[semDedupWith]] assignment), pairs form only within
+    * a cell, and with occupancy-sized cell counts the per-cell pair join
+    * is O(occupancy²) per cell = O(n·occupancy) total — linear in the
+    * corpus by construction, at every scale.
+    *
+    * Recall tradeoff (the honest half): a near-dup pair straddling a
+    * cell boundary is missed — one probe per vector, the SemDeDup
+    * posture (Abbas et al. 2023 dedup within k-means clusters). For the
+    * true near-dup regime (cos > ~0.9) straddling is rare because both
+    * members quantize to the same nearest centroid almost surely; at
+    * moderate thresholds pair recall is what SimilaritySpec measures
+    * against the exact baseline. `centsIn` takes either the
+    * deterministic first-n convention (oracle-replayable) or
+    * [[trainCentroids]] output (the production fit) — same plan either
+    * way, one broadcast table swaps. */
+  def cellNearDupPairs(emb: DataFrame, centsIn: DataFrame,
+                       threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = centsIn
+      .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))
+    val assigned = assignCells(e, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[cellNearDupPairs]] with data-sized cell count and the
+    * deterministic first-nCells centroid convention — the oracle-
+    * replayable form: `nCells = max(16, ceil(n / targetOccupancy))`
+    * (integer arithmetic, the [[semDedupAuto]] rule), so per-cell pair
+    * volume stays bounded as the corpus grows. The production variant
+    * passes [[trainCentroids]] to [[cellNearDupPairs]] directly. */
+  def cellNearDupPairsAuto(emb: DataFrame, threshold: Double,
+                           targetOccupancy: Int = 64): DataFrame = {
+    val n = emb.count()
+    val nCells = math.max(16L, (n + targetOccupancy - 1) / targetOccupancy).toInt
+    val e0 = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    cellNearDupPairs(emb,
+      e0.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"), col("v").as("cv")),
+      threshold)
+  }
+
   /** Sign-bit binary signature of an embedding as two packed 32-bit
     * halves `(bq_lo, bq_hi)` — bit `i` of the signature is `v[i] > 0`.
     * Two INT-range BIGINTs rather than one 64-bit word on purpose: bit 63

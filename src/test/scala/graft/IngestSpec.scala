@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+class IngestSpec extends SparkSpec {
+
+  private def fixtures(): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("ingest")
+    java.nio.file.Files.write(dir.resolve("page_one.html"),
+      "<html><body>alpha beta</body></html>".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("page_two.html"),
+      "<html><body>gamma</body></html>".getBytes("UTF-8"))
+    (s"file://$dir/page_one.html", s"file://$dir/page_two.html")
+  }
+
+  test("fetchUrls: file:// fixtures fetch ok, bytes intact, manifest columns ride through") {
+    val s = spark
+    import s.implicits._
+    val (u1, u2) = fixtures()
+    val manifest = Seq((1L, u1), (2L, u2)).toDF("req_id", "url")
+    val out = Ingest.fetchUrls(spark, manifest).orderBy("req_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("status") == "ok"))
+    assert(out.forall(_.getAs[Int]("attempts") == 1))
+    assert(out.forall(r => r.getAs[String]("error") == null))
+    val body = new String(out(0).getAs[Array[Byte]]("content"), "UTF-8")
+    assert(body == "<html><body>alpha beta</body></html>")
+    assert(out(0).getAs[Long]("n_bytes") == body.length)
+    assert(out(0).getAs[Long]("req_id") == 1L) // passthrough column intact
+  }
+
+  test("fetchUrls: a dead URL becomes an error ROW after maxAttempts, never an exception") {
+    val s = spark
+    import s.implicits._
+    val (u1, _) = fixtures()
+    val dead = "file:///nonexistent/graft/no_such_page.html"
+    val manifest = Seq((1L, u1), (2L, dead)).toDF("req_id", "url")
+    val out = Ingest.fetchUrls(spark, manifest, maxAttempts = 3,
+        retryBackoffMs = 1).orderBy("req_id").collect()
+    val err = out(1)
+    assert(err.getAs[String]("status") == "error")
+    assert(err.getAs[Int]("attempts") == 3) // retried to the bound
+    assert(err.getAs[String]("error") != null)
+    assert(err.getAs[Array[Byte]]("content") == null)
+    // the healthy row is unaffected by its partition-mate's failure
+    assert(out(0).getAs[String]("status") == "ok")
+  }
+
+  test("fetchUrls: max_bytes caps a pathological response as an error row") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ingest")
+    java.nio.file.Files.write(dir.resolve("big.html"),
+      Array.fill[Byte](4096)('x'.toByte))
+    val manifest = Seq(s"file://$dir/big.html").toDF("url")
+    val out = Ingest.fetchUrls(spark, manifest, maxBytes = 1024).collect()(0)
+    assert(out.getAs[String]("status") == "error")
+    assert(out.getAs[String]("error").contains("max_bytes"))
+  }
+
+  test("artifactFilename + hostOf: the reference's cache-filename convention") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "https://ex.com/reviews/page",   // path -> underscores + .html
+      "https://ex.com/deep/a/b.html",  // keeps existing .html
+      "https://ex.com/",               // empty path -> host with dots -> _
+      "https://x.co").toDF("url")
+    val out = df.select(
+      Ingest.artifactFilename(col("url")).as("f"),
+      Ingest.hostOf(col("url")).as("h")).collect()
+    assert(out(0).getString(0) == "reviews_page.html")
+    assert(out(1).getString(0) == "deep_a_b.html")
+    assert(out(2).getString(0) == "ex_com.html")
+    assert(out(3).getString(0) == "x_co.html")
+    assert(out(0).getString(1) == "ex.com")
+    assert(out(3).getString(1) == "x.co")
+  }
+
+  test("fetchUrls: per-task rate limiter spaces requests by min_interval_ms") {
+    val s = spark
+    import s.implicits._
+    val (u1, u2) = fixtures()
+    // one partition, two URLs, 200 ms interval -> wall >= ~200 ms
+    val manifest = Seq(u1, u2).toDF("url").coalesce(1)
+    val t0 = System.nanoTime()
+    val out = Ingest.fetchUrls(spark, manifest, minIntervalMs = 200).collect()
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    assert(out.forall(_.getAs[String]("status") == "ok"))
+    assert(wallMs >= 180, s"rate limiter did not space requests (wall ${wallMs}ms)")
+  }
+}

@@ -50,4 +50,33 @@ class MultimodalSpec extends SparkSpec {
     val sum = Multimodal.frameSampleSummary(docs).collect()
     assert(sum.length == 1 && sum(0).getAs[Long]("n_sampled") == 1L)
   }
+
+  test("image decode: PNG round trip recovers the exact pixel formula") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(5L, 12L).toDF("doc_id")
+    val out = Multimodal.imageDecodeReport(spark, docs).collect()
+    assert(out.length == 2)
+    val r = out(0) // doc_id 5: w = 16 + 5 = 21, h = 16 + 5 = 21
+    assert(r.getAs[Int]("width") == 21 && r.getAs[Int]("height") == 21)
+    assert(r.getAs[Int]("n_bands") == 3)
+    // closed-form sums straight from the pixel formula
+    def expect(id: Long, w: Int, h: Int, c: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h)
+        yield (id * 31 + x * 7 + y * 13 + c * 101) % 256).sum
+    assert(r.getAs[Long]("sum_r") == expect(5, 21, 21, 0))
+    assert(r.getAs[Long]("sum_g") == expect(5, 21, 21, 1))
+    assert(r.getAs[Long]("sum_b") == expect(5, 21, 21, 2))
+    assert(r.getAs[Double]("mean_r") == expect(5, 21, 21, 0).toDouble / (21 * 21))
+  }
+
+  test("image decode: unreadable payload becomes a NULL-stats row, not an exception") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = Multimodal.imageDecodeStats(spark, bad).collect()(0)
+    assert(out.getAs[Long]("doc_id") == 7L)
+    assert(out.isNullAt(out.fieldIndex("width")))
+    assert(out.isNullAt(out.fieldIndex("mean_r")))
+  }
 }

@@ -186,7 +186,9 @@ class PlanShapeSpec extends SparkSpec {
       "ml_pr_curve", // score groups x ONE broadcast totals row
       "ir_rrf", // BM25's single-row corpus stats + the single query vector
       "gr_modularity", // per-community terms x ONE broadcast edge-count row
-      "sim_filtered_ann") // sim_ivf's centroid assignment + single-row probe
+      "sim_filtered_ann", // sim_ivf's centroid assignment + single-row probe
+      "dd_embedding_cells_neardup", // corpus x broadcast O(cells) centroid table (assignCells)
+      "ep4_report_document") // single-row section frames broadcast-cross-joined (ep2 shape)
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",

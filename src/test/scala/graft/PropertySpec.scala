@@ -104,6 +104,13 @@ class PropertySpec extends SparkSpec {
         .canonicalComponents((p1 ++ p2).distinct.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"case $i: p1=$p1 p2=$p2")
+      // the distributed relabel fallback (driverEdgeLimit = 0 forces it)
+      // must agree with the driver union-find fast path bit-for-bit
+      val gotDist = graft.operators.Dedup
+        .incrementalComponents(labels, p2.toDF("id_a", "id_b"),
+          driverEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == want, s"distributed path diverged, case $i")
     }
   }
 

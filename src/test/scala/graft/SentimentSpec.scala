@@ -112,4 +112,47 @@ class SentimentSpec extends SparkSpec {
     val bad = seam.filter("wc <= 4 AND original_score <> 0.0").count()
     assert(bad == 0)
   }
+
+  test("MLP model runtime: artifact round-trips bit-exactly") {
+    val m = graft.ml.MlpSentiment.defaultModel
+    val p = java.nio.file.Files.createTempDirectory("mlp").resolve("m.bin").toString
+    graft.ml.MlpSentiment.save(m, p)
+    val r = graft.ml.MlpSentiment.load(p)
+    assert(r.v == m.v && r.h == m.h)
+    assert(r.w1.flatten.toSeq == m.w1.flatten.toSeq)
+    assert(r.b1.sameElements(m.b1))
+    assert(r.w2.flatten.toSeq == m.w2.flatten.toSeq)
+    assert(r.b2.sameElements(m.b2))
+    // the session cache hands back the loaded artifact, and only loads once
+    assert(graft.ml.MlpSentiment.sessionFor(p) eq graft.ml.MlpSentiment.sessionFor(p))
+  }
+
+  test("MLP model runtime: batch size never changes the scores") {
+    val m = graft.ml.MlpSentiment.defaultModel
+    val p = java.nio.file.Files.createTempDirectory("mlp").resolve("m.bin").toString
+    graft.ml.MlpSentiment.save(m, p)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    def run(bs: Int) = Sentiment.scoreWithModel(docs,
+        graft.ml.MlpSentiment.batchScorer(p), batchSize = bs)
+      .select("doc_id", "raw_label", "confidence").orderBy("doc_id")
+      .collect().toSeq
+    // batch boundaries are pure amortization — per-row results identical
+    assert(run(3) == run(1000))
+  }
+
+  test("MLP model runtime: a real third opinion, all classes reachable") {
+    val m = graft.ml.MlpSentiment.defaultModel
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val texts = docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val scored = graft.ml.MlpSentiment.forward(m, texts)
+    // margins spread enough that F8 yields all three classes
+    val classes = scored.map { case (lbl, conf) =>
+      if (conf > Sentiment.ConfidenceThreshold) lbl else "NEUTRAL" }.toSet
+    assert(classes == Set("POSITIVE", "NEGATIVE", "NEUTRAL"),
+      s"degenerate class set $classes")
+    // and it disagrees with the lexicon on some documents
+    val lex = Sentiment.lexiconBatchScorer(texts)
+    assert(scored.map(_._1).zip(lex.map(_._1)).exists { case (a, b) => a != b },
+      "MLP never disagreed with the lexicon — not a real model swap")
+  }
 }
