@@ -629,6 +629,25 @@ object SparkEntry {
       "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
       family = Dedup.PortableFamily)
 
+  /** [[docNearDupPairs]] as a MAINTAINED TABLE (the bandedPairsShared
+    * posture applied to the text family): eight catalog entries —
+    * components, cluster stats, prune, both incremental arms, triangles,
+    * k-core, modularity — consume the identical verified pair frame, and
+    * each regenerated it from the shingle join before. Built once per
+    * corpus identity (FileSystem-listing key) and persisted; every
+    * consumer pays a parquet read-back of the O(dups) pair set instead of
+    * the O(corpus) signature+band+verify pipeline. Per-pair jaccard is
+    * published ROUND(6)-ed upstream, so the round trip is bit-exact and
+    * every oracle hash is unchanged. */
+  private def docPairsShared(s: SparkSession, d: String): DataFrame = {
+    val p = new java.io.File(
+      s"spark-warehouse/graft_state/dp_${sourceStateKey(s, d, "documents.parquet")}").toString
+    if (!new java.io.File(p, "_SUCCESS").exists) {
+      docNearDupPairs(s, d).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
   /** Shared scored-frame for the ML-evaluation family (`ml_auc`,
     * `ml_calibration`, `ml_prf`): the hashed linear classifier's
     * probability ([[TextAnalysis.hashedLinearScore]]) as the prediction,
@@ -1252,7 +1271,7 @@ object SparkEntry {
       // of this entry's 27 s at sf1). The Spark side is iterative
       // min-label propagation; the oracle replays the identical banded
       // pipeline (portable md5 permutation family) + a recursive CTE
-      (s, d) => Dedup.canonicalComponents(docNearDupPairs(s, d)),
+      (s, d) => Dedup.canonicalComponents(docPairsShared(s, d)),
       Some(mhComponentsOracleCtes +
         """
           |SELECT id, LEAST(id, MIN(r)) AS canonical FROM mh_reach GROUP BY id
@@ -1287,7 +1306,7 @@ object SparkEntry {
       // Both sides average the ROUND(6)-ed per-pair jaccard (the pair
       // frame's published value), so the aggregation inputs are
       // bit-identical — no rounding-boundary flip on regenerated data
-      (s, d) => Dedup.clusterStats(docNearDupPairs(s, d)),
+      (s, d) => Dedup.clusterStats(docPairsShared(s, d)),
       Some(mhComponentsOracleCtes +
         """,
           |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM mh_reach GROUP BY id),
@@ -1307,7 +1326,7 @@ object SparkEntry {
       // against the small drop set), keep canonicals + untouched docs;
       // pairs come from the banded MinHash path, generated ONCE
       (s, d) => Dedup.pruneToCanonical(
-        Tables.documents(s, d), docNearDupPairs(s, d), "doc_id")
+        Tables.documents(s, d), docPairsShared(s, d), "doc_id")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id"),
       Some(mhComponentsOracleCtes +
@@ -1427,7 +1446,7 @@ object SparkEntry {
       // the hash gate proves the incremental algorithm exact
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val labels = Dedup.canonicalComponents(docNearDupPairs(s, d))
+        val labels = Dedup.canonicalComponents(docPairsShared(s, d))
         val batch = docs.filter(col("doc_id") % 17 === 0)
           .select((col("doc_id") + 2000000).as("doc_id"),
             concat_ws(" ",
@@ -1465,7 +1484,7 @@ object SparkEntry {
         // final _SUCCESS absent, so the next run rebuilds everything
         // instead of probing a half-written index
         if (!new java.io.File(shP, "_SUCCESS").exists) {
-          Dedup.canonicalComponents(docNearDupPairs(s, d))
+          Dedup.canonicalComponents(docPairsShared(s, d))
             .write.mode("overwrite").parquet(labelsP)
           val (bands, shingles) = Dedup.minhashIndexFrames(docs,
             "text", "doc_id", n = 4, k = 32, bands = 8,
@@ -3041,6 +3060,34 @@ object SparkEntry {
              |  CAST(sum_g AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g,
              |  CAST(sum_b AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b
              |FROM sums ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_audio_decode",
+      // the audio twin of mm_image_decode: deterministic 16-bit mono PCM
+      // WAV-encoded via javax.sound.sampled, decoded back with
+      // AudioSystem.getAudioInputStream in batched mapPartitions, exact
+      // integer signal stats (amplitude sum, energy, min/max, zero
+      // crossings) off the decoded samples. The oracle replays the
+      // sample formula in closed form — a RIFF header mis-parse, an
+      // endianness flip, or a lossy decode breaks every stat.
+      (s, d) => Multimodal.audioDecodeReport(s, Tables.documents(s, d)),
+      Some("""WITH au AS (
+             |  SELECT doc_id, CAST(200 + doc_id % 200 AS BIGINT) AS n,
+             |    list_transform(range(0, CAST(200 + doc_id % 200 AS INT)), i ->
+             |      CAST((doc_id*31 + i*17) % 65536 - 32768 AS BIGINT)) AS s
+             |  FROM documents),
+             |ast AS (SELECT doc_id, n,
+             |    CAST(list_sum(s) AS BIGINT) AS sum_amp,
+             |    CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS sum_sq,
+             |    CAST(list_min(s) AS INT) AS min_amp,
+             |    CAST(list_max(s) AS INT) AS max_amp,
+             |    CAST(list_sum(list_transform(range(1, CAST(n AS INT)), i ->
+             |      CASE WHEN (s[i] < 0) <> (s[i+1] < 0) THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_cross
+             |  FROM au)
+             |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+             |  CAST(1 AS INT) AS n_channels, n AS n_samples,
+             |  sum_amp, sum_sq, min_amp, max_amp, n_zero_cross,
+             |  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
+             |FROM ast ORDER BY doc_id""".stripMargin)),
 
     Q("v3_representatives",
       // V1-V3 MLlib pipeline: cluster structure is seed/partitioning
@@ -4893,7 +4940,7 @@ object SparkEntry {
       // gluing distinct docs (clustering→0). Degree-oriented wedge join
       // (Schank–Wagner) bounds fan-out by √m; counts are orientation-
       // invariant so the id-ordered oracle agrees exactly.
-      (s, d) => operators.Graph.triangleStats(docNearDupPairs(s, d)),
+      (s, d) => operators.Graph.triangleStats(docPairsShared(s, d)),
       Some(mhTriangleOracleSql)),
 
     Q("gr_assortativity",
@@ -5115,7 +5162,7 @@ object SparkEntry {
       // tree-like fringe of one-off marginal pairs, leaving the densely
       // duplicated cores where clique-collapse is unambiguous; each peel
       // unrolls to one oracle CTE (the pageRank convention)
-      (s, d) => operators.Graph.kCore(docNearDupPairs(s, d), k = 2, peels = 3),
+      (s, d) => operators.Graph.kCore(docPairsShared(s, d), k = 2, peels = 3),
       Some(Sentiment.oracleCte +
         minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
         mhPairsCte(0.5) +
@@ -5138,14 +5185,14 @@ object SparkEntry {
       // Newman modularity of the near-dup component partition over its
       // own pair graph — every edge is intra-component, so Q = 1 −
       // Σ(d_c/2m)²: the fragmentation score (→1 balanced clusters, →0 a
-      // giant component hoarding the edges). Pair pipeline persisted once
-      // and shared by labels and modularity; released before returning
-      // (1-row result localCheckpoint'ed — the triangleStats discipline)
+      // giant component hoarding the edges). Pairs come from the shared
+      // maintained table (a parquet read-back — no in-query persist
+      // needed); 1-row result localCheckpoint'ed, the triangleStats
+      // discipline
       (s, d) => {
-        val p = docNearDupPairs(s, d).persist()
-        try operators.Graph.modularity(p, Dedup.canonicalComponents(p))
+        val p = docPairsShared(s, d)
+        operators.Graph.modularity(p, Dedup.canonicalComponents(p))
           .localCheckpoint(eager = true)
-        finally p.unpersist()
       },
       Some(mhComponentsOracleCtes +
         """,

@@ -648,7 +648,8 @@ object Dedup {
     *
     * Returns (id, canonical) for every node appearing in `pairs`. */
   def canonicalComponents(pairs: DataFrame, maxIter: Int = 20,
-                          checkpointEvery: Int = 1): DataFrame = {
+                          checkpointEvery: Int = 1,
+                          driverEdgeLimit: Long = 500000L): DataFrame = {
     // symmetrize in ONE pass over `pairs` via explode — a union of two
     // selects would evaluate the (expensive: shingle join + aggregation)
     // pair pipeline twice, once per branch
@@ -657,6 +658,23 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
+    // Small-graph fast path: near-dup components over a REAL corpus are
+    // tiny relative to it (the pair frame is already the banded/verified
+    // residue), and the pointer-jumping loop pays ~4 fixed-overhead jobs
+    // PER ROUND regardless of edge count — at bench scale that overhead
+    // IS the wall (sim_dbscan's clustering algebra: ~13 s over a
+    // few-thousand-edge frame at sf1). Under `driverEdgeLimit`
+    // symmetrized edges (500k ≈ 8 MB of longs — the broadcast-threshold
+    // ballpark) a driver union-find replaces the loop: one count + one
+    // collect, identical output (canonical = min member id;
+    // PropertySpec pins the equality against this very loop). The count
+    // materializes the persist either way, so the fallback loop loses
+    // nothing. Giant components at 100 TB exceed the gate and take the
+    // distributed loop as before.
+    if (edges.count() <= driverEdgeLimit)
+      try return unionFindComponents(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+      finally edges.unpersist()
     // localCheckpoint (not persist): the pointer-jumping self-join doubles
     // the LOGICAL plan every round — caching alone keeps the exponential
     // lineage and planning/explain OOMs after ~6 rounds; checkpointing
@@ -803,7 +821,7 @@ object Dedup {
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
     parent.keys.toSeq.sorted.map(id => (id, find(id)))
-      .toDF("id", "canonical")
+      .toDF("id", "canonical").orderBy("id")
   }
 
   /** Per-cluster dedup report: for every near-dup component, its size,

@@ -189,6 +189,106 @@ object Multimodal {
   def imageDecodeReport(spark: SparkSession, docs: DataFrame): DataFrame =
     imageDecodeStats(spark, withImagePayload(spark, docs)).orderBy("doc_id")
 
+  /** REAL audio payloads: deterministic 16-bit mono PCM, WAV-ENCODED
+    * through `javax.sound.sampled` — actual RIFF/WAVE codec bytes, the
+    * audio twin of [[withImagePayload]]. Sample i of document id is
+    * `((id*31 + i*17) mod 65536) − 32768` (full-range integer noise) and
+    * `n_samples = 200 + id % 200` at 8 kHz — pure functions of `doc_id`,
+    * so a downstream decode is independently verifiable in closed form.
+    * Batched `mapPartitions` encode: narrow, shuffle-free. */
+  def withAudioPayload(spark: SparkSession, docs: DataFrame,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => // amortized per-batch encode
+        batch.map { id =>
+          val n = (200 + id % 200).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+            pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false) // signed, little-endian
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          (id, out.toByteArray)
+        }
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode over binary payloads:
+    * `AudioSystem.getAudioInputStream` in batched `mapPartitions`,
+    * emitting the decoded format's typed metadata (sample rate, channel
+    * count, frame count) and exact integer signal stats off the decoded
+    * samples — amplitude sum, energy (sum of squares), min/max, and the
+    * zero-crossing count (the classic voiced/unvoiced heuristic). A
+    * header mis-parse, an endianness flip, or a resampling decode breaks
+    * every stat. Unreadable payloads surface as NULL stats rows (the
+    * error-column posture), never exceptions. Narrow — no shuffle. */
+  def audioDecodeStats(spark: SparkSession, payloads: DataFrame,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch => // amortized per-batch decode
+          batch.map { case (id, bytes) =>
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              var (sumAmp, sumSq, zc) = (0L, 0L, 0L)
+              var (minAmp, maxAmp) = (Int.MaxValue, Int.MinValue)
+              var prev = 0
+              var i = 0
+              while (i < n) {
+                // little-endian signed int16, as the format declares
+                val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+                sumAmp += s; sumSq += s.toLong * s
+                if (s < minAmp) minAmp = s
+                if (s > maxAmp) maxAmp = s
+                if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
+                prev = s
+                i += 1
+              }
+              (id, Some((fmt.getSampleRate.toInt, fmt.getChannels, n.toLong,
+                sumAmp, sumSq, minAmp, maxAmp, zc)))
+            } catch {
+              case _: Exception =>
+                (id, None: Option[(Int, Int, Long, Long, Long, Int, Int, Long)])
+            }
+          }
+        }
+      }
+      .map { case (id, st) =>
+        (id, st.map(_._1), st.map(_._2), st.map(_._3), st.map(_._4),
+          st.map(_._5), st.map(_._6), st.map(_._7), st.map(_._8))
+      }
+      .toDF("doc_id", "sample_rate", "n_channels", "n_samples",
+        "sum_amp", "sum_sq", "min_amp", "max_amp", "n_zero_cross")
+      .withColumn("rms",
+        sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
+  }
+
+  /** Encode → decode round trip per document, ordered — the
+    * `mm_audio_decode` catalog entry. The engine side pushes every sample
+    * through an actual WAV encode and an actual `javax.sound.sampled`
+    * decode; the DuckDB oracle computes the identical stats in closed
+    * form from the sample formula, so a header/endianness/stride bug in
+    * either codec direction goes red. */
+  def audioDecodeReport(spark: SparkSession, docs: DataFrame): DataFrame =
+    audioDecodeStats(spark, withAudioPayload(spark, docs)).orderBy("doc_id")
+
   /** Per-kind rollup over the extracted features (count, bytes, checksum
     * sum — the checksum aggregate is oracle-checkable because the stub is
     * deterministic byte arithmetic). */

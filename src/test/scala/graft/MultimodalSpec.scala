@@ -79,4 +79,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("width")))
     assert(out.isNullAt(out.fieldIndex("mean_r")))
   }
+
+  test("audio decode: WAV round trip recovers the exact sample formula") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(3L, 250L).toDF("doc_id")
+    val out = Multimodal.audioDecodeReport(spark, docs).collect()
+    assert(out.length == 2)
+    def samples(id: Long): Seq[Long] = {
+      val n = (200 + id % 200).toInt
+      (0 until n).map(i => (id * 31 + i.toLong * 17) % 65536 - 32768)
+    }
+    for ((r, id) <- out.zip(Seq(3L, 250L))) {
+      val ss = samples(id)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("n_channels") == 1)
+      assert(r.getAs[Long]("n_samples") == ss.length.toLong)
+      assert(r.getAs[Long]("sum_amp") == ss.sum)
+      assert(r.getAs[Long]("sum_sq") == ss.map(x => x * x).sum)
+      assert(r.getAs[Int]("min_amp") == ss.min.toInt)
+      assert(r.getAs[Int]("max_amp") == ss.max.toInt)
+      assert(r.getAs[Long]("n_zero_cross") ==
+        ss.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+      assert(r.getAs[Double]("rms") ==
+        math.sqrt(ss.map(x => x * x).sum.toDouble / ss.length))
+    }
+  }
+
+  test("audio decode: unreadable payload becomes a NULL-stats row, not an exception") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((9L, Array[Byte](82, 73, 70))).toDF("doc_id", "payload")
+    val out = Multimodal.audioDecodeStats(spark, bad).collect()(0)
+    assert(out.getAs[Long]("doc_id") == 9L)
+    assert(out.isNullAt(out.fieldIndex("n_samples")))
+    assert(out.isNullAt(out.fieldIndex("rms")))
+  }
 }
