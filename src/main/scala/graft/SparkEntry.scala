@@ -787,6 +787,24 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** Persisted IVF index `(vec_id, cell)` for `sim_incr_ivf` — the base
+    * corpus assigned ONCE under the deterministic first-16 centroid
+    * convention and stored as a parquet table keyed on the embeddings
+    * file's identity (the trainedQuantizers lifecycle). The entry's
+    * update step appends a batch against the SAME pinned centroids and
+    * probes the union — base assignments are read back, never
+    * recomputed. */
+  private def ivfIndexShared(s: SparkSession, d: String): DataFrame = {
+    val p = new java.io.File(
+      s"spark-warehouse/graft_state/iv_${sourceStateKey(s, d, "embeddings.parquet")}").toString
+    if (!new java.io.File(p, "_SUCCESS").exists) {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfAssignments(emb, Similarity.ivfCentroids(emb, 16))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
   /** Shared oracle for the two incremental-components entries
     * (`dd_incr_components`, `dd_incr_indexed`): the FULL recompute over
     * corpus ∪ probe pairs via the recursive-CTE closure — both engine
@@ -1780,6 +1798,44 @@ object SparkEntry {
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), queryId = 20, k = 10),
       Some(s"""WITH $evecCteSql,
               |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, v, nrm, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |q AS (SELECT v AS qv, nrm AS qnrm, cell AS qcell FROM asg WHERE vec_id = 20)
+              |SELECT vec_id, cell, ROUND(${dotSql("v", "qv")} / (nrm * qnrm), 6) AS cos
+              |FROM asg, q WHERE vec_id <> 20 AND cell = qcell
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("sim_incr_ivf",
+      // incremental IVF index maintenance — the streaming-vector-ingest
+      // production shape: base assignments persisted once (ivfIndexShared,
+      // the dd_incr_indexed lifecycle), an ingest batch (every 17th
+      // vector re-appearing under vec_id+2e6 — planted exact dups)
+      // assigned against the SAME pinned centroids in O(batch), and the
+      // probe served from the UNION index. The oracle full-recomputes
+      // assignment over corpus ∪ batch, hash-proving update ≡ rebuild;
+      // batch clones of probed-cell vectors must surface with their
+      // twin's exact cosine
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val batch = emb.filter(col("vec_id") % 17 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        val batchIdx = Similarity.ivfAssignments(
+          batch, Similarity.ivfCentroids(emb, 16))
+        val allVecs = emb.select(col("vec_id"), col("embedding")).union(batch)
+        Similarity.ivfTopKIndexed(allVecs,
+          ivfIndexShared(s, d).union(batchIdx), queryId = 20, k = 10)
+      },
+      Some(s"""WITH $evecCteSql,
+              |allv AS (SELECT vec_id, v FROM evec
+              |  UNION ALL SELECT vec_id + 2000000, v FROM evec WHERE vec_id % 17 = 0),
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM allv),
               |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
               |asg0 AS (
               |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
@@ -3059,6 +3115,34 @@ object SparkEntry {
              |  CAST(sum_r AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_r,
              |  CAST(sum_g AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g,
              |  CAST(sum_b AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b
+             |FROM sums ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_image_resize",
+      // the resize stage of a vision-data pipeline: real PNG decode, then
+      // an EXPLICIT nearest-neighbor resample to an 8x8 thumbnail — source
+      // pixel for (dx, dy) is (dx*w DIV 8, dy*h DIV 8) over the decoded
+      // raster — with exact per-channel integer sums. The kernel is
+      // written out (not delegated to AWT's scaler, whose rounding varies
+      // by rendering hint) so the oracle replays the sampled-pixel sums in
+      // closed form: an off-by-one sampling index or transposed axis goes
+      // red on the 500-row hash
+      (s, d) => Multimodal.imageResizeReport(s, Tables.documents(s, d)),
+      Some("""WITH px AS (SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+             |  FROM documents),
+             |grid AS (SELECT doc_id, w, h,
+             |    ((p % 8) * w) // 8 AS x, ((p // 8) * h) // 8 AS y
+             |  FROM px, (SELECT unnest(range(0, 64)) AS p)),
+             |sums AS (SELECT doc_id, w, h,
+             |    CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+             |    CAST(SUM((doc_id*31 + x*7 + y*13 + 101) % 256) AS BIGINT) AS sum_g,
+             |    CAST(SUM((doc_id*31 + x*7 + y*13 + 202) % 256) AS BIGINT) AS sum_b
+             |  FROM grid GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+             |  CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
+             |  sum_r, sum_g, sum_b,
+             |  CAST(sum_r AS DOUBLE) / CAST(64 AS DOUBLE) AS mean_r,
+             |  CAST(sum_g AS DOUBLE) / CAST(64 AS DOUBLE) AS mean_g,
+             |  CAST(sum_b AS DOUBLE) / CAST(64 AS DOUBLE) AS mean_b
              |FROM sums ORDER BY doc_id""".stripMargin)),
 
     Q("mm_audio_decode",

@@ -289,6 +289,73 @@ object Multimodal {
   def audioDecodeReport(spark: SparkSession, docs: DataFrame): DataFrame =
     audioDecodeStats(spark, withAudioPayload(spark, docs)).orderBy("doc_id")
 
+  /** REAL image resize over binary payloads: `ImageIO.read` decode, then
+    * an explicit nearest-neighbor resample to a fixed `thumbW`×`thumbH`
+    * thumbnail — source pixel for destination (dx, dy) is
+    * (dx·w div thumbW, dy·h div thumbH), the integer-floor sampling every
+    * NN kernel uses — and exact per-channel integer sums over the
+    * thumbnail. The kernel is written out over the decoded raster rather
+    * than delegated to `Graphics2D.drawImage` so the sampling arithmetic
+    * is pinned (AWT's scaler rounds differently per rendering hint) and a
+    * DuckDB oracle can replay it in closed form. Batched `mapPartitions`,
+    * narrow, shuffle-free — the thumbnail stage of a 100 TB vision-data
+    * pipeline scales with input splits. Unreadable payloads → NULL stats
+    * rows, never exceptions. */
+  def imageResizeStats(spark: SparkSession, payloads: DataFrame,
+                       thumbW: Int = 8, thumbH: Int = 8,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch => // amortized per-batch decode
+          batch.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, None: Option[(Int, Int, Long, Long, Long)])
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val sums = new Array[Long](3)
+              var dy = 0
+              while (dy < thumbH) {
+                val sy = dy * h / thumbH // integer floor — the NN kernel
+                var dx = 0
+                while (dx < thumbW) {
+                  val sx = dx * w / thumbW
+                  var c = 0
+                  while (c < 3) { sums(c) += raster.getSample(sx, sy, c); c += 1 }
+                  dx += 1
+                }
+                dy += 1
+              }
+              (id, Some((w, h, sums(0), sums(1), sums(2))))
+            }
+          }
+        }
+      }
+      .map { case (id, st) =>
+        (id, st.map(_._1), st.map(_._2), st.map(_._3), st.map(_._4), st.map(_._5))
+      }
+      .toDF("doc_id", "src_w", "src_h", "sum_r", "sum_g", "sum_b")
+      .withColumn("thumb_w", lit(thumbW))
+      .withColumn("thumb_h", lit(thumbH))
+      .withColumn("mean_r", col("sum_r").cast("double") / lit(thumbW * thumbH).cast("double"))
+      .withColumn("mean_g", col("sum_g").cast("double") / lit(thumbW * thumbH).cast("double"))
+      .withColumn("mean_b", col("sum_b").cast("double") / lit(thumbW * thumbH).cast("double"))
+      .select("doc_id", "src_w", "src_h", "thumb_w", "thumb_h",
+        "sum_r", "sum_g", "sum_b", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** Encode → decode → resize per document, ordered — the
+    * `mm_image_resize` catalog entry. The engine pushes real PNG bytes
+    * through a real `ImageIO` decode and an explicit NN resample; the
+    * oracle recomputes the sampled-pixel sums in closed form from the
+    * pixel formula, so an off-by-one in the sampling index, a transposed
+    * axis, or a scaler substitution goes red. */
+  def imageResizeReport(spark: SparkSession, docs: DataFrame): DataFrame =
+    imageResizeStats(spark, withImagePayload(spark, docs)).orderBy("doc_id")
+
   /** Per-kind rollup over the extracted features (count, bytes, checksum
     * sum — the checksum aggregate is oracle-checkable because the stub is
     * deterministic byte arithmetic). */

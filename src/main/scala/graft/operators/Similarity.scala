@@ -269,6 +269,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** The deterministic first-`nCells` centroid frame `(cell, cv, cnrm)` —
+    * [[ivfTopK]]'s convention factored out so INCREMENTAL maintenance can
+    * pin the coarse quantizer at index-build time and reuse it for every
+    * ingest batch (retraining the quantizer per batch would invalidate
+    * every stored assignment — no production index does that). */
+  def ivfCentroids(emb: DataFrame, nCells: Int = 16): DataFrame =
+    emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"),
+        normFast(col("v")).as("cnrm"))
+
+  /** Cell assignments `(vec_id, cell)` of `emb` against an explicit
+    * (broadcast) centroid frame — the UPDATE step of incremental IVF
+    * maintenance: cost is O(|batch| · nCells) with no shuffle of the
+    * base index, so appending a micro-batch to a billion-vector index
+    * never rescans the corpus. */
+  def ivfAssignments(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    assignCells(e, cents).select(col("vec_id"), col("cell"))
+  }
+
+  /** IVF probe over an externally-MAINTAINED index `(vec_id, cell)` —
+    * the serving half of incremental IVF: assignments come from the
+    * persisted index (base build ∪ appended batches), never recomputed
+    * at query time. The vec_id equi-join is co-partitionable with the
+    * vector table; at 100 TB the index is written `partitionBy(cell)` so
+    * the probe's cell filter prunes to one partition's scan + heap. */
+  def ivfTopKIndexed(vecs: DataFrame, index: DataFrame,
+                     queryId: Long, k: Int): DataFrame = {
+    val e = vecs.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val assigned = e.join(index, Seq("vec_id"))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cell").as("qcell"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Filtered vector search ([[ivfTopK]] with a metadata predicate pushed
     * INSIDE the probed cell): top-k cosine among only the vectors
     * satisfying `pred` — the "vector search WHERE label = x" shape every

@@ -106,6 +106,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image resize: NN thumbnail sums match the sampled-pixel formula exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(5L, 23L).toDF("doc_id")
+    val out = Multimodal.imageResizeReport(spark, docs).collect()
+    assert(out.length == 2)
+    for ((r, id) <- out.zip(Seq(5L, 23L))) {
+      val w = (16 + id % 16).toInt
+      val h = (16 + id % 8).toInt
+      def px(x: Int, y: Int, c: Int) = (id * 31 + x * 7 + y * 13 + c * 101) % 256
+      val sums = (for { dy <- 0 until 8; dx <- 0 until 8 } yield {
+        val (sx, sy) = (dx * w / 8, dy * h / 8)
+        (px(sx, sy, 0), px(sx, sy, 1), px(sx, sy, 2))
+      })
+      assert(r.getAs[Int]("src_w") == w && r.getAs[Int]("src_h") == h)
+      assert(r.getAs[Long]("sum_r") == sums.map(_._1).sum)
+      assert(r.getAs[Long]("sum_g") == sums.map(_._2).sum)
+      assert(r.getAs[Long]("sum_b") == sums.map(_._3).sum)
+      assert(r.getAs[Double]("mean_r") == sums.map(_._1).sum.toDouble / 64)
+    }
+  }
+
+  test("image resize: unreadable payload becomes a NULL-stats row") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((4L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = Multimodal.imageResizeStats(spark, bad).collect()(0)
+    assert(out.getAs[Long]("doc_id") == 4L)
+    assert(out.isNullAt(out.fieldIndex("src_w")))
+    assert(out.isNullAt(out.fieldIndex("sum_r")))
+  }
+
   test("audio decode: unreadable payload becomes a NULL-stats row, not an exception") {
     val s = spark
     import s.implicits._

@@ -653,4 +653,29 @@ class SimilaritySpec extends SparkSpec {
     }, 1.0, 3.0))
     assert(out(1L) == (2L, 10.0, 0.0, 10.0, 10.0))
   }
+
+  test("incremental IVF: maintained index probe == full ivfTopK rebuild") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val batch = emb.filter(col("vec_id") % 17 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val all = emb.select(col("vec_id"), col("embedding")).union(batch)
+    val cents = Similarity.ivfCentroids(emb, 16)
+    // incremental path: base index built once, batch assigned separately
+    // against the SAME centroids, probe over the union index
+    val idx = Similarity.ivfAssignments(emb, cents)
+      .union(Similarity.ivfAssignments(batch, cents))
+    val incr = Similarity.ivfTopKIndexed(all, idx, queryId = 20, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // rebuild path: assign everything from scratch
+    val full = Similarity.ivfTopK(all, queryId = 20, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(incr.toSeq == full.toSeq)
+    assert(incr.length == 10)
+    // the planted clone rule: any probed-cell vec with vec_id % 17 == 0
+    // has its +2e6 twin in the SAME cell at the SAME cosine
+    val byId = incr.map(t => t._1 -> t).toMap
+    for ((id, (_, cell, cos)) <- byId if id < 2000000 && id % 17 == 0;
+         twin <- byId.get(id + 2000000))
+      assert(twin._2 == cell && twin._3 == cos)
+  }
 }
