@@ -4942,6 +4942,27 @@ object SparkEntry {
              |SELECT event_type, user_id, cnt, rn FROM r WHERE rn <= 5
              |ORDER BY event_type, rn""".stripMargin)),
 
+    Q("st13_stream_vector_ingest",
+      // streaming IVF index maintenance — the vector twin of st10:
+      // embedding micro-batches cell-assigned against the PINNED offline
+      // quantizer inside foreachBatch, assignments merged into the
+      // parquet index via the crash-safe swap. Result = the FINAL INDEX,
+      // every (vec_id, cell) row — the oracle replays the full static
+      // assignment in SQL, hash-proving streaming build ≡ batch rebuild
+      (s, d) => graft.streaming.Streams.runVectorIngestToCompletion(s, d),
+      Some(s"""WITH $evecCteSql,
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+              |asg0 AS (
+              |  SELECT en.vec_id, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1)
+              |SELECT vec_id, cell FROM asg ORDER BY vec_id""".stripMargin)),
+
     Q("tok_bpe_pairs",
       // BPE learning's iteration-1 statistic: adjacent symbol-pair counts
       // (chars + </w>) weighted by word frequency, over the O(vocab)

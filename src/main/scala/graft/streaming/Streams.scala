@@ -577,6 +577,65 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming IVF index maintenance, run to completion — the vector
+    * twin of [[runDedupIngestToCompletion]]: embedding vectors arrive in
+    * file micro-batches (`maxFilesPerTrigger=1`, mtime-ordered: even
+    * vec_ids then odd), each batch is cell-assigned against the PINNED
+    * coarse quantizer ([[graft.operators.Similarity.ivfAssignments]] —
+    * centroids trained offline before ingest begins; no production index
+    * retrains its quantizer per micro-batch, that would invalidate every
+    * stored assignment), and the `(vec_id, cell)` assignments merge into
+    * the parquet index snapshot via the crash-safe swap. Replay-idempotent
+    * (foreachBatch is at-least-once): assignment is deterministic given
+    * the pinned centroids, so a replayed batch upserts identical rows.
+    *
+    * Returns the FINAL INDEX ordered by vec_id — every assignment, not
+    * just a probed cell, so the oracle (static full-corpus assignment
+    * replayed in SQL) hash-proves the streaming build ≡ a batch rebuild.
+    * At 100 TB the snapshot is written `partitionBy(cell)` and each
+    * micro-batch merge touches only the cells the batch lands in. */
+  def runVectorIngestToCompletion(spark: SparkSession, dir: String,
+                                  queryName: String = "stream_vector_ingest")
+      : DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val tmp = Files.createTempDirectory("graft_vecingest_").toString
+    val inDir = tmp + "/in"
+    val indexDir = tmp + "/index"
+    Files.createDirectories(Paths.get(inDir))
+    def writeOne(df: DataFrame, stage: String, target: String, mtime: Long): Unit = {
+      val stageDir = s"$tmp/$stage"
+      df.coalesce(1).write.parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, target)
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 180000
+    writeOne(emb.filter(col("vec_id") % 2 === 0), "b1", "1_even.parquet", t0)
+    writeOne(emb.filter(col("vec_id") % 2 =!= 0), "b2", "2_odd.parquet", t0 + 60000)
+    // quantizer pinned BEFORE the stream starts (the offline-training
+    // posture); materialized once so every micro-batch broadcasts the
+    // same 16 rows instead of re-deriving them from the source table
+    val cents = Similarity.ivfCentroids(emb, 16).localCheckpoint()
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertSnapshotBatch(spark, indexDir,
+          Similarity.ivfAssignments(batch, cents), "vec_id")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(indexDir).orderBy("vec_id")
+  }
+
   def runToCompletion(spark: SparkSession, dir: String,
                       queryName: String = "stream_out"): DataFrame = {
     // Stateful-stream partitioning is pinned at query start from

@@ -339,4 +339,17 @@ class StreamsSpec extends SparkSpec {
     assert(snap.exceptAll(batch).isEmpty && batch.exceptAll(snap).isEmpty)
     assert(snap.count() > 0)
   }
+
+  test("vector ingest stream: final index == static full-corpus assignment") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val streamed = Streams.runVectorIngestToCompletion(spark, sf0001, "st13_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val static = Similarity.ivfAssignments(
+        emb, Similarity.ivfCentroids(emb, 16))
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq == static.toSeq)
+    assert(streamed.length == emb.count())
+  }
 }
