@@ -1746,6 +1746,27 @@ object SparkEntry {
               |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
               |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ir_hard_negatives",
+      // hard-negative mining for contrastive training: per panel query
+      // the top-10 candidates with cosine < 0.8 — similar enough to be
+      // hard, below the near-dup band that would make them false
+      // negatives. One corpus scan, broadcast panel, bounded heaps; the
+      // exclusion filter runs on the ROUND(6)ed cosine so the band
+      // boundary is engine-deterministic
+      (s, d) => Similarity.hardNegatives(Tables.embeddings(s, d),
+        queryIds = Seq(5L, 6L, 7L, 8L, 9L), k = 10, maxCos = 0.8),
+      Some(s"""WITH $evecCteSql,
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM evec
+              |  WHERE vec_id IN (5, 6, 7, 8, 9)),
+              |sc AS (SELECT q.query_id, e.vec_id,
+              |    ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM evec e, q WHERE e.vec_id <> q.query_id),
+              |rk AS (SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              |  FROM sc WHERE cos < CAST(0.8 AS DOUBLE))
+              |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+              |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     Q("sim_sq_ann",
       // scalar-quantized asymmetric ANN (FAISS SQ8): int8 code scan for
       // the approximate rank (scale cancels out of cosine), exact float

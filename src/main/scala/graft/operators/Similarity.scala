@@ -879,6 +879,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training — per panel query,
+    * the top-k most-similar candidates whose cosine stays BELOW `maxCos`:
+    * "similar enough to be hard, not so similar it's a positive/dup" —
+    * the standard negative-sampling rule for training retrieval and
+    * embedding models (in-batch negatives are too easy; near-dups are
+    * false negatives). Same single-corpus-scan shape as [[batchTopK]]
+    * (broadcast query panel, bounded-heap per-query top-k, zero
+    * shuffle-sort of scored rows) with the exclusion band applied before
+    * the heap, so excluded dups never occupy heap slots. The filter
+    * compares the ROUND(6)ed cosine so the band boundary is deterministic
+    * on both engines. Returns `(query_id, rank, vec_id, cos)`. */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                    maxCos: Double): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .filter(col("cos") < maxCos)
+      .groupBy("query_id")
+      .agg(graft.plans.TopK.topKByScore(col("cos"), col("vec_id"),
+        struct(col("vec_id"), col("cos")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.cos").as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** DBSCAN (Ester et al. 1996) over embedding cosine similarity — the
     * density clustering a dedup triage wants where k-means' fixed k and
     * spherical cells mislead: clusters are maximal sets reachable through

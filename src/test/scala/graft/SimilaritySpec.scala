@@ -654,6 +654,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == (2L, 10.0, 0.0, 10.0, 10.0))
   }
 
+  test("hard negatives: planted near-dup excluded, band-top candidates kept in order") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // plant an exact clone of query 5 — cosine 1.0, the false negative
+    // the band must reject
+    val clone = emb.filter(col("vec_id") === 5L)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    val out = Similarity.hardNegatives(
+        emb.select(col("vec_id"), col("embedding")).union(clone),
+        queryIds = Seq(5L), k = 10, maxCos = 0.8)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 10)
+    assert(!out.exists(_._2 == 900001L), "clone (cos 1.0) must be excluded")
+    assert(out.forall(_._3 < 0.8))
+    // ranks contiguous, cosines non-increasing
+    assert(out.map(_._1).toSeq == (1 to 10))
+    assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    // equals the brute-force ranking restricted to the band
+    val brute = Similarity.bruteForceTopK(emb, queryId = 5L, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._2 < 0.8).take(10)
+    assert(out.map(t => (t._2, t._3)).toSeq == brute.toSeq)
+  }
+
   test("incremental IVF: maintained index probe == full ivfTopK rebuild") {
     val emb = Tables.embeddings(spark, sf0001)
     val batch = emb.filter(col("vec_id") % 17 === 0)
