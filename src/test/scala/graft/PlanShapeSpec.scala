@@ -188,7 +188,9 @@ class PlanShapeSpec extends SparkSpec {
       "gr_modularity", // per-community terms x ONE broadcast edge-count row
       "sim_filtered_ann", // sim_ivf's centroid assignment + single-row probe
       "dd_embedding_cells_neardup", // corpus x broadcast O(cells) centroid table (assignCells)
-      "ep4_report_document") // single-row section frames broadcast-cross-joined (ep2 shape)
+      "ep4_report_document", // single-row section frames broadcast-cross-joined (ep2 shape)
+      "sim_incr_ivf", // assignCells' broadcast centroid table + single-row probe
+      "ir_hard_negatives") // corpus scan x the broadcast 5-row query panel
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
@@ -279,6 +281,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(candPlan.contains("BroadcastHashJoin"), candPlan)
     assert(!candPlan.contains("SortMergeJoin"), candPlan)
     assert(probe.columns.toSeq == Seq("probe_id", "corpus_id", "jaccard"))
+  }
+
+  test("hard negatives: broadcast panel, bounded heap — no sort of scored rows") {
+    val p = plan("ir_hard_negatives")
+    // the query panel rides a broadcast nested-loop (5 rows vs corpus)
+    // with the band filter fused into the join condition, and the
+    // per-query top-k reduces through a PARTIAL heap aggregate before the
+    // exchange; the only range exchange is the final orderBy over the
+    // O(panel x k) result — in plan text it must sit ABOVE (downstream
+    // of) the heap aggregate, never under it on raw scored rows
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_graft_top_k"), p)
+    val rangeAt = p.indexOf("Exchange rangepartitioning")
+    val aggAt = p.indexOf("partial_graft_top_k")
+    assert(rangeAt < aggAt, p)
+  }
+
+  test("incremental IVF probe: index joins by key, probe side broadcasts") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = graft.operators.Similarity.ivfAssignments(
+      emb, graft.operators.Similarity.ivfCentroids(emb, 16))
+    val p = graft.operators.Similarity
+      .ivfTopKIndexed(emb.select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")), idx, 20, 10)
+      .queryExecution.executedPlan.toString
+    // the one-row query descriptor is broadcast into the cell filter —
+    // the probe never shuffles the corpus on the cell key
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("trained quantizer fits are layout-deterministic (re-train == re-train)") {
