@@ -1598,11 +1598,14 @@ object SparkEntry {
       // cell-bounded pair generation (r8 VERDICT task 2): the banded form
       // above is the catalog's only super-linear scaler (15.1x wall at
       // 10x data — auto-banding bounds occupancy only in expectation and
-      // the hot buckets still blow up). Cells are an explicit
-      // EQUI-PARTITION: one cosine-argmax cell per vector (the
-      // sim_semdedup assignment), pairs only within a cell, cell count
-      // sized n/occupancy — so candidate volume is O(n * occupancy) by
-      // construction, linear at EVERY scale. Recall tradeoff (straddling
+      // the hot buckets still blow up). One cosine-argmax cell per vector
+      // (the sim_semdedup assignment), pairs only within a cell, cell
+      // count sized n/occupancy — candidate volume O(n * occupancy) over
+      // well-spread data. Cells are Voronoi regions, so that bound is an
+      // expectation, not a guarantee: a corpus piled on one centroid
+      // refills its cell (trained centroids + a per-cell occupancy audit
+      // are the production guards — see cellNearDupPairs' scaladoc).
+      // Recall tradeoff (straddling
       // pairs missed, SemDeDup posture) is measured in SimilaritySpec
       // against the exact baseline; the trained-centroid production arm
       // is cellNearDupPairs(trainCentroids(...)), same plan, one

@@ -71,7 +71,12 @@ object MlpSentiment {
   def save(m: Model, path: String): Unit = {
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
-    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
+    // write-to-temp + atomic rename: a crash mid-write must never leave a
+    // truncated artifact at the published path — callers gate the rewrite
+    // on existence, so a partial file would poison every later session
+    // (the parquet-state _SUCCESS discipline, applied to a single file)
+    val tmp = new java.io.File(path + ".tmp")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
     try {
       out.writeInt(Magic); out.writeInt(1)
       out.writeInt(m.v); out.writeInt(m.h)
@@ -80,6 +85,9 @@ object MlpSentiment {
       m.w2.foreach(_.foreach(out.writeDouble))
       m.b2.foreach(out.writeDouble)
     } finally out.close()
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def load(path: String): Model = {

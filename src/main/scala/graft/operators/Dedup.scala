@@ -787,9 +787,12 @@ object Dedup {
     // wins read it (the canonicalComponents checkpoint discipline)
     val edges = newPairs.select("id_a", "id_b").union(starEdges)
       .localCheckpoint(eager = true)
+    // forward the gate: a caller opting OUT of driver-side collection
+    // (driverEdgeLimit = 0) must not be routed back into union-find by
+    // canonicalComponents' own default
     val relabeled =
       if (edges.count() <= driverEdgeLimit) unionFindComponents(edges)
-      else canonicalComponents(edges)
+      else canonicalComponents(edges, driverEdgeLimit = driverEdgeLimit)
     labels.join(relabeled.select("id"), Seq("id"), "left_anti")
       .unionByName(relabeled)
       .orderBy("id")
@@ -811,8 +814,12 @@ object Dedup {
       }
       x
     }
+    // collect via the numeric interface, not getLong: the distributed
+    // loop coerces int-typed ids through its least/min SQL expressions,
+    // and the fast path must accept the same inputs (a getLong here
+    // ClassCastExceptions on IntegerType — gate-dependent breakage)
     edges.select(col("id_a"), col("id_b")).collect().foreach { r =>
-      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (a, b) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
@@ -820,8 +827,14 @@ object Dedup {
       // the canonical and no second pass is needed
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
+    // result columns carry the INPUT id type so both gate paths return
+    // the same schema
+    val idType = edges.schema("id_a").dataType
     parent.keys.toSeq.sorted.map(id => (id, find(id)))
-      .toDF("id", "canonical").orderBy("id")
+      .toDF("id", "canonical")
+      .select(col("id").cast(idType).as("id"),
+        col("canonical").cast(idType).as("canonical"))
+      .orderBy("id")
   }
 
   /** Per-cluster dedup report: for every near-dup component, its size,

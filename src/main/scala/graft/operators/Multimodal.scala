@@ -99,54 +99,58 @@ object Multimodal {
     * Dimensions and pixels are pure functions of `doc_id` (width
     * `16 + id % 16`, height `16 + id % 8`, channel c at (x, y) =
     * `(id*31 + x*7 + y*13 + c*101) mod 256`), so a downstream decode is
-    * independently verifiable in closed form. Batched `mapPartitions`
-    * encode — the narrow, shuffle-free media-generation stage. */
-  def withImagePayload(spark: SparkSession, docs: DataFrame,
-                       batchSize: Int = 64): DataFrame = {
+    * independently verifiable in closed form. Narrow `mapPartitions`
+    * encode, per-item — `ImageIO` amortizes nothing across calls, so a
+    * grouped batch loop here would be dead complexity (per-BATCH
+    * amortization is the model seam's concern, see
+    * `Sentiment.scoreWithModel`); the shuffle-free media-generation
+    * stage. */
+  def withImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch => // amortized per-batch encode
-        batch.map { id =>
-          val w = (16 + id % 16).toInt
-          val h = (16 + id % 8).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              def ch(c: Int) = ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
-              img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
-              x += 1
-            }
-            y += 1
+      it.map { id =>
+        val w = (16 + id % 16).toInt
+        val h = (16 + id % 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def ch(c: Int) = ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+            img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+            x += 1
           }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          (id, out.toByteArray)
+          y += 1
         }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
       }
     }.toDF("doc_id", "payload")
   }
 
   /** REAL image decode over binary payloads: `javax.imageio.ImageIO.read`
-    * in batched `mapPartitions` (the codec amortization shape), emitting
-    * typed metadata (width, height, band count) and exact per-channel
-    * pixel sums/means from the decoded raster. Narrow — no shuffle; at
-    * 100 TB the decode stage scales with input splits and the means
-    * aggregate map-side. Unreadable payloads surface as NULL stats rows
-    * (the error-column posture), never exceptions. */
-  def imageDecodeStats(spark: SparkSession, payloads: DataFrame,
-                       batchSize: Int = 64): DataFrame = {
+    * in a narrow `mapPartitions`, emitting typed metadata (width, height,
+    * band count) and exact per-channel pixel sums/means from the decoded
+    * raster. No shuffle; at 100 TB the decode stage scales with input
+    * splits and the means aggregate map-side. EVERY unreadable payload
+    * surfaces as a NULL stats row (the error-column posture), never an
+    * exception: `ImageIO.read` returns null only for unrecognized bytes
+    * but THROWS on recognized-but-corrupt ones, so the whole decode is
+    * fenced; images with fewer than 3 bands (grayscale/paletted) are
+    * error rows too rather than an out-of-bounds band access. */
+  def imageDecodeStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch => // amortized per-batch decode
-          batch.map { case (id, bytes) =>
+        it.map { case (id, bytes) =>
+          try {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            if (img == null) (id, None: Option[(Int, Int, Int, Long, Long, Long)])
+            if (img == null || img.getRaster.getNumBands < 3)
+              (id, None: Option[(Int, Int, Int, Long, Long, Long)])
             else {
               val (w, h) = (img.getWidth, img.getHeight)
               val raster = img.getRaster
@@ -163,6 +167,9 @@ object Multimodal {
               }
               (id, Some((w, h, raster.getNumBands, sums(0), sums(1), sums(2))))
             }
+          } catch {
+            case _: Exception =>
+              (id, None: Option[(Int, Int, Int, Long, Long, Long)])
           }
         }
       }
@@ -195,31 +202,29 @@ object Multimodal {
     * `((id*31 + i*17) mod 65536) − 32768` (full-range integer noise) and
     * `n_samples = 200 + id % 200` at 8 kHz — pure functions of `doc_id`,
     * so a downstream decode is independently verifiable in closed form.
-    * Batched `mapPartitions` encode: narrow, shuffle-free. */
-  def withAudioPayload(spark: SparkSession, docs: DataFrame,
-                       batchSize: Int = 64): DataFrame = {
+    * Narrow per-item `mapPartitions` encode (the codec amortizes nothing
+    * across calls — batch loops belong to the model seam), shuffle-free. */
+  def withAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch => // amortized per-batch encode
-        batch.map { id =>
-          val n = (200 + id % 200).toInt
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val s = (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
-            pcm(2 * i) = (s & 0xff).toByte // little-endian int16
-            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            8000f, 16, 1, true, false) // signed, little-endian
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val out = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-          (id, out.toByteArray)
+      it.map { id =>
+        val n = (200 + id % 200).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
         }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false) // signed, little-endian
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
       }
     }.toDF("doc_id", "payload")
   }
@@ -231,20 +236,24 @@ object Multimodal {
     * samples — amplitude sum, energy (sum of squares), min/max, and the
     * zero-crossing count (the classic voiced/unvoiced heuristic). A
     * header mis-parse, an endianness flip, or a resampling decode breaks
-    * every stat. Unreadable payloads surface as NULL stats rows (the
-    * error-column posture), never exceptions. Narrow — no shuffle. */
-  def audioDecodeStats(spark: SparkSession, payloads: DataFrame,
-                       batchSize: Int = 64): DataFrame = {
+    * every stat. Unreadable payloads — and formats the int16 stride
+    * assumption doesn't hold for (non-16-bit, multi-channel, big-endian)
+    * — surface as NULL stats rows (the error-column posture), never
+    * exceptions. Narrow per-item `mapPartitions` — no shuffle. */
+  def audioDecodeStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch => // amortized per-batch decode
-          batch.map { case (id, bytes) =>
+        it.map { case (id, bytes) =>
             try {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(bytes))
               val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                  fmt.isBigEndian)
+                throw new javax.sound.sampled.UnsupportedAudioFileException(
+                  s"int16-mono-LE stats need a matching format, got $fmt")
               val data = ais.readAllBytes()
               val n = data.length / 2
               var (sumAmp, sumSq, zc) = (0L, 0L, 0L)
@@ -267,7 +276,6 @@ object Multimodal {
               case _: Exception =>
                 (id, None: Option[(Int, Int, Long, Long, Long, Int, Int, Long)])
             }
-          }
         }
       }
       .map { case (id, st) =>
@@ -297,22 +305,23 @@ object Multimodal {
     * thumbnail. The kernel is written out over the decoded raster rather
     * than delegated to `Graphics2D.drawImage` so the sampling arithmetic
     * is pinned (AWT's scaler rounds differently per rendering hint) and a
-    * DuckDB oracle can replay it in closed form. Batched `mapPartitions`,
-    * narrow, shuffle-free — the thumbnail stage of a 100 TB vision-data
-    * pipeline scales with input splits. Unreadable payloads → NULL stats
-    * rows, never exceptions. */
+    * DuckDB oracle can replay it in closed form. Narrow per-item
+    * `mapPartitions`, shuffle-free — the thumbnail stage of a 100 TB
+    * vision-data pipeline scales with input splits. EVERY unreadable
+    * payload (null from unrecognized bytes, thrown from corrupt ones, or
+    * fewer than 3 bands) → a NULL stats row, never an exception. */
   def imageResizeStats(spark: SparkSession, payloads: DataFrame,
-                       thumbW: Int = 8, thumbH: Int = 8,
-                       batchSize: Int = 64): DataFrame = {
+                       thumbW: Int = 8, thumbH: Int = 8): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch => // amortized per-batch decode
-          batch.map { case (id, bytes) =>
+        it.map { case (id, bytes) =>
+          try {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            if (img == null) (id, None: Option[(Int, Int, Long, Long, Long)])
+            if (img == null || img.getRaster.getNumBands < 3)
+              (id, None: Option[(Int, Int, Long, Long, Long)])
             else {
               val (w, h) = (img.getWidth, img.getHeight)
               val raster = img.getRaster
@@ -331,6 +340,8 @@ object Multimodal {
               }
               (id, Some((w, h, sums(0), sums(1), sums(2))))
             }
+          } catch {
+            case _: Exception => (id, None: Option[(Int, Int, Long, Long, Long)])
           }
         }
       }

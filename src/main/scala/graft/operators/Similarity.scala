@@ -1034,12 +1034,19 @@ object Similarity {
     * bucket occupancy bounded only in expectation over random directions,
     * and measured sf0.1→sf1 it was the catalog's one super-linear scaler
     * (15.1× wall at 10× data — band width widens 5→9 and the residual
-    * hot buckets still blow up). Cells are an explicit equi-partition:
-    * every vector is assigned to exactly ONE cell (cosine-argmax against
-    * `centsIn`, the [[semDedupWith]] assignment), pairs form only within
-    * a cell, and with occupancy-sized cell counts the per-cell pair join
-    * is O(occupancy²) per cell = O(n·occupancy) total — linear in the
-    * corpus by construction, at every scale.
+    * hot buckets still blow up). Every vector is assigned to exactly ONE
+    * cell (cosine-argmax against `centsIn`, the [[semDedupWith]]
+    * assignment), pairs form only within a cell, and with occupancy-sized
+    * cell counts over well-spread data the per-cell pair join is
+    * O(occupancy²) per cell = O(n·occupancy) total. That bound is an
+    * EXPECTATION over the data distribution, not a construction
+    * guarantee: cells are Voronoi regions, so a corpus concentrated
+    * around one centroid refills that cell and re-creates the quadratic
+    * join (the same failure mode as a hot LSH bucket). The production
+    * guards are [[trainCentroids]] — fitted centroids track the data's
+    * actual modes, splitting dense regions across cells — and a per-cell
+    * occupancy audit (the `dx_skew_report` shape) before the join; a
+    * cell over budget gets sub-quantized or falls back to banding.
     *
     * Recall tradeoff (the honest half): a near-dup pair straddling a
     * cell boundary is missed — one probe per vector, the SemDeDup

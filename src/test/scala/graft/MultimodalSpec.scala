@@ -128,6 +128,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image decode: truncated PNG (recognized header, corrupt body) is a NULL row, not a task kill") {
+    val s = spark
+    import s.implicits._
+    // a real PNG cut in half: ImageIO RECOGNIZES it and throws from the
+    // reader (read() only returns null for unrecognized bytes) — the
+    // fenced decode must turn that into an error row
+    val full = Multimodal.withImagePayload(spark, Seq(7L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val broken = Seq((7L, full.take(full.length / 2))).toDF("doc_id", "payload")
+    val out = Multimodal.imageDecodeStats(spark, broken).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("width")))
+    val rz = Multimodal.imageResizeStats(spark, broken).collect()(0)
+    assert(rz.isNullAt(rz.fieldIndex("src_w")))
+  }
+
+  test("image decode: grayscale (fewer than 3 bands) is a NULL row, not an OOB band access") {
+    val s = spark
+    import s.implicits._
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val gray = Seq((3L, bos.toByteArray)).toDF("doc_id", "payload")
+    val out = Multimodal.imageDecodeStats(spark, gray).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("sum_r")))
+    val rz = Multimodal.imageResizeStats(spark, gray).collect()(0)
+    assert(rz.isNullAt(rz.fieldIndex("sum_r")))
+  }
+
   test("image resize: unreadable payload becomes a NULL-stats row") {
     val s = spark
     import s.implicits._
