@@ -1730,6 +1730,35 @@ object SparkEntry {
               |FROM evec, q WHERE vec_id <> 0
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("emb_whiten_topk",
+      // retrieval in diagonally WHITENED space — the standard post-
+      // processing for anisotropic embedding corpora (mean-center +
+      // per-dim unit variance). Stats are published ROUND(6)ed and the
+      // transform uses ONLY the published values (the ml_ece rounded-bins
+      // discipline), so both engines whiten with bit-identical constants;
+      // dead dims (sd -> 0) pass through centered. The whitening itself
+      // is one narrow codegen'd transform over the corpus — the per-dim
+      // stats are an O(dims) scalar probe, never corpus-sized state
+      (s, d) => Similarity.whitenedTopK(Tables.embeddings(s, d),
+        queryId = 20, k = 10),
+      Some(s"""WITH $evecCteSql,
+              |ds AS (
+              |  SELECT i, ROUND(avg(v[i]), 6) AS mu,
+              |    CASE WHEN ROUND(stddev_pop(v[i]), 6) = CAST(0.0 AS DOUBLE)
+              |         THEN CAST(1.0 AS DOUBLE)
+              |         ELSE ROUND(stddev_pop(v[i]), 6) END AS sd
+              |  FROM evec, (SELECT unnest(range(1, 65)) AS i)
+              |  GROUP BY i),
+              |st AS (SELECT list(mu ORDER BY i) AS mu, list(sd ORDER BY i) AS sd FROM ds),
+              |wv AS (SELECT vec_id,
+              |    list_transform(range(1, 65), i -> (v[i] - mu[i]) / sd[i]) AS w
+              |  FROM evec, st),
+              |wn AS (SELECT vec_id, w, ${normSql("w")} AS nrm FROM wv),
+              |q AS (SELECT w AS qw, nrm AS qnrm FROM wn WHERE vec_id = 20)
+              |SELECT vec_id, ROUND(${dotSql("w", "qw")} / (nrm * qnrm), 6) AS cos
+              |FROM wn, q WHERE vec_id <> 20
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     Q("sim_batch_topk",
       // batched exact top-k: ONE corpus scan scores the whole query panel
       // (0..4); per-query top-10 reduces through the native bounded-heap

@@ -362,6 +362,56 @@ object Similarity {
         min(col("x")).as("min_x"), max(col("x")).as("max_x"))
       .orderBy("dim")
 
+  /** Diagonal whitening stats: per-dimension mean and POPULATION std,
+    * each ROUND(6)ed before publication — whitening must transform with
+    * the PUBLISHED stats (the ml_ece rounded-bins discipline), because
+    * the raw aggregates are order-dependent double sums and a last-bit
+    * difference between engines would otherwise leak into every whitened
+    * coordinate. Degenerate dims (sd = 0 after rounding) publish sd 1.0:
+    * a dead dimension passes through centered rather than dividing by
+    * zero. One posexplode → dimensionality-constant aggregation; the
+    * result is O(dims) rows — a broadcast-scale frame at any corpus
+    * size. */
+  def whitenStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(toDoubleArray(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x")), 6).as("mu"),
+        round(stddev_pop(col("x")), 6).as("sd0"))
+      .withColumn("sd", when(col("sd0") === 0.0, lit(1.0)).otherwise(col("sd0")))
+      .select("dim", "mu", "sd")
+      .orderBy("dim")
+
+  /** Brute-force top-k cosine in DIAGONALLY WHITENED space — the
+    * standard retrieval post-processing for anisotropic embedding
+    * corpora (mean-center + per-dim unit variance; full ZCA/PCA
+    * whitening needs an eigendecomposition and is a model-side concern).
+    * The per-dim stats are an O(dims) collect (a scalar probe, like the
+    * PageRank node count — dims is a constant, never corpus-sized)
+    * embedded as array literals, so the whitening itself is one narrow
+    * codegen'd `transform` over the corpus: no join, no shuffle before
+    * the bounded top-k. Whitened cosines ROUND(6) with vec_id tiebreak,
+    * the [[bruteForceTopK]] determinism convention. */
+  def whitenedTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val stats = whitenStats(emb).collect() // O(dims) rows
+    val mus = stats.map(_.getAs[Double]("mu"))
+    val sds = stats.map(_.getAs[Double]("sd"))
+    val musLit = typedLit(mus)
+    val sdsLit = typedLit(sds)
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("w", transform(col("v"), (x, i) =>
+        (x - element_at(musLit, (i + 1).cast("int"))) /
+          element_at(sdsLit, (i + 1).cast("int"))))
+      .withColumn("nrm", normFast(col("w")))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("w").as("qw"), col("nrm").as("qnrm"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotFast(col("w"), col("qw")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011) with asymmetric
     * distance computation (ADC): the 64-dim vector splits into `m`
     * subspaces of `dim/m` dims; each sub-vector is encoded as the id of

@@ -654,6 +654,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == (2L, 10.0, 0.0, 10.0, 10.0))
   }
 
+  test("whitening: published stats re-center to ~0/~1; dead dim passes through centered") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val stats = Similarity.whitenStats(emb).collect()
+    assert(stats.length == 64)
+    // re-whiten with the published stats and check the resulting per-dim
+    // moments: |mean| <= rounding slack, std within it of 1
+    val mus = stats.map(_.getAs[Double]("mu"))
+    val sds = stats.map(_.getAs[Double]("sd"))
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (d <- Seq(0, 17, 63)) {
+      val w = vecs.map(v => (v(d) - mus(d)) / sds(d))
+      val m = w.sum / w.length
+      val sd = math.sqrt(w.map(x => (x - m) * (x - m)).sum / w.length)
+      assert(math.abs(m) < 1e-4, s"dim $d mean $m")
+      assert(math.abs(sd - 1.0) < 1e-3, s"dim $d sd $sd")
+    }
+    // a constant dimension publishes sd 1.0 (centered passthrough)
+    val const = Seq((1L, Seq(2.5f, 1f)), (2L, Seq(2.5f, 3f)))
+      .toDF("vec_id", "embedding")
+    val cs = Similarity.whitenStats(const).collect()
+    assert(cs(0).getAs[Double]("sd") == 1.0)
+    assert(cs(0).getAs[Double]("mu") == 2.5)
+  }
+
   test("hard negatives: planted near-dup excluded, band-top candidates kept in order") {
     val emb = Tables.embeddings(spark, sf0001)
     // plant an exact clone of query 5 — cosine 1.0, the false negative
