@@ -193,7 +193,8 @@ class PlanShapeSpec extends SparkSpec {
       "dd_embedding_cells_neardup", // corpus x broadcast O(cells) centroid table (assignCells)
       "ep4_report_document", // single-row section frames broadcast-cross-joined (ep2 shape)
       "sim_incr_ivf", // assignCells' broadcast centroid table + single-row probe
-      "ir_hard_negatives") // corpus scan x the broadcast 5-row query panel
+      "ir_hard_negatives", // corpus scan x the broadcast 5-row query panel
+      "emb_whiten_topk") // whitened corpus x the single broadcast query row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
