@@ -3546,6 +3546,63 @@ object SparkEntry {
           |  ROUND(avg_confidence, 3) AS avg_confidence
           |FROM fin, pmv""".stripMargin)),
 
+    Q("ep1_ingest_pipeline",
+      // EP1 END-TO-END through the REAL ingest stack (S2→S1→S4→V4/F7/F8):
+      // deterministic HTML pages materialized per document (s4b wrapper),
+      // routed through the S2 `urls` dispatch (search_methods_fun.py:49-117,
+      // the documented one-row-per-URL target contract), fetched over
+      // file:// by the S1 mapPartitions fetch workers (download_page_fun
+      // .py:35-205), <p>-extracted (extract_text_fun.py:136-245 fast
+      // path), and scored by the V4 seam. The oracle is the PLAIN scored
+      // CTE over `documents`: every lexicon token and F7 keyword is
+      // whitespace-free, so scoring the paragraph-recovered
+      // cleanText(text) is bit-identical to scoring text — a hash match
+      // therefore proves the whole write→dispatch→fetch→parse round-trip
+      // lossless, not just the scoring algebra. Driver-sized pieces by
+      // contract: the pasted URL list (S2's input shape) and the page
+      // fan-out (a fixture write; at cluster scale pages land on shared
+      // storage and the manifest IS a DataFrame fed to fetchUrls
+      // directly). Fetch fan-out = manifest partitioning; politeness 0
+      // for local files.
+      (s, d) => {
+        val pageDir = java.nio.file.Paths
+          .get("target", "ep1_pages", new java.io.File(d).getName)
+          .toAbsolutePath.toString
+        val subset = Tables.documents(s, d).filter(col("doc_id") % 17 === 0)
+        sources.Ingest.writeFilePerRow(
+          subset.select(
+            concat(lit("doc_"), col("doc_id"), lit(".html")).as("name"),
+            concat(
+              lit("<html><head><title>Doc "), col("doc_id"),
+              lit("</title></head><body><h1>Venue "), col("doc_id"),
+              lit("</h1><p>"), col("text"),
+              lit("</p><script>var x = 1;</script></body></html>")).as("content")),
+          pageDir)
+        val urlList = subset.select(col("doc_id")).orderBy("doc_id").collect()
+          .map(r => s"file://$pageDir/doc_${r.getLong(0)}.html").mkString("\n")
+        val manifest = sources.Ingest.searchDispatch(
+          s, "urls", Some(urlList), resolveUrls = true)
+        val fetched = sources.Ingest.fetchUrls(s, manifest.select("url"))
+        val html = col("content").cast("string")
+        val reviewText = coalesce(
+          get(sources.Html.paragraphs(html, minLen = 0), lit(0)), lit(""))
+        Sentiment.score(
+          fetched.select(
+            regexp_extract(col("url"), "doc_(\\d+)\\.html", 1)
+              .cast("long").as("doc_id"),
+            col("status"), col("attempts"),
+            sources.Html.title(html).as("page_title"),
+            reviewText.as("text")))
+          .select("doc_id", "status", "attempts", "page_title", "wc",
+            "sentiment", "confidence", "original_score")
+          .orderBy("doc_id")
+      },
+      Some(Sentiment.oracleCte +
+        """ SELECT doc_id, 'ok' AS status, CAST(1 AS INTEGER) AS attempts,
+          |   'Doc ' || doc_id AS page_title, wc, sentiment, confidence,
+          |   original_score
+          | FROM scored WHERE doc_id % 17 = 0 ORDER BY doc_id""".stripMargin)),
+
     Q("ep3b_suggestions",
       // EP3/L3 — the chatbot's suggested-questions assembly
       // (ref chatbot_analyzer.py:250-272): 10-item static pool, negative-
@@ -4964,6 +5021,65 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT) AS class_size,
              |  count(*) < 5 AS at_risk
              |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("gov_l_diversity",
+      // l-diversity companion gate to gov_k_anonymity: a k-anonymous
+      // class whose members all share one sensitive value still
+      // discloses it, so each (nation, balance-bucket) class must carry
+      // >= 3 distinct market segments. One aggregation, group-local
+      // exact distinct (no global distinct shuffle)
+      (s, d) => operators.DataQuality.lDiversity(Tables.customer(s, d), Seq(
+          "nation" -> col("c_nationkey"),
+          "bal_bucket" -> floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long")),
+        col("c_mktsegment"), l = 3),
+      Some("""WITH q AS (SELECT c_nationkey AS nation,
+             |    CAST(floor(CAST(c_acctbal AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT) AS bal_bucket,
+             |    c_mktsegment AS s
+             |  FROM customer)
+             |SELECT nation, bal_bucket,
+             |  CAST(count(*) AS BIGINT) AS class_size,
+             |  CAST(count(DISTINCT s) AS BIGINT) AS distinct_sensitive,
+             |  count(DISTINCT s) < 3 AS at_risk
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("dq_expectations",
+      // Declarative data-contract validation (the Deequ shape, Schelter
+      // et al. VLDB 2018): the full 8-check suite over `documents` in
+      // ONE map-side-combined aggregation pass, pivoted plan-side to the
+      // (metric, value, op, threshold, passed) report — the gate a
+      // training run reads before it reads the corpus. Thresholds chosen
+      // so the report carries BOTH passing and failing rows (max(n_chars)
+      // <= 500 fails on the synthetic corpus): the gate proves failures
+      // surface as data, not exceptions
+      (s, d) => operators.DataQuality.validate(Tables.documents(s, d), Seq(
+        operators.DataQuality.completeness("text", 1.0),
+        operators.DataQuality.completeness("lang", 1.0),
+        operators.DataQuality.uniqueness("doc_id", 1.0),
+        operators.DataQuality.matchRate("lang", "^[a-z]{2}$", 0.95),
+        operators.DataQuality.minOf("n_chars", 1.0),
+        operators.DataQuality.maxOf("n_chars", 500.0),
+        operators.DataQuality.meanOf("n_chars", ">=", 50.0),
+        operators.DataQuality.rowCountAtLeast(100L))),
+      Some("""WITH m AS (SELECT
+             |  ROUND(AVG(CASE WHEN text IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS c_text,
+             |  ROUND(AVG(CASE WHEN lang IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS c_lang,
+             |  ROUND(CAST(count(DISTINCT doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS u_id,
+             |  ROUND(AVG(CASE WHEN lang IS NULL THEN NULL WHEN regexp_matches(lang, '^[a-z]{2}$') THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS mr_lang,
+             |  ROUND(CAST(min(n_chars) AS DOUBLE), 6) AS mn,
+             |  ROUND(CAST(max(n_chars) AS DOUBLE), 6) AS mx,
+             |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_nc,
+             |  ROUND(CAST(count(*) AS DOUBLE), 6) AS rc
+             |FROM documents)
+             |SELECT * FROM (
+             |  SELECT 'completeness(lang)' AS metric, c_lang AS value, '>=' AS op, CAST(1.0 AS DOUBLE) AS threshold, c_lang >= CAST(1.0 AS DOUBLE) AS passed FROM m
+             |  UNION ALL SELECT 'completeness(text)', c_text, '>=', CAST(1.0 AS DOUBLE), c_text >= CAST(1.0 AS DOUBLE) FROM m
+             |  UNION ALL SELECT 'match_rate(lang)', mr_lang, '>=', CAST(0.95 AS DOUBLE), mr_lang >= CAST(0.95 AS DOUBLE) FROM m
+             |  UNION ALL SELECT 'max(n_chars)', mx, '<=', CAST(500.0 AS DOUBLE), mx <= CAST(500.0 AS DOUBLE) FROM m
+             |  UNION ALL SELECT 'mean(n_chars)', mean_nc, '>=', CAST(50.0 AS DOUBLE), mean_nc >= CAST(50.0 AS DOUBLE) FROM m
+             |  UNION ALL SELECT 'min(n_chars)', mn, '>=', CAST(1.0 AS DOUBLE), mn >= CAST(1.0 AS DOUBLE) FROM m
+             |  UNION ALL SELECT 'row_count', rc, '>=', CAST(100.0 AS DOUBLE), rc >= CAST(100.0 AS DOUBLE) FROM m
+             |  UNION ALL SELECT 'uniqueness(doc_id)', u_id, '>=', CAST(1.0 AS DOUBLE), u_id >= CAST(1.0 AS DOUBLE) FROM m
+             |) ORDER BY metric""".stripMargin)),
 
     Q("ev_mad_anomaly",
       // robust median/MAD outlier summary per event_type — the

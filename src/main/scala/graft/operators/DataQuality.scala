@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-contract validation — the "unit tests for data" gate
+  * a corpus passes before a training run is allowed to read it (the
+  * published Deequ shape: Schelter et al., VLDB 2018, "Automating
+  * Large-Scale Data Quality Verification"; same surface as
+  * Great Expectations' expectation suites).
+  *
+  * A contract is a list of [[Expectation]]s; [[validate]] evaluates ALL
+  * of them in ONE aggregation pass over the table — each expectation is
+  * an aggregate column, so the whole suite costs a single scan with
+  * map-side partial aggregation regardless of how many checks it
+  * carries, and the result is an O(#checks) frame
+  * `(metric, value, op, threshold, passed)`.
+  *
+  * Scale notes (100 TB): every builder below except [[uniqueness]]
+  * composes algebraic aggregates (sum/count/min/max) — one narrow scan,
+  * partials combine on the map side, the reduce state is O(#checks)
+  * scalars. [[uniqueness]] is the one exact-distinct check (a shuffle of
+  * the column's distinct values); at full-corpus scale swap it for
+  * [[uniquenessApprox]] (HLL++ sketch, mergeable, no distinct shuffle) —
+  * kept out of the oracle entry because DuckDB's approx_distinct sketch
+  * differs.
+  */
+object DataQuality {
+
+  /** One declared check: `metric` names it in the report, `agg` is the
+    * aggregate expression producing its DOUBLE value, and the contract
+    * asserts `value <op> threshold` (`op` ∈ `>=`, `<=`). Values are
+    * rounded to 6 places before comparison — sums of doubles are
+    * order-dependent across partitions, and the gate must not flap on
+    * reduction order. */
+  final case class Expectation(metric: String, agg: Column,
+                               op: String, threshold: Double) {
+    require(op == ">=" || op == "<=", s"unsupported op '$op'")
+  }
+
+  /** Fraction of non-null rows in `c` must be at least `atLeast`. */
+  def completeness(c: String, atLeast: Double): Expectation =
+    Expectation(s"completeness($c)",
+      avg(when(col(c).isNotNull, lit(1.0)).otherwise(lit(0.0))),
+      ">=", atLeast)
+
+  /** `count(distinct c) / count(*)` must be at least `atLeast` (1.0 =
+    * primary-key check). Exact distinct — see [[uniquenessApprox]]. */
+  def uniqueness(c: String, atLeast: Double): Expectation =
+    Expectation(s"uniqueness($c)",
+      countDistinct(col(c)).cast("double") / count(lit(1)).cast("double"),
+      ">=", atLeast)
+
+  /** Sketch twin of [[uniqueness]] for full-corpus scale: HLL++ keeps
+    * the check algebraic/mergeable (±rsd instead of exact). */
+  def uniquenessApprox(c: String, atLeast: Double,
+                       rsd: Double = 0.05): Expectation =
+    Expectation(s"uniqueness_approx($c)",
+      approx_count_distinct(col(c), rsd).cast("double") /
+        count(lit(1)).cast("double"),
+      ">=", atLeast)
+
+  /** Fraction of non-null rows of `c` matching `regex` ≥ `atLeast`. */
+  def matchRate(c: String, regex: String, atLeast: Double): Expectation =
+    Expectation(s"match_rate($c)",
+      avg(when(col(c).isNull, lit(null))
+        .when(col(c).rlike(regex), lit(1.0)).otherwise(lit(0.0))),
+      ">=", atLeast)
+
+  /** Minimum of `c` must be at least `atLeast` (nulls ignored). */
+  def minOf(c: String, atLeast: Double): Expectation =
+    Expectation(s"min($c)", min(col(c)).cast("double"), ">=", atLeast)
+
+  /** Maximum of `c` must be at most `atMost` (nulls ignored). */
+  def maxOf(c: String, atMost: Double): Expectation =
+    Expectation(s"max($c)", max(col(c)).cast("double"), "<=", atMost)
+
+  /** Mean of `c` must satisfy `op threshold`. */
+  def meanOf(c: String, op: String, threshold: Double): Expectation =
+    Expectation(s"mean($c)", avg(col(c).cast("double")), op, threshold)
+
+  /** Table must have at least `n` rows. */
+  def rowCountAtLeast(n: Long): Expectation =
+    Expectation("row_count", count(lit(1)).cast("double"), ">=", n.toDouble)
+
+  /** Evaluate the contract: ONE aggregation over `df`, then the 1-row
+    * wide result pivots to the long report frame entirely plan-side (no
+    * driver collect) via an inline struct-array explode. Output:
+    * `(metric, value, op, threshold, passed)` ordered by metric. */
+  def validate(df: DataFrame, contract: Seq[Expectation]): DataFrame = {
+    require(contract.nonEmpty, "empty contract")
+    val aggs = contract.zipWithIndex.map { case (e, i) =>
+      round(e.agg.cast("double"), 6).as(s"__m$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val report = array(contract.zipWithIndex.map { case (e, i) =>
+      struct(
+        lit(e.metric).as("metric"),
+        col(s"__m$i").as("value"),
+        lit(e.op).as("op"),
+        lit(e.threshold).cast("double").as("threshold"),
+        (if (e.op == ">=") col(s"__m$i") >= e.threshold
+         else col(s"__m$i") <= e.threshold).as("passed"))
+    }: _*)
+    wide.select(explode(report).as("r")).select("r.*").orderBy("metric")
+  }
+
+  /** l-diversity (Machanavajjhala et al., ICDE 2006) — the companion
+    * gate to [[Analytics.kAnonymity]]: a k-anonymous class is still a
+    * disclosure if every member shares the same SENSITIVE value, so each
+    * quasi-identifier class must carry at least `l` distinct sensitive
+    * values. One aggregation over the QI projection (count + exact
+    * per-group distinct — group-local, no global distinct shuffle);
+    * returns per-class rows with the at-risk flag, same consumption
+    * shape as the k-anonymity frame. */
+  def lDiversity(df: DataFrame, qiCols: Seq[(String, Column)],
+                 sensitiveCol: Column, l: Int): DataFrame = {
+    val named = qiCols.map { case (n, c) => c.as(n) }
+    val keys = qiCols.map { case (n, _) => col(n) }
+    df.select(named :+ sensitiveCol.as("__sens"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("__sens")).as("distinct_sensitive"))
+      .withColumn("at_risk", col("distinct_sensitive") < l)
+      .orderBy(keys: _*)
+  }
+}

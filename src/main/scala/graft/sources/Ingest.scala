@@ -102,6 +102,95 @@ object Ingest {
     }(Encoders.row(outSchema))
   }
 
+  /** S2 — search-method dispatch (ref `search_methods_fun.py:13-117`):
+    * the reference routes `keywords` / `urls` / `demo` to a page to
+    * analyze, with both non-demo methods documented placeholders that
+    * fall back to the demo fixture (`:43,80,112`). Here the dispatch
+    * produces a URL MANIFEST DataFrame — the exact input shape
+    * [[fetchUrls]] consumes — instead of a single driver-side path, so
+    * the routed result scales from one demo page to a pasted multi-URL
+    * list without changing the downstream plan.
+    *
+    * Modes (`method` column distinguishes them in the manifest):
+    *  - `demo` — one row: the NEWEST `*.html` under `fixturesDir`
+    *    (S3 mtime-desc semantics via [[Html.newestFirst]]),
+    *    `resolved = true`;
+    *  - `keywords` — the reference's search-API placeholder: the input
+    *    rides through as `requested`, the demo fixture is returned,
+    *    `resolved = false` with an explanatory `note`
+    *    (`search_methods_fun.py:13-46`);
+    *  - `urls` with `resolveUrls = false` (reference parity,
+    *    `:49-84`) — same placeholder fallback;
+    *  - `urls` with `resolveUrls = true` — the documented target
+    *    contract (`:70-73`): the input splits on newlines/commas into
+    *    one manifest row per URL, `resolved = true`.
+    *
+    * Missing input for `keywords`/`urls` and unknown methods throw
+    * `IllegalArgumentException`, mirroring the reference's ValueError
+    * (`:102,105,116`). The input string is driver-sized BY CONTRACT —
+    * it is a user-pasted list, not a corpus; corpus-scale manifests
+    * skip dispatch and feed [[fetchUrls]] directly as a DataFrame. */
+  def searchDispatch(spark: SparkSession, method: String,
+                     searchInput: Option[String] = None,
+                     fixturesDir: String = null,
+                     resolveUrls: Boolean = false): DataFrame = {
+    import spark.implicits._
+    def demoUrl(): String = {
+      require(fixturesDir != null,
+        "fixturesDir required to resolve the demo fixture")
+      val newest = Html.newestFirst(spark, fixturesDir)
+        .select("path").limit(1).collect()
+      require(newest.nonEmpty, s"no demo fixture under $fixturesDir")
+      newest(0).getString(0)
+    }
+    def requiredInput(what: String): String =
+      searchInput.map(_.trim).filter(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what required for search method '$method'"))
+    val rows: Seq[(String, String, String, Boolean, String)] = method match {
+      case "demo" =>
+        Seq(("demo", null, demoUrl(), true, null))
+      case "keywords" =>
+        Seq(("keywords", requiredInput("Keywords"), demoUrl(), false,
+          "placeholder: search API not wired; newest demo fixture returned"))
+      case "urls" =>
+        val raw = requiredInput("URLs")
+        if (!resolveUrls)
+          Seq(("urls", raw, demoUrl(), false,
+            "placeholder: multi-URL mode disabled; newest demo fixture returned"))
+        else
+          raw.split("[\\n,]").iterator.map(_.trim).filter(_.nonEmpty)
+            .map(u => ("urls", raw, u, true, null: String)).toSeq
+      case other =>
+        throw new IllegalArgumentException(s"Unknown search method: $other")
+    }
+    rows.toDF("method", "requested", "url", "resolved", "note")
+  }
+
+  /** Fan a DataFrame out as one LOCAL file per row (`dir/<name col>`,
+    * UTF-8) — the fixture-materialization half of the ingest loop: pages
+    * written here become `file://` fetch targets for [[fetchUrls]]. The
+    * write runs task-side (foreachPartition), so on a cluster `dir`
+    * must be shared storage; names must be unique per row (last writer
+    * wins otherwise). Returns the number of files written. */
+  def writeFilePerRow(df: DataFrame, dir: String,
+                      nameCol: String = "name",
+                      contentCol: String = "content"): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val nIdx = df.schema.fieldIndex(nameCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val counter = df.sparkSession.sparkContext.longAccumulator("files_written")
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, r.getString(nIdx)),
+          r.getString(cIdx).getBytes("UTF-8"))
+        counter.add(1L)
+      }
+    }
+    counter.value
+  }
+
   /** One attempt: the plain `java.net.URL` stack (file://, http(s)://),
     * bounded read. Returns the body bytes or the failure message. */
   private def fetchOne(url: String, timeoutMs: Int,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DataQuality
+import graft.operators.DataQuality._
+
+class DataQualitySpec extends SparkSpec {
+
+  private def sample() = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "alpha", "en", 10L),
+      (2L, "beta", "en", 20L),
+      (3L, null: String, "xx!", 30L),
+      (3L, "gamma", null: String, 40L)
+    ).toDF("id", "text", "lang", "n")
+  }
+
+  test("validate: full contract report — values, ops, and a mixed pass/fail outcome") {
+    val out = DataQuality.validate(sample(), Seq(
+      completeness("text", 0.9),       // 3/4 = 0.75 -> FAIL
+      uniqueness("id", 1.0),           // 3 distinct / 4 rows -> FAIL
+      matchRate("lang", "^[a-z]{2}$", 0.5), // nulls ignored: 2/3 -> PASS
+      minOf("n", 5.0),                 // 10 >= 5 -> PASS
+      maxOf("n", 35.0),                // 40 <= 35 -> FAIL
+      meanOf("n", ">=", 20.0),         // 25 -> PASS
+      rowCountAtLeast(4L)              // PASS
+    )).collect().map(r => r.getAs[String]("metric") ->
+      (r.getAs[Double]("value"), r.getAs[Boolean]("passed"))).toMap
+    assert(out("completeness(text)") == ((0.75, false)))
+    assert(out("uniqueness(id)") == ((0.75, false)))
+    assert(out("match_rate(lang)")._1 == 0.666667) // rounded to 6
+    assert(out("match_rate(lang)")._2)
+    assert(out("min(n)") == ((10.0, true)))
+    assert(out("max(n)") == ((40.0, false)))
+    assert(out("mean(n)") == ((25.0, true)))
+    assert(out("row_count") == ((4.0, true)))
+  }
+
+  test("validate: the whole suite is ONE aggregate over the input (single scan)") {
+    val plan = DataQuality.validate(sample(), Seq(
+      completeness("text", 0.9), minOf("n", 5.0), maxOf("n", 35.0),
+      meanOf("n", ">=", 20.0), rowCountAtLeast(4L)
+    )).queryExecution.optimizedPlan
+    val nAggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs == 1, s"expected 1 Aggregate, got $nAggs:\n$plan")
+  }
+
+  test("uniquenessApprox: sketch check agrees with exact on a clean key") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).toDF("id")
+    val out = DataQuality.validate(df, Seq(uniquenessApprox("id", 0.9)))
+      .collect()(0)
+    assert(out.getAs[Boolean]("passed"),
+      s"approx uniqueness ${out.getAs[Double]("value")} under 0.9 on a unique key")
+  }
+
+  test("validate: empty contract and bad op are rejected") {
+    intercept[IllegalArgumentException] {
+      DataQuality.validate(sample(), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Expectation("x", lit(1.0), "==", 1.0)
+    }
+  }
+
+  test("lDiversity: classes below l distinct sensitive values flag at_risk") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1, "s1"), ("a", 1, "s2"), ("a", 1, "s1"), // class (a,1): 2 distinct
+      ("b", 2, "s1"), ("b", 2, "s1")                  // class (b,2): 1 distinct
+    ).toDF("g", "h", "sens")
+    val out = DataQuality.lDiversity(df,
+      Seq("g" -> col("g"), "h" -> col("h")), col("sens"), l = 2).collect()
+    val byKey = out.map(r => (r.getAs[String]("g"),
+      r.getAs[Long]("class_size"), r.getAs[Long]("distinct_sensitive"),
+      r.getAs[Boolean]("at_risk"))).toSeq
+    assert(byKey == Seq(("a", 3L, 2L, false), ("b", 2L, 1L, true)))
+  }
+}

@@ -78,6 +78,79 @@ class IngestSpec extends SparkSpec {
     assert(out(3).getString(1) == "x.co")
   }
 
+  private def demoDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dispatch")
+    java.nio.file.Files.write(dir.resolve("older_page.html"),
+      "<html><body>old</body></html>".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("demo_newest.html"),
+      "<html><body>new</body></html>".getBytes("UTF-8"))
+    // make mtimes unambiguous: newest strictly later
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("older_page.html"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("demo_newest.html"),
+      java.nio.file.attribute.FileTime.fromMillis(2000000000000L))
+    dir.toString
+  }
+
+  test("searchDispatch demo: one resolved row, the NEWEST fixture (S3 mtime order)") {
+    val out = Ingest.searchDispatch(spark, "demo", fixturesDir = demoDir()).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("method") == "demo")
+    assert(r.getAs[String]("url").endsWith("demo_newest.html"))
+    assert(r.getAs[Boolean]("resolved"))
+    assert(r.getAs[String]("requested") == null && r.getAs[String]("note") == null)
+  }
+
+  test("searchDispatch keywords: placeholder fallback to demo, input preserved, note set") {
+    val out = Ingest.searchDispatch(spark, "keywords",
+      Some("tokyo restaurant reviews"), fixturesDir = demoDir()).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("requested") == "tokyo restaurant reviews")
+    assert(r.getAs[String]("url").endsWith("demo_newest.html"))
+    assert(!r.getAs[Boolean]("resolved"))
+    assert(r.getAs[String]("note").contains("placeholder"))
+  }
+
+  test("searchDispatch urls: reference parity falls back to demo; resolveUrls splits the list") {
+    val input = "https://ex.com/a\nhttps://ex.com/b, https://ex.com/c\n\n"
+    val parity = Ingest.searchDispatch(spark, "urls", Some(input),
+      fixturesDir = demoDir()).collect()
+    assert(parity.length == 1 && !parity(0).getAs[Boolean]("resolved"))
+    val resolved = Ingest.searchDispatch(spark, "urls", Some(input),
+      resolveUrls = true).orderBy("url").collect()
+    assert(resolved.map(_.getAs[String]("url")).toSeq ==
+      Seq("https://ex.com/a", "https://ex.com/b", "https://ex.com/c"))
+    assert(resolved.forall(_.getAs[Boolean]("resolved")))
+    assert(resolved.forall(_.getAs[String]("requested") == input.trim))
+  }
+
+  test("searchDispatch: missing input and unknown methods throw (reference ValueError parity)") {
+    intercept[IllegalArgumentException] {
+      Ingest.searchDispatch(spark, "keywords", None, fixturesDir = demoDir())
+    }
+    intercept[IllegalArgumentException] {
+      Ingest.searchDispatch(spark, "urls", Some("   "), fixturesDir = demoDir())
+    }
+    intercept[IllegalArgumentException] {
+      Ingest.searchDispatch(spark, "browse", Some("x"), fixturesDir = demoDir())
+    }
+  }
+
+  test("writeFilePerRow + fetchUrls: the materialize->fetch loop round-trips bytes") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    val df = Seq(("a.html", "alpha <b>beta</b>"), ("b.html", "gamma")).toDF("name", "content")
+    val n = Ingest.writeFilePerRow(df, dir)
+    assert(n == 2L)
+    val manifest = Seq(s"file://$dir/a.html", s"file://$dir/b.html").toDF("url")
+    val out = Ingest.fetchUrls(spark, manifest).orderBy("url").collect()
+    assert(new String(out(0).getAs[Array[Byte]]("content"), "UTF-8") == "alpha <b>beta</b>")
+    assert(new String(out(1).getAs[Array[Byte]]("content"), "UTF-8") == "gamma")
+  }
+
   test("fetchUrls: per-task rate limiter spaces requests by min_interval_ms") {
     val s = spark
     import s.implicits._
