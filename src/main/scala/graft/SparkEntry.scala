@@ -1797,6 +1797,52 @@ object SparkEntry {
               |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
               |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ir_rank_quality",
+      // rank-AWARE retrieval eval closing the ir_/sim_ loop: nDCG@10
+      // (Järvelin-Kekäläinen log2 discount), MRR, precision/recall@10 of
+      // the MRL prefix-16 ranking against full-dim exact cosine truth —
+      // recall says WHETHER the cheap pass finds the right set,
+      // nDCG/MRR say WHERE it puts them. Both rankings are one-scan
+      // bounded-heap panel passes; the metric join is O(panel x k)
+      (s, d) => operators.MLEval.rankingQuality(
+        Similarity.mrlBatchTopK(Tables.embeddings(s, d),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, prefixDim = 16),
+        Similarity.batchTopK(Tables.embeddings(s, d),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10),
+        k = 10),
+      Some(s"""WITH $evecCteSql,
+              |ep AS (SELECT vec_id, CAST(list_slice(embedding, 1, 16) AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |qf AS (SELECT vec_id AS qid, v AS qv FROM evec WHERE vec_id IN (0, 1, 2, 3, 4)),
+              |qp AS (SELECT vec_id AS qid, v AS qv FROM ep WHERE vec_id IN (0, 1, 2, 3, 4)),
+              |tsc AS (SELECT q.qid, e.vec_id, ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM evec e, qf q WHERE e.vec_id <> q.qid),
+              |truth AS (SELECT * FROM (SELECT qid, vec_id, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS trnk FROM tsc)
+              |  WHERE trnk <= 10),
+              |ssc AS (SELECT q.qid, e.vec_id, ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM ep e, qp q WHERE e.vec_id <> q.qid),
+              |sys AS (SELECT * FROM (SELECT qid, vec_id, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM ssc)
+              |  WHERE rnk <= 10),
+              |ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth,
+              |    SUM(CAST(1.0 AS DOUBLE) / log2(CAST(trnk AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS idcg
+              |  FROM truth GROUP BY qid),
+              |j AS (SELECT s.qid, s.rnk, (t.vec_id IS NOT NULL) AS rel
+              |  FROM sys s LEFT JOIN truth t ON s.qid = t.qid AND s.vec_id = t.vec_id),
+              |m AS (SELECT qid,
+              |    CAST(count(*) AS BIGINT) AS n_ranked,
+              |    CAST(COALESCE(SUM(CASE WHEN rel THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+              |    COALESCE(SUM(CASE WHEN rel THEN CAST(1.0 AS DOUBLE) / log2(CAST(rnk AS DOUBLE) + CAST(1.0 AS DOUBLE)) END), CAST(0.0 AS DOUBLE)) AS dcg,
+              |    COALESCE(MAX(CASE WHEN rel THEN CAST(1.0 AS DOUBLE) / CAST(rnk AS DOUBLE) END), CAST(0.0 AS DOUBLE)) AS mrr
+              |  FROM j GROUP BY qid)
+              |SELECT m.qid AS query_id, n_ranked, n_truth, hits,
+              |  ROUND(CAST(hits AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) AS precision_at_k,
+              |  ROUND(CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall_at_k,
+              |  ROUND(mrr, 6) AS mrr,
+              |  ROUND(dcg / idcg, 6) AS ndcg
+              |FROM m JOIN ideal ON m.qid = ideal.qid ORDER BY query_id""".stripMargin)),
+
     Q("ir_hard_negatives",
       // hard-negative mining for contrastive training: per panel query
       // the top-10 candidates with cosine < 0.8 — similar enough to be

@@ -376,4 +376,59 @@ object MLEval {
       round(avg(-(y * log(pr) + (lit(1.0) - y) * log(lit(1.0) - pr))), 6)
         .as("logloss"))
   }
+
+  /** Rank-aware retrieval quality — the metrics the classifier family
+    * above cannot see (AUC scores POINTWISE goodness; retrieval cares
+    * WHERE the relevant items land in the list): per query, against a
+    * binary relevance set `truth`,
+    *
+    *  - `precision_at_k` / `recall_at_k` — overlap mass;
+    *  - `mrr` — 1 / rank of the FIRST relevant hit (Voorhees, TREC-8),
+    *    the "how far does the user scroll" metric;
+    *  - `ndcg` — DCG with the standard `1/log2(rank+1)` discount
+    *    (Järvelin & Kekäläinen, TOIS 2002), normalized by the ideal DCG
+    *    of the truth set, so 1.0 = the system ranked every relevant item
+    *    as early as possible.
+    *
+    * Inputs are ranked lists `(queryCol, docCol, rankCol)` — the
+    * [[Similarity.batchTopK]] output shape — both truncated to `k` here.
+    * Both frames are O(panel × k): the join and per-query aggregations
+    * are trivially small next to the scans that produced them, so this
+    * composes onto any retrieval pair (exact vs ANN, full-dim vs MRL
+    * prefix, lexical vs hybrid) without adding a wide stage. DCG sums
+    * are ROUND(6)ed: per-query sums of ≤ k doubles are reduction-order-
+    * dependent in the last ulp. */
+  def rankingQuality(ranked: DataFrame, truth: DataFrame, k: Int,
+                     queryCol: String = "query_id", docCol: String = "vec_id",
+                     rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val r = ranked.select(col(queryCol).as("qid"), col(docCol).as("did"),
+      col(rankCol).cast("double").as("rnk")).filter(col("rnk") <= k)
+    val t = truth.select(col(queryCol).as("qid"), col(docCol).as("did"),
+      col(rankCol).cast("double").as("trnk")).filter(col("trnk") <= k)
+    val ideal = t.groupBy("qid").agg(
+      count(lit(1)).as("n_truth"),
+      sum(lit(1.0) / log2(col("trnk") + lit(1.0))).as("idcg"))
+    val joined = r.join(
+      t.select(col("qid"), col("did"), lit(true).as("rel")),
+      Seq("qid", "did"), "left")
+    joined.groupBy("qid")
+      .agg(
+        count(lit(1)).as("n_ranked"),
+        coalesce(sum(when(col("rel"), 1L)), lit(0L)).as("hits"),
+        coalesce(sum(when(col("rel"),
+          lit(1.0) / log2(col("rnk") + lit(1.0)))), lit(0.0)).as("dcg"),
+        coalesce(max(when(col("rel"), lit(1.0) / col("rnk"))), lit(0.0))
+          .as("mrr"))
+      .join(ideal, Seq("qid"))
+      .select(col("qid").as(queryCol), col("n_ranked"), col("n_truth"),
+        col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        round(col("hits").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall_at_k"),
+        round(col("mrr"), 6).as("mrr"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy(queryCol)
+  }
 }

@@ -910,10 +910,27 @@ object Similarity {
     * shuffle and sort all |corpus|·q scored rows. Cosines ROUND(6)ed
     * before ranking with vec_id tiebreak (the [[bruteForceTopK]]
     * determinism convention). Returns `(query_id, rank, vec_id, cos)`. */
-  def batchTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  def batchTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    batchTopKImpl(
+      emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v")),
+      queryIds, k)
+
+  /** [[batchTopK]] over the first `prefixDim` dims re-normalized — the
+    * Matryoshka cheap pass ([[mrlTopK]]) batched over a query panel.
+    * Same one-corpus-scan / bounded-heap shape; the prefix slice is a
+    * row-side projection (at 100 TB store the prefix as its own column
+    * so the scan prunes to `prefixDim/dim` of the vector bytes). */
+  def mrlBatchTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                   prefixDim: Int = 16): DataFrame =
+    batchTopKImpl(
+      emb.select(col("vec_id"),
+        toDoubleArray(slice(col("embedding"), 1, prefixDim)).as("v")),
+      queryIds, k)
+
+  private def batchTopKImpl(ev: DataFrame, queryIds: Seq[Long],
+                            k: Int): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")
-    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-      .withColumn("nrm", normFast(col("v")))
+    val e = ev.withColumn("nrm", normFast(col("v")))
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     e.crossJoin(broadcast(q))

@@ -188,6 +188,46 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("logloss") == expected)
   }
 
+  test("rankingQuality: hand-computed nDCG/MRR/precision/recall, k=3") {
+    val s = spark
+    import s.implicits._
+    // truth for q1: docs {10, 11, 12} at ranks 1..3 (idcg = 1 + 1/log2(3) + 1/2)
+    // system q1:   [20, 11, 12] -> hits at ranks 2,3; first hit rank 2
+    // q2: truth {10}; system [10, 20, 30] -> perfect first hit
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 10L, 1))
+      .toDF("query_id", "vec_id", "rank")
+    val sys = Seq((1L, 20L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 10L, 1),
+      (2L, 20L, 2), (2L, 30L, 3)).toDF("query_id", "vec_id", "rank")
+    val out = MLEval.rankingQuality(sys, truth, k = 3).collect()
+    val q1 = out(0)
+    assert(q1.getAs[Long]("hits") == 2L)
+    assert(q1.getAs[Double]("precision_at_k") == math.round(2.0 / 3 * 1e6) / 1e6)
+    assert(q1.getAs[Double]("recall_at_k") == math.round(2.0 / 3 * 1e6) / 1e6)
+    assert(q1.getAs[Double]("mrr") == 0.5)
+    val dcg1 = 1.0 / (math.log(3) / math.log(2)) + 1.0 / 2
+    val idcg1 = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 1.0 / 2
+    assert(q1.getAs[Double]("ndcg") == math.round(dcg1 / idcg1 * 1e6) / 1e6)
+    val q2 = out(1)
+    assert(q2.getAs[Long]("n_truth") == 1L)
+    assert(q2.getAs[Double]("recall_at_k") == 1.0)
+    assert(q2.getAs[Double]("mrr") == 1.0)
+    assert(q2.getAs[Double]("ndcg") == 1.0)
+    // precision counts the k-list, not the truth size
+    assert(q2.getAs[Double]("precision_at_k") == math.round(1.0 / 3 * 1e6) / 1e6)
+  }
+
+  test("rankingQuality: zero overlap yields all-zero metrics, not nulls") {
+    val s = spark
+    import s.implicits._
+    val truth = Seq((1L, 10L, 1)).toDF("query_id", "vec_id", "rank")
+    val sys = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "vec_id", "rank")
+    val r = MLEval.rankingQuality(sys, truth, k = 3).collect().head
+    assert(r.getAs[Long]("hits") == 0L)
+    assert(r.getAs[Double]("mrr") == 0.0)
+    assert(r.getAs[Double]("ndcg") == 0.0)
+    assert(r.getAs[Double]("recall_at_k") == 0.0)
+  }
+
   test("confusionStats: empty-denominator metrics are NULL") {
     // every score below threshold, all labels negative: tp=fp=fn=0
     val r = MLEval.confusionStats(

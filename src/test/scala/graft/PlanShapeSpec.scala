@@ -194,6 +194,7 @@ class PlanShapeSpec extends SparkSpec {
       "ep4_report_document", // single-row section frames broadcast-cross-joined (ep2 shape)
       "sim_incr_ivf", // assignCells' broadcast centroid table + single-row probe
       "ir_hard_negatives", // corpus scan x the broadcast 5-row query panel
+      "ir_rank_quality", // two batchTopK corpus scans x the broadcast query panel
       "emb_whiten_topk") // whitened corpus x the single broadcast query row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
