@@ -179,6 +179,29 @@ object SparkEntry {
   private val evecCteSql =
     "evec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  /** DuckDB rendering of [[operators.MLEval.rankingQuality]]: expects
+    * CTEs `sys(qid, vec_id, rnk)` and `truth(qid, vec_id, trnk)` (both
+    * already truncated to `k`) in scope; emits the per-query metric
+    * SELECT. Composed by `ir_rank_quality` / `ir_mrl_funnel`. */
+  private def rankingMetricsSql(k: Int): String =
+    s"""ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth,
+       |    SUM(CAST(1.0 AS DOUBLE) / log2(CAST(trnk AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS idcg
+       |  FROM truth GROUP BY qid),
+       |j AS (SELECT s.qid, s.rnk, (t.vec_id IS NOT NULL) AS rel
+       |  FROM sys s LEFT JOIN truth t ON s.qid = t.qid AND s.vec_id = t.vec_id),
+       |m AS (SELECT qid,
+       |    CAST(count(*) AS BIGINT) AS n_ranked,
+       |    CAST(COALESCE(SUM(CASE WHEN rel THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+       |    COALESCE(SUM(CASE WHEN rel THEN CAST(1.0 AS DOUBLE) / log2(CAST(rnk AS DOUBLE) + CAST(1.0 AS DOUBLE)) END), CAST(0.0 AS DOUBLE)) AS dcg,
+       |    COALESCE(MAX(CASE WHEN rel THEN CAST(1.0 AS DOUBLE) / CAST(rnk AS DOUBLE) END), CAST(0.0 AS DOUBLE)) AS mrr
+       |  FROM j GROUP BY qid)
+       |SELECT m.qid AS query_id, n_ranked, n_truth, hits,
+       |  ROUND(CAST(hits AS DOUBLE) / CAST($k.0 AS DOUBLE), 6) AS precision_at_k,
+       |  ROUND(CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall_at_k,
+       |  ROUND(mrr, 6) AS mrr,
+       |  ROUND(dcg / idcg, 6) AS ndcg
+       |FROM m JOIN ideal ON m.qid = ideal.qid ORDER BY query_id""".stripMargin
+
   /** Mirrors one half of [[Similarity.binarySignature]]: sign bits of
     * dims `range` packed at offsets `i - base`. */
   private def binaryHalfSql(vcol: String, range: Range, base: Int): String =
@@ -1825,23 +1848,46 @@ object SparkEntry {
               |sys AS (SELECT * FROM (SELECT qid, vec_id, row_number() OVER (
               |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM ssc)
               |  WHERE rnk <= 10),
-              |ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth,
-              |    SUM(CAST(1.0 AS DOUBLE) / log2(CAST(trnk AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS idcg
-              |  FROM truth GROUP BY qid),
-              |j AS (SELECT s.qid, s.rnk, (t.vec_id IS NOT NULL) AS rel
-              |  FROM sys s LEFT JOIN truth t ON s.qid = t.qid AND s.vec_id = t.vec_id),
-              |m AS (SELECT qid,
-              |    CAST(count(*) AS BIGINT) AS n_ranked,
-              |    CAST(COALESCE(SUM(CASE WHEN rel THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
-              |    COALESCE(SUM(CASE WHEN rel THEN CAST(1.0 AS DOUBLE) / log2(CAST(rnk AS DOUBLE) + CAST(1.0 AS DOUBLE)) END), CAST(0.0 AS DOUBLE)) AS dcg,
-              |    COALESCE(MAX(CASE WHEN rel THEN CAST(1.0 AS DOUBLE) / CAST(rnk AS DOUBLE) END), CAST(0.0 AS DOUBLE)) AS mrr
-              |  FROM j GROUP BY qid)
-              |SELECT m.qid AS query_id, n_ranked, n_truth, hits,
-              |  ROUND(CAST(hits AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) AS precision_at_k,
-              |  ROUND(CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall_at_k,
-              |  ROUND(mrr, 6) AS mrr,
-              |  ROUND(dcg / idcg, 6) AS ndcg
-              |FROM m JOIN ideal ON m.qid = ideal.qid ORDER BY query_id""".stripMargin)),
+              |${rankingMetricsSql(10)}""".stripMargin)),
+
+    Q("ir_mrl_funnel",
+      // the production answer to ir_rank_quality's verdict: prefix-16
+      // shortlists 50 candidates per query (cheap pass, 25% of the
+      // vector bytes), ONLY the shortlist is re-scored full-dim and cut
+      // to top-10 — full-dim work drops from O(corpus) to O(panel x 50)
+      // dots. Same rank-aware metrics against exact truth: the funnel's
+      // quality ceiling is the shortlist's recall, and WHERE items land
+      // is restored by the exact rerank
+      (s, d) => operators.MLEval.rankingQuality(
+        Similarity.mrlFunnelTopK(Tables.embeddings(s, d),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, shortlist = 50,
+          prefixDim = 16),
+        Similarity.batchTopK(Tables.embeddings(s, d),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10),
+        k = 10),
+      Some(s"""WITH $evecCteSql,
+              |ep AS (SELECT vec_id, CAST(list_slice(embedding, 1, 16) AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |qf AS (SELECT vec_id AS qid, v AS qv FROM evec WHERE vec_id IN (0, 1, 2, 3, 4)),
+              |qp AS (SELECT vec_id AS qid, v AS qv FROM ep WHERE vec_id IN (0, 1, 2, 3, 4)),
+              |tsc AS (SELECT q.qid, e.vec_id, ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM evec e, qf q WHERE e.vec_id <> q.qid),
+              |truth AS (SELECT * FROM (SELECT qid, vec_id, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS trnk FROM tsc)
+              |  WHERE trnk <= 10),
+              |psc AS (SELECT q.qid, e.vec_id, ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM ep e, qp q WHERE e.vec_id <> q.qid),
+              |shortlist AS (SELECT * FROM (SELECT qid, vec_id, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS srnk FROM psc)
+              |  WHERE srnk <= 50),
+              |fsc AS (SELECT sl.qid, sl.vec_id, ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM shortlist sl
+              |  JOIN evec e ON e.vec_id = sl.vec_id
+              |  JOIN qf q ON q.qid = sl.qid),
+              |sys AS (SELECT * FROM (SELECT qid, vec_id, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM fsc)
+              |  WHERE rnk <= 10),
+              |${rankingMetricsSql(10)}""".stripMargin)),
 
     Q("ir_hard_negatives",
       // hard-negative mining for contrastive training: per panel query

@@ -927,6 +927,39 @@ object Similarity {
         toDoubleArray(slice(col("embedding"), 1, prefixDim)).as("v")),
       queryIds, k)
 
+  /** Two-stage Matryoshka funnel: the prefix-dim cheap pass shortlists
+    * `shortlist` candidates per query ([[mrlBatchTopK]] — one corpus
+    * scan over `prefixDim/dim` of the vector bytes), then ONLY the
+    * shortlist is re-scored with the full-dim cosine and reduced to the
+    * final top-k. This is the production ANN shape the raw prefix
+    * ranking cannot deliver alone (measured: the prefix finds a weak
+    * ORDER even when it finds the set — `ir_rank_quality`): full-dim
+    * work drops from O(corpus) to O(panel × shortlist) dot products.
+    * The rerank joins the O(panel × shortlist) shortlist BROADCAST
+    * against the corpus (equi-join on vec_id — the scan prunes to
+    * shortlisted rows), so no corpus-sized shuffle ever forms. */
+  def mrlFunnelTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                    shortlist: Int = 50, prefixDim: Int = 16): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val short = mrlBatchTopK(emb, queryIds, shortlist, prefixDim)
+      .select(col("query_id"), col("vec_id"))
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    e.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopK.topKByScore(col("cos"), col("vec_id"),
+        struct(col("vec_id"), col("cos")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.cos").as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   private def batchTopKImpl(ev: DataFrame, queryIds: Seq[Long],
                             k: Int): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must be non-empty")

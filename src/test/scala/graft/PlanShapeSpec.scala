@@ -195,6 +195,7 @@ class PlanShapeSpec extends SparkSpec {
       "sim_incr_ivf", // assignCells' broadcast centroid table + single-row probe
       "ir_hard_negatives", // corpus scan x the broadcast 5-row query panel
       "ir_rank_quality", // two batchTopK corpus scans x the broadcast query panel
+      "ir_mrl_funnel", // prefix shortlist + exact-truth passes x the broadcast panel
       "emb_whiten_topk") // whitened corpus x the single broadcast query row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests

@@ -335,6 +335,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mrlFunnelTopK: full-corpus shortlist makes the funnel equal exact batchTopK") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val panel = Seq(0L, 7L)
+    val exact = Similarity.batchTopK(emb, panel, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    // shortlist covers every candidate -> rerank IS the exact pass
+    val funnel = Similarity.mrlFunnelTopK(emb, panel, k = 5,
+        shortlist = n.toInt, prefixDim = 16).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    assert(funnel == exact)
+  }
+
+  test("mrlFunnelTopK: narrow shortlist returns k rows per query, full-dim scored") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.mrlFunnelTopK(emb, Seq(0L), k = 5, shortlist = 10)
+      .collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+    // scores are full-dim cosines: each within [-1, 1] and non-increasing
+    val cs = out.map(_.getAs[Double]("cos")).toSeq
+    assert(cs == cs.sorted.reverse && cs.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
   test("densityClustersFromPairs: core/border/noise roles on a hand-built graph") {
     val s = spark
     import s.implicits._
