@@ -5173,6 +5173,52 @@ object SparkEntry {
              |  UNION ALL SELECT 'uniqueness(doc_id)', u_id, '>=', CAST(1.0 AS DOUBLE), u_id >= CAST(1.0 AS DOUBLE) FROM m
              |) ORDER BY metric""".stripMargin)),
 
+    Q("dq_psi_drift",
+      // Population Stability Index between two deterministic corpus
+      // halves (even/odd doc_id) over n_chars: baseline deciles as
+      // ROUND(6)-published edges (the ml_ece discipline), per-bin rates,
+      // floored-log PSI terms + total — the standard drift gate between
+      // corpus snapshots. Edge probe = one O(bins)-scalar aggregation;
+      // each window is one narrow bucket projection + counted
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.DataQuality.psiDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "n_chars", bins = 10)
+      },
+      Some {
+        val edges = (1 to 9)
+          .map(i => s"ROUND(quantile_cont(v, CAST(0.$i AS DOUBLE)), 6) AS e$i")
+          .mkString(", ")
+        val bucket = (1 to 9)
+          .map(i => s"(CASE WHEN v >= e$i THEN 1 ELSE 0 END)").mkString(" + ")
+        val fl = "CAST(0.000001 AS DOUBLE)"
+        s"""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 0),
+           |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 1),
+           |e AS (SELECT $edges FROM b),
+           |bb AS (SELECT ($bucket) AS bucket FROM b, e),
+           |cb AS (SELECT ($bucket) AS bucket FROM c, e),
+           |br AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base FROM bb GROUP BY bucket),
+           |cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY bucket),
+           |j AS (SELECT COALESCE(br.bucket, cr.bucket) AS bucket,
+           |    CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+           |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+           |  FROM br FULL OUTER JOIN cr ON br.bucket = cr.bucket),
+           |r AS (SELECT bucket, n_base, n_cur,
+           |    CAST(n_base AS DOUBLE) / CAST(SUM(n_base) OVER () AS DOUBLE) AS base_rate0,
+           |    CAST(n_cur AS DOUBLE) / CAST(SUM(n_cur) OVER () AS DOUBLE) AS cur_rate0
+           |  FROM j),
+           |t AS (SELECT bucket, n_base, n_cur,
+           |    ROUND(base_rate0, 6) AS base_rate, ROUND(cur_rate0, 6) AS cur_rate,
+           |    ROUND((GREATEST(cur_rate0, $fl) - GREATEST(base_rate0, $fl))
+           |      * ln(GREATEST(cur_rate0, $fl) / GREATEST(base_rate0, $fl)), 6) AS psi_term
+           |  FROM r)
+           |SELECT bucket, n_base, n_cur, base_rate, cur_rate, psi_term,
+           |  ROUND(SUM(psi_term) OVER (), 6) AS psi_total
+           |FROM t ORDER BY bucket""".stripMargin
+      }),
+
     Q("ev_mad_anomaly",
       // robust median/MAD outlier summary per event_type — the
       // contamination-proof twin of ev_zscore_anomaly (an outlier inflates

@@ -105,6 +105,58 @@ object DataQuality {
     wide.select(explode(report).as("r")).select("r.*").orderBy("metric")
   }
 
+  /** Population Stability Index drift between a BASELINE window and a
+    * CURRENT window of the same numeric column — the standard production
+    * drift gate for model inputs and corpus snapshots (credit-scoring
+    * lineage; rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * act):
+    *
+    *   PSI = Σ_bins (cur% − base%) · ln(cur% / base%)
+    *
+    * Bin edges are the BASELINE's `bins`-quantiles (exact interpolated
+    * percentile — swap in `approx_percentile` at full-corpus scale, same
+    * plan), ROUND(6)-pinned so bucketing replays identically anywhere
+    * (the published-stats discipline of ml_ece/emb_whiten). Empty-bin
+    * rates are floored at `floor` before the log, the standard PSI
+    * regularization. Returns one row per bin with the per-bin term and
+    * the repeated total.
+    *
+    * Scale shape: the edge probe is ONE aggregation on the baseline
+    * producing O(bins) scalars (driver-side round is an O(bins) probe,
+    * not data motion); each window then takes one narrow bucket
+    * projection + map-side-combined count; the rate/term algebra runs on
+    * the O(bins)-row frame. No corpus-sized shuffle, no sort. */
+  def psiDrift(base: DataFrame, cur: DataFrame, valCol: String,
+               bins: Int = 10, floor: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val v = col(valCol).cast("double")
+    val edges: Seq[Double] = base
+      .agg(percentile(v, lit(probs.toArray)).as("e"))
+      .head.getSeq[Double](0)
+      .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def bucketOf(c: Column): Column =
+      edges.map(e => when(c >= lit(e), 1).otherwise(0))
+        .reduce(_ + _).cast("int")
+    def rates(df: DataFrame, n: String): DataFrame =
+      df.select(bucketOf(v).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    val joined = rates(base, "n_base")
+      .join(rates(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val baseRate = col("n_base").cast("double") / sum(col("n_base")).over(w).cast("double")
+    val curRate = col("n_cur").cast("double") / sum(col("n_cur")).over(w).cast("double")
+    val fb = greatest(baseRate, lit(floor))
+    val fc = greatest(curRate, lit(floor))
+    joined
+      .withColumn("base_rate", round(baseRate, 6))
+      .withColumn("cur_rate", round(curRate, 6))
+      .withColumn("psi_term", round((fc - fb) * log(fc / fb), 6))
+      .withColumn("psi_total", round(sum(col("psi_term")).over(w), 6))
+      .orderBy("bucket")
+  }
+
   /** l-diversity (Machanavajjhala et al., ICDE 2006) — the companion
     * gate to [[Analytics.kAnonymity]]: a k-anonymous class is still a
     * disclosure if every member shares the same SENSITIVE value, so each

@@ -68,6 +68,37 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("psiDrift: identical distributions give PSI 0; a shift is detected and bounded") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 400).map(i => i % 100).toDF("x")
+    // identical window -> every bin rate matches -> PSI exactly 0
+    val same = DataQuality.psiDrift(base, base, "x", bins = 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getAs[Double]("psi_term") == 0.0))
+    assert(same.head.getAs[Double]("psi_total") == 0.0)
+    // shifted window: mass moves to the top bins -> PSI clearly > 0.25
+    val shifted = (1 to 400).map(i => i % 100 + 60).toDF("x")
+    val drift = DataQuality.psiDrift(base, shifted, "x", bins = 10).collect()
+    val total = drift.head.getAs[Double]("psi_total")
+    assert(total > 0.25, s"expected actionable drift, got $total")
+    assert(drift.forall(r => r.getAs[Double]("psi_total") == total)) // repeated
+    // bucket rates each sum to 1 (pre-rounding tolerance)
+    assert(math.abs(drift.map(_.getAs[Double]("base_rate")).sum - 1.0) < 1e-4)
+    assert(math.abs(drift.map(_.getAs[Double]("cur_rate")).sum - 1.0) < 1e-4)
+  }
+
+  test("psiDrift: a bin emptied in the current window still yields a finite term") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 100).toDF("x")
+    val cur = (51 to 100).toDF("x") // bottom half gone
+    val out = DataQuality.psiDrift(base, cur, "x", bins = 4).collect()
+    assert(out.forall(r => !r.getAs[Double]("psi_term").isNaN &&
+      !r.getAs[Double]("psi_term").isInfinite))
+    assert(out.head.getAs[Double]("psi_total") > 0.0)
+  }
+
   test("lDiversity: classes below l distinct sensitive values flag at_risk") {
     val s = spark
     import s.implicits._
