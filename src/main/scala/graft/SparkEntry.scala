@@ -2824,6 +2824,86 @@ object SparkEntry {
           |WHERE n_hits > 0
           |ORDER BY n_hits DESC, doc_id""".stripMargin)),
 
+    Q("dd_url_canonical",
+      // manifest-level URL dedup (the stage BEFORE any fetch or content
+      // hash): every doc_id pair (2g, 2g+1) spells the same page two ways
+      // — scheme/host case, default :80, tracking params, param order,
+      // trailing slash, fragment — and canonicalization must collapse
+      // exactly those pairs and nothing else. The Spark side is
+      // Ingest.canonicalUrl (pure codegen column algebra, zero shuffle
+      // before the final groupBy); the oracle re-derives the same rules
+      // in independent DuckDB SQL, so an agreement is two implementations
+      // of the spec matching, not one implementation hashed twice.
+      (s, d) => {
+        val g = expr("doc_id div 2")
+        val even = col("doc_id") % 2 === 0
+        val url = concat(
+          when(even, lit("HTTP")).otherwise(lit("http")), lit("://"),
+          when(even, concat(lit("WWW.EX"), (g % 50).cast("string"), lit(".COM")))
+            .otherwise(concat(lit("www.ex"), (g % 50).cast("string"), lit(".com"))),
+          when(even, lit(":80")).otherwise(lit("")),
+          lit("/d/"), g.cast("string"),
+          when(even, lit("")).otherwise(lit("/")),
+          when(even, lit("?utm_source=x&b=2&a=1"))
+            .otherwise(lit("?a=1&utm_medium=y&b=2")),
+          when(even, lit("#top")).otherwise(lit("")))
+        Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"),
+            sources.Ingest.canonicalUrl(col("url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_raw"),
+            countDistinct(col("url")).as("n_spellings"),
+            min("doc_id").as("first_doc"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH raw AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END)
+          |    || '://'
+          |    || (CASE WHEN doc_id % 2 = 0
+          |        THEN 'WWW.EX' || CAST((doc_id // 2) % 50 AS VARCHAR) || '.COM'
+          |        ELSE 'www.ex' || CAST((doc_id // 2) % 50 AS VARCHAR) || '.com' END)
+          |    || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END)
+          |    || '/d/' || CAST(doc_id // 2 AS VARCHAR)
+          |    || (CASE WHEN doc_id % 2 = 0 THEN '' ELSE '/' END)
+          |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+          |        ELSE '?a=1&utm_medium=y&b=2' END)
+          |    || (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+          |  FROM documents),
+          |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+          |c2 AS (SELECT doc_id, url,
+          |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          |  FROM c1),
+          |c3 AS (SELECT doc_id, url, scheme,
+          |    regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+          |    regexp_replace(rest, '^[^/?]*', '') AS afterhost
+          |  FROM c2),
+          |c4 AS (SELECT doc_id, url, scheme,
+          |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+          |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          |    regexp_replace(regexp_extract(afterhost, '^([^?]*)', 1), '/+$', '') AS path0,
+          |    regexp_extract(afterhost, '\?(.*)$', 1) AS query
+          |  FROM c3),
+          |c5 AS (SELECT doc_id, url, scheme, host,
+          |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+          |           OR (scheme = 'https' AND port = '443')
+          |      THEN '' ELSE ':' || port END AS portout,
+          |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+          |    list_sort(list_filter(string_split(query, '&'),
+          |      p -> p <> '' AND NOT regexp_matches(p,
+          |        '^(utm_[^=]*|fbclid|gclid|ref)='))) AS kept
+          |  FROM c4),
+          |c6 AS (SELECT doc_id, url,
+          |    scheme || '://' || host || portout || path ||
+          |    (CASE WHEN len(kept) = 0 THEN ''
+          |      ELSE '?' || array_to_string(kept, '&') END) AS canonical_url
+          |  FROM c5)
+          |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+          |  CAST(count(DISTINCT url) AS BIGINT) AS n_spellings,
+          |  min(doc_id) AS first_doc
+          |FROM c6 GROUP BY 1 ORDER BY canonical_url""".stripMargin)),
+
     Q("dd_source_overlap",
       // cross-source contamination audit: exact 3-shingle overlap per
       // source pair — jaccard + max-containment over the distinct

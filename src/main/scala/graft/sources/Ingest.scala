@@ -54,6 +54,44 @@ object Ingest {
   def hostOf(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/:]*)", 1)
 
+  /** RFC-3986-flavoured URL canonicalization — the first dedup stage of
+    * every web corpus: one page is crawled under dozens of spellings, and
+    * manifest-level dedup on the canonical form kills refetches before any
+    * byte is downloaded (the reference dedups on its cache FILENAME,
+    * `download_page_fun.py:160-175`, which collapses only path case — this
+    * is the full version). Pure column expressions end to end, so the whole
+    * thing stays inside whole-stage codegen: at 100 TB this is a narrow map
+    * over the URL manifest with zero shuffle; the dedup itself is one
+    * groupBy on the canonical key. Rules:
+    *  - scheme and host lowercase (`HTTP://WWW.Ex.COM` ≡ `http://www.ex.com`)
+    *  - default port dropped (`:80` on http, `:443` on https; others kept)
+    *  - fragment dropped (`#section` never reaches the server)
+    *  - tracking params dropped (`utm_*`, `fbclid`, `gclid`, `ref`)
+    *  - surviving query params sorted bytewise (param order is not semantic)
+    *  - now-empty query dropped entirely (no dangling `?`)
+    *  - trailing slashes collapsed (`/a/b//` ≡ `/a/b`); empty path → `/` */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portOut = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val afterHost = regexp_replace(rest, "^[^/?]*", "")
+    val path0 = regexp_replace(regexp_extract(afterHost, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(afterHost, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && not(p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))))
+    val queryOut = when(size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    concat(scheme, lit("://"), host, portOut, path, queryOut)
+  }
+
   /** Fetch every URL in `manifest(urlCol)`. One task = one sequential,
     * rate-limited fetch worker; the fan-out is the manifest's
     * partitioning (repartition by [[hostOf]] upstream for per-host

@@ -151,6 +151,34 @@ class IngestSpec extends SparkSpec {
     assert(new String(out(1).getAs[Array[Byte]]("content"), "UTF-8") == "gamma")
   }
 
+  test("canonicalUrl: each rule on a hand-written case, plus the no-op identity") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // scheme+host case, default http port, fragment
+      ("HTTP://WWW.Ex.COM:80/Path#sec", "http://www.ex.com/Path"),
+      // https default port dropped, non-default kept
+      ("https://ex.com:443/a", "https://ex.com/a"),
+      ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+      // tracking params out, survivors sorted, empty query dropped
+      ("http://ex.com/p?utm_source=x&b=2&a=1", "http://ex.com/p?a=1&b=2"),
+      ("http://ex.com/p?utm_campaign=x&gclid=1&fbclid=2&ref=h", "http://ex.com/p"),
+      // trailing slashes collapse; root and empty path stay "/"
+      ("http://ex.com/a/b//", "http://ex.com/a/b"),
+      ("http://ex.com/", "http://ex.com/"),
+      ("http://ex.com", "http://ex.com/"),
+      // already-canonical input is a fixpoint
+      ("http://ex.com:8080/a?a=1&b=2", "http://ex.com:8080/a?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Ingest.canonicalUrl(col("url")).as("c")).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalUrl($in)") }
+    // canonicalization is idempotent on every case above
+    val again = cases.map(_._2).toDF("url")
+      .select(Ingest.canonicalUrl(col("url")).as("c")).as[String].collect()
+    assert(again.toSeq == cases.map(_._2))
+  }
+
   test("fetchUrls: per-task rate limiter spaces requests by min_interval_ms") {
     val s = spark
     import s.implicits._
