@@ -1396,6 +1396,31 @@ object SparkEntry {
           |WHERE d.doc_id NOT IN (SELECT id FROM canon WHERE id <> canonical)
           |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("dd_prune_keep_best",
+      // quality-choice prune: within each near-dup component keep the
+      // HIGHEST-QUALITY member (n_chars here; CCNet keeps lowest
+      // perplexity) instead of the positional min-id canonical — the
+      // longest copy is the superset you want when near-dups are
+      // truncations of each other. Ties break to the smaller id. Same
+      // cost shape as dd_prune_canonical: O(members) label frame, one
+      // max_by keeper aggregation, corpus touched only by semi/anti-join
+      (s, d) => Dedup.pruneKeepBest(
+        Tables.documents(s, d), docPairsShared(s, d), "doc_id", "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(mhComponentsOracleCtes +
+        """,
+          |canon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM mh_reach GROUP BY id),
+          |kmem AS (SELECT c.id, c.canonical, d.n_chars FROM canon c
+          |  JOIN documents d ON d.doc_id = c.id),
+          |keep AS (SELECT canonical, id,
+          |    row_number() OVER (PARTITION BY canonical
+          |      ORDER BY n_chars DESC, id) AS rn FROM kmem)
+          |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+          |WHERE d.doc_id NOT IN (SELECT id FROM canon)
+          |   OR d.doc_id IN (SELECT id FROM keep WHERE rn = 1)
+          |ORDER BY d.doc_id""".stripMargin)),
+
     Q("dd_minhash_neardup",
       // The FULL minhash pipeline (signature -> band -> candidate ->
       // exact-Jaccard verify) oracle-checked end-to-end: the gate entry

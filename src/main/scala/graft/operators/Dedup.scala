@@ -869,6 +869,30 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[pruneToCanonical]] with a QUALITY choice instead of a positional
+    * one: within each near-dup component keep the member maximizing
+    * `scoreCol` (CCNet keeps the lowest-perplexity copy, containment
+    * dedup keeps the longest — min-id "first occurrence" is an accident
+    * of crawl order). Ties break to the smaller id, so the selection is
+    * total and deterministic. Cost shape matches the canonical prune:
+    * the component label frame is O(pair members), the keeper argmax is
+    * one `max_by` aggregation on a (members + score) join — never a sort
+    * of the corpus — and the final prune is one semi-join of the corpus
+    * against the O(components) keeper set plus the untouched remainder
+    * via anti-join on members. */
+  def pruneKeepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    scoreCol: String): DataFrame = {
+    val labels = canonicalComponents(pairs) // (id, canonical): members only
+    val members = labels.select(col("id").as(idCol), col("canonical"))
+    val keepers = members
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy(col("canonical"))
+      .agg(max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as(idCol))
+      .select(idCol)
+    docs.join(members.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(docs.join(keepers, Seq(idCol), "left_semi"))
+  }
+
   private def labelSum(df: DataFrame): Option[Long] =
     Option(df.agg(sum(col("lbl"))).collect()(0)).filterNot(_.isNullAt(0))
       .map(_.getLong(0))

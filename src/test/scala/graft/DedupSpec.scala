@@ -245,6 +245,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 9L)) // component {1,2,3,4} -> keep 1; 9 untouched
   }
 
+  test("pruneKeepBest: keeps the max-score member per component, ties to smaller id") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 20L), // component {1,2,3}: 2 wins on score
+      (4L, 30L), (5L, 30L),            // component {4,5}: tie -> smaller id 4
+      (9L, 1L))                        // untouched: kept regardless of score
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.pruneKeepBest(docs, pairs, "doc_id", "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 9L))
+  }
+
   test("SimHash banding: recall = 1.0 at the guaranteed radius (Hamming <= 3)") {
     val s = spark
     import s.implicits._
