@@ -1396,6 +1396,40 @@ object SparkEntry {
           |WHERE d.doc_id NOT IN (SELECT id FROM canon WHERE id <> canonical)
           |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("dd_exact_normalized",
+      // "fuzzy-exact" dedup on the normalized-text key (lowercase,
+      // punctuation→space, whitespace collapse) — the Dolma-style stage
+      // between byte-exact dedup (u2) and MinHash: catches case/punct/
+      // spacing respellings at exact-dedup cost (one groupBy on a
+      // projected key, no pair generation). Planted variants (upper-case
+      // + injected punctuation, doc_id+2000000) must all collapse onto
+      // their sources; first occurrence (min id) survives
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val variants = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit(" !!! ")).as("text"))
+        docs.unionByName(variants)
+          .withColumn("k", TextFns.normalizedKey(col("text")))
+          .groupBy("k")
+          .agg(min("doc_id").as("doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    '  ' || upper(text) || ' !!! ' AS text
+          |  FROM documents WHERE doc_id % 10 = 0),
+          |keyed AS (
+          |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+          |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS k
+          |  FROM base)
+          |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+          |FROM keyed GROUP BY k ORDER BY doc_id""".stripMargin)),
+
     Q("dd_prune_keep_best",
       // quality-choice prune: within each near-dup component keep the
       // HIGHEST-QUALITY member (n_chars here; CCNet keeps lowest

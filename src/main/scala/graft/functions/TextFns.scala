@@ -21,6 +21,15 @@ object TextFns {
   def tokens(c: Column): Column =
     filter(split(cleanText(c), " "), t => t =!= lit(""))
 
+  /** Dolma-style normalization key for exact dedup on NORMALIZED text:
+    * lowercase, punctuation → space, whitespace runs collapsed, trimmed.
+    * Two documents differing only in case, punctuation, or spacing share
+    * a key — the standard "fuzzy-exact" dedup stage between byte-exact
+    * dedup and MinHash. Pure column algebra: the key is computed in the
+    * scan's projection and the dedup downstream is one groupBy on it. */
+  def normalizedKey(c: Column): Column =
+    cleanText(regexp_replace(lower(c), "[^a-z0-9\\s]", " "))
+
   /** F4 sentence split (ref `extract_text_fun.py:69-71`): split on runs of
     * `.!?`, trim fragments, keep those strictly longer than `minLen`. */
   def sentences(c: Column, minLen: Int = 15): Column =

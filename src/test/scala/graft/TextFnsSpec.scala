@@ -55,6 +55,19 @@ class TextFnsSpec extends SparkSpec {
       TextFns.wordcloudClean(col("text"))) == "visit great")
   }
 
+  test("normalizedKey: case, punctuation, and spacing respellings share a key") {
+    import org.apache.spark.sql.functions.col
+    val k = (t: String) => evalText(t)(TextFns.normalizedKey(col("text")))
+    assert(k("Hello,  World!") == "hello world")
+    assert(k("  HELLO --- world  ") == "hello world")
+    assert(k("hello world") == "hello world")
+    // digits survive; distinct content stays distinct
+    assert(k("room 42!") == "room 42")
+    assert(k("room 43!") != k("room 42!"))
+    // all-punctuation text normalizes to the empty key
+    assert(k("?!... --") == "")
+  }
+
   test("F12 source-name heuristic") {
     assert(evalText("cache/tripadvisor_page.html")(TextFns.sourceName(col("text"))) == "TripAdvisor")
     assert(evalText("whatever.html")(TextFns.sourceName(col("text"))) == "Unknown Source")
