@@ -1909,6 +1909,48 @@ object SparkEntry {
               |  WHERE rnk <= 10),
               |${rankingMetricsSql(10)}""".stripMargin)),
 
+    Q("ir_rank_quality_aniso",
+      // the certifying counterpart to ir_rank_quality's honest refusal:
+      // the same rank-aware metrics over embeddings made ANISOTROPIC by
+      // a block-decay reweighting (dims 0-7 ×1, 8-15 ×1/2, 16-23 ×1/4 …
+      // — ~94% of the energy in the prefix-16, the profile real
+      // Matryoshka training produces). The prefix ranking must now TRACK
+      // full-dim truth, proving the metric machinery certifies exactly
+      // when the prefix carries the signal. Weights are powers of two,
+      // so the reweighting is IEEE-exact on both engines — no new
+      // rounding surface beyond the usual ROUND(6) cosine
+      (s, d) => {
+        val aniso = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") *
+              pow(lit(2.0), -floor(i.cast("double") / 8.0))).as("embedding"))
+        operators.MLEval.rankingQuality(
+          Similarity.mrlBatchTopK(aniso,
+            queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, prefixDim = 16),
+          Similarity.batchTopK(aniso,
+            queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10),
+          k = 10)
+      },
+      Some(s"""WITH $evecCteSql,
+              |ew AS (SELECT vec_id, list_transform(range(1, 65),
+              |    i -> v[i] * power(CAST(2.0 AS DOUBLE),
+              |      -CAST((i - 1) // 8 AS DOUBLE))) AS v
+              |  FROM evec),
+              |ep AS (SELECT vec_id, list_slice(v, 1, 16) AS v FROM ew),
+              |qf AS (SELECT vec_id AS qid, v AS qv FROM ew WHERE vec_id IN (0, 1, 2, 3, 4)),
+              |qp AS (SELECT vec_id AS qid, v AS qv FROM ep WHERE vec_id IN (0, 1, 2, 3, 4)),
+              |tsc AS (SELECT q.qid, e.vec_id, ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM ew e, qf q WHERE e.vec_id <> q.qid),
+              |truth AS (SELECT * FROM (SELECT qid, vec_id, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS trnk FROM tsc)
+              |  WHERE trnk <= 10),
+              |ssc AS (SELECT q.qid, e.vec_id, ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+              |  FROM ep e, qp q WHERE e.vec_id <> q.qid),
+              |sys AS (SELECT * FROM (SELECT qid, vec_id, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM ssc)
+              |  WHERE rnk <= 10),
+              |${rankingMetricsSql(10)}""".stripMargin)),
+
     Q("ir_mrl_funnel",
       // the production answer to ir_rank_quality's verdict: prefix-16
       // shortlists 50 candidates per query (cheap pass, 25% of the
