@@ -90,6 +90,27 @@ class PlanShapeSpec extends SparkSpec {
     assert("row_number\\(\\) windowspecdefinition\\(__pid".r.findFirstIn(p).isDefined, p)
   }
 
+  test("dd_url_canonical: synthesis + canonicalization fuse into the scan projection; doc_id-only read") {
+    val p = plan("dd_url_canonical")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    assert(!p.contains("text:string"), p) // document text never read
+  }
+
+  test("dd_exact_normalized: key computed scan-side, two-phase agg, raw text never shuffles") {
+    val p = plan("dd_exact_normalized")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("dd_prune_keep_best: broadcast joins only, partial+final max_by, text never read") {
+    val p = plan("dd_prune_keep_best")
+    assert(p.contains("partial_max_by"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("text:string"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("global sweep: no Window over un-aggregated fact rows in any batch query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
     // Streaming catalog entries execute on invocation; their stateful plans
@@ -195,6 +216,7 @@ class PlanShapeSpec extends SparkSpec {
       "sim_incr_ivf", // assignCells' broadcast centroid table + single-row probe
       "ir_hard_negatives", // corpus scan x the broadcast 5-row query panel
       "ir_rank_quality", // two batchTopK corpus scans x the broadcast query panel
+      "ir_rank_quality_aniso", // same two panel passes over the reweighted corpus
       "ir_mrl_funnel", // prefix shortlist + exact-truth passes x the broadcast panel
       "emb_whiten_topk") // whitened corpus x the single broadcast query row
     // streaming fns execute on invocation; their stateful plans are
