@@ -6143,6 +6143,38 @@ object SparkEntry {
           |SELECT doc_id, raw_label, confidence, sentiment FROM msent
           |ORDER BY doc_id""".stripMargin)),
 
+    Q("v4_length_batching",
+      // the measured case for length-sorting a corpus before the V4
+      // inference seam: fixed-size batches pad every sequence to their
+      // longest member, so arrival-order batching pays max(len) next to
+      // short rows while length-sorted batches are near-uniform. Both
+      // global orderings run through the range-bucketed two-phase rank
+      // (never a single-partition window); the report is an O(batches)
+      // reduction. waste_ratio = 1 - total/padded per strategy
+      (s, d) => operators.MLEval.lengthBatchingReport(
+        Tables.documents(s, d), "text", "doc_id", batchSize = 32),
+      Some(Sentiment.oracleCte +
+        """,
+          |lens AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS len FROM toks),
+          |nv AS (SELECT len, row_number() OVER (ORDER BY doc_id) AS rnk FROM lens),
+          |sr AS (SELECT len, row_number() OVER (ORDER BY len, doc_id) AS rnk FROM lens),
+          |nb AS (SELECT (rnk - 1) // 32 AS b, CAST(count(*) AS BIGINT) AS n,
+          |    max(len) AS mx, CAST(sum(len) AS BIGINT) AS s FROM nv GROUP BY 1),
+          |sb AS (SELECT (rnk - 1) // 32 AS b, CAST(count(*) AS BIGINT) AS n,
+          |    max(len) AS mx, CAST(sum(len) AS BIGINT) AS s FROM sr GROUP BY 1),
+          |rep AS (
+          |  SELECT 'arrival_order' AS strategy,
+          |    CAST(count(*) AS BIGINT) AS n_batches,
+          |    CAST(sum(s) AS BIGINT) AS total_tokens,
+          |    CAST(sum(n * mx) AS BIGINT) AS padded_tokens FROM nb
+          |  UNION ALL
+          |  SELECT 'length_sorted', CAST(count(*) AS BIGINT),
+          |    CAST(sum(s) AS BIGINT), CAST(sum(n * mx) AS BIGINT) FROM sb)
+          |SELECT strategy, n_batches, total_tokens, padded_tokens,
+          |  ROUND(CAST(1.0 AS DOUBLE) - CAST(total_tokens AS DOUBLE)
+          |    / CAST(padded_tokens AS DOUBLE), 6) AS waste_ratio
+          |FROM rep ORDER BY strategy""".stripMargin)),
+
     Q("v4_model_pipeline",
       // the model runtime composed with the UNCHANGED downstream family
       // (F8 thresholding, F7 original_score, A1/A6 aggregations) — the

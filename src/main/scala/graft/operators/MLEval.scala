@@ -398,6 +398,44 @@ object MLEval {
     * prefix, lexical vs hybrid) without adding a wide stage. DCG sums
     * are ROUND(6)ed: per-query sums of ≤ k doubles are reduction-order-
     * dependent in the last ulp. */
+  /** Padding-waste report for fixed-size inference batching — the
+    * measured case for LENGTH-SORTING a corpus before the V4
+    * mapPartitions seam: a batch pads every sequence to its longest
+    * member, so arrival-order batches pay `max(len)` for short rows
+    * batched next to long ones, while length-sorted batches make
+    * near-uniform groups. One row per strategy:
+    * `(strategy, n_batches, total_tokens, padded_tokens, waste_ratio)`.
+    *
+    * Scale shape: token lengths are a narrow scan-side projection; both
+    * global orderings go through [[Analytics.withGlobalRank]] (range-
+    * bucketed two-phase rank — never a single-partition window over the
+    * corpus); batches then aggregate by `(rank-1) div batchSize` with
+    * map-side partials, and the report is an O(batches) reduction. */
+  def lengthBatchingReport(docs: DataFrame, textCol: String, idCol: String,
+                           batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val lens = docs.select(col(idCol).cast("long").as("id"),
+      size(graft.functions.TextFns.tokens(col(textCol))).cast("long").as("len"))
+    def report(ranked: DataFrame, name: String): DataFrame =
+      ranked
+        .withColumn("b", expr(s"(rnk - 1) div $batchSize"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), max("len").as("mx"), sum("len").as("s"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("s")).as("total_tokens"),
+          sum(col("n") * col("mx")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          round(lit(1.0) - col("total_tokens").cast("double") /
+            col("padded_tokens").cast("double"), 6).as("waste_ratio"))
+    val naive = Analytics.withGlobalRank(lens, "id", Seq(col("id")), "rnk")
+    val sorted = Analytics.withGlobalRank(lens, "len",
+      Seq(col("len"), col("id")), "rnk")
+    report(naive, "arrival_order")
+      .unionByName(report(sorted, "length_sorted"))
+      .orderBy("strategy")
+  }
+
   def rankingQuality(ranked: DataFrame, truth: DataFrame, k: Int,
                      queryCol: String = "query_id", docCol: String = "vec_id",
                      rankCol: String = "rank"): DataFrame = {

@@ -228,6 +228,23 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_k") == 0.0)
   }
 
+  test("lengthBatchingReport: hand-computed waste, sorted order eliminates it") {
+    val s = spark
+    import s.implicits._
+    // arrival order interleaves short/long: batches of 2 -> {1,10},{1,10}
+    // padded 2*10 + 2*10 = 40 vs 22 tokens; length-sorted -> {1,1},{10,10}
+    // padded 2*1 + 2*10 = 22 = exact, zero waste
+    val docs = Seq(
+      (1L, "a"), (2L, Seq.fill(10)("w").mkString(" ")),
+      (3L, "b"), (4L, Seq.fill(10)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rep = operators.MLEval.lengthBatchingReport(docs, "text", "doc_id", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rep("arrival_order") == ((2L, 22L, 40L, 0.45)))
+    assert(rep("length_sorted") == ((2L, 22L, 22L, 0.0)))
+  }
+
   test("confusionStats: empty-denominator metrics are NULL") {
     // every score below threshold, all labels negative: tp=fp=fn=0
     val r = MLEval.confusionStats(
