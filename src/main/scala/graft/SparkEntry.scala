@@ -2011,6 +2011,54 @@ object SparkEntry {
               |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
               |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ir_mmr_diverse",
+      // MMR diverse top-k (Carbonell-Goldstein): greedy
+      // λ·rel − (1−λ)·max-sim-to-selected over a bounded-heap candidate
+      // pool — the fix when plain top-k returns k near-copies. The
+      // corpus-scale work is the relevance scan; the sequential greedy
+      // runs driver-side over the collected O(pool) rows (the
+      // Representatives posture). Oracle: the same greedy UNROLLED into
+      // one deterministic CTE per step (k=5), selection on unrounded
+      // scores built from the ROUND(6)-published cosines, id tiebreak
+      (s, d) => Similarity.mmrTopK(Tables.embeddings(s, d),
+        queryId = 0L, k = 5, poolSize = 20, lambda = 0.7),
+      Some {
+        val steps = (2 to 5).map { i =>
+          s"""c$i AS (SELECT p.vec_id, p.cos,
+             |    CAST(0.7 AS DOUBLE) * p.cos
+             |      - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+             |        SELECT max(pp.pcos) FROM pp
+             |        WHERE (pp.id_a = p.vec_id AND pp.id_b IN (SELECT vec_id FROM sel${i - 1}))
+             |           OR (pp.id_b = p.vec_id AND pp.id_a IN (SELECT vec_id FROM sel${i - 1}))) AS m
+             |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+             |s$i AS (SELECT vec_id, cos, m FROM c$i ORDER BY m DESC, vec_id LIMIT 1),
+             |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        val finals = (1 to 5).map(i =>
+          s"SELECT CAST($i AS INT) AS rank, vec_id, cos AS relevance, " +
+            s"ROUND(m, 6) + CAST(0.0 AS DOUBLE) AS mmr_score FROM s$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH $evecCteSql,
+           |q AS (SELECT vec_id AS qid, v AS qv FROM evec WHERE vec_id = 0),
+           |sc AS (SELECT e.vec_id, ROUND(${cosineSql("e.v", "q.qv")}, 6) AS cos
+           |  FROM evec e, q WHERE e.vec_id <> 0),
+           |pool AS (SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 20),
+           |pp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    ROUND(${cosineSql("a.v", "b.v")}, 6) AS pcos
+           |  FROM evec a, evec b
+           |  WHERE a.vec_id < b.vec_id
+           |    AND a.vec_id IN (SELECT vec_id FROM pool)
+           |    AND b.vec_id IN (SELECT vec_id FROM pool)),
+           |s1 AS (SELECT vec_id, cos,
+           |    CAST(0.7 AS DOUBLE) * cos
+           |      - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(0.0 AS DOUBLE) AS m
+           |  FROM pool ORDER BY m DESC, vec_id LIMIT 1),
+           |sel1 AS (SELECT vec_id FROM s1),
+           |$steps
+           |$finals
+           |ORDER BY rank""".stripMargin
+      }),
+
     Q("sim_sq_ann",
       // scalar-quantized asymmetric ANN (FAISS SQ8): int8 code scan for
       // the approximate rank (scale cancels out of cosine), exact float

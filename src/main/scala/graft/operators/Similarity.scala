@@ -1011,6 +1011,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedily pick `k` results maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` — relevance traded against
+    * redundancy with what is already selected, the standard fix when a
+    * plain top-k returns k near-copies of one answer.
+    *
+    * Scale shape: the RELEVANCE pass is the full-corpus work and runs as
+    * [[bruteForceTopK]] (one scan, bounded heap) cut to `poolSize`
+    * candidates; the pairwise-cosine frame is a broadcast self-join of
+    * the O(poolSize) pool (poolSize² tiny rows); the sequential greedy
+    * itself is inherently ordered and runs on the DRIVER over the
+    * collected O(poolSize) pool — the [[Representatives]] posture:
+    * collect k·dozens of rows, never corpus data. Selection compares
+    * UNROUNDED scores built from the ROUND(6)-published cos values
+    * (identical inputs + identical IEEE ops on both engines), id
+    * tiebreak; `1 − λ` is computed by the same floating subtraction the
+    * oracle uses, so the weights match bit-for-bit. Returns
+    * `(rank, vec_id, relevance, mmr_score)`. */
+  def mmrTopK(emb: DataFrame, queryId: Long, k: Int, poolSize: Int,
+              lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need poolSize >= k >= 1")
+    val session = emb.sparkSession
+    val mu = 1.0 - lambda
+    val pool = bruteForceTopK(emb, queryId, poolSize) // (vec_id, cos)
+    val pv = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .join(broadcast(pool.select("vec_id")), Seq("vec_id"))
+      .withColumn("nrm", normFast(col("v")))
+    val pairs = pv.as("a").crossJoin(broadcast(pv.as("b")))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
+          6).as("pcos"))
+    val rel = pool.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val pc = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def pcos(x: Long, y: Long): Double = if (x < y) pc((x, y)) else pc((y, x))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rel: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { case (id, c) =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => pcos(id, s._1)).max
+        (id, c, lambda * c - mu * maxSim)
+      }.maxBy(t => (t._3, -t._1)) // score desc, id tiebreak
+      selected += best
+      remaining.remove(best._1)
+    }
+    import session.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, c, m), i) => (i + 1, id, c, m) }
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+      .withColumn("mmr_score", round(col("mmr_score"), 6))
+  }
+
   /** DBSCAN (Ester et al. 1996) over embedding cosine similarity — the
     * density clustering a dedup triage wants where k-means' fixed k and
     * spherical cells mislead: clusters are maximal sets reachable through

@@ -62,6 +62,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("mmrTopK: diversity penalty overrides pure relevance, scores non-increasing") {
+    // unit vectors at 0° (query), 10°, 12°, 50°: plain top-2 is (10°, 12°) —
+    // near-copies — but at λ=0.3 the redundancy penalty makes step 2 take
+    // the diverse 50° vector over the 0.999-similar 12° one
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val emb = vecsDf(Seq(0L -> at(0), 1L -> at(10), 2L -> at(12), 3L -> at(50)))
+    val out = Similarity.mmrTopK(emb, queryId = 0L, k = 2, poolSize = 3,
+      lambda = 0.3).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    // step scores are monotone non-increasing (selected set only grows)
+    val scores = out.map(_.getAs[Double]("mmr_score"))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), scores.mkString(","))
+    // and the plain relevance ranking WOULD have picked the near-copy
+    val plain = Similarity.bruteForceTopK(emb, 0L, 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(plain == Seq(1L, 2L))
+  }
+
   test("LSH ANN returns same-bucket vectors ranked by cosine") {
     val out = Similarity.lshTopK(Tables.embeddings(spark, sf0001), queryId = 0, k = 10)
       .collect()
