@@ -5402,6 +5402,48 @@ object SparkEntry {
              |  UNION ALL SELECT 'uniqueness(doc_id)', u_id, '>=', CAST(1.0 AS DOUBLE), u_id >= CAST(1.0 AS DOUBLE) FROM m
              |) ORDER BY metric""".stripMargin)),
 
+    Q("dq_snapshot_diff",
+      // corpus-versioning report between two builds: per source, rows
+      // added / removed / changed / unchanged. The simulated prior drops
+      // every 17th doc (-> added), staling-suffixes every 13th (->
+      // changed), and carries 29th-doc ghosts absent from the current
+      // build (-> removed). Content compares by scan-side md5 digest —
+      // the full-outer join shuffles (id, source, hash) only, text never
+      // moves; the oracle compares text directly, so a hash match also
+      // certifies digest-compare == content-compare on this corpus
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val base = docs.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [stale]")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 29 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("source"),
+              col("text")))
+        operators.DataQuality.snapshotDiff(base, docs,
+          "doc_id", "text", "source")
+      },
+      Some("""WITH base AS (
+          |  SELECT doc_id, source,
+          |    CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 17 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000 AS doc_id, source, text
+          |  FROM documents WHERE doc_id % 29 = 0),
+          |j AS (
+          |  SELECT COALESCE(b.source, c.source) AS source,
+          |    CASE WHEN b.doc_id IS NULL THEN 'added'
+          |         WHEN c.doc_id IS NULL THEN 'removed'
+          |         WHEN b.text <> c.text THEN 'changed'
+          |         ELSE 'unchanged' END AS status
+          |  FROM base b FULL OUTER JOIN documents c ON b.doc_id = c.doc_id)
+          |SELECT source,
+          |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+          |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+          |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("dq_psi_drift",
       // Population Stability Index between two deterministic corpus
       // halves (even/odd doc_id) over n_chars: baseline deciles as

@@ -157,6 +157,34 @@ object DataQuality {
       .orderBy("bucket")
   }
 
+  /** Snapshot diff — the corpus-versioning report run between two
+    * builds of the same dataset: per group, how many rows were added,
+    * removed, changed, or untouched. Content comparison goes through a
+    * scan-side md5 DIGEST, so the full-outer join on the id shuffles two
+    * narrow (id, group, 32-char hash) projections — document text never
+    * moves. One join + one map-side-combined aggregation; output is
+    * O(groups). */
+  def snapshotDiff(base: DataFrame, cur: DataFrame, idCol: String,
+                   contentCol: String, groupCol: String): DataFrame = {
+    val b = base.select(col(idCol).as("id"), col(groupCol).as("grp_b"),
+      md5(col(contentCol).cast("string")).as("h_base"))
+    val c = cur.select(col(idCol).as("id"), col(groupCol).as("grp_c"),
+      md5(col(contentCol).cast("string")).as("h_cur"))
+    b.join(c, Seq("id"), "full_outer")
+      .select(coalesce(col("grp_b"), col("grp_c")).as(groupCol),
+        when(col("h_base").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_base") =!= col("h_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy(groupCol)
+  }
+
   /** l-diversity (Machanavajjhala et al., ICDE 2006) — the companion
     * gate to [[Analytics.kAnonymity]]: a k-anonymous class is still a
     * disclosure if every member shares the same SENSITIVE value, so each

@@ -99,6 +99,24 @@ class DataQualitySpec extends SparkSpec {
     assert(out.head.getAs[Double]("psi_total") > 0.0)
   }
 
+  test("snapshotDiff: added, removed, changed, unchanged all counted per group") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "a", "same"), (2L, "a", "old"), (3L, "b", "gone"))
+      .toDF("doc_id", "source", "text")
+    val cur = Seq(
+      (1L, "a", "same"),   // unchanged
+      (2L, "a", "new"),    // changed
+      (4L, "b", "fresh"))  // added; 3 removed
+      .toDF("doc_id", "source", "text")
+    val rep = DataQuality.snapshotDiff(base, cur, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rep("a") == ((0L, 0L, 1L, 1L))) // added, removed, changed, unchanged
+    assert(rep("b") == ((1L, 1L, 0L, 0L)))
+  }
+
   test("lDiversity: classes below l distinct sensitive values flag at_risk") {
     val s = spark
     import s.implicits._
