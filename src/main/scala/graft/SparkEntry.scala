@@ -1396,6 +1396,48 @@ object SparkEntry {
           |WHERE d.doc_id NOT IN (SELECT id FROM canon WHERE id <> canonical)
           |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("dd_split_leakage",
+      // eval-integrity CENSUS (the Lee et al. dedup-paper argument): the
+      // full near-dup pair matrix of an EXISTING train/val/test
+      // assignment — each cross-split pair is a test answer the model
+      // saw in training. Complements dc_split_leakage, which PROBES
+      // candidate docs against the train index before admission; this
+      // one audits a whole assignment after the fact, for all three
+      // splits at once. Split hash is the pipe_corpus_report arithmetic
+      // (products bounded under 2^63 — both engines agree exactly); the
+      // pair universe is the maintained shared pair table, so the audit
+      // is O(pairs) arithmetic + one tiny aggregation
+      (s, d) => {
+        def splitOf(c: Column): Column = {
+          val b = ((c % 1000000007L) * 2654435761L) % 100L
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        docPairsShared(s, d)
+          .select(splitOf(col("id_a")).as("sa"), splitOf(col("id_b")).as("sb"))
+          .select(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leak", col("split_a") =!= col("split_b"))
+          .orderBy("split_a", "split_b")
+      },
+      Some(Sentiment.oracleCte +
+        minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM toks") +
+        mhPairsCte(0.5) +
+        """,
+          |lab AS (SELECT
+          |    CASE WHEN ((id_a % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+          |         WHEN ((id_a % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
+          |         ELSE 'test' END AS sa,
+          |    CASE WHEN ((id_b % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+          |         WHEN ((id_b % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
+          |         ELSE 'test' END AS sb
+          |  FROM mh_pairs)
+          |SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  LEAST(sa, sb) <> GREATEST(sa, sb) AS leak
+          |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("dd_exact_normalized",
       // "fuzzy-exact" dedup on the normalized-text key (lowercase,
       // punctuation→space, whitespace collapse) — the Dolma-style stage
