@@ -5486,6 +5486,40 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
           |FROM j GROUP BY source ORDER BY source""".stripMargin)),
 
+    Q("emb_drift",
+      // representation-drift monitor: per-dim mean shift between two
+      // snapshots + L1 drift and mean-vector cosine as whole-frame
+      // verdicts. The "current" snapshot plants an exactly-representable
+      // +0.25 bias on dim 0 (a broken-normalization simulation), so the
+      // report must localize the drift to that dim while the cosine
+      // stays below 1. Means ROUND(6)-published; the planted bias is a
+      // power of two, so the corruption is IEEE-exact on both engines
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("v"))
+        val base = e.filter(col("vec_id") % 2 === 0)
+        val cur = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), transform(col("v"), (x, i) =>
+            when(i === 0, x + lit(0.25)).otherwise(x)).as("v"))
+        operators.DataQuality.embeddingDrift(base, cur, "v")
+      },
+      Some(s"""WITH $evecCteSql,
+          |dm AS (SELECT CAST(i - 1 AS INT) AS dim,
+          |    ROUND(avg(CASE WHEN vec_id % 2 = 0 THEN v[i] END), 6)
+          |      + CAST(0.0 AS DOUBLE) AS mean_a,
+          |    ROUND(avg(CASE WHEN vec_id % 2 = 1 THEN
+          |        v[i] + CASE WHEN i = 1 THEN CAST(0.25 AS DOUBLE)
+          |          ELSE CAST(0.0 AS DOUBLE) END END), 6)
+          |      + CAST(0.0 AS DOUBLE) AS mean_b
+          |  FROM evec, range(1, 65) t(i) GROUP BY 1)
+          |SELECT dim, mean_a, mean_b, mean_b - mean_a AS drift,
+          |  ROUND(SUM(ABS(mean_b - mean_a)) OVER (), 6) AS l1_drift,
+          |  ROUND(SUM(mean_a * mean_b) OVER () /
+          |    (SQRT(SUM(mean_a * mean_a) OVER ())
+          |      * SQRT(SUM(mean_b * mean_b) OVER ())), 6)
+          |    + CAST(0.0 AS DOUBLE) AS cos_shift
+          |FROM dm ORDER BY dim""".stripMargin)),
+
     Q("dq_psi_drift",
       // Population Stability Index between two deterministic corpus
       // halves (even/odd doc_id) over n_chars: baseline deciles as

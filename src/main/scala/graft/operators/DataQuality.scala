@@ -157,6 +157,36 @@ object DataQuality {
       .orderBy("bucket")
   }
 
+  /** Embedding-space drift between two corpus snapshots — the
+    * representation-level companion to [[psiDrift]] (scalar stats) and
+    * [[snapshotDiff]] (content): per-dimension mean shift, plus the L1
+    * drift and the cosine between the two mean vectors as whole-frame
+    * verdicts. An embedding model swap, a data-mix change, or an
+    * upstream normalization bug all move the mean vector long before
+    * they show up in task metrics. Per-dim means are ONE map-side
+    * combinable aggregation over the exploded (dim, value) stream (no
+    * corpus shuffle beyond the O(dims) partials); the drift algebra and
+    * the two whole-frame windows run on the O(dims)-row frame. Means
+    * are ROUND(6)-published so both engines derive drift from identical
+    * operands. */
+  def embeddingDrift(base: DataFrame, cur: DataFrame,
+                     vecCol: String): DataFrame = {
+    def dimMeans(df: DataFrame, n: String) =
+      df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("dim").agg(round(avg(col("x").cast("double")), 6).as(n))
+    val j = dimMeans(base, "mean_a").join(dimMeans(cur, "mean_b"), Seq("dim"))
+      .withColumn("drift", col("mean_b") - col("mean_a"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    j.withColumn("l1_drift", round(sum(abs(col("drift"))).over(w), 6))
+      .withColumn("cos_shift", round(
+        sum(col("mean_a") * col("mean_b")).over(w) /
+          (sqrt(sum(col("mean_a") * col("mean_a")).over(w)) *
+            sqrt(sum(col("mean_b") * col("mean_b")).over(w))), 6))
+      .select(col("dim"), col("mean_a"), col("mean_b"), col("drift"),
+        col("l1_drift"), col("cos_shift"))
+      .orderBy("dim")
+  }
+
   /** Snapshot diff — the corpus-versioning report run between two
     * builds of the same dataset: per group, how many rows were added,
     * removed, changed, or untouched. Content comparison goes through a

@@ -117,6 +117,22 @@ class DataQualitySpec extends SparkSpec {
     assert(rep("b") == ((1L, 1L, 0L, 0L)))
   }
 
+  test("embeddingDrift: hand-computed per-dim means, L1 and cosine verdicts") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((0L, Seq(1.0, 0.0)), (2L, Seq(3.0, 0.0))).toDF("vec_id", "v")
+    val cur = Seq((1L, Seq(2.0, 2.0)), (3L, Seq(2.0, 4.0))).toDF("vec_id", "v")
+    val out = DataQuality.embeddingDrift(base, cur, "v").orderBy("dim").collect()
+    // means: base (2, 0), cur (2, 3); drift (0, 3); L1 = 3
+    assert(out.map(_.getAs[Double]("mean_a")).toSeq == Seq(2.0, 0.0))
+    assert(out.map(_.getAs[Double]("mean_b")).toSeq == Seq(2.0, 3.0))
+    assert(out.map(_.getAs[Double]("drift")).toSeq == Seq(0.0, 3.0))
+    assert(out.head.getAs[Double]("l1_drift") == 3.0)
+    // cos((2,0),(2,3)) = 4 / (2 * sqrt(13))
+    assert(math.abs(out.head.getAs[Double]("cos_shift")
+      - 4.0 / (2.0 * math.sqrt(13.0))) < 1e-6)
+  }
+
   test("lDiversity: classes below l distinct sensitive values flag at_risk") {
     val s = spark
     import s.implicits._
