@@ -2957,6 +2957,67 @@ object SparkEntry {
           |SELECT doc_id, n_terms, score FROM bsc
           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    Q("ir_rm3_expansion",
+      // RM3-style pseudo-relevance feedback: BM25 top-10 feedback docs →
+      // 5 relevance-weighted expansion terms (stoplist + query excluded,
+      // ROUND(6) weights, term tiebreak) → rescore with the expanded
+      // query. The oracle replays BOTH passes; its pass-2 term predicate
+      // is an IN-subquery over the expansion CTE while Spark collects
+      // the O(5) terms to the driver — same set by construction, proven
+      // by the hash
+      (s, d) => TextAnalysis.bm25ExpandedTopK(Tables.documents(s, d),
+        "text", "doc_id", Seq("hash", "join", "vector"),
+        fbDocs = 10, expand = 5, k = 10),
+      Some {
+        val stopList = operators.Analytics.StopWords
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        Sentiment.oracleCte +
+          """,
+            |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            |    CAST(SUM(len(tokens)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+            |  FROM toks),
+            |bt AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+            |    unnest(list_filter(tokens, t -> t IN ('hash', 'join', 'vector'))) AS t
+            |  FROM toks),
+            |btf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+            |  FROM bt GROUP BY doc_id, dl, t),
+            |bdf AS (SELECT t, CAST(count(*) AS BIGINT) AS nt FROM btf GROUP BY t),
+            |fb AS (SELECT doc_id,
+            |    ROUND(SUM(
+            |      ln((CAST(n_docs AS DOUBLE) - CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            |          / (CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+            |      * tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+            |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+            |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+            |  FROM btf JOIN bdf USING (t), bs GROUP BY doc_id
+            |  ORDER BY score DESC, doc_id LIMIT 10),
+            |fbt AS (SELECT f.score, unnest(tk.tokens) AS t
+            |  FROM fb f JOIN toks tk USING (doc_id)),
+            |exp AS (SELECT t, ROUND(SUM(score), 6) AS w FROM fbt
+            |  WHERE t NOT IN ('hash', 'join', 'vector')
+            |    AND t NOT IN """.stripMargin + stopList +
+          """
+            |  GROUP BY t ORDER BY w DESC, t LIMIT 5),
+            |eta AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+            |    unnest(tokens) AS t FROM toks),
+            |et AS (SELECT doc_id, dl, t FROM eta
+            |  WHERE t IN ('hash', 'join', 'vector')
+            |     OR t IN (SELECT t FROM exp)),
+            |etf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+            |  FROM et GROUP BY doc_id, dl, t),
+            |edf AS (SELECT t, CAST(count(*) AS BIGINT) AS nt FROM etf GROUP BY t),
+            |esc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+            |    ROUND(SUM(
+            |      ln((CAST(n_docs AS DOUBLE) - CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            |          / (CAST(nt AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+            |      * tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+            |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+            |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+            |  FROM etf JOIN edf USING (t), bs GROUP BY doc_id)
+            |SELECT doc_id, n_terms, score FROM esc
+            |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
     Q("ir_rerank_seam",
       // two-stage retrieval with a pluggable re-ranker — the cross-
       // encoder serving shape: BM25 retrieves 20 candidates cheap, a

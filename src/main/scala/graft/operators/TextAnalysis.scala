@@ -503,6 +503,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** RM3-style pseudo-relevance feedback (Lavrenko-Croft relevance
+    * models, the Anserini/Indri default): run [[bm25TopK]] once, treat
+    * the top `fbDocs` as relevant, pick the `expand` highest
+    * relevance-weighted terms from them (feedback-score-weighted term
+    * mass, stoplist and original-query terms excluded), and rescore with
+    * the expanded query — recall recovery for vocabulary-mismatch
+    * queries without any model. Simplification vs full RM3 is the final
+    * scoring (uniform expanded query, no interpolation weights) —
+    * documented, deterministic, and the part every practical deployment
+    * tunes away anyway.
+    *
+    * Scale shape: two [[bm25TopK]]-shaped passes (posting-style explode
+    * filtered to the query terms — never a full term explosion — with
+    * broadcast df/stats); the expansion stage touches ONLY the
+    * O(fbDocs) feedback rows and collects O(expand) terms to the driver
+    * (a scalar probe, the [[graft.ml.Representatives]] posture). Term
+    * weights ROUND(6)-published before the (weight desc, term) selection
+    * so the expansion set is engine-deterministic. */
+  def bm25ExpandedTopK(df: DataFrame, textCol: String, idCol: String,
+                       queryTerms: Seq[String], fbDocs: Int = 10,
+                       expand: Int = 5, k: Int = 10,
+                       stop: Seq[String] = Analytics.StopWords): DataFrame = {
+    require(fbDocs >= 1 && expand >= 0, "need fbDocs >= 1, expand >= 0")
+    val fb = bm25TopK(df, textCol, idCol, queryTerms, fbDocs)
+    val expTerms = df
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .join(broadcast(fb.select(col(idCol), col("score"))), Seq(idCol))
+      .select(col("score"), explode(col("toks")).as("t"))
+      .filter(!col("t").isin(queryTerms: _*) && !col("t").isin(stop: _*))
+      .groupBy("t").agg(round(sum(col("score")), 6).as("w"))
+      .orderBy(col("w").desc, col("t")).limit(expand)
+      .select("t").collect().map(_.getString(0)).toSeq
+    bm25TopK(df, textCol, idCol, queryTerms ++ expTerms, k)
+  }
+
   /** Two-stage retrieval with a PLUGGABLE re-ranker — the cross-encoder
     * serving shape (retrieve cheap, re-rank expensive): [[bm25TopK]]
     * supplies `candidateK` candidates, then a batched `batchScore`

@@ -252,6 +252,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("bm25ExpandedTopK: expansion recovers a vocabulary-mismatch doc plain BM25 misses") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "anchor rope harbor anchor"), // feedback doc for 'anchor'
+      (2L, "rope harbor dock mooring"),  // relevant but never says 'anchor'
+      (3L, "compiler register opcode"))  // unrelated
+      .toDF("doc_id", "text")
+    val plain = TextAnalysis.bm25TopK(df, "text", "doc_id", Seq("anchor"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L)) // vocabulary mismatch: doc 2 invisible
+    val expanded = TextAnalysis.bm25ExpandedTopK(df, "text", "doc_id",
+      Seq("anchor"), fbDocs = 1, expand = 2, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(expanded.contains(2L), expanded.toString) // recovered via rope/harbor
+    assert(!expanded.contains(3L))
+  }
+
   test("bm25TopK: mirrored arithmetic on a tiny corpus, non-matching doc absent") {
     val s = spark
     import s.implicits._
