@@ -2957,6 +2957,24 @@ object SparkEntry {
           |SELECT doc_id, n_terms, score FROM bsc
           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    Q("ta_rag_chunks",
+      // RAG chunking: 64-token windows every 48 tokens (16-token
+      // overlap) — the retrieval-unit prep before the embedding seam,
+      // and the inverse of pk_sequence_packing. Pure sequence→explode→
+      // slice column algebra in the scan projection; short tail chunks
+      // kept (dropping them loses document endings)
+      (s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d),
+        "text", "doc_id", chunkTokens = 64, overlapTokens = 16),
+      Some(Sentiment.oracleCte +
+        """,
+          |cks AS (SELECT doc_id, tokens,
+          |    unnest(range(0, greatest(len(tokens), 1), 48)) AS st FROM toks),
+          |ck AS (SELECT doc_id, CAST(st // 48 AS INT) AS chunk_id,
+          |    list_slice(tokens, st + 1, st + 64) AS ct FROM cks)
+          |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
+          |  array_to_string(ct, ' ') AS chunk_text
+          |FROM ck WHERE len(ct) > 0 ORDER BY doc_id, chunk_id""".stripMargin)),
+
     Q("ir_rm3_expansion",
       // RM3-style pseudo-relevance feedback: BM25 top-10 feedback docs →
       // 5 relevance-weighted expansion terms (stoplist + query excluded,

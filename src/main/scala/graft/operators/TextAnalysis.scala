@@ -503,6 +503,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** RAG chunking — documents → overlapping token windows, the
+    * retrieval-unit prep every RAG index runs before embedding (and the
+    * inverse of training-side sequence packing): windows of
+    * `chunkTokens` tokens starting every `chunkTokens − overlapTokens`,
+    * so consecutive chunks share `overlapTokens` of context and no
+    * sentence is stranded at a hard boundary. Pure column algebra
+    * (sequence → explode → slice), no UDF, no shuffle: chunking happens
+    * in the scan's projection and the output is ready for the embedding
+    * seam. Empty documents emit nothing; the tail chunk may be shorter
+    * than `chunkTokens` (kept — dropping it would lose the document
+    * ending). Returns `(idCol, chunk_id, n_tokens, chunk_text)`. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(overlapTokens >= 0 && chunkTokens > overlapTokens,
+      "need chunkTokens > overlapTokens >= 0")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .withColumn("st", explode(sequence(lit(0),
+        greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(col(idCol), (col("st") / stride).cast("int").as("chunk_id"),
+        slice(col("toks"), col("st") + 1, lit(chunkTokens)).as("ct"))
+      .withColumn("n_tokens", size(col("ct")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("chunk_id"), col("n_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+      .orderBy(col(idCol), col("chunk_id"))
+  }
+
   /** RM3-style pseudo-relevance feedback (Lavrenko-Croft relevance
     * models, the Anserini/Indri default): run [[bm25TopK]] once, treat
     * the top `fbDocs` as relevant, pick the `expand` highest

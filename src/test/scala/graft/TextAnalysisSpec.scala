@@ -252,6 +252,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("chunkDocuments: overlap shared between windows, short tail kept, empty doc dropped") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, chunk 4, overlap 2 -> starts 0,2,4,6,8: windows of 4
+    // sharing 2, the last two short (t9 t10 / t9 t10... no: start 8 -> t9 t10)
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+      chunkTokens = 4, overlapTokens = 2).collect()
+    assert(out.forall(_.getLong(0) == 1L)) // empty doc emits nothing
+    val chunks = out.map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(chunks(0) == "t1 t2 t3 t4")
+    assert(chunks(1) == "t3 t4 t5 t6") // 2-token overlap with chunk 0
+    assert(chunks(4) == "t9 t10")      // short tail kept
+    assert(out.map(_.getLong(2)).sum == 4 + 4 + 4 + 4 + 2)
+  }
+
   test("bm25ExpandedTopK: expansion recovers a vocabulary-mismatch doc plain BM25 misses") {
     val s = spark
     import s.implicits._
