@@ -2957,6 +2957,52 @@ object SparkEntry {
           |SELECT doc_id, n_terms, score FROM bsc
           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    Q("pipe_rag_index",
+      // the serving-side mirror of pipe_corpus_report: a RAG INDEX BUILD
+      // as one declarative plan — chunk (64/16 windows) → embed (8-dim
+      // hashed embedding; a real model slots into the same text→vector
+      // seam) → LSH partition key (4 planes) → index-layout report
+      // (chunks and distinct docs per bucket). Every stage row-local
+      // until the final O(buckets) aggregation; hash-green end to end
+      (s, d) => {
+        val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, d),
+          "text", "doc_id", chunkTokens = 64, overlapTokens = 16)
+        chunks
+          // bucket ids as their own projection: one md5 per token total;
+          // the 8 per-dim weights are literal-table lookups over it
+          .select(col("doc_id"), TextAnalysis.tokenBuckets(
+            TextFns.tokens(col("chunk_text")), 256).as("b"))
+          .select(col("doc_id"),
+            TextAnalysis.hashedEmbeddingFromBuckets(col("b"), 8, 256).as("v"))
+          .select(col("doc_id"), Similarity.lshBucket(col("v"), 4, 8).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("bucket")
+      },
+      Some {
+        def embDimSql(ct: String, j: Int): String =
+          s"""ROUND(list_sum(list_transform($ct, t ->
+             |      (CAST(CAST('0x' || substr(md5('d$j:' || CAST(
+             |          CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 256
+             |        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 AS DOUBLE)
+             |       - CAST(1000.0 AS DOUBLE)) / CAST(1000.0 AS DOUBLE)))
+             |    / CAST(len($ct) AS DOUBLE), 6)""".stripMargin
+        Sentiment.oracleCte +
+          s""",
+             |cks AS (SELECT doc_id, tokens,
+             |    unnest(range(0, greatest(len(tokens), 1), 48)) AS st FROM toks),
+             |ck AS (SELECT doc_id, list_slice(tokens, st + 1, st + 64) AS ct
+             |  FROM cks),
+             |ckv AS (SELECT doc_id,
+             |    [${(0 until 8).map(j => embDimSql("ct", j)).mkString(",\n")}] AS v
+             |  FROM ck WHERE len(ct) > 0),
+             |bk AS (SELECT doc_id, ${lshBucketSql("v", 4, 8)} AS bucket FROM ckv)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+      }),
+
     Q("ta_rag_chunks",
       // RAG chunking: 64-token windows every 48 tokens (16-token
       // overlap) — the retrieval-unit prep before the embedding seam,

@@ -503,6 +503,48 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Deterministic hashed text embedding — the feature-hashing trick
+    * (Weinberger et al. 2009) as a pure column expression: dim j of a
+    * token list is the ROUND(6)-published mean of per-token weights
+    * drawn from the md5 bucket scheme [[hashedLinearScore]] uses, keyed
+    * per dimension. Not a learned embedding — a deterministic,
+    * oracle-replayable stand-in with the same dataflow (text → fixed-dim
+    * vector, row-local, no shuffle), so indexing pipelines downstream of
+    * a real embedding model can be hash-gated end to end. */
+  def hashedEmbedding(toks: Column, dims: Int, buckets: Int): Column =
+    hashedEmbeddingFromBuckets(tokenBuckets(toks, buckets), dims, buckets)
+
+  /** Per-token md5 bucket ids for [[hashedEmbeddingFromBuckets]] —
+    * materialize this ONCE as its own column when embedding (the
+    * projection boundary stops Catalyst re-inlining it per dimension),
+    * so the engine pays one md5 per token total; every per-dim weight is
+    * then a literal-array lookup. */
+  def tokenBuckets(toks: Column, buckets: Int): Column =
+    transform(toks, t => pmod(hash60(t), lit(buckets.toLong)).cast("int"))
+
+  def hashedEmbeddingFromBuckets(bArr: Column, dims: Int,
+                                 buckets: Int): Column = {
+    require(dims >= 1 && buckets >= 1, "need dims >= 1, buckets >= 1")
+    // (dims × buckets) weight table precomputed on the driver with the
+    // SAME md5 the engines use — the weight depends only on (dim,
+    // bucket), so tabulating it turns 2·dims md5 calls per token into
+    // one md5 + dims array lookups; values are bit-identical to the
+    // formula the oracle replays
+    def md5hex(sx: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(sx: String): Long =
+      java.lang.Long.parseLong(md5hex(sx).substring(0, 15), 16)
+    val table: IndexedSeq[IndexedSeq[Double]] = (0 until dims).map(j =>
+      (0 until buckets).map(b =>
+        ((h60(s"d$j:$b") % 2001L).toDouble - 1000.0) / 1000.0))
+    array((0 until dims).map { j =>
+      val w = typedLit(table(j))
+      round(aggregate(bArr, lit(0.0), (acc, b) => acc + element_at(w, b + 1)) /
+        size(bArr).cast("double"), 6)
+    }: _*)
+  }
+
   /** RAG chunking — documents → overlapping token windows, the
     * retrieval-unit prep every RAG index runs before embedding (and the
     * inverse of training-side sequence packing): windows of

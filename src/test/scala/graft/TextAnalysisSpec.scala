@@ -252,6 +252,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("hashedEmbedding: deterministic, dims independent, values bounded") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.hashedEmbedding(
+        graft.functions.TextFns.tokens(col("text")), dims = 8, buckets = 256).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1) == out(2))            // same text -> same vector
+    assert(out(1) != out(3))            // different text -> different vector
+    assert(out(1).length == 8)
+    assert(out.values.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    assert(out(1).distinct.length > 1)  // per-dim keys actually vary
+  }
+
   test("chunkDocuments: overlap shared between windows, short tail kept, empty doc dropped") {
     val s = spark
     import s.implicits._
