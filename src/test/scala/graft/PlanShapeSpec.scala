@@ -188,6 +188,7 @@ class PlanShapeSpec extends SparkSpec {
       "mix_temperature", // 20 domain rows x TWO broadcast single-row totals
       "ir_bm25_topk", // query-term hits x ONE broadcast (N, avgdl) row
       "ir_rerank_seam", // the BM25 candidate stage: same (N, avgdl) single-row broadcast
+      "ir_rm3_expansion", // both BM25 passes: the same (N, avgdl) single-row broadcast
       "ta_keywords_tfidf", // (doc, term) counts x ONE broadcast N row
       "mix_dsir_weights", // bucket histogram x ONE broadcast totals row
       "ev_funnel", "ev_funnel_windowed", // 3 stage-count rows x ONE broadcast stage-1 base row
