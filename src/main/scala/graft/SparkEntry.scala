@@ -3649,6 +3649,51 @@ object SparkEntry {
              |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum
              |FROM m GROUP BY media_kind ORDER BY media_kind""".stripMargin)),
 
+    Q("mm_format_sniff",
+      // the "extension lies" audit: claimed media kind (metadata) vs
+      // magic-byte sniff (payload bytes) — every mismatch is a
+      // mislabeled/corrupt asset that would crash a batch decoder.
+      // Payloads carry real magic prefixes (JPEG/PNG/RIFF-WAVE/GIF/none
+      // by doc_id%5) in front of the text bytes; the claimed kind cycles
+      // doc_id%3, so mismatches exist by construction and the audit
+      // matrix is deterministic
+      (s, d) => {
+        val magic = element_at(array(
+          lit("ffd8ffe0"), lit("89504e470d0a1a0a"),
+          lit("524946463031323357415645"), lit("47494638"), lit("")),
+          (col("doc_id") % 5 + 1).cast("int"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (col("doc_id") % 3 + 1).cast("int")).as("claimed_kind"),
+            concat(unhex(magic), col("text").cast("binary")).as("payload"))
+          .select(col("claimed_kind"),
+            Multimodal.sniffFormat(col("payload")).as("sniffed_format"))
+          .groupBy("claimed_kind", "sniffed_format")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("claimed_kind", "sniffed_format")
+      },
+      Some("""WITH m AS (
+          |  SELECT doc_id,
+          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+          |      WHEN 1 THEN 'audio' ELSE 'video' END AS claimed_kind,
+          |    (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'ffd8ffe0'
+          |      WHEN 1 THEN '89504e470d0a1a0a'
+          |      WHEN 2 THEN '524946463031323357415645'
+          |      WHEN 3 THEN '47494638' ELSE '' END)
+          |      || lower(hex(encode(text))) AS hx
+          |  FROM documents),
+          |s AS (SELECT claimed_kind,
+          |    CASE WHEN hx LIKE 'ffd8ff%' THEN 'jpeg'
+          |         WHEN hx LIKE '89504e47%' THEN 'png'
+          |         WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57415645'
+          |           THEN 'wav'
+          |         WHEN hx LIKE '47494638%' THEN 'gif'
+          |         ELSE 'unknown' END AS sniffed_format
+          |  FROM m)
+          |SELECT claimed_kind, sniffed_format, CAST(count(*) AS BIGINT) AS n
+          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("mm_image_decode",
       // a REAL codec behind the multimodal seam (r8 VERDICT task 6):
       // deterministic RGB images PNG-encoded via javax.imageio, decoded

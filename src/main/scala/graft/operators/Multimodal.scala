@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
@@ -28,6 +28,23 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")))
       .withColumn("payload", col("text").cast("binary"))
+
+  /** Magic-byte format sniffing over a binary column — corpus hygiene
+    * for multimodal ingest: the upstream metadata CLAIMS a media kind,
+    * the bytes say what the file actually is, and every mismatch is a
+    * mislabeled or corrupted asset that would crash a batch decoder
+    * downstream. Pure column algebra on the payload's hex prefix (JPEG
+    * ffd8ff, PNG 89504e47, RIFF/WAVE with the format tag at byte 8, GIF
+    * 474946 38) — a narrow scan-side map, no decode, no shuffle. */
+  def sniffFormat(bin: Column): Column = {
+    val hx = lower(hex(bin))
+    when(hx.startsWith("ffd8ff"), "jpeg")
+      .when(hx.startsWith("89504e47"), "png")
+      .when(hx.startsWith("52494646") && substring(hx, 17, 8) === "57415645",
+        "wav")
+      .when(hx.startsWith("47494638"), "gif")
+      .otherwise("unknown")
+  }
 
   /** Batched decode + feature extraction. Real codecs would replace
     * `decodeBatch`; everything around it (encoders, batch shape, schema)

@@ -4,6 +4,24 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
+  test("sniffFormat: real magic bytes classify, WAVE needs the byte-8 tag, junk is unknown") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    val cases = Seq(
+      ("ffd8ffe000104a46", "jpeg"),
+      ("89504e470d0a1a0a", "png"),
+      ("524946461234567857415645", "wav"),  // RIFF....WAVE
+      ("524946461234567841564920", "unknown"), // RIFF....AVI_ — not WAVE
+      ("474946383961", "gif"),
+      ("0001020304", "unknown"))
+    val got = cases.map(_._1).toDF("hx")
+      .select(Multimodal.sniffFormat(unhex(col("hx"))).as("f"))
+      .as[String].collect()
+    got.zip(cases).foreach { case (g, (hx, want)) =>
+      assert(g == want, s"sniff($hx)") }
+  }
+
   test("stub decode: checksum/byte-length arithmetic on known payload") {
     val s = spark
     import s.implicits._
