@@ -182,25 +182,35 @@ object SparkEntry {
   /** DuckDB rendering of [[operators.MLEval.rankingQuality]]: expects
     * CTEs `sys(qid, vec_id, rnk)` and `truth(qid, vec_id, trnk)` (both
     * already truncated to `k`) in scope; emits the per-query metric
-    * SELECT. Composed by `ir_rank_quality` / `ir_mrl_funnel`. */
+    * SELECT. Mirrors the engine's semantics exactly: IDCG over a
+    * per-query row_number (robust to non-contiguous truth ranks) and a
+    * LEFT join to `ideal` so truth-less queries survive with NULL
+    * recall/nDCG. Composed by `ir_rank_quality` / `ir_mrl_funnel`. */
   private def rankingMetricsSql(k: Int): String =
-    s"""ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth,
-       |    SUM(CAST(1.0 AS DOUBLE) / log2(CAST(trnk AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS idcg
-       |  FROM truth GROUP BY qid),
+    s"""tr AS (SELECT qid, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY trnk, vec_id)
+       |      AS DOUBLE) AS irnk
+       |  FROM truth),
+       |trk AS (SELECT qid, vec_id, irnk FROM tr WHERE irnk <= CAST($k AS DOUBLE)),
+       |ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth,
+       |    SUM(CAST(1.0 AS DOUBLE) / log2(irnk + CAST(1.0 AS DOUBLE))) AS idcg
+       |  FROM trk GROUP BY qid),
        |j AS (SELECT s.qid, s.rnk, (t.vec_id IS NOT NULL) AS rel
-       |  FROM sys s LEFT JOIN truth t ON s.qid = t.qid AND s.vec_id = t.vec_id),
+       |  FROM sys s LEFT JOIN trk t ON s.qid = t.qid AND s.vec_id = t.vec_id),
        |m AS (SELECT qid,
        |    CAST(count(*) AS BIGINT) AS n_ranked,
        |    CAST(COALESCE(SUM(CASE WHEN rel THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
        |    COALESCE(SUM(CASE WHEN rel THEN CAST(1.0 AS DOUBLE) / log2(CAST(rnk AS DOUBLE) + CAST(1.0 AS DOUBLE)) END), CAST(0.0 AS DOUBLE)) AS dcg,
        |    COALESCE(MAX(CASE WHEN rel THEN CAST(1.0 AS DOUBLE) / CAST(rnk AS DOUBLE) END), CAST(0.0 AS DOUBLE)) AS mrr
        |  FROM j GROUP BY qid)
-       |SELECT m.qid AS query_id, n_ranked, n_truth, hits,
+       |SELECT m.qid AS query_id, n_ranked,
+       |  CAST(COALESCE(n_truth, 0) AS BIGINT) AS n_truth, hits,
        |  ROUND(CAST(hits AS DOUBLE) / CAST($k.0 AS DOUBLE), 6) AS precision_at_k,
-       |  ROUND(CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall_at_k,
+       |  CASE WHEN n_truth > 0
+       |    THEN ROUND(CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END AS recall_at_k,
        |  ROUND(mrr, 6) AS mrr,
-       |  ROUND(dcg / idcg, 6) AS ndcg
-       |FROM m JOIN ideal ON m.qid = ideal.qid ORDER BY query_id""".stripMargin
+       |  CASE WHEN idcg IS NOT NULL THEN ROUND(dcg / idcg, 6) END AS ndcg
+       |FROM m LEFT JOIN ideal ON m.qid = ideal.qid ORDER BY query_id""".stripMargin
 
   /** Mirrors one half of [[Similarity.binarySignature]]: sign bits of
     * dims `range` packed at offsets `i - base`. */
@@ -661,10 +671,14 @@ object SparkEntry {
     * consumer pays a parquet read-back of the O(dups) pair set instead of
     * the O(corpus) signature+band+verify pipeline. Per-pair jaccard is
     * published ROUND(6)-ed upstream, so the round trip is bit-exact and
-    * every oracle hash is unchanged. */
+    * every oracle hash is unchanged. The directory name carries a
+    * version + parameter token (n4 k32 b8 j05 portable) alongside the
+    * source-identity key, so changing the generation parameters or the
+    * operator code (bump the token) invalidates the cache instead of
+    * silently serving pairs built under the old recipe. */
   private def docPairsShared(s: SparkSession, d: String): DataFrame = {
     val p = new java.io.File(
-      s"spark-warehouse/graft_state/dp_${sourceStateKey(s, d, "documents.parquet")}").toString
+      s"spark-warehouse/graft_state/dp_v1_n4k32b8j05p_${sourceStateKey(s, d, "documents.parquet")}").toString
     if (!new java.io.File(p, "_SUCCESS").exists) {
       docNearDupPairs(s, d).write.mode("overwrite").parquet(p)
     }
@@ -776,7 +790,7 @@ object SparkEntry {
     * retrain — exactly how a 100 TB deployment amortizes training. */
   private def trainedQuantizers(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val dir = new java.io.File(
-      s"spark-warehouse/graft_state/tq_${sourceStateKey(s, d, "embeddings.parquet")}")
+      s"spark-warehouse/graft_state/tq_v1_c64m8n16_${sourceStateKey(s, d, "embeddings.parquet")}")
     val centsP = new java.io.File(dir, "cents").toString
     val cbP = new java.io.File(dir, "codebook").toString
     if (!new java.io.File(cbP, "_SUCCESS").exists) {
@@ -801,7 +815,7 @@ object SparkEntry {
     * query. */
   private def bandedPairsShared(s: SparkSession, d: String): DataFrame = {
     val p = new java.io.File(
-      s"spark-warehouse/graft_state/bp_${sourceStateKey(s, d, "embeddings.parquet")}").toString
+      s"spark-warehouse/graft_state/bp_v1_t04o63b4d64_${sourceStateKey(s, d, "embeddings.parquet")}").toString
     if (!new java.io.File(p, "_SUCCESS").exists) {
       Similarity.lshNearDupPairsAuto(Tables.embeddings(s, d), 0.4,
         targetOccupancy = 63, bands = 4, dim = 64)
@@ -821,7 +835,7 @@ object SparkEntry {
     * (SURVEY §7.4) stable across sessions on an unchanged corpus. */
   private def repsShared(s: SparkSession, d: String): DataFrame = {
     val p = new java.io.File(
-      s"spark-warehouse/graft_state/rp_${sourceStateKey(s, d, "documents.parquet")}").toString
+      s"spark-warehouse/graft_state/rp_v1_${sourceStateKey(s, d, "documents.parquet")}").toString
     if (!new java.io.File(p, "_SUCCESS").exists) {
       graft.ml.Representatives.representatives(scoredDocs(s, d))
         .write.mode("overwrite").parquet(p)
@@ -838,7 +852,7 @@ object SparkEntry {
     * recomputed. */
   private def ivfIndexShared(s: SparkSession, d: String): DataFrame = {
     val p = new java.io.File(
-      s"spark-warehouse/graft_state/iv_${sourceStateKey(s, d, "embeddings.parquet")}").toString
+      s"spark-warehouse/graft_state/iv_v1_c16_${sourceStateKey(s, d, "embeddings.parquet")}").toString
     if (!new java.io.File(p, "_SUCCESS").exists) {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfAssignments(emb, Similarity.ivfCentroids(emb, 16))
@@ -1637,7 +1651,7 @@ object SparkEntry {
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
         val stateDir = new java.io.File(
-          s"spark-warehouse/graft_state/incr_${sourceStateKey(s, d, "documents.parquet")}")
+          s"spark-warehouse/graft_state/incr_v1_n4k32b8j05p_${sourceStateKey(s, d, "documents.parquet")}")
         val labelsP = new java.io.File(stateDir, "labels").toString
         val bandsP = new java.io.File(stateDir, "bands").toString
         val shP = new java.io.File(stateDir, "shingles").toString
@@ -5711,8 +5725,10 @@ object SparkEntry {
         val bucket = (1 to 9)
           .map(i => s"(CASE WHEN v >= e$i THEN 1 ELSE 0 END)").mkString(" + ")
         val fl = "CAST(0.000001 AS DOUBLE)"
-        s"""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 0),
-           |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 1),
+        s"""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+           |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
            |e AS (SELECT $edges FROM b),
            |bb AS (SELECT ($bucket) AS bucket FROM b, e),
            |cb AS (SELECT ($bucket) AS bucket FROM c, e),

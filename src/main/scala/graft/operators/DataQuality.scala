@@ -118,8 +118,12 @@ object DataQuality {
     * plan), ROUND(6)-pinned so bucketing replays identically anywhere
     * (the published-stats discipline of ml_ece/emb_whiten). Empty-bin
     * rates are floored at `floor` before the log, the standard PSI
-    * regularization. Returns one row per bin with the per-bin term and
-    * the repeated total.
+    * regularization. NULL values are EXCLUDED from both windows' rates
+    * (the edge probe already ignores them): a null is missing data, not
+    * a low value, and silently counting it in the bottom bin would let
+    * a broken upstream masquerade as low-value drift — track nullness
+    * with a [[completeness]] expectation instead. Returns one row per
+    * bin with the per-bin term and the repeated total.
     *
     * Scale shape: the edge probe is ONE aggregation on the baseline
     * producing O(bins) scalars (driver-side round is an O(bins) probe,
@@ -139,7 +143,7 @@ object DataQuality {
       edges.map(e => when(c >= lit(e), 1).otherwise(0))
         .reduce(_ + _).cast("int")
     def rates(df: DataFrame, n: String): DataFrame =
-      df.select(bucketOf(v).as("bucket"))
+      df.filter(v.isNotNull).select(bucketOf(v).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(n))
     val joined = rates(base, "n_base")
       .join(rates(cur, "n_cur"), Seq("bucket"), "full_outer")

@@ -377,27 +377,6 @@ object MLEval {
         .as("logloss"))
   }
 
-  /** Rank-aware retrieval quality — the metrics the classifier family
-    * above cannot see (AUC scores POINTWISE goodness; retrieval cares
-    * WHERE the relevant items land in the list): per query, against a
-    * binary relevance set `truth`,
-    *
-    *  - `precision_at_k` / `recall_at_k` — overlap mass;
-    *  - `mrr` — 1 / rank of the FIRST relevant hit (Voorhees, TREC-8),
-    *    the "how far does the user scroll" metric;
-    *  - `ndcg` — DCG with the standard `1/log2(rank+1)` discount
-    *    (Järvelin & Kekäläinen, TOIS 2002), normalized by the ideal DCG
-    *    of the truth set, so 1.0 = the system ranked every relevant item
-    *    as early as possible.
-    *
-    * Inputs are ranked lists `(queryCol, docCol, rankCol)` — the
-    * [[Similarity.batchTopK]] output shape — both truncated to `k` here.
-    * Both frames are O(panel × k): the join and per-query aggregations
-    * are trivially small next to the scans that produced them, so this
-    * composes onto any retrieval pair (exact vs ANN, full-dim vs MRL
-    * prefix, lexical vs hybrid) without adding a wide stage. DCG sums
-    * are ROUND(6)ed: per-query sums of ≤ k doubles are reduction-order-
-    * dependent in the last ulp. */
   /** Padding-waste report for fixed-size inference batching — the
     * measured case for LENGTH-SORTING a corpus before the V4
     * mapPartitions seam: a batch pads every sequence to its longest
@@ -436,17 +415,51 @@ object MLEval {
       .orderBy("strategy")
   }
 
+  /** Rank-aware retrieval quality — the metrics the classifier family
+    * above cannot see (AUC scores POINTWISE goodness; retrieval cares
+    * WHERE the relevant items land in the list): per query, against a
+    * binary relevance set `truth`,
+    *
+    *  - `precision_at_k` / `recall_at_k` — overlap mass;
+    *  - `mrr` — 1 / rank of the FIRST relevant hit (Voorhees, TREC-8),
+    *    the "how far does the user scroll" metric;
+    *  - `ndcg` — DCG with the standard `1/log2(rank+1)` discount
+    *    (Järvelin & Kekäläinen, TOIS 2002), normalized by the ideal DCG
+    *    of the truth set, so 1.0 = the system ranked every relevant item
+    *    as early as possible.
+    *
+    * Inputs are ranked lists `(queryCol, docCol, rankCol)` — the
+    * [[Similarity.batchTopK]] output shape — both truncated to `k` here.
+    * The truth side's rank values are used only to ORDER the relevance
+    * set: the ideal DCG is computed over a per-query `row_number`, so a
+    * FILTERED truth set with non-contiguous ranks (3, 7, 12, …) still
+    * yields the textbook IDCG at positions 1..min(n, k) instead of an
+    * undersized denominator and nDCG > 1. Queries present in `ranked`
+    * but absent from `truth` are KEPT (left join): they report
+    * `n_truth = 0`, hits/precision/mrr of 0, and NULL recall/nDCG —
+    * both metrics are undefined against an empty relevance set, and a
+    * silent drop would hide exactly the queries whose truth labeling is
+    * broken. Both frames are O(panel × k): the join and per-query
+    * aggregations are trivially small next to the scans that produced
+    * them, so this composes onto any retrieval pair (exact vs ANN,
+    * full-dim vs MRL prefix, lexical vs hybrid) without adding a wide
+    * stage. DCG sums are ROUND(6)ed: per-query sums of ≤ k doubles are
+    * reduction-order-dependent in the last ulp. */
   def rankingQuality(ranked: DataFrame, truth: DataFrame, k: Int,
                      queryCol: String = "query_id", docCol: String = "vec_id",
                      rankCol: String = "rank"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val r = ranked.select(col(queryCol).as("qid"), col(docCol).as("did"),
       col(rankCol).cast("double").as("rnk")).filter(col("rnk") <= k)
+    val byTruthRank = Window.partitionBy("qid")
+      .orderBy(col("trnk"), col("did"))
     val t = truth.select(col(queryCol).as("qid"), col(docCol).as("did"),
-      col(rankCol).cast("double").as("trnk")).filter(col("trnk") <= k)
+        col(rankCol).cast("double").as("trnk"))
+      .withColumn("irnk", row_number().over(byTruthRank).cast("double"))
+      .filter(col("irnk") <= k)
     val ideal = t.groupBy("qid").agg(
       count(lit(1)).as("n_truth"),
-      sum(lit(1.0) / log2(col("trnk") + lit(1.0))).as("idcg"))
+      sum(lit(1.0) / log2(col("irnk") + lit(1.0))).as("idcg"))
     val joined = r.join(
       t.select(col("qid"), col("did"), lit(true).as("rel")),
       Seq("qid", "did"), "left")
@@ -458,15 +471,18 @@ object MLEval {
           lit(1.0) / log2(col("rnk") + lit(1.0)))), lit(0.0)).as("dcg"),
         coalesce(max(when(col("rel"), lit(1.0) / col("rnk"))), lit(0.0))
           .as("mrr"))
-      .join(ideal, Seq("qid"))
-      .select(col("qid").as(queryCol), col("n_ranked"), col("n_truth"),
+      .join(ideal, Seq("qid"), "left")
+      .select(col("qid").as(queryCol), col("n_ranked"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
         col("hits"),
         round(col("hits").cast("double") / lit(k.toDouble), 6)
           .as("precision_at_k"),
-        round(col("hits").cast("double") / col("n_truth").cast("double"), 6)
+        when(col("n_truth") > 0,
+          round(col("hits").cast("double") / col("n_truth").cast("double"), 6))
           .as("recall_at_k"),
         round(col("mrr"), 6).as("mrr"),
-        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        when(col("idcg").isNotNull, round(col("dcg") / col("idcg"), 6))
+          .as("ndcg"))
       .orderBy(queryCol)
   }
 }

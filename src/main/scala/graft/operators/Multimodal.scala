@@ -35,9 +35,12 @@ object Multimodal {
     * mislabeled or corrupted asset that would crash a batch decoder
     * downstream. Pure column algebra on the payload's hex prefix (JPEG
     * ffd8ff, PNG 89504e47, RIFF/WAVE with the format tag at byte 8, GIF
-    * 474946 38) — a narrow scan-side map, no decode, no shuffle. */
+    * 474946 38) — a narrow scan-side map, no decode, no shuffle. Only
+    * the first 12 bytes are hexed: the sniff examines at most hex chars
+    * 1-24, and hexing the whole payload would materialize a
+    * 2×-payload-size string per row for nothing. */
   def sniffFormat(bin: Column): Column = {
-    val hx = lower(hex(bin))
+    val hx = lower(hex(substring(bin, 1, 12)))
     when(hx.startsWith("ffd8ff"), "jpeg")
       .when(hx.startsWith("89504e47"), "png")
       .when(hx.startsWith("52494646") && substring(hx, 17, 8) === "57415645",

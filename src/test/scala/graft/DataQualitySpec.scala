@@ -99,6 +99,21 @@ class DataQualitySpec extends SparkSpec {
     assert(out.head.getAs[Double]("psi_total") > 0.0)
   }
 
+  test("psiDrift: NULL values are excluded, not counted as the bottom bin") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 100).map(i => Some(i)).toDF("x")
+    // same distribution + a flood of nulls: if nulls landed in bucket 0
+    // the current window's bottom-bin rate would explode and PSI with it
+    val cur = ((1 to 100).map(i => Some(i)) ++ Seq.fill(300)(Option.empty[Int]))
+      .toDF("x")
+    val out = DataQuality.psiDrift(base, cur, "x", bins = 4).collect()
+    assert(out.length == 4)
+    assert(out.head.getAs[Double]("psi_total") == 0.0)
+    // counts prove the nulls never entered the rate denominators
+    assert(out.map(_.getAs[Long]("n_cur")).sum == 100L)
+  }
+
   test("snapshotDiff: added, removed, changed, unchanged all counted per group") {
     val s = spark
     import s.implicits._

@@ -228,6 +228,38 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_k") == 0.0)
   }
 
+  test("rankingQuality: non-contiguous truth ranks still yield nDCG <= 1") {
+    val s = spark
+    import s.implicits._
+    // a FILTERED relevance set: ranks 3 and 7 survive. The ideal DCG must
+    // be computed at positions 1..2, not 3 and 7 — a perfect system list
+    // scores exactly 1.0, never more.
+    val truth = Seq((1L, 10L, 3), (1L, 11L, 7)).toDF("query_id", "vec_id", "rank")
+    val sys = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 30L, 3))
+      .toDF("query_id", "vec_id", "rank")
+    val r = MLEval.rankingQuality(sys, truth, k = 3).collect().head
+    assert(r.getAs[Long]("n_truth") == 2L)
+    assert(r.getAs[Double]("ndcg") == 1.0)
+    assert(r.getAs[Double]("recall_at_k") == 1.0)
+  }
+
+  test("rankingQuality: a truth-less query is kept with NULL recall/nDCG") {
+    val s = spark
+    import s.implicits._
+    val truth = Seq((1L, 10L, 1)).toDF("query_id", "vec_id", "rank")
+    val sys = Seq((1L, 10L, 1), (2L, 20L, 1), (2L, 30L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val out = MLEval.rankingQuality(sys, truth, k = 3).collect()
+    assert(out.length == 2) // q2 survives the left join
+    val q2 = out(1)
+    assert(q2.getAs[Long]("query_id") == 2L)
+    assert(q2.getAs[Long]("n_truth") == 0L)
+    assert(q2.getAs[Long]("hits") == 0L)
+    assert(q2.getAs[Double]("mrr") == 0.0)
+    assert(q2.isNullAt(q2.fieldIndex("recall_at_k")))
+    assert(q2.isNullAt(q2.fieldIndex("ndcg")))
+  }
+
   test("lengthBatchingReport: hand-computed waste, sorted order eliminates it") {
     val s = spark
     import s.implicits._
