@@ -3363,6 +3363,35 @@ object SparkEntry {
           |  coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1), '') AS dedup_text
           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("dd_span_scrub",
+      // the sliding-window completion of dd_passage_dedup (full Lee et al.
+      // 2022 ExactSubstr semantics): every 8-token window is a candidate,
+      // so copied spans are caught at ANY offset, not just on the chunk
+      // grid. Runs on the RAW corpus — the planted near-dup groups carry
+      // ~1000 naturally duplicated 8-grams at sf0.01, so the scrub does
+      // real work with no synthesized input
+      (s, d) => operators.Dedup.spanScrub(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "text", "doc_id", width = 8),
+      Some("""WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+          |ds AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+          |g0 AS (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS gpos FROM ds WHERE len(ts) >= 8),
+          |g1 AS (SELECT doc_id, gpos, array_to_string(list_slice(ts, gpos+1, gpos+8), ' ') AS gram FROM g0),
+          |k AS (SELECT doc_id, gpos,
+          |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, gpos) AS rn,
+          |    count(*) OVER (PARTITION BY gram) AS occ
+          |  FROM g1),
+          |s0 AS (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS tpos FROM k WHERE occ >= 2 AND rn > 1),
+          |struck AS (SELECT DISTINCT doc_id, tpos FROM s0),
+          |tk0 AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS tpos FROM ds),
+          |tk AS (SELECT doc_id, tpos, ts[tpos + 1] AS tok FROM tk0)
+          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(SUM(CASE WHEN s.tpos IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_removed,
+          |  coalesce(string_agg(t.tok, ' ' ORDER BY t.tpos) FILTER (WHERE s.tpos IS NULL), '') AS clean_text
+          |FROM tk t LEFT JOIN struck s ON t.doc_id = s.doc_id AND t.tpos = s.tpos
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     Q("mix_dsir_weights",
       // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
       // log-likelihood ratio of target (lang='en') vs raw corpus; ROUND(6)

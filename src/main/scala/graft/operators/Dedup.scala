@@ -1238,4 +1238,77 @@ object Dedup {
       .withColumnRenamed("id", idCol)
       .orderBy(idCol)
   }
+
+  /** Sliding-window exact-substring scrub — [[passageDedup]] without the
+    * chunk-alignment blind spot (the full Lee et al. 2022 ExactSubstr
+    * semantics, restated relationally): EVERY `width`-token window is a
+    * candidate (one gram per starting position, not per chunk), so a
+    * copied span is caught at ANY offset — a license block pasted three
+    * tokens into a page, which the chunk-aligned pass misses unless the
+    * copy happens to start on a 16-token boundary. Each gram duplicated
+    * anywhere in the corpus (>= 2 occurrences, intra-document repeats
+    * included) keeps its corpus-wide FIRST occurrence (smallest
+    * `(id, pos)`); every other occurrence strikes its `width` covered
+    * token positions, overlapping strikes union, and survivors
+    * reassemble in original order. Returns
+    * `(id, n_tokens, n_removed, clean_text)` for every document with at
+    * least one token (docs shorter than `width` pass through whole).
+    *
+    * Tokens are whitespace-split verbatim (no cleaning) so the pass is
+    * byte-faithful to the training corpus — run it after text
+    * normalization, not instead of it.
+    *
+    * Scale shape: the gram stream is one row per token position (~n rows,
+    * each carrying a `width`-token string — ~`width`× the token bytes;
+    * that multiplier is the known cost of ExactSubstr restated without a
+    * suffix array, and swapping the join key to `xxhash64(gram)` cuts the
+    * shuffle back to 8 bytes/row when exactness-vs-the-oracle isn't
+    * required). Wide stages: one groupBy(gram) electing first occurrences
+    * with a single `min(struct)` (map-side combined, never a sort), one
+    * equi-join back (shuffle join on purpose — the gram dictionary is
+    * corpus-sized, broadcasting would blow the driver; AQE handles the
+    * hot-gram tail), a position-coverage explode bounded by `width` ×
+    * duplicated occurrences only (the `occ >= 2` filter runs before the
+    * explode), and one groupBy(id) reassembly over bounded per-doc
+    * groups. No global sort, no window over the corpus. */
+  def spanScrub(df: DataFrame, textCol: String, idCol: String,
+                width: Int = 8): DataFrame = {
+    require(width >= 2, "width must be >= 2")
+    val ts = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val docs = df
+      .select(col(idCol).as("id"), ts.as("ts"))
+      .filter(size(col("ts")) > 0)
+    val grams = docs
+      .filter(size(col("ts")) >= width)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - width),
+          i => array_join(slice(col("ts"), i + 1, lit(width)), " "))))
+      .select(col("id"), col("pos").as("gpos"), col("col").as("gram"))
+    val keepers = grams.groupBy("gram")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("gpos"))).as("keep"))
+      .filter(col("occ") >= 2)
+      .select(col("gram"), col("keep.id").as("keep_id"),
+        col("keep.gpos").as("keep_gpos"))
+    val struck = grams.join(keepers, Seq("gram"))
+      .filter(!(col("id") === col("keep_id") && col("gpos") === col("keep_gpos")))
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + lit(width - 1))).as("tpos"))
+      .distinct()
+      .withColumn("cut", lit(true))
+    docs
+      .select(col("id"), posexplode(col("ts")))
+      .select(col("id"), col("pos").as("tpos"), col("col").as("tok"))
+      .join(struck, Seq("id", "tpos"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("cut"), 1L)), lit(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cut").isNull,
+            struct(col("tpos"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"))
+      .withColumnRenamed("id", idCol)
+      .orderBy(idCol)
+  }
 }

@@ -371,6 +371,44 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L, "")))
   }
 
+  test("spanScrub: unaligned copied span caught at any offset, chunk pass misses it") {
+    val s = spark
+    import s.implicits._
+    // doc2 embeds doc1 verbatim at offset 2 — NOT on a chunk boundary
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q a b c d e r"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanScrub(df, "text", "doc_id", width = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // grams [a b c][b c d][c d e] all duplicated; doc1 owns the firsts,
+    // doc2's occurrences strike positions 2..6 -> the whole copied span
+    assert(out(1L) == ((5L, 0L, "a b c d e")))
+    assert(out(2L) == ((8L, 5L, "p q r")))
+    // the chunk-aligned pass misses the same copy (offset 2 never lands
+    // a doc2 chunk on doc1's chunk grid) — the blind spot spanScrub fixes
+    val chunked = Dedup.passageDedup(df, "text", "doc_id", width = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunked(2L) == 0L)
+  }
+
+  test("spanScrub: intra-doc repeat struck, short doc passes whole, full dup empties") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x y z x y z"), // [x y z] twice -> second occurrence struck
+      (2L, "x y"),         // shorter than width -> no grams, passes whole
+      (3L, "x y z"))       // entire doc = an already-kept gram -> empties
+      .toDF("doc_id", "text")
+    val out = Dedup.spanScrub(df, "text", "doc_id", width = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((6L, 3L, "x y z")))
+    assert(out(2L) == ((2L, 0L, "x y")))
+    assert(out(3L) == ((3L, 3L, "")))
+  }
+
   test("boilerplateRemoval: doc of only boilerplate reassembles to empty text") {
     val s = spark
     import s.implicits._
