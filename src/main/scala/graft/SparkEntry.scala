@@ -2850,6 +2850,35 @@ object SparkEntry {
           |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
           |FROM pk2 ORDER BY doc_id""".stripMargin)),
 
+    Q("pk_sft_examples",
+      // SFT example construction: conversations synthesized
+      // deterministically from documents (4-turn user/assistant
+      // alternation by doc_id), one training row per assistant turn —
+      // chat-templated prompt, completion target, and the loss-mask char
+      // boundary a tokenizing shard writer consumes downstream
+      (s, d) => operators.Serving.sftExamples(
+        Tables.documents(s, d).select(
+          expr("doc_id div 4").as("conv_id"),
+          col("doc_id").as("seq"),
+          when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+          col("text").as("content"))),
+      Some("""WITH h AS (SELECT doc_id // 4 AS conv_id, doc_id AS seq,
+          |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+          |    text AS content FROM documents),
+          |b AS (SELECT conv_id, seq, role, content,
+          |    '<|' || role || '|>' || chr(10) || content || chr(10) AS block FROM h),
+          |p AS (SELECT conv_id, seq, role, content,
+          |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY seq) AS INT) AS rn,
+          |    COALESCE(string_agg(block, '') OVER (PARTITION BY conv_id ORDER BY seq
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS prefix
+          |  FROM b)
+          |SELECT conv_id, seq AS turn_seq, CAST(rn - 1 AS INT) AS n_context_turns,
+          |  prefix || '<|assistant|>' || chr(10) AS prompt,
+          |  content AS target,
+          |  CAST(length(prefix) + 14 AS INT) AS loss_start,
+          |  CAST(length(prefix) + 14 + length(content) AS INT) AS n_chars
+          |FROM p WHERE role = 'assistant' ORDER BY conv_id, turn_seq""".stripMargin)),
+
     Q("dc_decontaminate",
       // GPT-3-style test-set decontamination: docs where doc_id % 17 = 0
       // play the benchmark/eval set; every remaining corpus doc is

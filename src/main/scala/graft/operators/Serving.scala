@@ -329,4 +329,46 @@ object Serving {
         col("col.role").as("role"), col("col.content").as("content"))
       .orderBy("pos")
   }
+
+  /** SFT training-example construction — the turn-level companion to the
+    * doc-level packing ops (`pk_sequence_packing`): from a conversation
+    * frame `(convCol, seqCol, roleCol, contentCol)`, emit ONE training
+    * example per ASSISTANT turn, rendered with a fixed chat template
+    * (`<|role|>\n content \n` per turn):
+    *
+    *  - `prompt` — every prior turn rendered in sequence order, plus the
+    *    `<|assistant|>\n` generation header;
+    *  - `target` — the assistant turn's content (the completion the loss
+    *    is computed on);
+    *  - `loss_start` — the char offset where the target begins
+    *    (= `length(prompt)`), the loss-mask boundary a tokenizing writer
+    *    downstream converts to a token index;
+    *  - `n_context_turns`, `n_chars` — curriculum/packing metadata.
+    *
+    * Scale shape: ONE window partitioned by conversation (bounded per-
+    * conversation group — conversations are tens of turns, never
+    * corpus-sized) builds the running rendered prefix with a
+    * rows-between collect_list; everything else is row-local string
+    * algebra in the projection. No corpus-wide window, no driver
+    * collect; examples shuffle once on the conversation key. */
+  def sftExamples(turns: DataFrame, convCol: String = "conv_id",
+                  seqCol: String = "seq", roleCol: String = "role",
+                  contentCol: String = "content"): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(seqCol)
+    val withPrefix = turns
+      .withColumn("__block", concat(lit("<|"), col(roleCol), lit("|>\n"),
+        col(contentCol), lit("\n")))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prefix", concat_ws("", collect_list(col("__block"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))))
+    withPrefix.filter(col(roleCol) === "assistant")
+      .select(col(convCol), col(seqCol).as("turn_seq"),
+        (col("__rn") - 1).cast("int").as("n_context_turns"),
+        concat(col("__prefix"), lit("<|assistant|>\n")).as("prompt"),
+        col(contentCol).as("target"))
+      .withColumn("loss_start", length(col("prompt")).cast("int"))
+      .withColumn("n_chars",
+        (length(col("prompt")) + length(col("target"))).cast("int"))
+      .orderBy(convCol, "turn_seq")
+  }
 }

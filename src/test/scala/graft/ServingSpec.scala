@@ -150,4 +150,30 @@ class ServingSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
     assert(m.toSeq == Seq((1, "user", "m1"), (2, "user", "q")))
   }
+
+  test("sftExamples: one example per assistant turn with exact template offsets") {
+    val s = spark
+    import s.implicits._
+    val turns = Seq(
+      (1L, 1L, "user", "hi"), (1L, 2L, "assistant", "hello"),
+      (1L, 3L, "user", "more"), (1L, 4L, "assistant", "sure"),
+      (2L, 1L, "user", "solo")) // conversation with no assistant turn
+      .toDF("conv_id", "seq", "role", "content")
+    val out = Serving.sftExamples(turns).collect()
+    assert(out.length == 2) // conv 2 emits nothing
+    val e1 = out(0)
+    assert(e1.getAs[Long]("turn_seq") == 2L)
+    assert(e1.getAs[Int]("n_context_turns") == 1)
+    assert(e1.getAs[String]("prompt") == "<|user|>\nhi\n<|assistant|>\n")
+    assert(e1.getAs[String]("target") == "hello")
+    // loss mask starts exactly where the prompt ends
+    assert(e1.getAs[Int]("loss_start") == e1.getAs[String]("prompt").length)
+    assert(e1.getAs[Int]("n_chars") ==
+      e1.getAs[Int]("loss_start") + "hello".length)
+    val e2 = out(1)
+    assert(e2.getAs[Int]("n_context_turns") == 3)
+    assert(e2.getAs[String]("prompt") ==
+      "<|user|>\nhi\n<|assistant|>\nhello\n<|user|>\nmore\n<|assistant|>\n")
+    assert(e2.getAs[String]("target") == "sure")
+  }
 }
