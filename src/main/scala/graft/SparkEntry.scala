@@ -2879,6 +2879,39 @@ object SparkEntry {
           |  CAST(length(prefix) + 14 + length(content) AS INT) AS n_chars
           |FROM p WHERE role = 'assistant' ORDER BY conv_id, turn_seq""".stripMargin)),
 
+    Q("pk_shard_plan",
+      // token-balanced shard assignment (snake draft over the global
+      // token-count rank): the per-shard balance report a shard writer
+      // checks before committing the layout — load_ratio 1.0 = perfectly
+      // even. Rank via the range-bucketed two-phase global rank, snake
+      // arithmetic row-local, report O(shards)
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        TextAnalysis.shardPlan(Tables.documents(s, d), "text", "doc_id", 16)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+          .select(col("shard"), col("n_docs"), col("shard_tokens"),
+            round(col("shard_tokens").cast("double") * lit(16.0) /
+              sum(col("shard_tokens")).over(w).cast("double"), 6).as("load_ratio"))
+          .orderBy("shard")
+      },
+      Some(Sentiment.oracleCte +
+        """,
+          |tl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens FROM toks),
+          |r AS (SELECT doc_id, n_tokens,
+          |    row_number() OVER (ORDER BY n_tokens, doc_id) AS rnk FROM tl),
+          |sh AS (SELECT doc_id, n_tokens,
+          |    CASE WHEN ((rnk - 1) // 16) % 2 = 0 THEN (rnk - 1) % 16
+          |      ELSE 15 - ((rnk - 1) % 16) END AS shard FROM r),
+          |g AS (SELECT CAST(shard AS INT) AS shard,
+          |    CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+          |  FROM sh GROUP BY 1)
+          |SELECT shard, n_docs, shard_tokens,
+          |  ROUND(CAST(shard_tokens AS DOUBLE) * CAST(16.0 AS DOUBLE)
+          |    / CAST(SUM(shard_tokens) OVER () AS DOUBLE), 6) AS load_ratio
+          |FROM g ORDER BY shard""".stripMargin)),
+
     Q("dc_decontaminate",
       // GPT-3-style test-set decontamination: docs where doc_id % 17 = 0
       // play the benchmark/eval set; every remaining corpus doc is

@@ -210,6 +210,36 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Token-balanced output-shard assignment — the plan a training-shard
+    * writer executes so no shard (and no downstream data-loader worker)
+    * gets a token count far from the mean: documents are globally ranked
+    * by token count (ties by id), then dealt to `nShards` shards in a
+    * SERPENTINE (snake-draft) order — ranks 1..n go 0,1,…,S−1 then
+    * S−1,…,1,0 and repeat — so each shard receives one document from
+    * every consecutive size band and per-shard token totals differ by at
+    * most one band's spread (the classic LPT-style balance, deterministic
+    * and rank-exact, where plain `rank % S` hands shard 0 the largest
+    * document of every band). Returns `(id, n_tokens, shard)` per doc.
+    *
+    * Scale shape: token counts are a narrow scan-side projection; the
+    * global rank goes through [[Analytics.withGlobalRank]] (range-bucketed
+    * two-phase rank — never a single-partition window over the corpus);
+    * the snake arithmetic is row-local. One shuffle total. */
+  def shardPlan(df: DataFrame, textCol: String, idCol: String,
+                nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val lens = df.select(col(idCol).cast("long").as("id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val ranked = Analytics.withGlobalRank(lens, "n_tokens",
+      Seq(col("n_tokens"), col("id")), "rnk")
+    ranked.select(col("id").as(idCol), col("n_tokens"),
+      when(expr(s"(rnk - 1) DIV $nShards") % 2 === 0,
+        expr(s"(rnk - 1) % $nShards"))
+        .otherwise(lit(nShards - 1) - expr(s"(rnk - 1) % $nShards"))
+        .cast("int").as("shard"))
+      .orderBy(idCol)
+  }
+
   /** The Gopher quality-gate stopword list (Rae et al. 2021 §A1.1: a doc
     * must contain at least `minStopwordHits` distinct words from it). */
   val GopherStopwords: Seq[String] =

@@ -136,8 +136,10 @@ class PlanShapeSpec extends SparkSpec {
     // lang, ...) — or on nothing — over fact rows pins the corpus onto a
     // handful of tasks: the single-task-window failure SCALE.md forbids.
     //   o_custkey — per-customer SCD2 gaps-and-islands windows
+    //   conv_id   — per-conversation SFT prefix rendering (id-derived:
+    //               doc_id div 4, so cardinality grows with the corpus)
     val highCard = Set("__pid", "vec_id", "doc_id", "user_id", "custkey",
-      "o_custkey", "id")
+      "o_custkey", "id", "conv_id")
     def aggBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: Aggregate => (); case _: GlobalLimit => () }.isDefined
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -712,4 +712,21 @@ class TextAnalysisSpec extends SparkSpec {
     val scores = out.map(r => (r.getAs[Double]("rerank_score"), r.getAs[Long]("doc_id")))
     assert(scores.sameElements(scores.sortBy { case (s0, id) => (-s0, id) }))
   }
+
+  test("shardPlan: snake draft balances token totals exactly on a linear ramp") {
+    val s = spark
+    import s.implicits._
+    // doc i carries i tokens; ranks 1..8 ascending -> snake 0,1,2,3,3,2,1,0
+    val df = (1 to 8).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.shardPlan(df, "text", "doc_id", nShards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(plan(1L) == ((1L, 0)) && plan(2L) == ((2L, 1)))
+    assert(plan(4L) == ((4L, 3)) && plan(5L) == ((5L, 3)))
+    assert(plan(8L) == ((8L, 0)))
+    // every shard totals exactly 9 tokens (1+8, 2+7, 3+6, 4+5) — the
+    // balance a plain rank%S deal does NOT achieve (shard 0 would get 1+5)
+    val totals = plan.values.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+    assert(totals == Map(0 -> 9L, 1 -> 9L, 2 -> 9L, 3 -> 9L))
+  }
 }
