@@ -5680,6 +5680,52 @@ object SparkEntry {
              |  count(DISTINCT s) < 3 AS at_risk
              |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("gov_dp_release",
+      // epsilon-DP count release (Laplace mechanism, sensitivity 1,
+      // eps=0.5 -> b=2): per-source doc counts + seeded inverse-CDF
+      // Laplace noise (the dsirResample md5-uniform device), released
+      // integer floored at 0 with explicit half-up rounding shared with
+      // the oracle. The frame is the AUDIT view; the publishable
+      // artifact is the (source, released) projection
+      (s, d) => operators.DataQuality.dpNoisedCounts(
+        Tables.documents(s, d), "source", epsilon = 0.5),
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS true_count
+          |  FROM documents GROUP BY 1),
+          |u AS (SELECT source, true_count,
+          |    (CAST(CAST('0x' || substr(md5('dp:' || source), 1, 15) AS BIGINT) AS DOUBLE)
+          |      + CAST(0.5 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE) AS uu
+          |  FROM g),
+          |n AS (SELECT source, true_count,
+          |    ROUND(-CAST(2.0 AS DOUBLE) * CAST(sign(uu - CAST(0.5 AS DOUBLE)) AS DOUBLE)
+          |      * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(uu - CAST(0.5 AS DOUBLE))), 6) AS noise
+          |  FROM u)
+          |SELECT source, true_count, noise,
+          |  GREATEST(CAST(0 AS BIGINT),
+          |    CAST(floor(CAST(true_count AS DOUBLE) + noise + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS released
+          |FROM n ORDER BY source""".stripMargin)),
+
+    Q("aug_token_dropout",
+      // seeded token-dropout augmentation (EDA random deletion, Wei &
+      // Zou 2019): token i of doc d dropped iff md5-uniform(seed, d, i)
+      // < 0.1 — a pure function of (seed, id, position), so variants are
+      // reproducible and oracle-replayable. Entirely row-local: the
+      // index-aware filter compiles to Catalyst ArrayFilter inside the
+      // scan projection, no shuffle, no UDF
+      (s, d) => TextAnalysis.tokenDropout(
+        Tables.documents(s, d), "text", "doc_id", p = 0.1),
+      Some(Sentiment.oracleCte +
+        """,
+          |ad AS (SELECT doc_id, tokens,
+          |    list_filter(tokens, (x, i) ->
+          |      (CAST(CAST('0x' || substr(md5('aug:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+          |        + CAST(0.5 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE)
+          |        >= CAST(0.1 AS DOUBLE)) AS kept
+          |  FROM toks)
+          |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+          |  CAST(len(tokens) - len(kept) AS BIGINT) AS n_dropped,
+          |  array_to_string(kept, ' ') AS aug_text
+          |FROM ad ORDER BY doc_id""".stripMargin)),
+
     Q("dq_expectations",
       // Declarative data-contract validation (the Deequ shape, Schelter
       // et al. VLDB 2018): the full 8-check suite over `documents` in

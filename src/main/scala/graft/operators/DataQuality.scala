@@ -238,4 +238,43 @@ object DataQuality {
       .withColumn("at_risk", col("distinct_sensitive") < l)
       .orderBy(keys: _*)
   }
+
+  /** ε-differentially-private count release (Dwork et al. 2006: Laplace
+    * mechanism, sensitivity 1 for counting queries) — the third gate of
+    * the governance family after [[Analytics.kAnonymity]] /
+    * [[lDiversity]]: per-group counts released with Laplace(1/ε) noise,
+    * via the inverse CDF over a SEEDED md5-uniform per group key (the
+    * engine's standard deterministic-noise device — dsirResample's
+    * Gumbel trick with the Laplace quantile function), so the release
+    * replays bit-identically for the oracle and across reruns. The
+    * released integer is floored at 0 (a count cannot be negative) and
+    * computed as `floor(count + noise + 0.5)` — explicit half-up
+    * rounding shared with the oracle, immune to round-half-even
+    * differences between engines.
+    *
+    * NOTE the returned frame is the AUDIT view: `true_count` and `noise`
+    * ride along so the release is verifiable; the publishable artifact
+    * is the `(group, released)` projection only. Determinism-vs-privacy:
+    * a seeded release is a one-shot mechanism — re-releasing under a new
+    * seed spends additional budget; this operator models the pipeline's
+    * single audited release.
+    *
+    * Scale shape: ONE map-side-combined aggregation; noise is O(groups)
+    * row-local arithmetic on the aggregate frame. */
+  def dpNoisedCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                     seed: String = "dp:"): DataFrame = {
+    require(epsilon > 0, "epsilon must be > 0")
+    val u = (conv(substring(md5(concat(lit(seed), col(groupCol).cast("string"))),
+      1, 15), 16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(1152921504606846976.0) // 2^60: u in (0, 1)
+    val lap = -lit(1.0 / epsilon) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("noise", round(lap, 6))
+      .withColumn("released", greatest(lit(0L),
+        floor(col("true_count").cast("double") + col("noise") + lit(0.5))
+          .cast("long")))
+      .orderBy(groupCol)
+  }
 }

@@ -240,6 +240,35 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Seeded token-dropout augmentation (the random-deletion arm of EDA,
+    * Wei & Zou 2019) — synthetic variants for classifier robustness /
+    * contrastive pairs: token `i` of document `id` is dropped iff its
+    * seeded md5-uniform `u(seed, id, i)` falls below `p`, so the
+    * augmentation is a pure function of (seed, id, position) —
+    * reproducible run to run, replayable by the oracle, and a new `seed`
+    * yields an independent variant. Returns
+    * `(id, n_tokens, n_dropped, aug_text)`.
+    *
+    * Scale shape: entirely row-local — the tokenize + index-aware filter
+    * + rejoin run inside the scan's projection (one codegen'd stage, no
+    * shuffle, no UDF: the lambda compiles to Catalyst `ArrayFilter`). */
+  def tokenDropout(df: DataFrame, textCol: String, idCol: String,
+                   p: Double, seed: String = "aug:"): DataFrame = {
+    require(p >= 0.0 && p < 1.0, "p must be in [0, 1)")
+    val toks = TextFns.tokens(col(textCol))
+    def u(i: Column): Column =
+      (hash60(concat(lit(seed), col(idCol).cast("string"), lit(":"),
+        i.cast("string"))).cast("double") + lit(0.5)) /
+        lit(1152921504606846976.0)
+    df.select(col(idCol), toks.as("__t"))
+      .select(col(idCol), size(col("__t")).cast("long").as("n_tokens"),
+        filter(col("__t"), (_, i) => u(i) >= lit(p)).as("__k"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__k"))).cast("long").as("n_dropped"),
+        array_join(col("__k"), " ").as("aug_text"))
+      .orderBy(idCol)
+  }
+
   /** The Gopher quality-gate stopword list (Rae et al. 2021 §A1.1: a doc
     * must contain at least `minStopwordHits` distinct words from it). */
   val GopherStopwords: Seq[String] =

@@ -114,6 +114,33 @@ class DataQualitySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_cur")).sum == 100L)
   }
 
+  test("dpNoisedCounts: noise matches the hand-computed Laplace quantile, release clamps at 0") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(3)("A") ++ Seq.fill(5)("B")).toDF("src")
+    // replicate the seeded inverse-CDF on the JVM side
+    def lap(key: String, eps: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp:$key".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 1.152921504606846976e18
+      val x = -(1.0 / eps) * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      math.round(x * 1e6) / 1e6
+    }
+    val out = DataQuality.dpNoisedCounts(df, "src", epsilon = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out("A")._1 == 3L && out("B")._1 == 5L)
+    assert(out("A")._2 == lap("A", 0.5))
+    assert(out("B")._2 == lap("B", 0.5))
+    assert(out.values.forall(_._3 >= 0L)) // clamp
+    assert(out("A")._3 == math.max(0L, math.floor(3 + lap("A", 0.5) + 0.5).toLong))
+    // determinism: a second run releases the identical values
+    val again = DataQuality.dpNoisedCounts(df, "src", epsilon = 0.5)
+      .collect().map(r => r.getLong(3)).toSeq
+    assert(again == out.toSeq.sortBy(_._1).map(_._2._3))
+  }
+
   test("snapshotDiff: added, removed, changed, unchanged all counted per group") {
     val s = spark
     import s.implicits._

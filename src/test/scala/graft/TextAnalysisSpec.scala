@@ -729,4 +729,31 @@ class TextAnalysisSpec extends SparkSpec {
     val totals = plan.values.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
     assert(totals == Map(0 -> 9L, 1 -> 9L, 2 -> 9L, 3 -> 9L))
   }
+
+  test("tokenDropout: seeded per-position drops replay exactly; p=0 is identity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((7L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // replicate the md5-uniform per (seed, id, 0-based position)
+    def u(id: Long, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"aug:$id:$i".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 1.152921504606846976e18
+    }
+    val words = "alpha beta gamma delta epsilon zeta".split(" ")
+    for (p <- Seq(0.0, 0.3, 0.7)) {
+      val kept = words.zipWithIndex.collect { case (w, i) if u(7L, i) >= p => w }
+      val r = TextAnalysis.tokenDropout(df, "text", "doc_id", p).collect().head
+      assert(r.getAs[Long]("n_tokens") == 6L)
+      assert(r.getAs[String]("aug_text") == kept.mkString(" "), s"p=$p")
+      assert(r.getAs[Long]("n_dropped") == 6L - kept.length)
+    }
+    // a different seed yields an independent (here: different) variant
+    val alt = TextAnalysis.tokenDropout(df, "text", "doc_id", 0.5, seed = "aug2:")
+      .collect().head.getAs[String]("aug_text")
+    val base = TextAnalysis.tokenDropout(df, "text", "doc_id", 0.5)
+      .collect().head.getAs[String]("aug_text")
+    assert(alt != base)
+  }
 }
