@@ -1267,10 +1267,15 @@ object Dedup {
     * with a single `min(struct)` (map-side combined, never a sort), one
     * equi-join back (shuffle join on purpose — the gram dictionary is
     * corpus-sized, broadcasting would blow the driver; AQE handles the
-    * hot-gram tail), a position-coverage explode bounded by `width` ×
-    * duplicated occurrences only (the `occ >= 2` filter runs before the
-    * explode), and one groupBy(id) reassembly over bounded per-doc
-    * groups. No global sort, no window over the corpus. */
+    * hot-gram tail), and a position-coverage aggregation bounded by
+    * `width` × DUPLICATED occurrences only (the `occ >= 2` filter runs
+    * before the explode). Reassembly is a join of the O(touched-docs)
+    * cut-set frame back onto the doc stream on the id plus a ROW-LOCAL
+    * index filter — the token stream itself is never exploded, shuffled,
+    * or re-collected (the first cut of this operator paid three
+    * token-stream shuffles for the rebuild; 20.4 s → measured in SCALE.md
+    * after the rewrite, identical output). No global sort, no window
+    * over the corpus. */
   def spanScrub(df: DataFrame, textCol: String, idCol: String,
                 width: Int = 8): DataFrame = {
     require(width >= 2, "width must be >= 2")
@@ -1278,37 +1283,46 @@ object Dedup {
     val docs = df
       .select(col(idCol).as("id"), ts.as("ts"))
       .filter(size(col("ts")) > 0)
+    // consumed twice (keeper election + the occurrence side of the join
+    // back) — without the persist the gram construction (tokenize +
+    // per-position slice/join string building, the operator's single
+    // most expensive projection) runs twice
     val grams = docs
       .filter(size(col("ts")) >= width)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), size(col("ts")) - width),
           i => array_join(slice(col("ts"), i + 1, lit(width)), " "))))
       .select(col("id"), col("pos").as("gpos"), col("col").as("gram"))
-    val keepers = grams.groupBy("gram")
-      .agg(count(lit(1)).as("occ"),
-        min(struct(col("id"), col("gpos"))).as("keep"))
-      .filter(col("occ") >= 2)
-      .select(col("gram"), col("keep.id").as("keep_id"),
-        col("keep.gpos").as("keep_gpos"))
-    val struck = grams.join(keepers, Seq("gram"))
-      .filter(!(col("id") === col("keep_id") && col("gpos") === col("keep_gpos")))
-      .select(col("id"),
-        explode(sequence(col("gpos"), col("gpos") + lit(width - 1))).as("tpos"))
-      .distinct()
-      .withColumn("cut", lit(true))
-    docs
-      .select(col("id"), posexplode(col("ts")))
-      .select(col("id"), col("pos").as("tpos"), col("col").as("tok"))
-      .join(struck, Seq("id", "tpos"), "left")
-      .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        coalesce(sum(when(col("cut"), 1L)), lit(0L)).as("n_removed"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("cut").isNull,
-            struct(col("tpos"), col("tok"))))),
-          x => x.getField("tok"))).as("clean_text"))
-      .withColumnRenamed("id", idCol)
-      .orderBy(idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keepers = grams.groupBy("gram")
+        .agg(count(lit(1)).as("occ"),
+          min(struct(col("id"), col("gpos"))).as("keep"))
+        .filter(col("occ") >= 2)
+        .select(col("gram"), col("keep.id").as("keep_id"),
+          col("keep.gpos").as("keep_gpos"))
+      // per-doc struck-position sets: the explode is over duplicated
+      // occurrences only, and collect_set unions overlapping strikes
+      val cutSets = grams.join(keepers, Seq("gram"))
+        .filter(!(col("id") === col("keep_id") && col("gpos") === col("keep_gpos")))
+        .select(col("id"),
+          explode(sequence(col("gpos"), col("gpos") + lit(width - 1))).as("tpos"))
+        .groupBy("id")
+        .agg(sort_array(collect_set(col("tpos"))).as("__cuts"))
+      docs.join(cutSets, Seq("id"), "left")
+        .select(col("id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          coalesce(size(col("__cuts")), lit(0)).cast("long").as("n_removed"),
+          when(col("__cuts").isNull, array_join(col("ts"), " "))
+            .otherwise(array_join(
+              filter(col("ts"), (_, i) => !array_contains(col("__cuts"), i)),
+              " "))
+            .as("clean_text"))
+        .withColumnRenamed("id", idCol)
+        .orderBy(idCol)
+        // O(docs) result materialized so the gram cache is released
+        // before returning (the pairLift discipline)
+        .localCheckpoint(eager = true)
+    } finally grams.unpersist()
   }
 }

@@ -243,23 +243,33 @@ object TextAnalysis {
   /** Seeded token-dropout augmentation (the random-deletion arm of EDA,
     * Wei & Zou 2019) — synthetic variants for classifier robustness /
     * contrastive pairs: token `i` of document `id` is dropped iff its
-    * seeded md5-uniform `u(seed, id, i)` falls below `p`, so the
+    * seeded uniform `u(seed, id, i)` falls below `p`, so the
     * augmentation is a pure function of (seed, id, position) —
     * reproducible run to run, replayable by the oracle, and a new `seed`
     * yields an independent variant. Returns
     * `(id, n_tokens, n_dropped, aug_text)`.
     *
-    * Scale shape: entirely row-local — the tokenize + index-aware filter
-    * + rejoin run inside the scan's projection (one codegen'd stage, no
-    * shuffle, no UDF: the lambda compiles to Catalyst `ArrayFilter`). */
+    * Scale shape: entirely row-local — tokenize + index-aware filter +
+    * rejoin run inside the scan's projection, no shuffle, no UDF. The
+    * honest caveat: Catalyst evaluates higher-order-function lambdas
+    * INTERPRETED per element, so the per-token hash is the unit cost.
+    * Two hash families, the [[Dedup]] convention: `portable = true`
+    * (default) derives u from md5 — bit-replayable by the DuckDB oracle;
+    * `portable = false` uses codegen-free-but-cheap `xxhash64`
+    * (no digest allocation, no hex decode) — the 100 TB default, same
+    * distribution, measured several-fold faster in SCALE.md. */
   def tokenDropout(df: DataFrame, textCol: String, idCol: String,
-                   p: Double, seed: String = "aug:"): DataFrame = {
+                   p: Double, seed: String = "aug:",
+                   portable: Boolean = true): DataFrame = {
     require(p >= 0.0 && p < 1.0, "p must be in [0, 1)")
     val toks = TextFns.tokens(col(textCol))
-    def u(i: Column): Column =
-      (hash60(concat(lit(seed), col(idCol).cast("string"), lit(":"),
-        i.cast("string"))).cast("double") + lit(0.5)) /
-        lit(1152921504606846976.0)
+    def u(i: Column): Column = {
+      val key = concat(lit(seed), col(idCol).cast("string"), lit(":"),
+        i.cast("string"))
+      val h = if (portable) hash60(key)
+        else pmod(xxhash64(key), lit(1152921504606846976L))
+      (h.cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    }
     df.select(col(idCol), toks.as("__t"))
       .select(col(idCol), size(col("__t")).cast("long").as("n_tokens"),
         filter(col("__t"), (_, i) => u(i) >= lit(p)).as("__k"))

@@ -756,4 +756,17 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().head.getAs[String]("aug_text")
     assert(alt != base)
   }
+
+  test("tokenDropout: native xxhash64 family is deterministic and drops near rate p") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 50L).map(i => (i, Seq.fill(40)("tok").zipWithIndex
+      .map { case (t, j) => s"$t$j" }.mkString(" "))).toDF("doc_id", "text")
+    val r1 = TextAnalysis.tokenDropout(df, "text", "doc_id", 0.25, portable = false)
+    val r2 = TextAnalysis.tokenDropout(df, "text", "doc_id", 0.25, portable = false)
+    assert(r1.collect().map(_.toSeq).toSeq == r2.collect().map(_.toSeq).toSeq)
+    val agg = r1.agg(sum("n_dropped"), sum("n_tokens")).collect().head
+    val rate = agg.getLong(0).toDouble / agg.getLong(1)
+    assert(rate > 0.18 && rate < 0.32, s"drop rate $rate far from p=0.25")
+  }
 }
