@@ -995,32 +995,55 @@ object Analytics {
     * unordered item pairs co-occurring in a basket (order). The classic
     * Apriori prune: only items individually frequent (support >=
     * `minSupport`) enter pair formation, so the quadratic per-basket
-    * blow-up runs on the pruned basket. Pair candidates form via a
-    * self-equi-join on the basket key — pairs only materialize for
-    * baskets, never across them. `maxBasket` (0 = off) drops baskets with
-    * more distinct items than the bound: one pathological basket of k
-    * items emits k(k-1)/2 pairs, the hot-key guard of this operator. */
+    * blow-up runs on the pruned basket. `maxBasket` (0 = off) drops
+    * baskets with more distinct items than the bound: one pathological
+    * basket of k items emits k(k-1)/2 pairs, the hot-key guard of this
+    * operator.
+    *
+    * Plan shape (the round-10 rewrite — semantics unchanged, oracle
+    * hashes identical): baskets collapse to sorted distinct-item arrays
+    * in ONE groupBy (collect_set dedups, so no separate distinct pass);
+    * item supports are one explode + groupBy over that frame; the
+    * frequent-item list is PROVABLY small (every member has count >=
+    * minSupport·n, so |freq| <= avgBasketSize / minSupport) and rides
+    * along as a single broadcast array row; pair candidates then
+    * generate ROW-LOCALLY from each basket's `array_intersect` with the
+    * frequent list via a nested-transform combination expansion — the
+    * former per-basket self-equi-join (two extra shuffles of the
+    * item-stream plus join materialization) is gone. Three shuffles
+    * total, all map-side combined. */
   def pairLift(baskets: DataFrame, basketCol: String, itemCol: String,
                minSupport: Double, minPairCount: Long,
                maxBasket: Int = 0): DataFrame = {
-    val ob0 = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct()
-    val obUncached = if (maxBasket <= 0) ob0 else {
-      val sizes = ob0.groupBy(col("__bk")).agg(count(lit(1)).as("__bsz"))
-      ob0.join(sizes.where(col("__bsz") <= maxBasket).select("__bk"), Seq("__bk"), "left_semi")
-    }
-    // consumed 4x (total, item supports, both sides of the pair join) —
-    // without the persist the upstream distinct shuffle re-runs each time
-    val ob = obUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arrays0 = baskets
+      .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .groupBy("__bk")
+      .agg(sort_array(collect_set(col("__it"))).as("__items"))
+    val arraysUncached =
+      if (maxBasket <= 0) arrays0
+      else arrays0.where(size(col("__items")) <= maxBasket)
+    // consumed 3x (basket total, item supports, pair generation) —
+    // without the persist the upstream shuffle re-runs each time
+    val arrays = arraysUncached
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nFrame = ob.agg(countDistinct(col("__bk")).as("__n"))
-      val isup = ob.groupBy(col("__it")).agg(count(lit(1)).as("__cnt"))
-      val freq = isup.crossJoin(broadcast(nFrame))
+      val nFrame = arrays.agg(count(lit(1)).as("__n"))
+      val isup = arrays.select(explode(col("__items")).as("__it"))
+        .groupBy(col("__it")).agg(count(lit(1)).as("__cnt"))
+      val freqArr = isup.crossJoin(broadcast(nFrame))
         .where(col("__cnt").cast("double") / col("__n") >= minSupport)
-        .select("__it")
-      val obf = ob.join(broadcast(freq), Seq("__it"), "left_semi")
-      val pairs = obf.as("a").join(obf.as("b"),
-          col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
-        .groupBy(col("a.__it").as("item_a"), col("b.__it").as("item_b"))
+        .agg(sort_array(collect_list(col("__it"))).as("__fl"))
+      val pruned = arrays.crossJoin(broadcast(freqArr))
+        .select(array_intersect(col("__items"), col("__fl")).as("__f"))
+        .where(size(col("__f")) >= 2)
+      // all j > i combinations of the sorted pruned basket, row-local
+      val combos = flatten(transform(sequence(lit(0), size(col("__f")) - 2),
+        i => transform(slice(col("__f"), i + 2, size(col("__f")) - i - 1),
+          b => struct(element_at(col("__f"), i + 1).as("item_a"),
+            b.as("item_b")))))
+      val pairs = pruned
+        .select(explode(combos).as("__p"))
+        .groupBy(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
         .agg(count(lit(1)).as("pair_cnt"))
         .where(col("pair_cnt") >= minPairCount)
       pairs
@@ -1034,9 +1057,9 @@ object Analytics {
           round(col("pair_cnt").cast("double") * col("__n") / (col("__ca") * col("__cb")), 6).as("lift"))
         .orderBy("item_a", "item_b")
         // O(frequent-pairs) result materialized so the basket cache (read
-        // 4x during the evaluation) is released before returning
+        // 3x during the evaluation) is released before returning
         .localCheckpoint(eager = true)
-    } finally ob.unpersist()
+    } finally arrays.unpersist()
   }
 
   /** OHLC candle bars per (event_type, hour): open/close = value at the

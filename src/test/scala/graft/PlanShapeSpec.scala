@@ -198,7 +198,7 @@ class PlanShapeSpec extends SparkSpec {
       "hh_heavy_hitters", // candidate counts x ONE broadcast total row
       "ta_drift_words", // O(vocab) joined counts x TWO broadcast totals rows
       "ta_textrank_keywords", // O(vocab) rank rows x ONE broadcast N row per iteration
-      "mb_pair_lift", // item/pair support rows x ONE broadcast basket-total row
+      "mb_pair_lift", // support/pair rows x TWO single-row broadcasts (basket total, frequent-item list)
       "sim_binary_ann", // signature scan x ONE broadcast query-signature row
       "dx_skew_report", // two stats rows x ONE broadcast hottest-key row
       "sim_mrl_ann", // prefix-dim corpus x the single query vector
