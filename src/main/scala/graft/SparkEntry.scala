@@ -685,6 +685,39 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** Conversation turns synthesized deterministically from the documents
+    * table (4-turn user/assistant alternation by doc_id) — the shared
+    * input of `pk_sft_examples` and `pipe_sft_shards`. */
+  private def docTurns(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      expr("doc_id div 4").as("conv_id"),
+      col("doc_id").as("seq"),
+      when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+      col("text").as("content"))
+
+  /** DuckDB replay of [[docTurns]] + [[operators.Serving.sftExamples]]:
+    * ends with the `sfte (conv_id, turn_seq, n_context_turns, prompt,
+    * target, loss_start, n_chars)` CTE. The `14` is
+    * `length('<|assistant|>' || chr(10))`. */
+  private val sftExampleCtes: String =
+    """h AS (SELECT doc_id // 4 AS conv_id, doc_id AS seq,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text AS content FROM documents),
+      |b AS (SELECT conv_id, seq, role, content,
+      |    '<|' || role || '|>' || chr(10) || content || chr(10) AS block FROM h),
+      |p AS (SELECT conv_id, seq, role, content,
+      |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY seq) AS INT) AS rn,
+      |    COALESCE(string_agg(block, '') OVER (PARTITION BY conv_id ORDER BY seq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS prefix
+      |  FROM b),
+      |sfte AS (SELECT conv_id, seq AS turn_seq,
+      |    CAST(rn - 1 AS INT) AS n_context_turns,
+      |    prefix || '<|assistant|>' || chr(10) AS prompt,
+      |    content AS target,
+      |    CAST(length(prefix) + 14 AS INT) AS loss_start,
+      |    CAST(length(prefix) + 14 + length(content) AS INT) AS n_chars
+      |  FROM p WHERE role = 'assistant')""".stripMargin
+
   /** Shared scored-frame for the ML-evaluation family (`ml_auc`,
     * `ml_calibration`, `ml_prf`): the hashed linear classifier's
     * probability ([[TextAnalysis.hashedLinearScore]]) as the prediction,
@@ -2856,28 +2889,36 @@ object SparkEntry {
       // alternation by doc_id), one training row per assistant turn —
       // chat-templated prompt, completion target, and the loss-mask char
       // boundary a tokenizing shard writer consumes downstream
-      (s, d) => operators.Serving.sftExamples(
-        Tables.documents(s, d).select(
-          expr("doc_id div 4").as("conv_id"),
-          col("doc_id").as("seq"),
-          when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
-          col("text").as("content"))),
-      Some("""WITH h AS (SELECT doc_id // 4 AS conv_id, doc_id AS seq,
-          |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-          |    text AS content FROM documents),
-          |b AS (SELECT conv_id, seq, role, content,
-          |    '<|' || role || '|>' || chr(10) || content || chr(10) AS block FROM h),
-          |p AS (SELECT conv_id, seq, role, content,
-          |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY seq) AS INT) AS rn,
-          |    COALESCE(string_agg(block, '') OVER (PARTITION BY conv_id ORDER BY seq
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS prefix
-          |  FROM b)
-          |SELECT conv_id, seq AS turn_seq, CAST(rn - 1 AS INT) AS n_context_turns,
-          |  prefix || '<|assistant|>' || chr(10) AS prompt,
-          |  content AS target,
-          |  CAST(length(prefix) + 14 AS INT) AS loss_start,
-          |  CAST(length(prefix) + 14 + length(content) AS INT) AS n_chars
-          |FROM p WHERE role = 'assistant' ORDER BY conv_id, turn_seq""".stripMargin)),
+      (s, d) => operators.Serving.sftExamples(docTurns(s, d)),
+      Some(s"""WITH $sftExampleCtes
+          |SELECT conv_id, turn_seq, n_context_turns, prompt, target,
+          |  loss_start, n_chars
+          |FROM sfte ORDER BY conv_id, turn_seq""".stripMargin)),
+
+    Q("pipe_sft_shards",
+      // the SFT shard-prep pipeline composed in ONE plan: turns →
+      // chat-template examples → snake-draft shard assignment over the
+      // rendered example size (n_chars, the byte cost a shard writer
+      // pays) → per-shard balance report. Both stages already oracled
+      // standalone; the composition proves they stay one lazy plan
+      // (Catalyst prunes the prompt/target strings below the n_chars
+      // projection) and still hash-match end to end
+      (s, d) => operators.TrainingPipeline.sftShardReport(
+        docTurns(s, d), nShards = 8),
+      Some(s"""WITH $sftExampleCtes,
+          |r AS (SELECT turn_seq, n_chars,
+          |    row_number() OVER (ORDER BY n_chars, turn_seq) AS rnk FROM sfte),
+          |sh AS (SELECT turn_seq, n_chars,
+          |    CASE WHEN ((rnk - 1) // 8) % 2 = 0 THEN (rnk - 1) % 8
+          |      ELSE 7 - ((rnk - 1) % 8) END AS shard FROM r),
+          |g AS (SELECT CAST(shard AS INT) AS shard,
+          |    CAST(count(*) AS BIGINT) AS n_examples,
+          |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |  FROM sh GROUP BY 1)
+          |SELECT shard, n_examples, total_chars,
+          |  ROUND(CAST(total_chars AS DOUBLE) * CAST(8.0 AS DOUBLE)
+          |    / CAST(SUM(total_chars) OVER () AS DOUBLE), 6) AS load_ratio
+          |FROM g ORDER BY shard""".stripMargin)),
 
     Q("pk_shard_plan",
       // token-balanced shard assignment (snake draft over the global

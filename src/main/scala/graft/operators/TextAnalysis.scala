@@ -226,13 +226,24 @@ object TextAnalysis {
     * two-phase rank — never a single-partition window over the corpus);
     * the snake arithmetic is row-local. One shuffle total. */
   def shardPlan(df: DataFrame, textCol: String, idCol: String,
-                nShards: Int): DataFrame = {
+                nShards: Int): DataFrame =
+    shardPlanBy(
+      df.select(col(idCol).cast("long").as(idCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens")),
+      "n_tokens", idCol, nShards)
+
+  /** [[shardPlan]] over a caller-supplied length column — the snake-draft
+    * deal for any pre-computed cost measure (chars of a rendered SFT
+    * example, bytes of a media payload), same rank-exact balance
+    * property and plan shape. */
+  def shardPlanBy(lens: DataFrame, lenCol: String, idCol: String,
+                  nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
-    val lens = df.select(col(idCol).cast("long").as("id"),
-      size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
-    val ranked = Analytics.withGlobalRank(lens, "n_tokens",
-      Seq(col("n_tokens"), col("id")), "rnk")
-    ranked.select(col("id").as(idCol), col("n_tokens"),
+    val slim = lens.select(col(idCol).cast("long").as("__sid"),
+      col(lenCol).cast("long").as("__len"))
+    val ranked = Analytics.withGlobalRank(slim, "__len",
+      Seq(col("__len"), col("__sid")), "rnk")
+    ranked.select(col("__sid").as(idCol), col("__len").as(lenCol),
       when(expr(s"(rnk - 1) DIV $nShards") % 2 === 0,
         expr(s"(rnk - 1) % $nShards"))
         .otherwise(lit(nShards - 1) - expr(s"(rnk - 1) % $nShards"))

@@ -45,4 +45,27 @@ object TrainingPipeline {
           col("n_docs").cast("double"), 6))
       .orderBy("lang")
   }
+
+  /** SFT shard-prep composed end-to-end in ONE plan: conversation turns
+    * → chat-template examples ([[Serving.sftExamples]] — one bounded
+    * per-conversation window) → snake-draft shard assignment over the
+    * rendered example SIZE ([[TextAnalysis.shardPlanBy]] on `n_chars`,
+    * the cost a shard writer actually pays) → per-shard balance report
+    * `(shard, n_examples, total_chars, load_ratio)`. Every stage is an
+    * already-oracled operator; the composition stays lazy, so Catalyst
+    * prunes the prompt/target strings out of everything downstream of
+    * the `n_chars` projection. */
+  def sftShardReport(turns: DataFrame, nShards: Int): DataFrame = {
+    val ex = Serving.sftExamples(turns)
+    val plan = TextAnalysis.shardPlanBy(
+      ex.select(col("turn_seq").as("ex_id"), col("n_chars")),
+      "n_chars", "ex_id", nShards)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    plan.groupBy("shard")
+      .agg(count(lit(1)).as("n_examples"), sum("n_chars").as("total_chars"))
+      .select(col("shard"), col("n_examples"), col("total_chars"),
+        round(col("total_chars").cast("double") * lit(nShards.toDouble) /
+          sum(col("total_chars")).over(w).cast("double"), 6).as("load_ratio"))
+      .orderBy("shard")
+  }
 }

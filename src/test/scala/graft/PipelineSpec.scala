@@ -46,4 +46,25 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_tokens") == want)
     }
   }
+
+  test("sftShardReport: every example lands exactly once, load ratios centre on 1") {
+    val s = spark
+    import s.implicits._
+    // 40 turns -> 10 conversations of 4 -> 20 assistant-turn examples
+    val turns = (0L until 40L).map(i => (i / 4, i,
+      if (i % 2 == 0) "user" else "assistant", s"m$i words " * (i % 7 + 1).toInt))
+      .map { case (c, q, r, t) => (c, q, r, t.trim) }
+      .toDF("conv_id", "seq", "role", "content")
+    val out = operators.TrainingPipeline.sftShardReport(turns, nShards = 4).collect()
+    assert(out.map(_.getAs[Long]("n_examples")).sum == 20L)
+    assert(out.length == 4)
+    val ratios = out.map(_.getAs[Double]("load_ratio"))
+    assert(math.abs(ratios.sum - 4.0) < 1e-4) // ratios average to 1
+    // snake balance: no shard more than 60% above or below the mean
+    assert(ratios.forall(r => r > 0.4 && r < 1.6), ratios.mkString(","))
+    // composition consistency: total chars equals the standalone stages
+    val exChars = operators.Serving.sftExamples(turns)
+      .agg(org.apache.spark.sql.functions.sum("n_chars")).collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("total_chars")).sum == exChars)
+  }
 }
