@@ -695,14 +695,13 @@ object SparkEntry {
       when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
       col("text").as("content"))
 
-  /** DuckDB replay of [[docTurns]] + [[operators.Serving.sftExamples]]:
+  /** DuckDB replay of a turns frame + [[operators.Serving.sftExamples]]:
+    * `hSql` supplies the `h (conv_id, seq, role, content)` derivation;
     * ends with the `sfte (conv_id, turn_seq, n_context_turns, prompt,
     * target, loss_start, n_chars)` CTE. The `14` is
     * `length('<|assistant|>' || chr(10))`. */
-  private val sftExampleCtes: String =
-    """h AS (SELECT doc_id // 4 AS conv_id, doc_id AS seq,
-      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-      |    text AS content FROM documents),
+  private def sftExampleCtesFor(hSql: String): String =
+    s"""h AS ($hSql),
       |b AS (SELECT conv_id, seq, role, content,
       |    '<|' || role || '|>' || chr(10) || content || chr(10) AS block FROM h),
       |p AS (SELECT conv_id, seq, role, content,
@@ -717,6 +716,20 @@ object SparkEntry {
       |    CAST(length(prefix) + 14 AS INT) AS loss_start,
       |    CAST(length(prefix) + 14 + length(content) AS INT) AS n_chars
       |  FROM p WHERE role = 'assistant')""".stripMargin
+
+  /** The [[docTurns]] replay (global doc_id as the turn sequence). */
+  private val sftExampleCtes: String = sftExampleCtesFor(
+    """SELECT doc_id // 4 AS conv_id, doc_id AS seq,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text AS content FROM documents""".stripMargin)
+
+  /** The [[graft.streaming.SftStream.runSftToCompletion]] replay: DENSE
+    * 0-based turn index (`doc_id % 4`) as the sequence — the stateful
+    * operator's frontier contract. */
+  private val sftStreamCtes: String = sftExampleCtesFor(
+    """SELECT doc_id // 4 AS conv_id, CAST(doc_id % 4 AS INT) AS seq,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text AS content FROM documents""".stripMargin)
 
   /** Shared scored-frame for the ML-evaluation family (`ml_auc`,
     * `ml_calibration`, `ml_prf`): the hashed linear classifier's
@@ -5999,6 +6012,20 @@ object SparkEntry {
               |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
               |    FROM asg0) WHERE rn = 1)
               |SELECT vec_id, cell FROM asg ORDER BY vec_id""".stripMargin)),
+
+    Q("st14_stream_sft",
+      // streaming SFT example emission — turns arrive across three
+      // micro-batches OUT of transcript order (doc_id % 3 staging);
+      // per-conversation state advances a contiguous frontier and each
+      // assistant turn emits its templated example exactly once, when its
+      // full prefix first completes. The oracle is the BATCH template
+      // chain (dense-index variant) — hash equality proves the stateful
+      // incremental assembly ≡ the batch operator, the st13 discipline
+      (s, d) => graft.streaming.SftStream.runSftToCompletion(s, d),
+      Some(s"""WITH $sftStreamCtes
+          |SELECT conv_id, turn_seq, n_context_turns, prompt, target,
+          |  loss_start, n_chars
+          |FROM sfte ORDER BY conv_id, turn_seq""".stripMargin)),
 
     Q("tok_bpe_pairs",
       // BPE learning's iteration-1 statistic: adjacent symbol-pair counts

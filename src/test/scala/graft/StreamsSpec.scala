@@ -352,4 +352,47 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == static.toSeq)
     assert(streamed.length == emb.count())
   }
+
+  test("streaming SFT examples == batch operator under out-of-order arrival") {
+    val s = spark
+    import s.implicits._
+    // two conversations, turns delivered in three shuffled micro-batches
+    val turns = Seq(
+      (0L, 0, "user", "q one"), (0L, 1, "assistant", "a one"),
+      (0L, 2, "user", "q two"), (0L, 3, "assistant", "a two"),
+      (1L, 0, "user", "solo q"), (1L, 1, "assistant", "solo a"))
+      .toDF("conv_id", "seq", "role", "content")
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_sft_spec_").toString
+    val inDir = tmp + "/in"
+    Files.createDirectories(Paths.get(inDir))
+    def writeOne(df: org.apache.spark.sql.DataFrame, stage: String,
+                 target: String, mtime: Long): Unit = {
+      val stageDir = s"$tmp/$stage"
+      df.coalesce(1).write.parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, target)
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 180000
+    // batch 1 delivers LATER turns first: the frontier must hold them back
+    writeOne(turns.filter(col("seq") >= 2), "b1", "1_tail.parquet", t0)
+    writeOne(turns.filter(col("seq") === 1), "b2", "2_mid.parquet", t0 + 60000)
+    writeOne(turns.filter(col("seq") === 0), "b3", "3_head.parquet", t0 + 120000)
+    val q = graft.streaming.SftStream.sftExamplesStateful(
+        spark.readStream.schema(turns.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sft_spec_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sft_spec_out")
+      .orderBy("conv_id", "turn_seq").collect().map(_.toSeq)
+    val want = graft.operators.Serving.sftExamples(turns)
+      .orderBy("conv_id", "turn_seq").collect().map(_.toSeq)
+    assert(got.length == 3)
+    assert(got.toSeq == want.toSeq)
+  }
 }
