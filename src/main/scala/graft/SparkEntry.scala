@@ -685,6 +685,32 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** DuckDB replay of [[operators.Dedup.spanScrub]] at width 8 over the
+    * docs relation `docsSql` (must expose `doc_id, text`); `keep`
+    * optionally restricts the report rows (e.g. to the incremental
+    * batch). Shared by `dd_span_scrub` / `dd_incr_spans`. */
+  private def spanScrubOracle(docsSql: String, keep: String = ""): String =
+    s"""WITH sdocs AS ($docsSql),
+       |stoks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM sdocs),
+       |sds AS (SELECT doc_id, ts FROM stoks WHERE len(ts) > 0),
+       |sg0 AS (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS gpos FROM sds WHERE len(ts) >= 8),
+       |sg1 AS (SELECT doc_id, gpos, array_to_string(list_slice(ts, gpos + 1, gpos + 8), ' ') AS gram FROM sg0),
+       |sk AS (SELECT doc_id, gpos,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, gpos) AS rn,
+       |    count(*) OVER (PARTITION BY gram) AS occ
+       |  FROM sg1),
+       |ss0 AS (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS tpos FROM sk WHERE occ >= 2 AND rn > 1),
+       |sstruck AS (SELECT DISTINCT doc_id, tpos FROM ss0),
+       |stk0 AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS tpos FROM sds),
+       |stk AS (SELECT doc_id, tpos, ts[tpos + 1] AS tok FROM stk0)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(SUM(CASE WHEN s.tpos IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(t.tok, ' ' ORDER BY t.tpos) FILTER (WHERE s.tpos IS NULL), '') AS clean_text
+       |FROM stk t LEFT JOIN sstruck s ON t.doc_id = s.doc_id AND t.tpos = s.tpos
+       |$keep
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** Conversation turns synthesized deterministically from the documents
     * table (4-turn user/assistant alternation by doc_id) — the shared
     * input of `pk_sft_examples` and `pipe_sft_shards`. */
@@ -3489,24 +3515,47 @@ object SparkEntry {
       (s, d) => operators.Dedup.spanScrub(
         Tables.documents(s, d).select("doc_id", "text"),
         "text", "doc_id", width = 8),
-      Some("""WITH toks AS (
-          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
-          |ds AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
-          |g0 AS (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS gpos FROM ds WHERE len(ts) >= 8),
-          |g1 AS (SELECT doc_id, gpos, array_to_string(list_slice(ts, gpos+1, gpos+8), ' ') AS gram FROM g0),
-          |k AS (SELECT doc_id, gpos,
-          |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, gpos) AS rn,
-          |    count(*) OVER (PARTITION BY gram) AS occ
-          |  FROM g1),
-          |s0 AS (SELECT doc_id, unnest(range(gpos, gpos + 8)) AS tpos FROM k WHERE occ >= 2 AND rn > 1),
-          |struck AS (SELECT DISTINCT doc_id, tpos FROM s0),
-          |tk0 AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS tpos FROM ds),
-          |tk AS (SELECT doc_id, tpos, ts[tpos + 1] AS tok FROM tk0)
-          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          |  CAST(coalesce(SUM(CASE WHEN s.tpos IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_removed,
-          |  coalesce(string_agg(t.tok, ' ' ORDER BY t.tpos) FILTER (WHERE s.tpos IS NULL), '') AS clean_text
-          |FROM tk t LEFT JOIN struck s ON t.doc_id = s.doc_id AND t.tpos = s.tpos
-          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+      Some(spanScrubOracle("SELECT doc_id, text FROM documents"))),
+
+    Q("dd_incr_spans",
+      // incremental ExactSubstr maintenance (the dd_incr_indexed posture
+      // applied to spans): the corpus's DISTINCT 8-gram set persists once
+      // per corpus identity; the measured step scrubs only the NEW batch
+      // — batch grams probe the stored index with the batch side
+      // broadcast, batch-only grams elect keepers internally. The batch
+      // is a truncated copy of every doc_id%13 doc PREPENDED with a
+      // 3-token intro, so the copied run sits at offset 3 — struck
+      // anyway, the any-offset property the family exists for. Oracle =
+      // the FULL spanScrub recompute over corpus ∪ batch restricted to
+      // batch ids, so the amortized path is proven exact
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val p = new java.io.File(
+          s"spark-warehouse/graft_state/sp_v1_w8_${sourceStateKey(s, d, "documents.parquet")}").toString
+        if (!new java.io.File(p, "_SUCCESS").exists) {
+          operators.Dedup.spanGramIndex(docs, "text", "doc_id", 8)
+            .write.mode("overwrite").parquet(p)
+        }
+        val bts = TextFns.tokens(col("text"))
+        val batch = docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("incremental batch intro "),
+              concat_ws(" ", slice(bts, lit(1),
+                greatest(size(bts) - 6, lit(4))))).as("text"))
+        operators.Dedup.spanScrubIncremental(
+          batch, s.read.parquet(p), "text", "doc_id", width = 8)
+      },
+      Some(spanScrubOracle(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 3000000 AS doc_id,
+          |    'incremental batch intro ' || array_to_string(
+          |      list_slice(bts, 1, GREATEST(len(bts) - 6, 4)), ' ') AS text
+          |  FROM (SELECT doc_id,
+          |      list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+          |        x -> x <> '') AS bts
+          |    FROM documents WHERE doc_id % 13 = 0)""".stripMargin,
+        keep = "WHERE t.doc_id >= 3000000"))),
 
     Q("mix_dsir_weights",
       // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram

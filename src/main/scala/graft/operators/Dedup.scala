@@ -1325,4 +1325,91 @@ object Dedup {
         .localCheckpoint(eager = true)
     } finally grams.unpersist()
   }
+
+  /** The sliding-window gram stream of [[spanScrub]] exposed for index
+    * maintenance: one row per `width`-token window, `(id, gpos, gram)`. */
+  def spanGrams(df: DataFrame, textCol: String, idCol: String,
+                width: Int): DataFrame = {
+    require(width >= 2, "width must be >= 2")
+    val ts = filter(split(col(textCol), " "), t => t =!= lit(""))
+    df.select(col(idCol).as("id"), ts.as("ts"))
+      .filter(size(col("ts")) >= width)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - width),
+          i => array_join(slice(col("ts"), i + 1, lit(width)), " "))))
+      .select(col("id"), col("pos").as("gpos"), col("col").as("gram"))
+  }
+
+  /** The corpus-side state for [[spanScrubIncremental]]: the DISTINCT
+    * gram set — one column, one row per distinct `width`-token window.
+    * Membership is all the incremental scrub needs (corpus ids precede
+    * batch ids, so ANY corpus occurrence outranks every batch
+    * occurrence), which keeps the stored index a set instead of an
+    * occurrence log. */
+  def spanGramIndex(df: DataFrame, textCol: String, idCol: String,
+                    width: Int): DataFrame =
+    spanGrams(df, textCol, idCol, width).select("gram").distinct()
+
+  /** Incremental ExactSubstr maintenance — scrub a NEW batch against a
+    * stored corpus gram set ([[spanGramIndex]]) without re-scanning the
+    * corpus: the amortized production posture for [[spanScrub]], the
+    * dd_incr_indexed pattern applied to spans. Semantics equal the full
+    * recompute over corpus ∪ batch restricted to batch documents,
+    * PROVIDED every batch id sorts after every corpus id (then a gram
+    * present in the corpus outranks all batch occurrences — every batch
+    * occurrence of it is struck — and grams new in the batch elect their
+    * keeper batch-internally). The dd_incr_spans oracle hash-gates
+    * exactly that equivalence.
+    *
+    * Scale shape: batch grams are O(batch tokens); the stored index is
+    * scanned ONCE and semi-joined against the BROADCAST distinct batch
+    * grams (the probe result is bounded by the batch, so the
+    * corpus-sized side never shuffles); the batch-internal election and
+    * the rebuild are [[spanScrub]]'s stages on batch-sized frames. */
+  def spanScrubIncremental(batch: DataFrame, corpusGrams: DataFrame,
+                           textCol: String, idCol: String,
+                           width: Int = 8): DataFrame = {
+    val ts = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val docs = batch
+      .select(col(idCol).as("id"), ts.as("ts"))
+      .filter(size(col("ts")) > 0)
+    val bGrams = spanGrams(batch, textCol, idCol, width)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // grams the corpus already owns: index scan x broadcast batch set
+      val probed = corpusGrams
+        .join(broadcast(bGrams.select("gram").distinct()), Seq("gram"), "left_semi")
+      val cutsCorpus = bGrams
+        .join(broadcast(probed), Seq("gram"), "left_semi")
+        .select(col("id"), col("gpos"))
+      // grams new in the batch: elect keepers batch-internally
+      val fresh = bGrams.join(broadcast(probed), Seq("gram"), "left_anti")
+      val keepers = fresh.groupBy("gram")
+        .agg(count(lit(1)).as("occ"),
+          min(struct(col("id"), col("gpos"))).as("keep"))
+        .filter(col("occ") >= 2)
+        .select(col("gram"), col("keep.id").as("keep_id"),
+          col("keep.gpos").as("keep_gpos"))
+      val cutsFresh = fresh.join(keepers, Seq("gram"))
+        .filter(!(col("id") === col("keep_id") && col("gpos") === col("keep_gpos")))
+        .select(col("id"), col("gpos"))
+      val cutSets = cutsCorpus.unionByName(cutsFresh)
+        .select(col("id"),
+          explode(sequence(col("gpos"), col("gpos") + lit(width - 1))).as("tpos"))
+        .groupBy("id")
+        .agg(sort_array(collect_set(col("tpos"))).as("__cuts"))
+      docs.join(cutSets, Seq("id"), "left")
+        .select(col("id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          coalesce(size(col("__cuts")), lit(0)).cast("long").as("n_removed"),
+          when(col("__cuts").isNull, array_join(col("ts"), " "))
+            .otherwise(array_join(
+              filter(col("ts"), (_, i) => !array_contains(col("__cuts"), i)),
+              " "))
+            .as("clean_text"))
+        .withColumnRenamed("id", idCol)
+        .orderBy(idCol)
+        .localCheckpoint(eager = true)
+    } finally bGrams.unpersist()
+  }
 }

@@ -409,6 +409,35 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3L, "")))
   }
 
+  test("spanScrubIncremental: probe path equals the full recompute on batch docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x w v u t s")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "p q c d e f r"),   // embeds a corpus run at offset 2
+      (101L, "m n o m n o m n"), // batch-internal repeats only
+      (102L, "k l"))             // shorter than width -> passes whole
+      .toDF("doc_id", "text")
+    val idx = Dedup.spanGramIndex(corpus, "text", "doc_id", width = 3)
+    val incr = Dedup.spanScrubIncremental(batch, idx, "text", "doc_id", width = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // corpus-owned grams strike the copied run wherever it sits
+    assert(incr(100L) == ((7L, 4L, "p q r")))
+    // batch-new grams elect keepers batch-internally
+    assert(incr(101L) == ((8L, 5L, "m n o")))
+    assert(incr(102L) == ((2L, 0L, "k l")))
+    // the contract: identical to the full recompute over corpus ∪ batch,
+    // restricted to batch ids (batch ids sort after every corpus id)
+    val full = Dedup.spanScrub(corpus.unionByName(batch), "text", "doc_id", width = 3)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(incr == full)
+  }
+
   test("boilerplateRemoval: doc of only boilerplate reassembles to empty text") {
     val s = spark
     import s.implicits._
