@@ -6566,6 +6566,40 @@ object SparkEntry {
           |    AS logloss
           |FROM cl""".stripMargin)),
 
+    Q("ml_brier_ci",
+      // Poisson-bootstrap 95% CI for the Brier score (32 seeded
+      // resamples, pinned inverse-CDF weights): the uncertainty bar a
+      // gate metric needs before a 0.003 "improvement" is believed. One
+      // 32-way row-local explode into one map-side groupBy(resample),
+      // then an O(32) exact-percentile aggregate
+      (s, d) => operators.MLEval.brierBootstrapCI(
+        mlScored(s, d), "score", "y", "doc_id"),
+      Some(mlScoredCte +
+        """,
+          |bsr AS (SELECT doc_id,
+          |    LEAST(GREATEST(score, CAST(1e-15 AS DOUBLE)),
+          |      CAST(1.0 AS DOUBLE) - CAST(1e-15 AS DOUBLE)) AS pc,
+          |    CAST(y AS DOUBLE) AS yd, unnest(range(0, 32)) AS b FROM mls),
+          |bsu AS (SELECT b, (pc - yd) * (pc - yd) AS sq,
+          |    (CAST(CAST('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+          |      + CAST(0.5 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE) AS u
+          |  FROM bsr),
+          |bsw AS (SELECT b, sq,
+          |    CAST(CASE WHEN u < CAST(0.367879441 AS DOUBLE) THEN 0
+          |      WHEN u < CAST(0.735758882 AS DOUBLE) THEN 1
+          |      WHEN u < CAST(0.919698602 AS DOUBLE) THEN 2
+          |      WHEN u < CAST(0.981011843 AS DOUBLE) THEN 3
+          |      WHEN u < CAST(0.996340153 AS DOUBLE) THEN 4
+          |      WHEN u < CAST(0.999405815 AS DOUBLE) THEN 5
+          |      ELSE 6 END AS DOUBLE) AS w
+          |  FROM bsu),
+          |bsb AS (SELECT b, SUM(w * sq) / SUM(w) AS brier FROM bsw GROUP BY b)
+          |SELECT CAST(count(*) AS INT) AS n_resamples,
+          |  ROUND(AVG(brier), 6) AS brier_mean,
+          |  ROUND(quantile_cont(brier, CAST(0.025 AS DOUBLE)), 6) AS brier_lo95,
+          |  ROUND(quantile_cont(brier, CAST(0.975 AS DOUBLE)), 6) AS brier_hi95
+          |FROM bsb""".stripMargin)),
+
     Q("ir_rrf",
       // reciprocal-rank-fusion hybrid retrieval (Cormack 2009): BM25
       // lexical top-20 ⊕ embedding cosine top-20, RRF k=60, final top-10

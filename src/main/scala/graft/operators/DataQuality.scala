@@ -260,7 +260,9 @@ object DataQuality {
     * single audited release.
     *
     * Scale shape: ONE map-side-combined aggregation; noise is O(groups)
-    * row-local arithmetic on the aggregate frame. */
+    * row-local arithmetic on the aggregate frame. A NULL group key
+    * yields NULL noise/release (md5 of NULL is NULL) — filter or
+    * fill-label nulls upstream if they must be released. */
   def dpNoisedCounts(df: DataFrame, groupCol: String, epsilon: Double,
                      seed: String = "dp:"): DataFrame = {
     require(epsilon > 0, "epsilon must be > 0")

@@ -1365,7 +1365,12 @@ object Dedup {
     * scanned ONCE and semi-joined against the BROADCAST distinct batch
     * grams (the probe result is bounded by the batch, so the
     * corpus-sized side never shuffles); the batch-internal election and
-    * the rebuild are [[spanScrub]]'s stages on batch-sized frames. */
+    * the rebuild are [[spanScrub]]'s stages on batch-sized frames. The
+    * broadcasts assume the incremental regime (batch ≪ corpus, batch
+    * grams within the driver's broadcast budget); a batch too large to
+    * broadcast should drop the two `broadcast()` hints and take shuffle
+    * semi-joins — same semantics, or simply run the full [[spanScrub]],
+    * which such a batch is already close to paying for. */
   def spanScrubIncremental(batch: DataFrame, corpusGrams: DataFrame,
                            textCol: String, idCol: String,
                            width: Int = 8): DataFrame = {

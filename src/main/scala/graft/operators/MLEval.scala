@@ -377,6 +377,57 @@ object MLEval {
         .as("logloss"))
   }
 
+  /** Poisson-bootstrap confidence interval for the Brier score — the
+    * uncertainty bar a gate metric needs before anyone acts on a
+    * "calibration improved by 0.003" delta: `b` resamples, each row's
+    * multiplicity drawn Poisson(1) (the distributed bootstrap of
+    * Chamandy et al. / Efron's classic, Poissonized so no global n is
+    * needed at draw time), from a SEEDED md5-uniform per (resample, id)
+    * — fully deterministic, replayed by the oracle. Returns ONE row:
+    * `(n_resamples, brier_mean, brier_lo95, brier_hi95)` with exact
+    * 2.5/97.5 interpolated percentiles over the resample scores.
+    *
+    * The Poisson inverse CDF is a pinned 7-arm CASE (P(7+) ≈ 8.3e-5
+    * truncated to 6 — bias orders below the CI width, and the pinned
+    * thresholds are what make both engines agree bit-for-bit).
+    *
+    * Scale shape: one `b`-way sequence-explode (row-local) into ONE
+    * map-side-combined groupBy(resample) producing `b` rows, then an
+    * O(b) percentile aggregate. No window over fact rows, no driver
+    * loop; at 100 TB this is a single pass costing `b`× the scan's
+    * arithmetic (not `b` scans). */
+  def brierBootstrapCI(scored: DataFrame, scoreCol: String, labelCol: String,
+                       idCol: String, b: Int = 32,
+                       seed: String = "bs:"): DataFrame = {
+    require(b >= 2, "b must be >= 2")
+    // Poisson(1) CDF, pinned to 9 decimals on both engines
+    val cdf = Seq(0.367879441, 0.735758882, 0.919698602,
+      0.981011843, 0.996340153, 0.999405815)
+    val pr = least(greatest(col(scoreCol).cast("double"), lit(1e-15)),
+      lit(1.0 - 1e-15))
+    val y = col(labelCol).cast("double")
+    val u = (conv(substring(md5(concat(lit(seed), col("__b").cast("string"),
+      lit(":"), col("__id"))), 1, 15), 16, 10).cast("long").cast("double") +
+      lit(0.5)) / lit(1152921504606846976.0)
+    val rows2 = scored
+      .select(col(idCol).cast("string").as("__id"),
+        ((pr - y) * (pr - y)).as("__sq"))
+      .select(col("__id"), col("__sq"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b"))
+      .withColumn("__w",
+        cdf.zipWithIndex.foldRight(lit(6): Column) { case ((c, i), acc) =>
+          when(u < lit(c), i).otherwise(acc)
+        }.cast("double"))
+    rows2
+      .groupBy(col("__b"))
+      .agg((sum(col("__w") * col("__sq")) / sum(col("__w"))).as("__brier"))
+      .agg(
+        count(lit(1)).cast("int").as("n_resamples"),
+        round(avg(col("__brier")), 6).as("brier_mean"),
+        round(percentile(col("__brier"), lit(0.025)), 6).as("brier_lo95"),
+        round(percentile(col("__brier"), lit(0.975)), 6).as("brier_hi95"))
+  }
+
   /** Padding-waste report for fixed-size inference batching — the
     * measured case for LENGTH-SORTING a corpus before the V4
     * mapPartitions seam: a batch pads every sequence to its longest

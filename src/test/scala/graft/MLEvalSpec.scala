@@ -188,6 +188,37 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("logloss") == expected)
   }
 
+  test("brierBootstrapCI: constant squared error collapses the CI to a point") {
+    val s = spark
+    import s.implicits._
+    // every row scores 0.8 on label 1 -> sq err 0.04 in EVERY resample,
+    // whatever the Poisson weights: the interval must be exactly [c, c]
+    val df = (1L to 200L).map(i => (i, 0.8, 1)).toDF("doc_id", "score", "y")
+    val r = MLEval.brierBootstrapCI(df, "score", "y", "doc_id").collect().head
+    assert(r.getAs[Int]("n_resamples") == 32)
+    val c = math.round((0.2 * 0.2) * 1e6) / 1e6
+    assert(r.getAs[Double]("brier_mean") == c)
+    assert(r.getAs[Double]("brier_lo95") == c)
+    assert(r.getAs[Double]("brier_hi95") == c)
+  }
+
+  test("brierBootstrapCI: mixed errors give a proper, deterministic interval") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) 0.9 else 0.6, if (i % 2 == 0) 1 else 0))
+      .toDF("doc_id", "score", "y")
+    val r1 = MLEval.brierBootstrapCI(df, "score", "y", "doc_id").collect().head
+    val r2 = MLEval.brierBootstrapCI(df, "score", "y", "doc_id").collect().head
+    assert(r1.toSeq == r2.toSeq) // seeded -> identical across runs
+    val (lo, m, hi) = (r1.getAs[Double]("brier_lo95"),
+      r1.getAs[Double]("brier_mean"), r1.getAs[Double]("brier_hi95"))
+    assert(lo < m && m < hi)
+    // the point estimate must sit near the full-sample Brier
+    val full = MLEval.brierLogLoss(df, "score", "y").collect().head.getAs[Double]("brier")
+    assert(math.abs(m - full) < 0.02, s"mean $m vs full $full")
+  }
+
   test("rankingQuality: hand-computed nDCG/MRR/precision/recall, k=3") {
     val s = spark
     import s.implicits._
