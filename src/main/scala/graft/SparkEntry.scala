@@ -685,6 +685,22 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** DuckDB replay of [[operators.TextAnalysis.packSequences]] (budget
+    * 512, 64 id-mod buckets); requires `toks` in scope, ends with
+    * `pk3 (doc_id, n_tokens, bucket, seq, seq_offset)`. Shared by
+    * `pk_sequence_packing` / `pk_pack_manifest`. */
+  private val packCtes: String =
+    """pk AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+      |    CAST(doc_id % 64 AS BIGINT) AS bucket FROM toks),
+      |pk2 AS (SELECT doc_id, n_tokens, bucket,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      |  FROM pk),
+      |pk3 AS (SELECT doc_id, n_tokens, bucket,
+      |    CAST(start_tok // 512 AS BIGINT) AS seq,
+      |    CAST(start_tok % 512 AS BIGINT) AS seq_offset
+      |  FROM pk2)""".stripMargin
+
   /** DuckDB replay of [[operators.Dedup.spanScrub]] at width 8 over the
     * docs relation `docsSql` (must expose `doc_id, text`); `keep`
     * optionally restricts the report rows (e.g. to the incremental
@@ -2909,18 +2925,27 @@ object SparkEntry {
       // first token lands — deterministic integer arithmetic end to end
       (s, d) => TextAnalysis.packSequences(Tables.documents(s, d), "text", "doc_id",
         budget = 512, buckets = 64),
-      Some(Sentiment.oracleCte +
-        """,
-          |pk AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
-          |    CAST(doc_id % 64 AS BIGINT) AS bucket FROM toks),
-          |pk2 AS (SELECT doc_id, n_tokens, bucket,
-          |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
-          |  FROM pk)
-          |SELECT doc_id, n_tokens, bucket,
-          |  CAST(start_tok // 512 AS BIGINT) AS seq,
-          |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
-          |FROM pk2 ORDER BY doc_id""".stripMargin)),
+      Some(Sentiment.oracleCte + ",\n" + packCtes +
+        """
+          |SELECT doc_id, n_tokens, bucket, seq, seq_offset
+          |FROM pk3 ORDER BY doc_id""".stripMargin)),
+
+    Q("pk_pack_manifest",
+      // the writer-side view of pk_sequence_packing: one row per packed
+      // training sequence — docs started, token mass, SPILL count (the
+      // boundary crossings a block-diagonal attention mask must cut),
+      // and the id@offset layout string. One extra map-side aggregation
+      // over budget-bounded (bucket, seq) groups
+      (s, d) => TextAnalysis.packManifest(Tables.documents(s, d), "text", "doc_id",
+        budget = 512, buckets = 64),
+      Some(Sentiment.oracleCte + ",\n" + packCtes +
+        """
+          |SELECT bucket, seq, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_tokens) AS BIGINT) AS started_tokens,
+          |  CAST(COALESCE(SUM(CASE WHEN seq_offset + n_tokens > 512 THEN 1 END), 0) AS BIGINT) AS n_spill,
+          |  string_agg(CAST(doc_id AS VARCHAR) || '@' || CAST(seq_offset AS VARCHAR), ','
+          |    ORDER BY seq_offset, doc_id) AS layout
+          |FROM pk3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("pk_sft_examples",
       // SFT example construction: conversations synthesized

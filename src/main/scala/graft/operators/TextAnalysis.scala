@@ -210,6 +210,31 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** The WRITER-side view of [[packSequences]]: one row per packed
+    * training sequence with the layout a shard writer (and an
+    * attention-mask builder) consumes — how many documents START in the
+    * sequence, their summed token mass, how many SPILL over the budget
+    * boundary into the next sequence (the cross-contamination points a
+    * block-diagonal attention mask must cut), and the `id@offset` layout
+    * string in offset order. One extra map-side-combined aggregation on
+    * top of the packing frame — the (bucket, seq) groups are
+    * budget-bounded, so the collect_list is O(docs-per-sequence), never
+    * corpus-sized. */
+  def packManifest(df: DataFrame, textCol: String, idCol: String,
+                   budget: Int, buckets: Int = 64): DataFrame = {
+    val packed = packSequences(df, textCol, idCol, budget, buckets)
+    packed.groupBy(col("bucket"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("started_tokens"),
+        coalesce(sum(when(col("seq_offset") + col("n_tokens") > budget, 1L)),
+          lit(0L)).as("n_spill"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("seq_offset"), col(idCol)))),
+          x => concat(x.getField(idCol).cast("string"), lit("@"),
+            x.getField("seq_offset").cast("string")))).as("layout"))
+      .orderBy("bucket", "seq")
+  }
+
   /** Token-balanced output-shard assignment — the plan a training-shard
     * writer executes so no shard (and no downstream data-loader worker)
     * gets a token count far from the mean: documents are globally ranked

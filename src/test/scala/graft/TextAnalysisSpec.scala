@@ -769,4 +769,17 @@ class TextAnalysisSpec extends SparkSpec {
     val rate = agg.getLong(0).toDouble / agg.getLong(1)
     assert(rate > 0.18 && rate < 0.32, s"drop rate $rate far from p=0.25")
   }
+
+  test("packManifest: spill flags and offset-ordered layout per packed sequence") {
+    val s = spark
+    import s.implicits._
+    // budget 4, one bucket: offsets 0,3,6 -> doc2 straddles the seq-0/1
+    // boundary (3+3>4), doc3 fills seq 1 exactly (2+2<=4, no spill)
+    val df = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h")).toDF("doc_id", "text")
+    val out = TextAnalysis.packManifest(df, "text", "doc_id", budget = 4, buckets = 1)
+      .collect().map(r => (r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(0L) == ((2L, 6L, 1L, "1@0,2@3")))
+    assert(out(1L) == ((1L, 2L, 0L, "3@2")))
+  }
 }
