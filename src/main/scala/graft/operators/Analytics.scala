@@ -1015,13 +1015,21 @@ object Analytics {
   def pairLift(baskets: DataFrame, basketCol: String, itemCol: String,
                minSupport: Double, minPairCount: Long,
                maxBasket: Int = 0): DataFrame = {
-    val arrays0 = baskets
-      .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+    val items = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+    // the hot-basket guard must run BEFORE arrays materialize: filtering
+    // on size(collect_set(...)) would already have built the pathological
+    // basket's array inside one aggregation buffer. countDistinct is
+    // array-free (expand + two keyed aggregations), so the admission pass
+    // costs an extra shuffle only when the guard is enabled
+    val admitted =
+      if (maxBasket <= 0) items
+      else items.join(
+        items.groupBy("__bk").agg(countDistinct(col("__it")).as("__bsz"))
+          .where(col("__bsz") <= maxBasket).select("__bk"),
+        Seq("__bk"), "left_semi")
+    val arraysUncached = admitted
       .groupBy("__bk")
       .agg(sort_array(collect_set(col("__it"))).as("__items"))
-    val arraysUncached =
-      if (maxBasket <= 0) arrays0
-      else arrays0.where(size(col("__items")) <= maxBasket)
     // consumed 3x (basket total, item supports, pair generation) —
     // without the persist the upstream shuffle re-runs each time
     val arrays = arraysUncached
