@@ -3882,6 +3882,56 @@ object SparkEntry {
              |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum
              |FROM m GROUP BY media_kind ORDER BY media_kind""".stripMargin)),
 
+    Q("mm_image_neardup",
+      // perceptual image near-dup (aHash, the LAION-style corpus-dedup
+      // primitive): REAL PNG encode -> REAL ImageIO decode -> 8x8
+      // NN-sampled gray grid -> strict-mean threshold bits -> the
+      // SimHash 16-bit-chunk banding + exact Hamming <= 3 verify.
+      // Payloads come in planted groups of four brightness-shift
+      // variants (small Hamming by construction); the oracle recomputes
+      // every fingerprint in closed form from the pixel formula and
+      // replays the banding, so a decode/sampling/threshold slip breaks
+      // the hash
+      (s, d) => Multimodal.imageNearDupPairs(s,
+        Tables.documents(s, d).select("doc_id"), maxHamming = 3),
+      Some("""WITH ids AS (SELECT doc_id, doc_id // 4 AS gid,
+          |    CAST(doc_id % 4 AS BIGINT) AS sh FROM documents),
+          |dims AS (SELECT doc_id, gid, sh,
+          |    CAST(16 + gid % 16 AS BIGINT) AS w, CAST(16 + gid % 8 AS BIGINT) AS h,
+          |    CAST(7 + gid % 11 AS BIGINT) AS xc, CAST(13 + gid % 7 AS BIGINT) AS yc
+          |  FROM ids),
+          |cells AS (SELECT doc_id, gid, sh, xc, yc,
+          |    CAST(by * 8 + bx AS INT) AS idx,
+          |    (bx * w) // 8 AS x, (by * h) // 8 AS y
+          |  FROM dims, range(0, 8) r1(bx), range(0, 8) r2(by)),
+          |gr AS (SELECT doc_id, idx,
+          |    (b % 256) + ((b + 101) % 256) + ((b + 202) % 256) AS gray
+          |  FROM (SELECT doc_id, idx, gid * 31 + x * xc + y * yc + sh AS b FROM cells)),
+          |tt AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total FROM gr GROUP BY 1),
+          |bits AS (SELECT gr.doc_id, idx,
+          |    CASE WHEN gray * 64 > total THEN 1 ELSE 0 END AS bit
+          |  FROM gr JOIN tt ON gr.doc_id = tt.doc_id),
+          |fp AS (SELECT doc_id AS id,
+          |    CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+          |      THEN (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+          |    CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+          |      THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS fp_lo
+          |  FROM bits GROUP BY 1),
+          |bnd AS (
+          |  SELECT id, fp_hi, fp_lo, 0 AS band, (fp_lo & 65535) AS chunk FROM fp
+          |  UNION ALL SELECT id, fp_hi, fp_lo, 1, (fp_lo >> 16) FROM fp
+          |  UNION ALL SELECT id, fp_hi, fp_lo, 2, (fp_hi & 65535) FROM fp
+          |  UNION ALL SELECT id, fp_hi, fp_lo, 3, (fp_hi >> 16) FROM fp),
+          |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+          |    x.fp_hi AS hi_a, x.fp_lo AS lo_a, y.fp_hi AS hi_b, y.fp_lo AS lo_b
+          |  FROM bnd x JOIN bnd y
+          |    ON x.band = y.band AND x.chunk = y.chunk AND x.id < y.id)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+          |FROM cand
+          |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("mm_format_sniff",
       // the "extension lies" audit: claimed media kind (metadata) vs
       // magic-byte sniff (payload bytes) — every mismatch is a

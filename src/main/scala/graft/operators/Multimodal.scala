@@ -216,6 +216,110 @@ object Multimodal {
   def imageDecodeReport(spark: SparkSession, docs: DataFrame): DataFrame =
     imageDecodeStats(spark, withImagePayload(spark, docs)).orderBy("doc_id")
 
+  /** [[withImagePayload]] restated for NEAR-DUP work: documents come in
+    * groups of FOUR VARIANTS of one base image (`gid = doc_id div 4`
+    * picks dimensions `16 + gid%16 × 16 + gid%8`, a group-specific
+    * gradient `x·(7 + gid%11) + y·(13 + gid%7)`, and the variant index
+    * `doc_id % 4` adds a small uniform brightness shift). A brightness
+    * shift moves every gray sample AND their mean together, so variant
+    * fingerprints differ only where a channel WRAPS mod 256 — the
+    * planted small-Hamming structure a perceptual dedup must recover,
+    * while distinct groups carry distinct gradients and stay far apart.
+    * Same real PNG encode as [[withImagePayload]]. */
+  def withImagePayloadGroups(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val gid = id / 4
+        val sh = (id % 4).toInt
+        val w = (16 + gid % 16).toInt
+        val h = (16 + gid % 8).toInt
+        val xc = (7 + gid % 11).toInt
+        val yc = (13 + gid % 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def ch(c: Int) =
+              ((gid * 31 + x.toLong * xc + y.toLong * yc + sh + c * 101) % 256).toInt
+            img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Perceptual average-hash (aHash) fingerprint from a REAL decode —
+    * the standard cheap image near-dup signature (the LAION-style
+    * corpus-dedup primitive): decode, nearest-neighbor-sample an 8×8
+    * gray grid (source pixel for cell (bx, by) is
+    * `(bx·w div 8, by·h div 8)` — the [[imageResizeStats]] convention),
+    * set bit `by·8+bx` where the cell's gray (integer r+g+b, no lossy
+    * divide) STRICTLY exceeds the grid mean (`64·g > Σg` in integers).
+    * Emitted as two 32-bit halves `(id, fp_hi, fp_lo)` — the SimHash
+    * split-fingerprint shape, so [[Dedup.simhashPairsFromSplitFingerprints]]
+    * bands and verifies it unchanged, and neither engine ever sums a
+    * 2^63 bit into a signed overflow. Unreadable payloads DROP from the
+    * fingerprint stream (a corrupt image can't be near-anything; the
+    * decode-audit entries surface them as error rows instead).
+    *
+    * Scale shape: narrow mapPartitions decode (scales with input
+    * splits), O(1) grid per image, no shuffle until the band join. */
+  def imageAHash(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getRaster.getNumBands < 3) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val g = new Array[Long](64)
+              var i = 0
+              while (i < 64) {
+                val sx = ((i % 8) * w) / 8
+                val sy = ((i / 8) * h) / 8
+                g(i) = raster.getSample(sx, sy, 0).toLong +
+                  raster.getSample(sx, sy, 1) + raster.getSample(sx, sy, 2)
+                i += 1
+              }
+              val total = g.sum
+              var hi = 0L
+              var lo = 0L
+              i = 0
+              while (i < 64) {
+                if (64L * g(i) > total) {
+                  if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+                }
+                i += 1
+              }
+              Some((id, hi, lo))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+      .toDF("id", "fp_hi", "fp_lo")
+  }
+
+  /** Perceptual image near-dup pairs: [[withImagePayloadGroups]] →
+    * [[imageAHash]] → the SimHash 16-bit-chunk banding + exact-Hamming
+    * verify (recall guaranteed for Hamming <= 3 by pigeonhole). */
+  def imageNearDupPairs(spark: SparkSession, docs: DataFrame,
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSplitFingerprints(
+      imageAHash(spark, withImagePayloadGroups(spark, docs)), maxHamming)
+
   /** REAL audio payloads: deterministic 16-bit mono PCM, WAV-ENCODED
     * through `javax.sound.sampled` — actual RIFF/WAVE codec bytes, the
     * audio twin of [[withImagePayload]]. Sample i of document id is

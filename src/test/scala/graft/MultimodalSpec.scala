@@ -194,4 +194,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("n_samples")))
     assert(out.isNullAt(out.fieldIndex("rms")))
   }
+
+  test("imageNearDupPairs: brightness-shift variants recovered through a REAL decode, cross-group images stay apart") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 44L).toDF("doc_id")
+    val pairs = Multimodal.imageNearDupPairs(s, docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // hand-simulated group 1 (ids 4..7): five of six variant pairs sit at
+    // Hamming <= 3 (the 4-7 pair drifts to 4 via mod-256 wraps) — pinned
+    assert(pairs((4L, 5L)) == 2 && pairs((4L, 6L)) == 2 && pairs((5L, 6L)) == 0)
+    assert(pairs((5L, 7L)) == 2 && pairs((6L, 7L)) == 2)
+    assert(!pairs.contains((4L, 7L)))
+    // group 0's zero-distance variant pairs
+    assert(pairs((0L, 1L)) == 0 && pairs((2L, 3L)) == 0)
+    // distinct gradients keep distinct groups far apart (sim: d(0,40)=27)
+    assert(!pairs.contains((0L, 40L)))
+    assert(pairs.forall(_._2 <= 3))
+  }
+
+  test("imageAHash: unreadable payloads drop from the fingerprint stream") {
+    val s = spark
+    import s.implicits._
+    val payloads = Seq(
+      (1L, Array[Byte](1, 2, 3)),               // not an image
+      (2L, "89504e47deadbeef".grouped(2).map(Integer.parseInt(_, 16).toByte).toArray))
+      .toDF("doc_id", "payload")                // recognized PNG header, corrupt body
+    assert(Multimodal.imageAHash(s, payloads).count() == 0L)
+  }
 }
