@@ -209,4 +209,80 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("spanScrub property: token conservation, keeper survival, naive-reference parity") {
+    val s = spark
+    import s.implicits._
+    // random corpora over a 4-token alphabet: dense duplicated 2-grams
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+      .map(_.take(12).mkString(" "))
+    val corpusGen = Gen.listOfN(6, docGen)
+    for ((docs, ci) <- samples(corpusGen, 6).zipWithIndex) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = operators.Dedup.spanScrub(df, "text", "doc_id", width = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // naive reference: enumerate grams on the driver, elect keepers,
+      // union covered positions, rebuild
+      val toks = docs.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      val occ = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(2).zipWithIndex.collect {
+          case (g, p) if g.length == 2 => (g.mkString(" "), id, p) } }
+      val dupGrams = occ.groupBy(_._1).filter(_._2.size >= 2)
+      val struck: Map[Long, Set[Int]] = dupGrams.values.toSeq
+        .flatMap { os =>
+          val keeper = os.minBy(o => (o._2, o._3))
+          os.filterNot(_ == keeper).flatMap(o => Seq((o._2, o._3), (o._2, o._3 + 1)))
+        }.groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+      for ((id, ts) <- toks) {
+        val cuts = struck.getOrElse(id, Set.empty)
+        val want = ts.zipWithIndex.collect { case (t, p) if !cuts(p) => t }.mkString(" ")
+        val (n, rm, clean) = out(id)
+        assert(n == ts.length, s"case $ci doc $id token count")
+        assert(rm == cuts.size, s"case $ci doc $id removed")
+        assert(clean == want, s"case $ci doc $id text")
+      }
+    }
+  }
+
+  test("shardPlanBy property: exactly-once placement, valid shards, deterministic") {
+    val s = spark
+    import s.implicits._
+    val lensGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 500L)).map(_.take(40))
+    for (lens <- samples(lensGen, 6)) {
+      val df = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("id", "n")
+      val plan = operators.TextAnalysis.shardPlanBy(df, "n", "id", nShards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(plan.map(_._1).toSet == lens.indices.map(_.toLong).toSet)
+      assert(plan.forall(p => p._3 >= 0 && p._3 < 4))
+      val again = operators.TextAnalysis.shardPlanBy(df, "n", "id", nShards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(plan.toSeq == again.toSeq)
+    }
+  }
+
+  test("tokenDropout property: kept text is an in-order subsequence, counts reconcile") {
+    val s = spark
+    import s.implicits._
+    val docGen = Gen.nonEmptyListOf(Gen.identifier.map(_.take(5))).map(_.take(15))
+    for ((ws, i) <- samples(docGen, 5).zipWithIndex; p <- Seq(0.2, 0.6)) {
+      val text = ws.mkString(" ")
+      val df = Seq((i.toLong, text)).toDF("doc_id", "text")
+      for (portable <- Seq(true, false)) {
+        val r = operators.TextAnalysis.tokenDropout(df, "text", "doc_id", p,
+          portable = portable).collect().head
+        val kept = r.getAs[String]("aug_text").split(" ").filter(_.nonEmpty)
+        val orig = text.split("\\s+").filter(_.nonEmpty)
+        assert(r.getAs[Long]("n_tokens") == orig.length)
+        assert(r.getAs[Long]("n_dropped") == orig.length - kept.length)
+        // in-order subsequence check
+        var j = 0
+        for (t <- orig) if (j < kept.length && kept(j) == t) j += 1
+        assert(j == kept.length, s"not a subsequence: $text -> ${kept.mkString(" ")}")
+      }
+    }
+  }
 }
