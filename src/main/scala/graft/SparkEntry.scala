@@ -2971,7 +2971,8 @@ object SparkEntry {
         docTurns(s, d), nShards = 8),
       Some(s"""WITH $sftExampleCtes,
           |r AS (SELECT turn_seq, n_chars,
-          |    row_number() OVER (ORDER BY n_chars, turn_seq) AS rnk FROM sfte),
+          |    row_number() OVER (ORDER BY n_chars,
+          |      conv_id * 1048576 + turn_seq) AS rnk FROM sfte),
           |sh AS (SELECT turn_seq, n_chars,
           |    CASE WHEN ((rnk - 1) // 8) % 2 = 0 THEN (rnk - 1) % 8
           |      ELSE 7 - ((rnk - 1) % 8) END AS shard FROM r),
@@ -5859,14 +5860,16 @@ object SparkEntry {
              |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("gov_dp_release",
-      // epsilon-DP count release (Laplace mechanism, sensitivity 1,
-      // eps=0.5 -> b=2): per-source doc counts + seeded inverse-CDF
-      // Laplace noise (the dsirResample md5-uniform device), released
-      // integer floored at 0 with explicit half-up rounding shared with
-      // the oracle. The frame is the AUDIT view; the publishable
-      // artifact is the (source, released) projection
-      (s, d) => operators.DataQuality.dpNoisedCounts(
-        Tables.documents(s, d), "source", epsilon = 0.5),
+      // SIMULATED epsilon-DP count release (Laplace mechanism,
+      // sensitivity 1, eps=0.5 -> b=2): per-source doc counts + seeded
+      // inverse-CDF Laplace noise (the dsirResample md5-uniform device),
+      // released integer floored at 0 with explicit half-up rounding
+      // shared with the oracle. The KNOWN seed makes this a replayable
+      // simulation of the mechanism's arithmetic (what the oracle
+      // certifies), NOT a private release — see simulatedDpCounts's
+      // privacy caveat; production swaps in a secret/non-replayable seed
+      (s, d) => operators.DataQuality.simulatedDpCounts(
+        Tables.documents(s, d), "source", epsilon = 0.5, seed = "dp:"),
       Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS true_count
           |  FROM documents GROUP BY 1),
           |u AS (SELECT source, true_count,

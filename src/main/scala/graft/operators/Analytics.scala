@@ -995,10 +995,17 @@ object Analytics {
     * unordered item pairs co-occurring in a basket (order). The classic
     * Apriori prune: only items individually frequent (support >=
     * `minSupport`) enter pair formation, so the quadratic per-basket
-    * blow-up runs on the pruned basket. `maxBasket` (0 = off) drops
-    * baskets with more distinct items than the bound: one pathological
-    * basket of k items emits k(k-1)/2 pairs, the hot-key guard of this
-    * operator.
+    * blow-up runs on the pruned basket. `maxBasket` drops baskets with
+    * more distinct items than the bound: one pathological basket of k
+    * items emits k(k-1)/2 pairs, the hot-key guard of this operator.
+    * Under the row-local plan below the guard is effectively REQUIRED
+    * at scale — a basket's full pair expansion materializes inside ONE
+    * row's projection (unlike the old self-join, which spread pairs
+    * across rows and could spill), so an unbounded basket is an
+    * executor-OOM risk, not just a slow key. The default (1000 ≈ 500k
+    * pair structs, tens of MB in one row) is the conservative ceiling
+    * for that shape; pass 0 ONLY to disable the guard deliberately on
+    * inputs whose basket size is already bounded upstream.
     *
     * Plan shape (the round-10 rewrite — semantics unchanged, oracle
     * hashes identical): baskets collapse to sorted distinct-item arrays
@@ -1014,7 +1021,7 @@ object Analytics {
     * total, all map-side combined. */
   def pairLift(baskets: DataFrame, basketCol: String, itemCol: String,
                minSupport: Double, minPairCount: Long,
-               maxBasket: Int = 0): DataFrame = {
+               maxBasket: Int = 1000): DataFrame = {
     val items = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
     // the hot-basket guard must run BEFORE arrays materialize: filtering
     // on size(collect_set(...)) would already have built the pathological

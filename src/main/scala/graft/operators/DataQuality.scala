@@ -239,32 +239,37 @@ object DataQuality {
       .orderBy(keys: _*)
   }
 
-  /** ε-differentially-private count release (Dwork et al. 2006: Laplace
-    * mechanism, sensitivity 1 for counting queries) — the third gate of
-    * the governance family after [[Analytics.kAnonymity]] /
-    * [[lDiversity]]: per-group counts released with Laplace(1/ε) noise,
-    * via the inverse CDF over a SEEDED md5-uniform per group key (the
-    * engine's standard deterministic-noise device — dsirResample's
-    * Gumbel trick with the Laplace quantile function), so the release
-    * replays bit-identically for the oracle and across reruns. The
-    * released integer is floored at 0 (a count cannot be negative) and
-    * computed as `floor(count + noise + 0.5)` — explicit half-up
-    * rounding shared with the oracle, immune to round-half-even
-    * differences between engines.
+  /** SIMULATED ε-DP count release (Dwork et al. 2006: Laplace mechanism,
+    * sensitivity 1 for counting queries): per-group counts plus
+    * Laplace(1/ε)-distributed noise via the inverse CDF over a SEEDED
+    * md5-uniform per group key (the engine's standard deterministic-
+    * noise device — dsirResample's Gumbel trick with the Laplace
+    * quantile function). The released integer is floored at 0 (a count
+    * cannot be negative) and computed as `floor(count + noise + 0.5)` —
+    * explicit half-up rounding shared with the oracle, immune to
+    * round-half-even differences between engines.
     *
-    * NOTE the returned frame is the AUDIT view: `true_count` and `noise`
-    * ride along so the release is verifiable; the publishable artifact
-    * is the `(group, released)` projection only. Determinism-vs-privacy:
-    * a seeded release is a one-shot mechanism — re-releasing under a new
-    * seed spends additional budget; this operator models the pipeline's
-    * single audited release.
+    * PRIVACY CAVEAT — this is a SIMULATION, not a private release. The
+    * noise is a pure function of `seed` and the PUBLIC group key,
+    * independent of the data: anyone who knows the seed recomputes the
+    * noise exactly and recovers `true_count` from `released`. That is
+    * the point here — the deterministic replay is what lets the DuckDB
+    * oracle and reruns certify the mechanism's arithmetic bit-for-bit —
+    * but it provides ZERO differential privacy under a known seed, which
+    * is why `seed` is REQUIRED with no default. A production release
+    * must (a) draw the seed from a secret high-entropy source kept out
+    * of the published artifact and never reused, or better (b) replace
+    * the seeded uniform with a non-reproducible CSPRNG draw per group
+    * and forgo replayability. Even then the returned frame is only the
+    * AUDIT view: `true_count` and `noise` ride along for verification;
+    * the publishable artifact is the `(group, released)` projection.
     *
     * Scale shape: ONE map-side-combined aggregation; noise is O(groups)
     * row-local arithmetic on the aggregate frame. A NULL group key
     * yields NULL noise/release (md5 of NULL is NULL) — filter or
     * fill-label nulls upstream if they must be released. */
-  def dpNoisedCounts(df: DataFrame, groupCol: String, epsilon: Double,
-                     seed: String = "dp:"): DataFrame = {
+  def simulatedDpCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                        seed: String): DataFrame = {
     require(epsilon > 0, "epsilon must be > 0")
     val u = (conv(substring(md5(concat(lit(seed), col(groupCol).cast("string"))),
       1, 15), 16, 10).cast("long").cast("double") + lit(0.5)) /

@@ -266,9 +266,15 @@ object Multimodal {
     * Emitted as two 32-bit halves `(id, fp_hi, fp_lo)` — the SimHash
     * split-fingerprint shape, so [[Dedup.simhashPairsFromSplitFingerprints]]
     * bands and verifies it unchanged, and neither engine ever sums a
-    * 2^63 bit into a signed overflow. Unreadable payloads DROP from the
-    * fingerprint stream (a corrupt image can't be near-anything; the
-    * decode-audit entries surface them as error rows instead).
+    * 2^63 bit into a signed overflow. Only UNREADABLE payloads drop
+    * from the fingerprint stream (a corrupt image can't be
+    * near-anything; the decode-audit entries surface them as error
+    * rows). Readable non-RGB rasters — grayscale, palette/indexed PNG
+    * or GIF — fingerprint like everything else: samples go through
+    * `getRGB` (the ColorModel conversion), so a gray sample g becomes
+    * r=g=b and contributes 3g, preserving the per-cell ordering the
+    * hash thresholds on; for 3-band RGB rasters the path is
+    * value-identical to raw raster samples.
     *
     * Scale shape: narrow mapPartitions decode (scales with input
     * splits), O(1) grid per image, no shuffle until the band join. */
@@ -281,17 +287,20 @@ object Multimodal {
           try {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            if (img == null || img.getRaster.getNumBands < 3) None
+            if (img == null) None
             else {
               val (w, h) = (img.getWidth, img.getHeight)
-              val raster = img.getRaster
               val g = new Array[Long](64)
               var i = 0
               while (i < 64) {
                 val sx = ((i % 8) * w) / 8
                 val sy = ((i / 8) * h) / 8
-                g(i) = raster.getSample(sx, sy, 0).toLong +
-                  raster.getSample(sx, sy, 1) + raster.getSample(sx, sy, 2)
+                // getRGB routes through the ColorModel, so 1-band gray
+                // and indexed rasters fingerprint too (gray g -> 3g);
+                // for 3-band RGB it equals the raw raster samples
+                val rgb = img.getRGB(sx, sy)
+                g(i) = ((rgb >> 16) & 0xff).toLong +
+                  ((rgb >> 8) & 0xff) + (rgb & 0xff)
                 i += 1
               }
               val total = g.sum

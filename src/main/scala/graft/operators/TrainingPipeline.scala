@@ -54,11 +54,23 @@ object TrainingPipeline {
     * `(shard, n_examples, total_chars, load_ratio)`. Every stage is an
     * already-oracled operator; the composition stays lazy, so Catalyst
     * prunes the prompt/target strings out of everything downstream of
-    * the `n_chars` projection. */
-  def sftShardReport(turns: DataFrame, nShards: Int): DataFrame = {
+    * the `n_chars` projection.
+    *
+    * Example identity: `turn_seq` is DENSE 0-based within its
+    * conversation (the SFT family contract), so it collides across
+    * conversations and cannot serve as the shard-plan id on its own —
+    * the plan's rank tie-break on equal `n_chars` would be ambiguous.
+    * The unique `ex_id` is `conv_id * maxTurnsPerConv + turn_seq`
+    * (collision-free while every conversation stays under
+    * `maxTurnsPerConv` turns and `conv_id < 2^63 / maxTurnsPerConv`;
+    * the 2^20 default leaves 2^43 conversation ids). */
+  def sftShardReport(turns: DataFrame, nShards: Int,
+                     maxTurnsPerConv: Long = 1L << 20): DataFrame = {
+    require(maxTurnsPerConv > 0, "maxTurnsPerConv must be > 0")
     val ex = Serving.sftExamples(turns)
     val plan = TextAnalysis.shardPlanBy(
-      ex.select(col("turn_seq").as("ex_id"), col("n_chars")),
+      ex.select((col("conv_id").cast("long") * lit(maxTurnsPerConv) +
+          col("turn_seq").cast("long")).as("ex_id"), col("n_chars")),
       "n_chars", "ex_id", nShards)
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     plan.groupBy("shard")

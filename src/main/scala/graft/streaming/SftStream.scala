@@ -28,8 +28,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `loss_start` = prompt length) — the st14 catalog entry hash-gates the
   * stream output against the SAME DuckDB oracle the batch entry uses,
   * the st13 stream-equals-batch discipline. Char counts use
-  * `String.length` (UTF-16 units) vs the batch operator's codepoint
-  * `length()` — identical on BMP text; documented, not hidden. */
+  * `codePointCount` so `loss_start`/`n_chars` match the batch
+  * operator's codepoint `length()` on ALL inputs — a UTF-16-unit
+  * `String.length` would silently diverge on any non-BMP character
+  * (emoji, rare CJK) and break the stream-equals-batch contract. */
 object SftStream {
 
   case class Turn(conv_id: Long, seq: Int, role: String, content: String)
@@ -66,8 +68,11 @@ object SftStream {
                 .map(i => s"<|${roles(i)}|>\n${contents(i)}\n").mkString +
                 "<|assistant|>\n"
               val target = contents(k)
-              SftExample(conv, k, k, prompt, target, prompt.length,
-                prompt.length + target.length)
+              // codepoint counts (= Spark/DuckDB length()), NOT UTF-16
+              // units — the batch-parity contract on non-BMP text
+              val lossStart = prompt.codePointCount(0, prompt.length)
+              SftExample(conv, k, k, prompt, target, lossStart,
+                lossStart + target.codePointCount(0, target.length))
           }
           state.update(ConvState(roles, contents, f))
           out.iterator

@@ -326,8 +326,10 @@ class AnalyticsSpec extends SparkSpec {
     val mega = (0 until 100).map(i => (99L, f"m$i%03d"))
     val sane = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
     val df = (mega ++ sane).toDF("bk", "it")
-    val unguarded = Analytics.pairLift(df, "bk", "it", 0.0, 1L)
+    // the default guard (1000) admits the 100-item basket; 0 disables
+    val unguarded = Analytics.pairLift(df, "bk", "it", 0.0, 1L, maxBasket = 0)
     assert(unguarded.count() == 4951L) // 4950 mega pairs + (x, y)
+    assert(Analytics.pairLift(df, "bk", "it", 0.0, 1L).count() == 4951L)
     val guarded = Analytics.pairLift(df, "bk", "it", 0.0, 1L, maxBasket = 50)
       .collect()
     // the mega basket is dropped ENTIRELY: from pair formation, from item

@@ -114,7 +114,7 @@ class DataQualitySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_cur")).sum == 100L)
   }
 
-  test("dpNoisedCounts: noise matches the hand-computed Laplace quantile, release clamps at 0") {
+  test("simulatedDpCounts: noise matches the hand-computed Laplace quantile, release clamps at 0") {
     val s = spark
     import s.implicits._
     val df = (Seq.fill(3)("A") ++ Seq.fill(5)("B")).toDF("src")
@@ -127,7 +127,7 @@ class DataQualitySpec extends SparkSpec {
       val x = -(1.0 / eps) * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
       math.round(x * 1e6) / 1e6
     }
-    val out = DataQuality.dpNoisedCounts(df, "src", epsilon = 0.5)
+    val out = DataQuality.simulatedDpCounts(df, "src", epsilon = 0.5, seed = "dp:")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     assert(out("A")._1 == 3L && out("B")._1 == 5L)
@@ -136,7 +136,7 @@ class DataQualitySpec extends SparkSpec {
     assert(out.values.forall(_._3 >= 0L)) // clamp
     assert(out("A")._3 == math.max(0L, math.floor(3 + lap("A", 0.5) + 0.5).toLong))
     // determinism: a second run releases the identical values
-    val again = DataQuality.dpNoisedCounts(df, "src", epsilon = 0.5)
+    val again = DataQuality.simulatedDpCounts(df, "src", epsilon = 0.5, seed = "dp:")
       .collect().map(r => r.getLong(3)).toSeq
     assert(again == out.toSeq.sortBy(_._1).map(_._2._3))
   }

@@ -222,4 +222,40 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "payload")                // recognized PNG header, corrupt body
     assert(Multimodal.imageAHash(s, payloads).count() == 0L)
   }
+
+  test("imageAHash: grayscale and palette rasters fingerprint — and match their RGB twin") {
+    val s = spark
+    import s.implicits._
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // same 16x16 gray gradient rendered three ways: 3-band RGB (r=g=b),
+    // 1-band TYPE_BYTE_GRAY, and an indexed/palette raster — readable
+    // single-band images are common in real corpora and must NOT escape
+    // the fingerprint stream
+    def fill(img: BufferedImage): BufferedImage = {
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = (x * 16 + y * 3) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val rgb = fill(new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB))
+    val gray = fill(new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY))
+    val indexed = fill(new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_INDEXED))
+    val fps = Multimodal.imageAHash(s,
+        Seq((1L, png(rgb)), (2L, png(gray)), (3L, png(indexed)))
+          .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L)) // none dropped
+    // gray g decodes to r=g=b: identical per-cell 3g sums => identical hash
+    assert(fps(2L) == fps(1L))
+    // the 216-color palette quantizes but preserves the gradient's
+    // above/below-mean structure: the indexed twin stays near the RGB hash
+    val (hi, lo) = fps(1L); val (hi3, lo3) = fps(3L)
+    assert(java.lang.Long.bitCount(hi ^ hi3) + java.lang.Long.bitCount(lo ^ lo3) <= 3)
+  }
 }

@@ -67,4 +67,24 @@ class PipelineSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_chars")).collect().head.getLong(0)
     assert(out.map(_.getAs[Long]("total_chars")).sum == exChars)
   }
+
+  test("sftShardReport: dense per-conversation seqs stay unique — deterministic under n_chars ties") {
+    val s = spark
+    import s.implicits._
+    // 8 conversations with the DENSE 0-based per-conversation seq the SFT
+    // family documents, IDENTICAL content so every example's n_chars ties:
+    // the shard plan's rank tie-break must come from the (conv_id, seq)
+    // derived ex_id, never from seq alone (which collides across convs)
+    val turns = (for { c <- 0L until 8L; q <- 0 to 3 } yield
+      (c, q.toLong, if (q % 2 == 0) "user" else "assistant", "same text"))
+      .toDF("conv_id", "seq", "role", "content")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      operators.TrainingPipeline.sftShardReport(df, nShards = 4)
+        .collect().map(r => (r.getInt(0), r.getAs[Long]("n_examples"),
+          r.getAs[Long]("total_chars"))).toSeq
+    val a = run(turns)
+    val b = run(turns.repartition(7))
+    assert(a == b) // total order on (n_chars, ex_id) -> layout-independent
+    assert(a.map(_._2).sum == 16L) // exactly once: 2 assistant turns x 8
+  }
 }

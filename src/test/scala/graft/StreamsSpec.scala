@@ -356,9 +356,12 @@ class StreamsSpec extends SparkSpec {
   test("streaming SFT examples == batch operator under out-of-order arrival") {
     val s = spark
     import s.implicits._
-    // two conversations, turns delivered in three shuffled micro-batches
+    // two conversations, turns delivered in three shuffled micro-batches.
+    // The non-BMP emoji (U+1F916, 2 UTF-16 units / 1 codepoint) pins the
+    // codepoint-count contract: a String.length-based stream would report
+    // loss_start/n_chars one high per emoji and diverge from the batch op
     val turns = Seq(
-      (0L, 0, "user", "q one"), (0L, 1, "assistant", "a one"),
+      (0L, 0, "user", "q one 🤖"), (0L, 1, "assistant", "a one 🤖"),
       (0L, 2, "user", "q two"), (0L, 3, "assistant", "a two"),
       (1L, 0, "user", "solo q"), (1L, 1, "assistant", "solo a"))
       .toDF("conv_id", "seq", "role", "content")
