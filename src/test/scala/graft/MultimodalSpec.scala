@@ -223,6 +223,54 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageAHash(s, payloads).count() == 0L)
   }
 
+  test("audioNearDupPairs: amplitude-scaled variants recovered through a REAL WAV decode, groups stay apart") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 48L).toDF("doc_id") // 12 groups of 4 variants
+    val pairs = Multimodal.audioNearDupPairs(s, docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // every within-group variant pair recovered (gain-invariant delta
+    // signs; simulation shows Hamming <= 1 on all planted pairs)
+    for (g <- 0L until 12L; a <- 0 until 4; b <- a + 1 until 4) {
+      val k = (g * 4 + a, g * 4 + b)
+      assert(pairs.contains(k), s"missing planted pair $k")
+      assert(pairs(k) <= 1)
+    }
+    // nothing across groups (simulated inter-group Hamming >= 17)
+    assert(pairs.size == 12 * 6)
+  }
+
+  test("audioEnergyHash: gain-rescaled signal keeps its fingerprint; unreadable/short payloads drop") {
+    val s = spark
+    import s.implicits._
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val base = (0 until 256).map(i => Multimodal.audioBase(7L, i.toLong)).toArray
+    val halved = base.map(v => v / 2)
+    val fps = Multimodal.audioEnergyHash(s, Seq(
+        (1L, wav(base)), (2L, wav(halved)),
+        (3L, Array[Byte](1, 2, 3)),          // not a WAV
+        (4L, wav(Array.fill(10)(100))))      // shorter than 64 frames
+      .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fps.keySet == Set(1L, 2L)) // unreadable + too-short dropped
+    // a uniform gain change preserves every energy comparison exactly
+    // (|v/2| sums halve, give or take truncation that never flips these)
+    assert(fps(1L) == fps(2L))
+  }
+
   test("imageAHash: grayscale and palette rasters fingerprint — and match their RGB twin") {
     val s = spark
     import s.implicits._
