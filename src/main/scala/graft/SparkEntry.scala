@@ -547,6 +547,41 @@ object SparkEntry {
          |GROUP BY token ORDER BY token_cnt DESC, token""".stripMargin
   }
 
+  /** DuckDB replay of [[operators.Tokenizer.fertilityByLang]]: the
+    * bpeSubwordOracleSql bracketed replace chain keyed by (lang, word),
+    * with subword COUNTS (list length) instead of exploded tokens. */
+  private lazy val fertilityOracleSql: String = {
+    val (o, c) = ("chr(1)", "chr(2)")
+    val merges = operators.Tokenizer.PinnedMerges
+    val mergeCtes = merges.zipWithIndex.map { case ((a, b), i) =>
+      s""",
+         |fs${i + 1} AS (SELECT lang, cnt, wlen,
+         |  replace(s, $o || '$a' || $c || $o || '$b' || $c, $o || '${a + b}' || $c) AS s
+         |  FROM fs$i)""".stripMargin
+    }.mkString
+    Sentiment.oracleCte + s""",
+       |fw AS (SELECT lang, unnest(tokens) AS word FROM toks),
+       |fwc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM fw GROUP BY 1, 2),
+       |fwg AS (SELECT lang, word, cnt FROM fwc
+       |  WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2))),
+       |fs0 AS (SELECT lang, cnt, CAST(length(word) AS BIGINT) AS wlen,
+       |  array_to_string(list_transform(string_split(word, ''), ch -> $o || ch || $c), '')
+       |    || $o || '</w>' || $c AS s
+       |  FROM fwg)""".stripMargin +
+      mergeCtes + s"""
+         |, ffin AS (SELECT lang, cnt, wlen,
+         |    CAST(len(list_filter(
+         |      list_transform(string_split(s, $c), t -> replace(t, $o, '')),
+         |      t -> t <> '')) AS BIGINT) AS ns
+         |  FROM fs${merges.length})
+         |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt * ns) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(cnt * wlen) AS BIGINT) AS n_chars,
+         |  ROUND(CAST(SUM(cnt * ns) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS fertility,
+         |  ROUND(CAST(SUM(cnt * wlen) AS DOUBLE) / CAST(SUM(cnt * ns) AS DOUBLE), 6) AS chars_per_token
+         |FROM ffin GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying [[Dedup.minhashProbePairs]] for the
     * `dd_incr_minhash` entry: probe batch = every 17th doc with its last
     * 6 tokens dropped (new ids +2000000), corpus = all documents; tagged
@@ -2984,6 +3019,35 @@ object SparkEntry {
           |  ROUND(CAST(total_chars AS DOUBLE) * CAST(8.0 AS DOUBLE)
           |    / CAST(SUM(total_chars) OVER () AS DOUBLE), 6) AS load_ratio
           |FROM g ORDER BY shard""".stripMargin)),
+
+    Q("pk_dpo_pairs",
+      // DPO preference-pair construction over scored response groups:
+      // candidate sets = doc_id//8 prompt groups, reward = the F7
+      // original score; each prompt pairs its argmax and argmin
+      // candidates when the reward margin clears 0.3 (the standard
+      // barely-separated filter). ONE max_by/min_by aggregation — a
+      // single (id, reward) struct per partial, no window sort — so a
+      // 100 TB response log reduces to O(prompts) with one shuffle
+      (s, d) => operators.TrainingPipeline.dpoPairs(
+        scoredDocs(s, d).select(expr("doc_id div 8").as("prompt_id"),
+          col("doc_id"), col("original_score")),
+        "prompt_id", "doc_id", "original_score", minMargin = 0.3),
+      Some(Sentiment.oracleCte + """,
+          |dg AS (SELECT doc_id // 8 AS prompt_id, doc_id, original_score AS r FROM scored),
+          |dw AS (SELECT prompt_id, doc_id, r,
+          |    row_number() OVER (PARTITION BY prompt_id ORDER BY r DESC, doc_id DESC) AS rc,
+          |    row_number() OVER (PARTITION BY prompt_id ORDER BY r ASC, doc_id ASC) AS rr,
+          |    CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n_candidates
+          |  FROM dg),
+          |dc AS (SELECT prompt_id, doc_id AS chosen_id, r AS chosen_reward, n_candidates
+          |  FROM dw WHERE rc = 1),
+          |dj AS (SELECT prompt_id, doc_id AS rejected_id, r AS rejected_reward
+          |  FROM dw WHERE rr = 1)
+          |SELECT dc.prompt_id, chosen_id, rejected_id, chosen_reward, rejected_reward,
+          |  ROUND(chosen_reward - rejected_reward, 6) AS margin, n_candidates
+          |FROM dc JOIN dj ON dc.prompt_id = dj.prompt_id
+          |WHERE chosen_reward - rejected_reward >= CAST(0.3 AS DOUBLE)
+          |ORDER BY dc.prompt_id""".stripMargin)),
 
     Q("pk_shard_plan",
       // token-balanced shard assignment (snake draft over the global
@@ -5916,6 +5980,42 @@ object SparkEntry {
              |  count(DISTINCT s) < 3 AS at_risk
              |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("gov_t_closeness",
+      // t-closeness completes the governance quartet (k-anon,
+      // l-diversity, DP simulation): per (nation, balance-bucket) class,
+      // total variation distance between the class's market-segment
+      // distribution and the corpus-wide one — a class can be
+      // k-anonymous AND l-diverse yet still leak by segment skew. Two
+      // map-side aggregations + a row-local fold against the broadcast
+      // global distribution; absent values contribute via the
+      // 1 - sum(present global mass) decomposition
+      (s, d) => operators.DataQuality.tCloseness(Tables.customer(s, d), Seq(
+          "nation" -> col("c_nationkey"),
+          "bal_bucket" -> floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long")),
+        col("c_mktsegment"), t = 0.2),
+      Some("""WITH q AS (SELECT c_nationkey AS nation,
+             |    CAST(floor(CAST(c_acctbal AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT) AS bal_bucket,
+             |    c_mktsegment AS v
+             |  FROM customer),
+             |cell AS (SELECT nation, bal_bucket, v, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM q GROUP BY 1, 2, 3),
+             |g AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cell GROUP BY 1),
+             |n AS (SELECT CAST(SUM(gcnt) AS DOUBLE) AS nn FROM g),
+             |cls AS (SELECT nation, bal_bucket, CAST(SUM(cnt) AS BIGINT) AS class_size
+             |  FROM cell GROUP BY 1, 2),
+             |tv AS (SELECT cell.nation, cell.bal_bucket, cls.class_size,
+             |    ROUND(CAST(0.5 AS DOUBLE) * (
+             |      SUM(ABS(CAST(cnt AS DOUBLE) / CAST(class_size AS DOUBLE)
+             |        - CAST(gcnt AS DOUBLE) / nn))
+             |      + (CAST(1.0 AS DOUBLE) - SUM(CAST(gcnt AS DOUBLE) / nn))), 6) AS tvd
+             |  FROM cell
+             |  JOIN cls ON cell.nation = cls.nation AND cell.bal_bucket = cls.bal_bucket
+             |  JOIN g ON cell.v = g.v, n
+             |  GROUP BY 1, 2, 3)
+             |SELECT nation, bal_bucket, class_size, tvd,
+             |  tvd > CAST(0.2 AS DOUBLE) AS at_risk
+             |FROM tv ORDER BY nation, bal_bucket""".stripMargin)),
+
     Q("gov_dp_release",
       // SIMULATED epsilon-DP count release (Laplace mechanism,
       // sensitivity 1, eps=0.5 -> b=2): per-source doc counts + seeded
@@ -6246,6 +6346,17 @@ object SparkEntry {
             !col("word").contains("\u0002")),
         operators.Tokenizer.PinnedMerges),
       Some(bpeSubwordOracleSql)),
+
+    Q("tok_fertility",
+      // tokenizer fertility/compression per language under the pinned
+      // BPE merges — the diagnostic a vocab owner reads before
+      // committing a multilingual mix (high fertility = the vocab
+      // fragments that language, inflating its token cost). The corpus
+      // collapses to the per-language vocabulary FIRST, so the replace
+      // chain runs once per distinct (lang, word); one O(langs) rollup
+      (s, d) => operators.Tokenizer.fertilityByLang(
+        Tables.documents(s, d), operators.Tokenizer.PinnedMerges),
+      Some(fertilityOracleSql)),
 
     Q("gr_pagerank",
       // fixed-iteration PageRank over the symmetrized customer↔supplier

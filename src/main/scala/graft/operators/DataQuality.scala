@@ -239,6 +239,58 @@ object DataQuality {
       .orderBy(keys: _*)
   }
 
+  /** t-closeness audit (Li et al. 2007) — the fourth governance gate
+    * after k-anonymity / l-diversity / the DP simulation: a k-anonymous,
+    * l-diverse class whose sensitive-value DISTRIBUTION differs sharply
+    * from the corpus-wide one still leaks (a class that is 90% one
+    * segment against a 20% base rate discloses by skew, not by
+    * uniqueness). Per QI equivalence class, reports the total variation
+    * distance `tvd = ½·Σ_v |p_class(v) − p_global(v)|` between the
+    * class's categorical sensitive distribution and the global one
+    * (the categorical special case of the paper's EMD), plus the
+    * `at_risk = tvd > t` flag. Values ABSENT from a class still
+    * contribute their global mass: the sum decomposes as
+    * `Σ_present |p_c − p_g| + (1 − Σ_present p_g)`, so only the class's
+    * own value list is ever materialized.
+    *
+    * Scale shape: one (class, value) aggregation, then one class-keyed
+    * aggregation that collects the class's value histogram — bounded by
+    * the SENSITIVE attribute's cardinality, never by class size — and
+    * folds the TVD row-locally against a broadcast global-distribution
+    * map (O(values) entries, one row). Two map-side-combined shuffles
+    * total; no window, no per-class join. `tvd` is ROUND(6)ed before
+    * the flag because the fold order over the value list is
+    * engine-defined (the usual order-dependent-double convention). */
+  def tCloseness(df: DataFrame, qiCols: Seq[(String, Column)],
+                 sensitiveCol: Column, t: Double): DataFrame = {
+    val named = qiCols.map { case (n, c) => c.as(n) }
+    val keys = qiCols.map { case (n, _) => col(n) }
+    val cell = df.select(named :+ sensitiveCol.as("__sens"): _*)
+      .groupBy(keys :+ col("__sens"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val glob = cell.groupBy(col("__sens"))
+      .agg(sum(col("__cnt")).as("__g"))
+      .agg(map_from_entries(collect_list(struct(col("__sens"),
+          col("__g").cast("double")))).as("__gmap"),
+        sum(col("__g")).cast("double").as("__n"))
+    val classes = cell
+      .groupBy(keys: _*)
+      .agg(sum(col("__cnt")).as("class_size"),
+        collect_list(struct(col("__sens").as("v"),
+          col("__cnt").cast("double").as("c"))).as("__hist"))
+    val presentAbs = aggregate(col("__hist"), lit(0.0), (acc, x) =>
+      acc + abs(x.getField("c") / col("class_size").cast("double") -
+        element_at(col("__gmap"), x.getField("v")) / col("__n")))
+    val presentG = aggregate(col("__hist"), lit(0.0), (acc, x) =>
+      acc + element_at(col("__gmap"), x.getField("v")) / col("__n"))
+    classes.crossJoin(broadcast(glob))
+      .withColumn("tvd",
+        round(lit(0.5) * (presentAbs + (lit(1.0) - presentG)), 6))
+      .withColumn("at_risk", col("tvd") > t)
+      .select(keys ++ Seq(col("class_size"), col("tvd"), col("at_risk")): _*)
+      .orderBy(keys: _*)
+  }
+
   /** SIMULATED ε-DP count release (Dwork et al. 2006: Laplace mechanism,
     * sensitivity 1 for counting queries): per-group counts plus
     * Laplace(1/ε)-distributed noise via the inverse CDF over a SEEDED

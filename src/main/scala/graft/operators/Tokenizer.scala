@@ -134,10 +134,20 @@ object Tokenizer {
     * chained `aggregate` lambdas are interpreted array rebuilds: 26.8 s →
     * ~2 s at sf0.1 for the identical result. */
   def bpeTokenCounts(wordCounts: DataFrame,
-                     merges: Seq[(String, String)]): DataFrame = {
+                     merges: Seq[(String, String)]): DataFrame =
+    wordCounts
+      .select(col("cnt"), explode(bpeSymbolsOf(col("word"), merges)).as("token"))
+      .groupBy("token").agg(sum(col("cnt")).as("token_cnt"))
+      .orderBy(col("token_cnt").desc, col("token"))
+
+  /** The bracketed replace chain as a reusable column: final BPE symbol
+    * array for `word` under `merges` (see [[bpeTokenCounts]] for why
+    * replace beats chained folds). Callers must exclude words containing
+    * the chr(1)/chr(2) bracket bytes. */
+  def bpeSymbolsOf(word: Column, merges: Seq[(String, String)]): Column = {
     val (o, c) = ("\u0001", "\u0002")
     val bracketed = concat(
-      array_join(transform(filter(split(col("word"), ""), s => s =!= lit("")),
+      array_join(transform(filter(split(word, ""), s => s =!= lit("")),
         s => concat(lit(o), s, lit(c))), ""),
       lit(o + EndOfWord + c))
     val merged = merges.foldLeft(bracketed: Column) { case (col0, (a, b)) =>
@@ -145,10 +155,43 @@ object Tokenizer {
     }
     // strip the outer brackets, split on the ⟩⟨ seams (control chars —
     // regex-inert) to recover the final symbol sequence
-    val toks = split(merged.substr(lit(2), length(merged) - 2), c + o)
-    wordCounts
-      .select(col("cnt"), explode(toks).as("token"))
-      .groupBy("token").agg(sum(col("cnt")).as("token_cnt"))
-      .orderBy(col("token_cnt").desc, col("token"))
+    split(merged.substr(lit(2), length(merged) - 2), c + o)
+  }
+
+  /** Tokenizer fertility / compression diagnostics per language — the
+    * corpus report a tokenizer owner reads before committing a vocab to
+    * a multilingual mix: per `lang`, whitespace-word count, subword
+    * token count under the pinned merges, raw char mass, and the two
+    * canonical ratios — `fertility` = subword tokens per word (the
+    * Ács 2019 measure; high fertility = the vocab fragments that
+    * language, inflating its effective token cost) and
+    * `chars_per_token` = compression (low = an expensive representation).
+    *
+    * Scale shape: one (lang, word) aggregation collapses the corpus to
+    * its per-language vocabulary — the BPE replace chain then runs ONCE
+    * per distinct (lang, word), not per occurrence — followed by one
+    * O(langs) rollup weighted by word frequency. Both shuffles map-side
+    * combined; ratios are row-local arithmetic on exact integer sums.
+    * Words containing the bracket bytes are excluded (the
+    * [[bpeSymbolsOf]] contract; none exist in this corpus). */
+  def fertilityByLang(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val wc = docs
+      .select(col("lang"),
+        explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .where(!col("word").contains("\u0001") && !col("word").contains("\u0002"))
+    wc.select(col("lang"), col("cnt"),
+        size(bpeSymbolsOf(col("word"), merges)).cast("long").as("__ns"),
+        length(col("word")).cast("long").as("__len"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("__ns")).as("n_tokens"),
+        sum(col("cnt") * col("__len")).as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy("lang")
   }
 }

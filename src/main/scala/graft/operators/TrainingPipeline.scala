@@ -80,4 +80,39 @@ object TrainingPipeline {
           sum(col("total_chars")).over(w).cast("double"), 6).as("load_ratio"))
       .orderBy("shard")
   }
+
+  /** DPO/RLHF preference-pair construction (Rafailov et al. 2023): from
+    * a frame of scored candidate responses `(promptCol, idCol,
+    * rewardCol)`, emit ONE (chosen, rejected) pair per prompt — the
+    * highest- and lowest-reward candidates — kept only when the reward
+    * margin clears `minMargin` (a pair the reward model barely separates
+    * teaches the policy noise, the standard margin filter). Ties on
+    * reward break deterministically on the candidate id (highest id
+    * wins the chosen side, lowest the rejected), so the pair set is
+    * engine- and layout-independent. Returns `(prompt, chosen_id,
+    * rejected_id, chosen_reward, rejected_reward, margin,
+    * n_candidates)`; callers join response text back on the ids.
+    *
+    * Scale shape: ONE map-side-combined aggregation on the prompt key —
+    * `max_by`/`min_by` carry a single (id, reward) struct per partial
+    * and merge in O(1), so a 100 TB response log reduces to O(prompts)
+    * rows with one shuffle and no window sort. The margin filter runs
+    * on the aggregate frame (row-local). */
+  def dpoPairs(responses: DataFrame, promptCol: String, idCol: String,
+               rewardCol: String, minMargin: Double): DataFrame = {
+    val key = struct(col(rewardCol), col(idCol))
+    val cand = struct(col(idCol).as("id"), col(rewardCol).as("r"))
+    responses
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        max_by(cand, key).as("__c"),
+        min_by(cand, key).as("__j"))
+      .where(col("__c.r") - col("__j.r") >= minMargin)
+      .select(col(promptCol),
+        col("__c.id").as("chosen_id"), col("__j.id").as("rejected_id"),
+        col("__c.r").as("chosen_reward"), col("__j.r").as("rejected_reward"),
+        round(col("__c.r") - col("__j.r"), 6).as("margin"),
+        col("n_candidates"))
+      .orderBy(promptCol)
+  }
 }

@@ -114,6 +114,26 @@ class DataQualitySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_cur")).sum == 100L)
   }
 
+  test("tCloseness: hand-computed TVD, absent values contribute global mass") {
+    val s = spark
+    import s.implicits._
+    // global: a 6/20 = .3, b 14/20 = .7.
+    // X (3a, 1b): tvd = .5*(|.75-.3| + |.25-.7|) = .45 -> at risk
+    // Y (6b, a ABSENT): tvd = .5*(|1-.7| + .3 unclaimed global a mass) = .3
+    // Z (3a, 7b) mirrors the global distribution exactly: tvd = 0
+    val df = (Seq.fill(3)(("X", "a")) ++ Seq(("X", "b")) ++
+      Seq.fill(6)(("Y", "b")) ++
+      Seq.fill(3)(("Z", "a")) ++ Seq.fill(7)(("Z", "b")))
+      .toDF("cls", "sens")
+    val out = DataQuality.tCloseness(df, Seq("cls" -> col("cls")),
+        col("sens"), t = 0.2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out("X") == ((4L, 0.45, true)))
+    assert(out("Y") == ((6L, 0.3, true)))
+    assert(out("Z") == ((10L, 0.0, false)))
+  }
+
   test("simulatedDpCounts: noise matches the hand-computed Laplace quantile, release clamps at 0") {
     val s = spark
     import s.implicits._

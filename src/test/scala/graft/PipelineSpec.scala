@@ -87,4 +87,32 @@ class PipelineSpec extends SparkSpec {
     assert(a == b) // total order on (n_chars, ex_id) -> layout-independent
     assert(a.map(_._2).sum == 16L) // exactly once: 2 assistant turns x 8
   }
+
+  test("dpoPairs: argmax/argmin pairing, margin filter, deterministic tie-breaks") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      // prompt 1: clear margin 0.8
+      (1L, 10L, 1.0), (1L, 11L, 0.5), (1L, 12L, 0.2),
+      // prompt 2: margin 0.1 < 0.3 -> filtered
+      (2L, 20L, 0.5), (2L, 21L, 0.4),
+      // prompt 3: single candidate, margin 0 -> filtered
+      (3L, 30L, 0.9),
+      // prompt 4: reward ties everywhere -> chosen = max id, rejected =
+      // min id, margin 0 -> filtered (a tie teaches nothing)
+      (4L, 40L, 0.7), (4L, 41L, 0.7),
+      // prompt 5: tie on the max only -> chosen id 51 (highest), margin ok
+      (5L, 50L, 0.9), (5L, 51L, 0.9), (5L, 52L, 0.1))
+      .toDF("prompt_id", "resp_id", "reward")
+    val out = operators.TrainingPipeline.dpoPairs(
+        resp, "prompt_id", "resp_id", "reward", minMargin = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6)))).toMap
+    assert(out.keySet == Set(1L, 5L))
+    assert(out(1L) == ((10L, 12L, 1.0, 0.2, 0.8, 3L)))
+    // chosen breaks the 0.9 tie to the HIGHEST id (51); rejected is the
+    // true argmin (52 at 0.1), so the margin is 0.8
+    assert(out(5L) == ((51L, 52L, 0.9, 0.1, 0.8, 3L)))
+  }
 }

@@ -101,4 +101,20 @@ class TokenizerSpec extends SparkSpec {
     val m2 = Tokenizer.bpeLearn(base, 8)
     assert(m1 == m2 && m1.length == 8)
   }
+
+  test("fertilityByLang: hand-counted words/subwords/chars and ratios") {
+    val s = spark
+    import s.implicits._
+    // merges: (a,b)->ab. "ab ab" (en): each word -> [ab, </w>] = 2 subwords.
+    // "cd" (de): [c, d, </w>] = 3 subwords
+    val docs = Seq(("en", "ab ab"), ("de", "cd")).toDF("lang", "text")
+    val out = Tokenizer.fertilityByLang(docs, Seq(("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    // en: 2 words, 2*2=4 subword tokens, 4 chars -> fertility 2.0, cpt 1.0
+    assert(out("en") == ((2L, 4L, 4L, 2.0, 1.0)))
+    // de: 1 word, 3 tokens, 2 chars -> fertility 3.0, cpt 0.666667
+    assert(out("de") == ((1L, 3L, 2L, 3.0, 0.666667)))
+  }
 }
