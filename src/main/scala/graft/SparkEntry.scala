@@ -547,6 +547,59 @@ object SparkEntry {
          |GROUP BY token ORDER BY token_cnt DESC, token""".stripMargin
   }
 
+  /** DuckDB replay of [[operators.MLEval.pairwiseWinMatrix]] over the
+    * doc_id//2 duel pairing on the F7 reward: composes after
+    * [[Sentiment.oracleCte]], ends with the
+    * `mx (item_a, item_b, n_duels, wins_a, wins_b, win_rate_a)` CTE. */
+  private val winMatrixCtes: String = """,
+      |du AS (SELECT doc_id // 2 AS duel, source AS item,
+      |    original_score AS sc, doc_id FROM scored),
+      |dw1 AS (SELECT duel, item, sc, doc_id,
+      |    row_number() OVER (PARTITION BY duel ORDER BY sc DESC, doc_id DESC) AS rw,
+      |    CAST(count(*) OVER (PARTITION BY duel) AS BIGINT) AS nn FROM du),
+      |dwin AS (SELECT duel, item AS wi FROM dw1 WHERE rw = 1 AND nn = 2),
+      |dlos AS (SELECT duel, item AS li FROM dw1 WHERE rw = 2 AND nn = 2),
+      |dm AS (SELECT w.duel, wi, li FROM dwin w JOIN dlos l ON w.duel = l.duel
+      |  WHERE wi <> li),
+      |pm AS (SELECT LEAST(wi, li) AS item_a, GREATEST(wi, li) AS item_b,
+      |    CASE WHEN wi <= li THEN 1 ELSE 0 END AS wa FROM dm),
+      |mx AS (SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_duels,
+      |    CAST(SUM(wa) AS BIGINT) AS wins_a,
+      |    CAST(count(*) - SUM(wa) AS BIGINT) AS wins_b,
+      |    ROUND(CAST(SUM(wa) AS DOUBLE) / count(*), 6) AS win_rate_a
+      |  FROM pm GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled Bradley-Terry MM iterations for the `ml_bt_strength`
+    * oracle: composes after [[winMatrixCtes]]; defines `ed` (directed
+    * edges), `wt` (per-item totals), `p0` (uniform start), and
+    * `p1..p{iters}` (one MM round each, per-item sums ROUND(12) exactly
+    * like the Spark operator). */
+  private def btIterCtes(iters: Int): String = {
+    // every CTE here is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // each round references the previous round TWICE (pa/pb) — inlined,
+    // the plan tree grows exponentially in `iters` and the EXPLAIN alone
+    // exhausts file handles re-opening the base scan
+    val per = (1 to iters).map { t =>
+      s""",
+         |d$t AS MATERIALIZED (SELECT ed.i AS item,
+         |    ROUND(SUM(CAST(ed.n AS DOUBLE) / (pa.p + pb.p)), 12) AS dd
+         |  FROM ed JOIN p${t - 1} pa ON ed.i = pa.item
+         |  JOIN p${t - 1} pb ON ed.j = pb.item GROUP BY 1),
+         |q$t AS MATERIALIZED (SELECT w.item, CAST(w.n_wins AS DOUBLE) / d.dd AS q
+         |  FROM wt w JOIN d$t d ON w.item = d.item),
+         |s$t AS MATERIALIZED (SELECT ROUND(SUM(q), 12) AS s FROM q$t),
+         |p$t AS MATERIALIZED (SELECT item, ROUND(q / s, 12) AS p FROM q$t, s$t)""".stripMargin
+    }.mkString
+    """,
+      |ed AS MATERIALIZED (SELECT item_a AS i, item_b AS j, wins_a AS w, n_duels AS n FROM mx
+      |  UNION ALL SELECT item_b, item_a, wins_b, n_duels FROM mx),
+      |wt AS MATERIALIZED (SELECT i AS item, CAST(SUM(w) AS BIGINT) AS n_wins,
+      |    CAST(SUM(n) AS BIGINT) AS n_duels FROM ed GROUP BY 1),
+      |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM wt),
+      |p0 AS MATERIALIZED (SELECT item, CAST(1.0 AS DOUBLE) / k AS p FROM wt, kk)""".stripMargin +
+      per
+  }
+
   /** DuckDB replay of [[operators.Tokenizer.fertilityByLang]]: the
     * bpeSubwordOracleSql bracketed replace chain keyed by (lang, word),
     * with subword COUNTS (list length) instead of exploded tokens. */
@@ -3996,6 +4049,38 @@ object SparkEntry {
           |FROM cand
           |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
           |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("ml_winrate_matrix",
+      // pairwise duel outcomes -> canonical win matrix: consecutive doc
+      // pairs (doc_id//2) duel on the F7 reward, items = their sources —
+      // "which source wins head-to-heads" (the raw material of an
+      // arena-style eval). One duel-keyed max_by/min_by aggregation +
+      // one pair rollup: two map-side shuffles from log to matrix
+      (s, d) => operators.MLEval.pairwiseWinMatrix(
+        scoredDocs(s, d).select(expr("doc_id div 2").as("duel"),
+          col("source"), col("original_score"), col("doc_id")),
+        "duel", "source", "original_score", "doc_id"),
+      Some(Sentiment.oracleCte + winMatrixCtes + """
+          |SELECT item_a, item_b, n_duels, wins_a, wins_b, win_rate_a
+          |FROM mx ORDER BY item_a, item_b""".stripMargin)),
+
+    Q("ml_bt_strength",
+      // Bradley-Terry strengths over the duel matrix (Hunter 2004 MM,
+      // 15 fixed minorize-maximize rounds, renormalized each round) —
+      // the Chatbot-Arena-style ranking a preference log earns. The
+      // matrix is DIMENSION-sized (items = sources), so every iteration
+      // is broadcast joins + one tiny aggregation; per-item sums
+      // ROUND(12) before reuse (engine-defined addition order), the
+      // oracle an unrolled 15-round CTE chain
+      (s, d) => operators.MLEval.bradleyTerry(
+        operators.MLEval.pairwiseWinMatrix(
+          scoredDocs(s, d).select(expr("doc_id div 2").as("duel"),
+            col("source"), col("original_score"), col("doc_id")),
+          "duel", "source", "original_score", "doc_id"),
+        iters = 15),
+      Some(Sentiment.oracleCte + winMatrixCtes + btIterCtes(15) + """
+          |SELECT wt.item, wt.n_wins, wt.n_duels, ROUND(p15.p, 6) AS strength
+          |FROM wt JOIN p15 ON wt.item = p15.item ORDER BY wt.item""".stripMargin)),
 
     Q("mm_audio_neardup",
       // perceptual audio near-dup (energy-delta fingerprint, the

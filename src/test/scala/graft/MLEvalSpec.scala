@@ -317,4 +317,46 @@ class MLEvalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("f1")))
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
+
+  test("pairwiseWinMatrix: canonical pairs, tie convention, self/odd duels dropped") {
+    val s = spark
+    import s.implicits._
+    val duels = Seq(
+      // duel 1: B beats A
+      (1L, "A", 0.2, 10L), (1L, "B", 0.9, 11L),
+      // duel 2: A beats B
+      (2L, "B", 0.1, 20L), (2L, "A", 0.5, 21L),
+      // duel 3: score tie -> higher id (31, B) wins
+      (3L, "A", 0.5, 30L), (3L, "B", 0.5, 31L),
+      // duel 4: self-duel, dropped
+      (4L, "A", 0.9, 40L), (4L, "A", 0.1, 41L),
+      // duel 5: singleton, dropped
+      (5L, "C", 0.8, 50L))
+      .toDF("duel", "item", "score", "id")
+    val out = MLEval.pairwiseWinMatrix(duels, "duel", "item", "score", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(("A", "B")))
+    // 3 counted duels: A won 1, B won 2 (incl. the id tie-break)
+    assert(out(("A", "B")) == ((3L, 1L, 2L, 0.333333)))
+  }
+
+  test("bradleyTerry: two-item strengths hit the closed-form win ratio; zero-win item decays to 0") {
+    val s = spark
+    import s.implicits._
+    // A beats B 3 of 4: two-item BT MLE is p_A = 3/4 under sum-1
+    val m1 = Seq(("A", "B", 3L, 4L)).map { case (a, b, w, n) =>
+      (a, b, w, n - w, n) }.toDF("item_a", "item_b", "wins_a", "wins_b", "n_duels")
+    val r1 = MLEval.bradleyTerry(m1, iters = 15)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(r1("A") - 0.75) < 1e-6 && math.abs(r1("B") - 0.25) < 1e-6)
+    // C never wins: its BT MLE is 0; survivors still order by dominance
+    val m2 = Seq(("A", "B", 3L, 1L, 4L), ("A", "C", 4L, 0L, 4L),
+      ("B", "C", 4L, 0L, 4L)).toDF("item_a", "item_b", "wins_a", "wins_b", "n_duels")
+    val out = MLEval.bradleyTerry(m2, iters = 15).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out("C")._1 == 0L && out("C")._2 == 0.0)
+    assert(out("A")._2 > out("B")._2 && out("B")._2 > 0.0)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5) // normalized
+  }
 }
