@@ -3256,6 +3256,53 @@ object SparkEntry {
           |SELECT doc_id, n_terms, score FROM bsc
           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    Q("pipe_ccnet_buckets",
+      // the CCNet curation pipeline composed end to end (Wenzek 2020):
+      // lang-ID (lexicon classifier) -> per-language head/middle/tail
+      // perplexity buckets (exact interpolated 1/3, 2/3 percentiles,
+      // both sides ROUND(6) before the boundary compare) -> keep
+      // head+middle; emitted as the per-(lang, bucket) mass report a
+      // curation run publishes before materializing the filtered corpus.
+      // Both stages already oracled standalone (ta_unigram_logppl,
+      // ta_lang_confusion); this proves the composition
+      (s, d) => operators.TrainingPipeline.ccnetBucketReport(
+        Tables.documents(s, d)),
+      Some {
+        val langHits = operators.TextAnalysis.LangLexicons.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString("(", ",", ")")
+          s"len(list_filter(list_transform(tokens, t -> lower(t)), t -> t IN $inList)) AS h_$lang"
+        }.mkString(", ")
+        val langs = operators.TextAnalysis.LangLexicons.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("GREATEST(", ", ", ")")
+        val predCase = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        Sentiment.oracleCte + s""",
+          |tk AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
+          |fr AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY t),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM fr),
+          |pplx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    ROUND(AVG(-log2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))), 6) AS bpt
+          |  FROM tk JOIN fr USING (t), tot GROUP BY doc_id),
+          |ch AS (SELECT doc_id, tokens, $langHits FROM toks),
+          |cb AS (SELECT *, $best AS best FROM ch),
+          |cp AS (SELECT doc_id, $predCase AS lang_guess FROM cb),
+          |sc AS (SELECT cp.doc_id, lang_guess, n_tokens, bpt
+          |  FROM cp JOIN pplx ON cp.doc_id = pplx.doc_id),
+          |bn AS (SELECT lang_guess,
+          |    ROUND(quantile_cont(bpt, CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)), 6) AS b1,
+          |    ROUND(quantile_cont(bpt, CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)), 6) AS b2
+          |  FROM sc GROUP BY 1),
+          |bk AS (SELECT sc.lang_guess,
+          |    CASE WHEN bpt <= b1 THEN 'head' WHEN bpt <= b2 THEN 'middle'
+          |      ELSE 'tail' END AS bucket, n_tokens, bpt
+          |  FROM sc JOIN bn ON sc.lang_guess = bn.lang_guess)
+          |SELECT lang_guess, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          |  ROUND(AVG(bpt), 6) AS avg_bits_per_token,
+          |  bucket <> 'tail' AS kept
+          |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
     Q("pipe_rag_index",
       // the serving-side mirror of pipe_corpus_report: a RAG INDEX BUILD
       // as one declarative plan — chunk (64/16 windows) → embed (8-dim

@@ -81,6 +81,51 @@ object TrainingPipeline {
       .orderBy("shard")
   }
 
+  /** CCNet-style language/perplexity bucket filter composed end to end
+    * (Wenzek et al. 2020 §4: lang-ID each document, bucket it into
+    * head/middle/tail by LM perplexity WITHIN its language, keep
+    * head+middle): per (predicted lang, bucket), the doc/token mass and
+    * the keep verdict — the report a CCNet-descendant curation run
+    * publishes before materializing the filtered corpus. The LM is the
+    * corpus unigram model ([[TextAnalysis.unigramLogPerplexity]] — the
+    * exactly-reproducible degenerate case of CCNet's KenLM), lang-ID
+    * the lexicon-hit classifier ([[TextAnalysis.languageId]]), both
+    * already oracled standalone; this entry proves the composition.
+    *
+    * Bucket boundaries are the per-language exact interpolated 1/3 and
+    * 2/3 perplexity percentiles, ROUND(6)ed — as are the per-doc
+    * bits/token — before the <= comparisons, so the bucket edges are
+    * engine-deterministic (the p10_percentile_gate convention). Exact
+    * `percentile` buffers each language group in the aggregation
+    * buffer; at true 100 TB scale swap `percentile_approx` in (the
+    * qt_quantiles exact/approx split — the sketch twin is
+    * bounds-checked there), kept exact here for the oracle.
+    *
+    * Scale shape: the perplexity frame is one co-partitioned token join
+    * (its own documented shape); lang-ID is a scan projection; the
+    * bucket bounds are O(langs) rows broadcast back; the report is one
+    * map-side aggregation. */
+  def ccnetBucketReport(docs: DataFrame): DataFrame = {
+    val ppl = TextAnalysis.unigramLogPerplexity(docs, "text", "doc_id")
+    val langed = docs.select(col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("lang_guess"))
+    val scored = langed.join(ppl, Seq("doc_id"))
+    val bounds = scored.groupBy("lang_guess")
+      .agg(round(percentile(col("bits_per_token"), lit(1.0 / 3.0)), 6).as("__b1"),
+        round(percentile(col("bits_per_token"), lit(2.0 / 3.0)), 6).as("__b2"))
+    scored.join(broadcast(bounds), Seq("lang_guess"))
+      .withColumn("bucket",
+        when(col("bits_per_token") <= col("__b1"), "head")
+          .when(col("bits_per_token") <= col("__b2"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang_guess", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("bits_per_token")), 6).as("avg_bits_per_token"))
+      .withColumn("kept", col("bucket") =!= "tail")
+      .orderBy("lang_guess", "bucket")
+  }
+
   /** DPO/RLHF preference-pair construction (Rafailov et al. 2023): from
     * a frame of scored candidate responses `(promptCol, idCol,
     * rewardCol)`, emit ONE (chosen, rejected) pair per prompt — the

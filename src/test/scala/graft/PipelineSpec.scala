@@ -88,6 +88,30 @@ class PipelineSpec extends SparkSpec {
     assert(a.map(_._2).sum == 16L) // exactly once: 2 assistant turns x 8
   }
 
+  test("ccnetBucketReport: buckets partition each language, tail dropped, masses conserved") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    val out = operators.TrainingPipeline.ccnetBucketReport(docs).collect()
+    // buckets partition: per-lang doc mass equals the lang's doc count
+    val perLang = out.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val scoredDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val nonEmpty = docs.filter(org.apache.spark.sql.functions.expr(
+      "size(filter(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' '), t -> t != '')) > 0")).count()
+    assert(scoredDocs == nonEmpty) // empty docs have no entropy, rest bucketed
+    // the keep verdict is exactly bucket != tail
+    assert(out.forall(r => r.getAs[Boolean]("kept") == (r.getString(1) != "tail")))
+    // within every language with >= 3 docs, all three buckets appear and
+    // head mean <= middle mean <= tail mean (buckets order by perplexity)
+    for ((lang, rows) <- out.groupBy(_.getString(0)) if perLang(lang) >= 3) {
+      val m = rows.map(r => r.getString(1) -> r.getAs[Double]("avg_bits_per_token")).toMap
+      assert(m.contains("head") && m.contains("tail"), s"$lang: ${m.keySet}")
+      assert(m("head") <= m.getOrElse("middle", m("tail")))
+      assert(m.getOrElse("middle", m("head")) <= m("tail"))
+    }
+  }
+
   test("dpoPairs: argmax/argmin pairing, margin filter, deterministic tie-breaks") {
     val s = spark
     import s.implicits._
