@@ -6443,6 +6443,20 @@ object SparkEntry {
           |  loss_start, n_chars
           |FROM sfte ORDER BY conv_id, turn_seq""".stripMargin)),
 
+    Q("st15_stream_arena",
+      // streaming arena: the two sides of each preference duel arrive in
+      // DIFFERENT micro-batches (doc_id % 3 staging puts consecutive ids
+      // in different files); per-duel GroupState holds the first side,
+      // emits the outcome exactly once when the second lands, self-duels
+      // stay silent — then the emitted outcomes aggregate to the
+      // canonical win matrix, hash-gated against the SAME oracle the
+      // batch ml_winrate_matrix uses (stream ≡ batch, the st13/st14
+      // discipline)
+      (s, d) => graft.streaming.ArenaStream.runArenaToCompletion(s, d),
+      Some(Sentiment.oracleCte + winMatrixCtes + """
+          |SELECT item_a, item_b, n_duels, wins_a, wins_b, win_rate_a
+          |FROM mx ORDER BY item_a, item_b""".stripMargin)),
+
     Q("tok_bpe_pairs",
       // BPE learning's iteration-1 statistic: adjacent symbol-pair counts
       // (chars + </w>) weighted by word frequency, over the O(vocab)

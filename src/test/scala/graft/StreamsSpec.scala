@@ -353,6 +353,60 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length == emb.count())
   }
 
+  test("streaming duel pairing: outcomes exactly once, self-duels silent, extras ignored") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // duel 1 straddles batches; B wins on score
+      (1L, "A", 0.2, 10L), (1L, "B", 0.9, 11L),
+      // duel 2: score tie -> higher id (B) wins
+      (2L, "A", 0.5, 20L), (2L, "B", 0.5, 21L),
+      // duel 3: self-duel -> no outcome
+      (3L, "A", 0.9, 30L), (3L, "A", 0.1, 31L),
+      // duel 4: a THIRD side arrives after the duel is decided -> ignored
+      (4L, "A", 0.7, 40L), (4L, "B", 0.3, 41L), (4L, "C", 1.0, 42L),
+      // duel 5 stays open (one side) -> nothing emitted
+      (5L, "C", 0.8, 50L))
+      .toDF("duel", "item", "score", "id")
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_arena_spec_").toString
+    val inDir = tmp + "/in"
+    Files.createDirectories(Paths.get(inDir))
+    def writeOne(df: org.apache.spark.sql.DataFrame, stage: String,
+                 target: String, mtime: Long): Unit = {
+      val stageDir = s"$tmp/$stage"
+      df.coalesce(1).write.parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, target)
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 180000
+    // three arrival waves by id % 3: every duel straddles batches, and
+    // duel 4's "extra" side (42) arrives FIRST so the matchup it joins
+    // is arrival-defined — the contract pinned below
+    writeOne(rows.filter(col("id") % 3 === 0), "b1", "1.parquet", t0)
+    writeOne(rows.filter(col("id") % 3 === 1), "b2", "2.parquet", t0 + 60000)
+    writeOne(rows.filter(col("id") % 3 === 2), "b3", "3.parquet", t0 + 120000)
+    val q = graft.streaming.ArenaStream.duelOutcomesStateful(
+        spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("arena_spec_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("arena_spec_out").orderBy("duel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // duel 4's winner depends on which two sides arrive first (arrival
+    // order defines the matchup once a third side exists); with id%3
+    // batching, 42 arrives first wave alongside nothing else from duel 4,
+    // then 40 completes it: winner C (1.0 > 0.7), 41 ignored
+    assert(got.toSet == Set((1L, "B", "A"), (2L, "B", "A"), (4L, "C", "A")))
+    // duel 3 (self) and duel 5 (open) emitted nothing; nothing twice
+    assert(got.length == 3)
+  }
+
   test("streaming SFT examples == batch operator under out-of-order arrival") {
     val s = spark
     import s.implicits._
