@@ -264,6 +264,120 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winMatrix/bradleyTerry property: duel conservation, strengths simplex-normalized, label-permutation equivariant") {
+    val s = spark
+    import s.implicits._
+    // random duel logs: 2 rows per duel over a small item alphabet
+    val duelGen = for {
+      n <- Gen.chooseNum(3, 12)
+      items <- Gen.listOfN(2 * n, Gen.oneOf("A", "B", "C", "D"))
+      scores <- Gen.listOfN(2 * n, Gen.chooseNum(0, 100))
+    } yield (0 until 2 * n).map(k =>
+      ((k / 2).toLong, items(k), scores(k).toDouble, k.toLong))
+    for (rows <- samples(duelGen, 5)) {
+      val df = rows.toDF("duel", "item", "score", "id")
+      val m = operators.MLEval.pairwiseWinMatrix(df, "duel", "item", "score", "id")
+      val mc = m.collect()
+      // duel conservation: matrix duels == non-self duels in the log
+      val nonSelf = rows.grouped(2).count { case Seq(a, b) => a._2 != b._2 }
+      assert(mc.map(_.getAs[Long]("n_duels")).sum == nonSelf)
+      assert(mc.forall { r =>
+        r.getAs[Long]("wins_a") + r.getAs[Long]("wins_b") == r.getAs[Long]("n_duels")
+      })
+      if (mc.nonEmpty) {
+        val bt = operators.MLEval.bradleyTerry(m, iters = 8).collect()
+          .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+        assert(bt.values.forall(v => v >= 0.0 && v <= 1.0))
+        assert(math.abs(bt.values.sum - 1.0) < 1e-4, bt.toString)
+        // label-permutation equivariance: renaming items permutes strengths
+        val perm = Map("A" -> "X", "B" -> "Y", "C" -> "Z", "D" -> "W")
+        val df2 = rows.map { case (d, i, sc, id) => (d, perm(i), sc, id) }
+          .toDF("duel", "item", "score", "id")
+        val bt2 = operators.MLEval.bradleyTerry(
+            operators.MLEval.pairwiseWinMatrix(df2, "duel", "item", "score", "id"),
+            iters = 8).collect()
+          .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+        assert(bt.map { case (k, v) => perm(k) -> v } == bt2)
+      }
+    }
+  }
+
+  test("tCloseness property: tvd in [0,1]; a class mirroring the global distribution scores 0") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 40)
+      cls <- Gen.listOfN(n, Gen.oneOf("P", "Q", "R"))
+      sens <- Gen.listOfN(n, Gen.oneOf("u", "v", "w"))
+    } yield cls.zip(sens)
+    for (rows <- samples(gen, 6)) {
+      val df = rows.toDF("cls", "sens")
+      val out = operators.DataQuality.tCloseness(df,
+        Seq("cls" -> org.apache.spark.sql.functions.col("cls")),
+        org.apache.spark.sql.functions.col("sens"), t = 0.3).collect()
+      assert(out.forall { r =>
+        val tvd = r.getAs[Double]("tvd"); tvd >= 0.0 && tvd <= 1.0
+      })
+      // a single-class frame IS the global distribution: tvd exactly 0
+      val one = rows.map { case (_, v) => ("only", v) }.toDF("cls", "sens")
+      val o1 = operators.DataQuality.tCloseness(one,
+        Seq("cls" -> org.apache.spark.sql.functions.col("cls")),
+        org.apache.spark.sql.functions.col("sens"), t = 0.3).collect()
+      assert(o1.length == 1 && o1.head.getAs[Double]("tvd") == 0.0)
+    }
+  }
+
+  test("dpoPairs property: margin filter total, chosen reward >= rejected + margin bound") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(4, 30)
+      prompts <- Gen.listOfN(n, Gen.chooseNum(0L, 5L))
+      rewards <- Gen.listOfN(n, Gen.chooseNum(0, 20))
+    } yield prompts.zip(rewards).zipWithIndex.map { case ((p, r), i) =>
+      (p, i.toLong, r.toDouble / 10.0) }
+    for (rows <- samples(gen, 6)) {
+      val df = rows.toDF("prompt_id", "resp_id", "reward")
+      val out = operators.TrainingPipeline.dpoPairs(
+        df, "prompt_id", "resp_id", "reward", minMargin = 0.5).collect()
+      assert(out.forall { r =>
+        val m = r.getAs[Double]("chosen_reward") - r.getAs[Double]("rejected_reward")
+        m >= 0.5 && r.getAs[Double]("margin") == math.round(m * 1e6) / 1e6 &&
+          r.getAs[Long]("n_candidates") >= 2
+      })
+      // exactly the prompts whose (max - min) reward clears the margin
+      val want = rows.groupBy(_._1).count { case (_, g) =>
+        g.map(_._3).max - g.map(_._3).min >= 0.5 }
+      assert(out.length == want)
+    }
+  }
+
+  test("fertilityByLang property: fertility >= 1, token mass >= word mass, chars reconcile") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 10)
+      langs <- Gen.listOfN(n, Gen.oneOf("en", "de"))
+      texts <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.identifier.map(_.take(6)))
+        .map(_.take(8).mkString(" ")))
+    } yield langs.zip(texts)
+    for (rows <- samples(gen, 5)) {
+      val df = rows.toDF("lang", "text")
+      val out = operators.Tokenizer.fertilityByLang(df,
+        operators.Tokenizer.PinnedMerges).collect()
+      for (r <- out) {
+        val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"))
+        assert(t >= w) // every word is at least one subword (</w> merges in)
+        assert(r.getAs[Double]("fertility") >= 1.0)
+        // chars reconcile exactly with the raw per-lang word-char mass
+        val wantChars = rows.filter(_._1 == r.getString(0))
+          .flatMap(_._2.split("\\s+")).filter(_.nonEmpty).map(_.length.toLong).sum
+        assert(c == wantChars)
+      }
+    }
+  }
+
   test("tokenDropout property: kept text is an in-order subsequence, counts reconcile") {
     val s = spark
     import s.implicits._
