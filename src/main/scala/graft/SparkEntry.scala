@@ -3180,6 +3180,41 @@ object SparkEntry {
           |GROUP BY 1, 2 HAVING count(*) >= 2
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("mix_epoch_plan",
+      // data-constrained epoch allocation (Muennighoff 2023: repeats
+      // stop helping past ~4 epochs): per-source want/alloc/epochs under
+      // a 3x-corpus budget and a 4-epoch cap, with the capped verdict
+      // and the shortfall a waterfilling rerun redistributes. The heavy
+      // targets (0.1 on a ~0.05 natural share) cap by construction, so
+      // the report exercises both branches
+      (s, d) => TextAnalysis.epochPlan(
+        Tables.documents(s, d), "text", "source",
+        (0 until 20).map(i =>
+          s"src$i" -> (if (i < 5) 0.1 else if (i < 10) 0.06 else 0.02)).toMap,
+        budgetMultiple = 3.0, maxEpochs = 4.0),
+      Some(Sentiment.oracleCte +
+        """,
+          |mx AS (SELECT source, CAST(SUM(len(tokens)) AS BIGINT) AS domain_tokens
+          |  FROM toks GROUP BY source),
+          |mt AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens FROM mx),
+          |pl AS (SELECT source, domain_tokens,
+          |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN CAST(0.1 AS DOUBLE)
+          |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN CAST(0.06 AS DOUBLE)
+          |         ELSE CAST(0.02 AS DOUBLE) END AS target_weight,
+          |    CAST(total_tokens AS DOUBLE) AS tt
+          |  FROM mx, mt),
+          |pw AS (SELECT source, domain_tokens, target_weight,
+          |    target_weight * CAST(3.0 AS DOUBLE) * tt AS want,
+          |    CAST(4.0 AS DOUBLE) * CAST(domain_tokens AS DOUBLE) AS avail
+          |  FROM pl)
+          |SELECT source, domain_tokens, target_weight,
+          |  ROUND(want, 6) AS want_tokens,
+          |  ROUND(LEAST(want, avail), 6) AS alloc_tokens,
+          |  ROUND(LEAST(want, avail) / CAST(domain_tokens AS DOUBLE), 6) AS epochs,
+          |  avail < want AS capped,
+          |  ROUND(GREATEST(want - avail, CAST(0.0 AS DOUBLE)), 6) AS shortfall_tokens
+          |FROM pw ORDER BY source""".stripMargin)),
+
     Q("mix_token_budget",
       // DoReMi/Pile-style corpus-mixing plan: per-source token share vs a
       // target weight (src0-4: 0.1, src5-9: 0.06, rest: 0.02, summing to

@@ -528,6 +528,49 @@ object TextAnalysis {
       .orderBy(domainCol)
   }
 
+  /** Data-constrained epoch plan (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": repeating data helps up to ~4
+    * epochs, so a mixture target cannot draw unboundedly from a small
+    * domain) — the allocation arm completing [[tokenBudgetMixture]]
+    * (which reports the UNCONSTRAINED repeat factors): per domain,
+    * `want = target_w × budget`, `avail = maxEpochs × domain_tokens`,
+    * `alloc = min(want, avail)`, `epochs = alloc / domain_tokens`, the
+    * `capped` verdict, and the shortfall a planner redistributes (one
+    * renormalize-over-uncapped rerun per waterfilling round — kept a
+    * caller loop because each round is a new plan to audit, not hidden
+    * iteration). The budget is `budgetMultiple × corpus tokens`, so the
+    * plan is scale-free.
+    *
+    * Shape: one map-side groupBy(domain) + one broadcast single-row
+    * total; every plan column is row-local arithmetic on exact integer
+    * masses. ROUND(6) on the derived doubles (display only — `capped`
+    * compares the raw values). */
+  def epochPlan(df: DataFrame, textCol: String, domainCol: String,
+                targetWeights: Map[String, Double],
+                budgetMultiple: Double, maxEpochs: Double): DataFrame = {
+    require(budgetMultiple > 0 && maxEpochs > 0, "budget and cap must be > 0")
+    val counts = df
+      .select(col(domainCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("nt"))
+      .groupBy(domainCol)
+      .agg(sum("nt").as("domain_tokens"))
+    val total = counts.agg(sum("domain_tokens").as("total_tokens"))
+    val weight = coalesce(
+      element_at(typedLit(targetWeights), col(domainCol)), lit(0.0))
+    val want = weight * lit(budgetMultiple) * col("total_tokens").cast("double")
+    val avail = lit(maxEpochs) * col("domain_tokens").cast("double")
+    counts.crossJoin(broadcast(total))
+      .select(col(domainCol), col("domain_tokens"),
+        weight.as("target_weight"),
+        round(want, 6).as("want_tokens"),
+        round(least(want, avail), 6).as("alloc_tokens"),
+        round(least(want, avail) / col("domain_tokens").cast("double"), 6)
+          .as("epochs"),
+        (avail < want).as("capped"),
+        round(greatest(want - avail, lit(0.0)), 6).as("shortfall_tokens"))
+      .orderBy(domainCol)
+  }
+
   /** Temperature-scaled mixture weights — the multinomial sampling rule
     * multilingual/multi-domain corpora are balanced with (XLM-R, Conneau
     * et al. 2020 §3.1; mC4, Xue et al. 2021: `q_i ∝ p_i^alpha` with

@@ -234,6 +234,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none("d2") == 0.0)
   }
 
+  test("epochPlan: cap binds exactly when want exceeds avail, shortfall reconciles") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c", "d1"), (2L, "a b c d e", "d1"), (3L, "x y", "d2"))
+      .toDF("doc_id", "text", "source")
+    // d1: 8 tokens, d2: 2 tokens, total 10; budget = 2x = 20, cap 3 epochs
+    val out = TextAnalysis.epochPlan(df, "text", "source",
+        Map("d1" -> 0.5, "d2" -> 0.5), budgetMultiple = 2.0, maxEpochs = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6),
+          r.getDouble(7)))).toMap
+    // d1 wants 10, avail 24 -> uncapped, 1.25 epochs, no shortfall
+    assert(out("d1") == ((10.0, 10.0, 1.25, false, 0.0)))
+    // d2 wants 10, avail 6 -> capped at 3 epochs, shortfall 4
+    assert(out("d2") == ((10.0, 6.0, 3.0, true, 4.0)))
+  }
+
   test("temperatureMixture: alpha<1 upsamples the small domain, weights sum to 1") {
     val s = spark
     import s.implicits._
