@@ -186,6 +186,7 @@ class PlanShapeSpec extends SparkSpec {
       // (sim_ivfpq_recall eagerly checkpoints — its plan is the checkpoint scan)
       "bf_bloom_prefilter_join", // single-broadcast-row bloom, never a shuffle
       "mix_token_budget", // 20 domain rows x ONE broadcast grand-total row
+      "mix_epoch_plan", // same shape: 20 domain rows x ONE broadcast grand-total row
       "ta_unigram_logppl", // token stream x ONE broadcast vocab-total row
       "ta_collocations", // vocab rows x TWO broadcast single-row totals
       "mix_temperature", // 20 domain rows x TWO broadcast single-row totals
