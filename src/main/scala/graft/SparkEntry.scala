@@ -4876,6 +4876,41 @@ object SparkEntry {
               |  ${functions.ZOrder.zorderKeySql("(doc_id & 65535)", "(n_chars & 65535)")} AS zkey
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("ev_ab_ztest",
+      // A/B experiment readout: user_id % 2 as the variant assignment,
+      // "ever purchased" as conversion, pooled two-proportion z and the
+      // |z| > 1.96 two-sided verdict. One user-keyed max-combined
+      // aggregation collapses the stream to O(users), then one global
+      // conditional agg to a single row — no window, no join
+      (s, d) => Analytics.abZTest(Tables.events(s, d), "user_id",
+        pmod(col("user_id"), lit(2)),
+        col("event_type") === "purchase" && col("value") > 150.0),
+      Some("""WITH u AS (SELECT user_id, user_id % 2 AS v,
+             |    MAX(CASE WHEN event_type = 'purchase'
+             |      AND value > CAST(150.0 AS DOUBLE) THEN 1 ELSE 0 END) AS c
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT
+             |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+             |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(SUM(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+             |  FROM u),
+             |z AS (SELECT n_a, conv_a, n_b, conv_b,
+             |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+             |  FROM g),
+             |zz AS (SELECT *, sqrt(pp * (CAST(1.0 AS DOUBLE) - pp)
+             |    * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |      + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS se FROM z)
+             |SELECT n_a, conv_a, ROUND(pa, 6) AS rate_a,
+             |  n_b, conv_b, ROUND(pb, 6) AS rate_b,
+             |  ROUND(pp, 6) AS pooled_rate,
+             |  CASE WHEN se > 0 THEN ROUND((pb - pa) / se, 6) END AS z,
+             |  COALESCE(abs(CASE WHEN se > 0 THEN ROUND((pb - pa) / se, 6) END)
+             |    > CAST(1.96 AS DOUBLE), FALSE) AS significant
+             |FROM zz""".stripMargin)),
+
     Q("ev_funnel",
       // ordered view -> click -> purchase funnel: first hit of each stage
       // strictly after the previous stage's first hit; conversion share

@@ -627,6 +627,47 @@ object Analytics {
     * quintile uses [[withGlobalRank]] — range-bucketed two-phase global
     * rank, never an unpartitioned `ntile` window (which would sort every
     * customer on ONE task) — then [[ntileFromRank]] arithmetic. */
+  /** Two-proportion z-test for an A/B experiment over an event stream —
+    * the experimentation readout an analytics engine owes its product
+    * teams: per-user conversion (any qualifying event) under an
+    * id-derived variant assignment, then the pooled two-proportion
+    * z-statistic `z = (p_b − p_a) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` and a
+    * two-sided 95% verdict (`|z| > 1.96`; the constant, not an erf —
+    * keeping the arithmetic closed-form on both engines). Emits ONE row:
+    * per-arm exposure/conversion/rate, the pooled rate, z, significant.
+    *
+    * Scale shape: one user-keyed aggregation (conversion is max-combined,
+    * map-side) collapses the stream to O(users), then one global
+    * conditional aggregation to a single row — no window, no join. The
+    * z arithmetic is row-local on exact integer masses; z and the rates
+    * are ROUND(6)ed (display + a deterministic significance boundary). */
+  def abZTest(events: DataFrame, userCol: String, variantOf: Column,
+              converted: Column): DataFrame = {
+    val users = events
+      .groupBy(col(userCol).as("__u"), variantOf.as("__v"))
+      .agg(max(converted.cast("int")).as("__c"))
+    val agg = users.agg(
+      sum(when(col("__v") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__v") === 0, col("__c").cast("long")).otherwise(0L)).as("conv_a"),
+      sum(when(col("__v") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__v") === 1, col("__c").cast("long")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    // degenerate experiment (everyone converts, or no one does, or an
+    // arm has no exposure): the pooled variance is 0 and z is undefined
+    // -> NULL z, not-significant, never a divide-by-zero task kill
+    agg.select(col("n_a"), col("conv_a"), round(pa, 6).as("rate_a"),
+        col("n_b"), col("conv_b"), round(pb, 6).as("rate_b"),
+        round(pooled, 6).as("pooled_rate"),
+        when(se > 0.0, round((pb - pa) / se, 6)).as("z"))
+      .withColumn("significant",
+        coalesce(abs(col("z")) > lit(1.96), lit(false)))
+  }
+
   def rfmScores(orders: DataFrame, custCol: String = "o_custkey",
                 dateCol: String = "o_orderdate",
                 priceCol: String = "o_totalprice"): DataFrame = {

@@ -300,6 +300,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want && want == Set(1L, 2L, 4L, 6L))
   }
 
+  test("abZTest: hand-computed pooled z, per-user dedup, significance boundary") {
+    val s = spark
+    import s.implicits._
+    // arm A (even ids): 4 users, 1 converts; arm B (odd): 4 users, 3 convert.
+    // user 0 purchases TWICE — conversion is per-user, not per-event
+    val ev = Seq((0L, "purchase"), (0L, "purchase"), (2L, "view"),
+      (4L, "view"), (6L, "view"),
+      (1L, "purchase"), (3L, "purchase"), (5L, "purchase"), (7L, "view"))
+      .toDF("user_id", "event_type")
+    val r = Analytics.abZTest(ev, "user_id",
+      org.apache.spark.sql.functions.pmod(col("user_id"),
+        org.apache.spark.sql.functions.lit(2)),
+      col("event_type") === "purchase").collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("conv_a") == 1L)
+    assert(r.getAs[Long]("n_b") == 4L && r.getAs[Long]("conv_b") == 3L)
+    // p=0.5 pooled, se = sqrt(.5*.5*(1/4+1/4)) = sqrt(0.125); z=(0.75-0.25)/se
+    val z = 0.5 / math.sqrt(0.125)
+    assert(r.getAs[Double]("z") == math.round(z * 1e6) / 1e6)
+    assert(!r.getAs[Boolean]("significant")) // z ≈ 1.414 < 1.96
+    // degenerate experiment: everyone converts -> zero pooled variance ->
+    // NULL z and a calm not-significant verdict, never a task kill
+    val all = Seq((0L, "purchase"), (1L, "purchase")).toDF("user_id", "event_type")
+    val d = Analytics.abZTest(all, "user_id",
+      org.apache.spark.sql.functions.pmod(col("user_id"),
+        org.apache.spark.sql.functions.lit(2)),
+      col("event_type") === "purchase").collect().head
+    assert(d.isNullAt(d.fieldIndex("z")) && !d.getAs[Boolean]("significant"))
+  }
+
   test("pairLift: support/conf/lift arithmetic, Apriori prune, basket cap") {
     val s = spark
     import s.implicits._
