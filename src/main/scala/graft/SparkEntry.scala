@@ -4132,6 +4132,36 @@ object SparkEntry {
           |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("ml_mcnemar",
+      // paired classifier comparison (McNemar/Dietterich): the F7-score
+      // gate vs a word-count heuristic, both predicting the long-form
+      // label on the SAME documents — discordant counts, the
+      // continuity-corrected chi2, and the 95% verdict. ONE global
+      // conditional aggregation over row-local correctness flags
+      (s, d) => operators.MLEval.mcnemar(scoredDocs(s, d),
+        col("original_score") >= 1.0, col("wc") >= 40,
+        col("n_chars") >= 200),
+      Some(Sentiment.oracleCte + """,
+          |mcx AS (SELECT
+          |    CASE WHEN original_score >= CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END AS a,
+          |    CASE WHEN wc >= 40 THEN 1 ELSE 0 END AS b,
+          |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+          |  FROM scored),
+          |mg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN a = y AND b = y THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+          |    CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT) AS b_only_a,
+          |    CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) AS BIGINT) AS c_only_b,
+          |    CAST(SUM(CASE WHEN a <> y AND b <> y THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+          |  FROM mcx),
+          |mz AS (SELECT *,
+          |    CASE WHEN b_only_a + c_only_b > 0 THEN
+          |      ROUND(pow(abs(CAST(b_only_a - c_only_b AS DOUBLE)) - CAST(1.0 AS DOUBLE), 2)
+          |        / CAST(b_only_a + c_only_b AS DOUBLE), 6) END AS chi2
+          |  FROM mg)
+          |SELECT n, both_right, b_only_a, c_only_b, both_wrong, chi2,
+          |  COALESCE(chi2 > CAST(3.841 AS DOUBLE), FALSE) AS significant
+          |FROM mz""".stripMargin)),
+
     Q("ml_winrate_matrix",
       // pairwise duel outcomes -> canonical win matrix: consecutive doc
       // pairs (doc_id//2) duel on the F7 reward, items = their sources —
@@ -7151,6 +7181,39 @@ object SparkEntry {
              |  ROUND(cs, 6) + CAST(0.0 AS DOUBLE) AS cusum,
              |  abs(cs) = mxv AS is_peak
              |FROM s, mx ORDER BY day""".stripMargin)),
+
+    Q("ts_holt_forecast",
+      // Holt linear-trend smoothing per event type — the forecasting arm
+      // of the ts_ family: level/trend recurrences folded ROW-LOCALLY
+      // over each type's ordered day array (bounded by the date span),
+      // 1- and 7-step linear forecasts out. Dyadic α=0.5, β=0.25 keep
+      // the engine and the oracle's recursive CTE bit-identical with no
+      // per-step rounding
+      (s, d) => Analytics.holtForecast(Tables.events(s, d)),
+      Some("""WITH RECURSIVE hd AS (
+             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+             |hr AS (SELECT event_type, y,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS t
+             |  FROM hd),
+             |hn AS (SELECT event_type, CAST(count(*) AS INT) AS n FROM hr GROUP BY 1),
+             |hw(event_type, t, l, b) AS (
+             |  SELECT event_type, 1, CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE)
+             |  FROM hr WHERE t = 1
+             |  UNION ALL
+             |  SELECT r.event_type, r.t,
+             |    CAST(0.5 AS DOUBLE) * CAST(r.y AS DOUBLE)
+             |      + CAST(0.5 AS DOUBLE) * (hw.l + hw.b),
+             |    CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(r.y AS DOUBLE)
+             |        + CAST(0.5 AS DOUBLE) * (hw.l + hw.b)) - hw.l)
+             |      + CAST(0.75 AS DOUBLE) * hw.b
+             |  FROM hw JOIN hr r ON r.event_type = hw.event_type AND r.t = hw.t + 1)
+             |SELECT hw.event_type, hn.n AS n_days,
+             |  ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+             |  ROUND(l + b, 6) AS forecast_1,
+             |  ROUND(l + CAST(7.0 AS DOUBLE) * b, 6) AS forecast_7
+             |FROM hw JOIN hn ON hw.event_type = hn.event_type AND hw.t = hn.n
+             |ORDER BY hw.event_type""".stripMargin)),
 
     Q("ts_stl",
       // additive seasonal decomposition: centered 7-day MA trend (NULL

@@ -1213,6 +1213,53 @@ object Analytics {
     * precedent — an unpartitioned window over O(days), never over fact
     * rows). The mean is exact (integer counts summed in doubles below
     * 2⁵³), numerator/denominator sums are ROUND(6)-absorbed. */
+  /** Holt linear-trend exponential smoothing per series (Holt 1957 —
+    * the forecasting arm completing the ts_ family's decompose/
+    * correlate/chart trio): over each event type's ordered daily
+    * counts, the classic recurrences
+    * `l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}`, initialized `l_0 = y_0,
+    * b_0 = 0`, reported as the final level/trend plus the 1- and 7-step
+    * linear forecasts. α and β default to DYADIC constants (0.5, 0.25)
+    * so `1−α`/`1−β` are exact in binary and the engine/oracle recurrence
+    * chains are bit-identical without per-step rounding (the oracle is
+    * a recursive CTE running the same sequential arithmetic).
+    *
+    * Scale shape: one map-side daily aggregation collapses the stream
+    * to O(types × days); each series then folds ROW-LOCALLY inside one
+    * `aggregate` lambda over its day array — bounded by the date span
+    * (a dimension), never by event volume. Gaps are treated as missing
+    * (the fold sees observed days in order); zero-fill upstream via
+    * [[gapFill]] when calendar regularity matters. */
+  def holtForecast(events: DataFrame, typeCol: String = "event_type",
+                   tsCol: String = "ts", alpha: Double = 0.5,
+                   beta: Double = 0.25): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val series = daily.groupBy(col(typeCol))
+      .agg(transform(sort_array(collect_list(struct(col("__day"), col("__y")))),
+        e => e.getField("__y").cast("double")).as("__ys"))
+    val init = struct(element_at(col("__ys"), 1).as("l"), lit(0.0).as("b"))
+    val folded = aggregate(
+      slice(col("__ys"), lit(2), size(col("__ys")) - 1), init,
+      (acc, y) => {
+        val lNew = lit(alpha) * y + lit(1.0 - alpha) *
+          (acc.getField("l") + acc.getField("b"))
+        struct(lNew.as("l"),
+          (lit(beta) * (lNew - acc.getField("l")) +
+            lit(1.0 - beta) * acc.getField("b")).as("b"))
+      })
+    series
+      .select(col(typeCol), size(col("__ys")).as("n_days"), folded.as("__f"))
+      .select(col(typeCol), col("n_days"),
+        round(col("__f.l"), 6).as("level"),
+        round(col("__f.b"), 6).as("trend"),
+        round(col("__f.l") + col("__f.b"), 6).as("forecast_1"),
+        round(col("__f.l") + lit(7.0) * col("__f.b"), 6).as("forecast_7"))
+      .orderBy(typeCol)
+  }
+
   def acf(events: DataFrame, tsCol: String = "ts", maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
     val daily = events.groupBy(to_date(col(tsCol)).as("day"))

@@ -537,6 +537,39 @@ object MLEval {
       .orderBy(queryCol)
   }
 
+  /** McNemar's test for PAIRED classifier comparison (McNemar 1947;
+    * Dietterich 1998 recommends it for comparing two classifiers on the
+    * SAME examples — marginal accuracies alone ignore the pairing): from
+    * per-example correctness of models A and B against a shared label,
+    * the discordant counts `b` (A right, B wrong) and `c` (A wrong, B
+    * right), the continuity-corrected statistic
+    * `chi2 = (|b−c|−1)² / (b+c)`, and the `chi2 > 3.841` verdict (the
+    * 95% chi-square(1) critical value — a constant, so the arithmetic
+    * stays closed-form on both engines). Degenerate case `b + c = 0`
+    * (the models never disagree): chi2 NULL, not-significant — there is
+    * no evidence either way, not a division error.
+    *
+    * Scale shape: ONE global conditional aggregation over row-local
+    * correctness flags — no window, no join, a single output row. */
+  def mcnemar(scored: DataFrame, predA: Column, predB: Column,
+              label: Column): DataFrame = {
+    val okA = (predA === label).cast("int")
+    val okB = (predB === label).cast("int")
+    val agg = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(okA === 1 && okB === 1, 1L).otherwise(0L)).as("both_right"),
+      sum(when(okA === 1 && okB === 0, 1L).otherwise(0L)).as("b_only_a"),
+      sum(when(okA === 0 && okB === 1, 1L).otherwise(0L)).as("c_only_b"),
+      sum(when(okA === 0 && okB === 0, 1L).otherwise(0L)).as("both_wrong"))
+    val disc = (col("b_only_a") + col("c_only_b")).cast("double")
+    val chi2 = pow(abs(col("b_only_a") - col("c_only_b")).cast("double") - lit(1.0), 2) / disc
+    agg.select(col("n"), col("both_right"), col("b_only_a"),
+        col("c_only_b"), col("both_wrong"),
+        when(disc > 0.0, round(chi2, 6)).as("chi2"))
+      .withColumn("significant",
+        coalesce(col("chi2") > lit(3.841), lit(false)))
+  }
+
   /** Pairwise duel outcomes → canonical win matrix: from a frame of
     * duels `(duelCol, itemCol, scoreCol, idCol)` with EXACTLY two rows
     * per duel, emit one row per unordered item pair `(item_a < item_b)`

@@ -300,6 +300,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want && want == Set(1L, 2L, 4L, 6L))
   }
 
+  test("holtForecast: hand-unrolled recurrence, single-day degenerate, gap ordering") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+    // type A: days with counts 4, 2, 6 (delivered out of order — the
+    // sort_array must order the series, not arrival). Hand fold (α=.5,
+    // β=.25): l0=4,b0=0; l1=.5*2+.5*4=3, b1=.25*(-1)=-0.25;
+    // l2=.5*6+.5*2.75=4.375, b2=.25*1.375+.75*(-.25)=0.15625
+    val ev = (Seq.fill(6)(("A", t(2))) ++ Seq.fill(4)(("A", t(0))) ++
+      Seq.fill(2)(("A", t(1))) ++ Seq(("B", t(0))))
+      .toDF("event_type", "ts")
+    val out = Analytics.holtForecast(ev).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("A") == ((3, 4.375, 0.15625, 4.53125, 5.46875)))
+    // single observation: level = y0, zero trend, flat forecasts
+    assert(out("B") == ((1, 1.0, 0.0, 1.0, 1.0)))
+  }
+
   test("abZTest: hand-computed pooled z, per-user dedup, significance boundary") {
     val s = spark
     import s.implicits._

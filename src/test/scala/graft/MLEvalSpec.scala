@@ -318,6 +318,36 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
 
+  test("mcnemar: hand-counted discordant cells, continuity correction, degenerate agreement") {
+    val s = spark
+    import s.implicits._
+    // (predA, predB, label): b (A right, B wrong) = 3, c = 1, both_right = 2,
+    // both_wrong = 1 -> chi2 = (|3-1|-1)^2 / 4 = 0.25, not significant
+    val df = Seq(
+      (1, 0, 1), (1, 0, 1), (1, 0, 1), // b x3
+      (0, 1, 1),                       // c x1
+      (1, 1, 1), (0, 0, 0),            // both right x2
+      (0, 0, 1))                       // both wrong x1
+      .toDF("a", "b", "y")
+    val r = MLEval.mcnemar(df, col("a") === 1, col("b") === 1, col("y") === 1)
+      .collect().head
+    assert(r.getAs[Long]("b_only_a") == 3L && r.getAs[Long]("c_only_b") == 1L)
+    assert(r.getAs[Long]("both_right") == 2L && r.getAs[Long]("both_wrong") == 1L)
+    assert(r.getAs[Double]("chi2") == 0.25)
+    assert(!r.getAs[Boolean]("significant"))
+    // models that never disagree: chi2 NULL, calmly not significant
+    val same = Seq((1, 1, 1), (0, 0, 1)).toDF("a", "b", "y")
+    val d = MLEval.mcnemar(same, col("a") === 1, col("b") === 1, col("y") === 1)
+      .collect().head
+    assert(d.isNullAt(d.fieldIndex("chi2")) && !d.getAs[Boolean]("significant"))
+    // a heavily one-sided disagreement IS significant: b=12, c=0 ->
+    // chi2 = (12-1)^2/12 = 10.08 > 3.841
+    val oneSided = (Seq.fill(12)((1, 0, 1)) ++ Seq((1, 1, 1))).toDF("a", "b", "y")
+    val o = MLEval.mcnemar(oneSided, col("a") === 1, col("b") === 1, col("y") === 1)
+      .collect().head
+    assert(o.getAs[Boolean]("significant") && o.getAs[Double]("chi2") > 10.0)
+  }
+
   test("pairwiseWinMatrix: canonical pairs, tie convention, self/odd duels dropped") {
     val s = spark
     import s.implicits._
