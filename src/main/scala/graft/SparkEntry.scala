@@ -3291,6 +3291,85 @@ object SparkEntry {
           |SELECT doc_id, n_terms, score FROM bsc
           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    Q("pipe_fineweb_funnel",
+      // the FULL pretraining-curation funnel in ONE plan — the FineWeb
+      // stage sequence: eval holdout -> lang-ID -> Gopher rules -> exact
+      // dedup -> MinHash near-dup prune -> decontamination, reported as
+      // the per-stage survivor counts + token mass a curation run
+      // publishes. Every stage is an already-oracled operator; the hash
+      // gate proves they COMPOSE (the oracle re-derives all six stages
+      // and the recursive near-dup closure end to end)
+      (s, d) => operators.TrainingPipeline.finewebFunnel(
+        Tables.documents(s, d)),
+      Some {
+        val stopList = operators.TextAnalysis.GopherStopwords.map(w => s"'$w'")
+          .mkString("(", ",", ")")
+        val langHits = operators.TextAnalysis.LangLexicons.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString("(", ",", ")")
+          s"len(list_filter(list_transform(tokens, t -> lower(t)), t -> t IN $inList)) AS h_$lang"
+        }.mkString(", ")
+        val langs = operators.TextAnalysis.LangLexicons.map(_._1)
+        val best = langs.map(l => s"h_$l").mkString("GREATEST(", ", ", ")")
+        val predCase = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        def stageCount(i: Int, nm: String, src: String): String =
+          s"""SELECT $i AS stage_idx, '$nm' AS stage,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(COALESCE(SUM(len(tokens)), 0) AS BIGINT) AS total_tokens
+             |FROM $src""".stripMargin
+        Sentiment.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          s", ${repetitionCtesSql(3)}" +
+          s""",
+             |fwl0 AS (SELECT doc_id, tokens, $langHits FROM toks),
+             |fwl1 AS (SELECT *, $best AS best FROM fwl0),
+             |fwlang AS (SELECT doc_id, $predCase AS lang_guess FROM fwl1),
+             |fwg_r AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt, tokens FROM toks),
+             |fwg_m AS (SELECT doc_id,
+             |    CAST(len(tokens) AS BIGINT) AS wc,
+             |    CAST(length(nt) AS BIGINT) AS nlen,
+             |    CAST((length(nt) - length(replace(nt, '#', ''))) +
+             |         (length(nt) - length(replace(nt, '...', ''))) // 3 AS BIGINT) AS symbols,
+             |    CAST(len(list_distinct(list_filter(tokens, t -> lower(t) IN $stopList))) AS BIGINT) AS stopword_hits
+             |  FROM fwg_r),
+             |fwgate AS (SELECT g.doc_id FROM fwg_m g JOIN rp_m r USING (doc_id)
+             |  WHERE g.wc >= 20 AND g.wc <= 80
+             |    AND (CASE WHEN g.wc > 0 THEN CAST(g.nlen - (g.wc - 1) AS DOUBLE) / CAST(g.wc AS DOUBLE)
+             |          ELSE CAST(0.0 AS DOUBLE) END) >= CAST(3.0 AS DOUBLE)
+             |    AND (CASE WHEN g.wc > 0 THEN CAST(g.nlen - (g.wc - 1) AS DOUBLE) / CAST(g.wc AS DOUBLE)
+             |          ELSE CAST(0.0 AS DOUBLE) END) <= CAST(6.0 AS DOUBLE)
+             |    AND (CASE WHEN g.wc > 0 THEN CAST(g.symbols AS DOUBLE) / CAST(g.wc AS DOUBLE)
+             |          ELSE CAST(0.0 AS DOUBLE) END) <= CAST(0.1 AS DOUBLE)
+             |    AND g.stopword_hits >= 1
+             |    AND r.dup_token_frac <= CAST(0.6 AS DOUBLE)
+             |    AND r.dup_ngram_frac <= CAST(0.2 AS DOUBLE)),
+             |fwc1 AS (SELECT doc_id, text, tokens FROM toks WHERE doc_id % 17 <> 0),
+             |fwc2 AS (SELECT fwc1.* FROM fwc1
+             |  JOIN fwlang USING (doc_id) WHERE fwlang.lang_guess <> 'und'),
+             |fwc3 AS (SELECT fwc2.* FROM fwc2 JOIN fwgate USING (doc_id)),
+             |fwfirst AS (SELECT MIN(doc_id) AS doc_id FROM fwc3 GROUP BY text),
+             |fwc4 AS (SELECT fwc3.* FROM fwc3 JOIN fwfirst USING (doc_id))""".stripMargin +
+          minhashChainCtes(32, 8, "SELECT doc_id AS id, tokens FROM fwc4") +
+          mhPairsCte(0.5) + mhReachCtes() +
+          s""",
+             |fwcanon AS (SELECT id, LEAST(id, MIN(r)) AS canonical FROM mh_reach GROUP BY id),
+             |fwc5 AS (SELECT * FROM fwc4
+             |  WHERE doc_id NOT IN (SELECT id FROM fwcanon WHERE id <> canonical)),
+             |${dshCteSql(4)},
+             |fwbench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 17 = 0),
+             |fwcont AS (SELECT DISTINCT d.doc_id FROM dsh d
+             |  JOIN fwbench USING (sh) JOIN fwc5 c ON c.doc_id = d.doc_id),
+             |fwc6 AS (SELECT * FROM fwc5
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM fwcont))
+             |${stageCount(0, "0_raw", "toks")}
+             |UNION ALL ${stageCount(1, "1_eval_holdout", "fwc1")}
+             |UNION ALL ${stageCount(2, "2_lang_id", "fwc2")}
+             |UNION ALL ${stageCount(3, "3_gopher_gate", "fwc3")}
+             |UNION ALL ${stageCount(4, "4_exact_dedup", "fwc4")}
+             |UNION ALL ${stageCount(5, "5_near_dup", "fwc5")}
+             |UNION ALL ${stageCount(6, "6_decontaminated", "fwc6")}
+             |ORDER BY stage_idx""".stripMargin
+      }),
+
     Q("pipe_ccnet_buckets",
       // the CCNet curation pipeline composed end to end (Wenzek 2020):
       // lang-ID (lexicon classifier) -> per-language head/middle/tail

@@ -81,6 +81,66 @@ object TrainingPipeline {
       .orderBy("shard")
   }
 
+  /** The FULL pretraining-curation funnel composed in ONE plan — the
+    * FineWeb/RefinedWeb stage sequence (Penedo et al. 2023/2024), each
+    * stage an already-oracled operator, reported as the survivor funnel
+    * a curation run publishes: per stage, document count and token mass.
+    *
+    *  0. raw corpus;
+    *  1. eval holdout removed (every 17th doc plays the benchmark — the
+    *     dc_decontaminate convention — and eval data never trains);
+    *  2. language-ID gate ([[TextAnalysis.languageId]] ≠ 'und');
+    *  3. Gopher quality rules ([[TextAnalysis.gopherGate]] keep);
+    *  4. exact dedup (first occurrence per raw text);
+    *  5. MinHash near-dup prune to component canonicals
+    *     ([[Dedup.minhashNearDupPairs]] → [[Dedup.pruneToCanonical]],
+    *     banded candidates + exact-Jaccard verify — never all-pairs);
+    *  6. decontamination against the holdout's 4-gram shingles
+    *     ([[Dedup.decontaminate]], broadcast bench set).
+    *
+    * Scale shape: each stage's filter is the documented shape of its
+    * standalone operator. The stage frames MATERIALIZE ONCE
+    * (localCheckpoint after the expensive gates) because the funnel
+    * reads every stage several times — once for its count branch and
+    * once per downstream stage; Catalyst has no cross-branch
+    * common-subexpression reuse, so the lazy form re-derives the whole
+    * chain per branch (measured 19.5 s → 4 s at sf0.01). At true corpus
+    * scale the same frames persist to disk-backed storage; the
+    * composition is still one operator call producing one report. */
+  def finewebFunnel(docs: DataFrame): DataFrame = {
+    val ntok = size(TextFns.tokens(col("text"))).cast("long")
+    val c1 = docs.filter(col("doc_id") % 17 =!= 0)
+    val c2 = c1.filter(TextAnalysis.languageId(col("text")) =!= "und")
+      .localCheckpoint(eager = true)
+    val gateKeep = TextAnalysis.gopherGate(c2, "text", "doc_id")
+      .filter(col("keep")).select("doc_id")
+    val c3 = c2.join(gateKeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    val firsts = c3.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val c4 = c3.join(firsts, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    val pairs = Dedup.minhashNearDupPairs(c4.select("doc_id", "text"),
+      "text", "doc_id", n = 4, k = 32, bands = 8, minJaccard = 0.5,
+      family = Dedup.PortableFamily)
+    val c5 = Dedup.pruneToCanonical(c4, pairs, "doc_id")
+      .localCheckpoint(eager = true)
+    val clean = Dedup.decontaminate(c5, docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 4)
+      .filter(!col("contaminated")).select("doc_id")
+    val c6 = c5.join(clean, Seq("doc_id"), "left_semi")
+    val stages = Seq(
+      (0, "0_raw", docs), (1, "1_eval_holdout", c1), (2, "2_lang_id", c2),
+      (3, "3_gopher_gate", c3), (4, "4_exact_dedup", c4),
+      (5, "5_near_dup", c5), (6, "6_decontaminated", c6))
+    stages.map { case (i, nm, df) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(ntok), lit(0L)).as("total_tokens"))
+        .select(lit(i).as("stage_idx"), lit(nm).as("stage"),
+          col("n_docs"), col("total_tokens"))
+    }.reduce(_ unionAll _).orderBy("stage_idx")
+  }
+
   /** CCNet-style language/perplexity bucket filter composed end to end
     * (Wenzek et al. 2020 §4: lang-ID each document, bucket it into
     * head/middle/tail by LM perplexity WITHIN its language, keep

@@ -88,6 +88,26 @@ class PipelineSpec extends SparkSpec {
     assert(a.map(_._2).sum == 16L) // exactly once: 2 assistant turns x 8
   }
 
+  test("finewebFunnel: monotone survivor counts, stages reconcile with the standalone operators") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    val out = operators.TrainingPipeline.finewebFunnel(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens")))
+    assert(out.map(_._1).toSeq == (0 to 6))
+    // the funnel only ever removes: counts and token mass non-increasing
+    assert(out.sliding(2).forall { case Array(a, b) => b._3 <= a._3 && b._4 <= a._4 })
+    // stage 0 is the raw corpus; stage 1 removes exactly the holdout
+    assert(out(0)._3 == docs.count())
+    assert(out(1)._3 == docs.filter(col("doc_id") % 17 =!= 0).count())
+    // stage 2 reconciles with the standalone language-ID gate
+    val langKept = docs.filter(col("doc_id") % 17 =!= 0)
+      .filter(operators.TextAnalysis.languageId(col("text")) =!= "und").count()
+    assert(out(2)._3 == langKept)
+    assert(out(6)._3 > 0) // something survives the whole funnel
+  }
+
   test("ccnetBucketReport: buckets partition each language, tail dropped, masses conserved") {
     val s = spark
     import s.implicits._
