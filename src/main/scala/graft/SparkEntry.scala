@@ -4211,6 +4211,53 @@ object SparkEntry {
           |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("ml_ols_fit",
+      // regression-as-aggregation: simple OLS of doc char length on
+      // whitespace token count — slope/intercept/R²/RMSE in closed form
+      // from six EXACT integer sufficient statistics (one map-side pass,
+      // no gradient loop), MAE via one more pass with the coefficient
+      // row broadcast back. The chars-per-token slope is itself a corpus
+      // diagnostic (the tok_fertility ratio as a fitted line)
+      (s, d) => operators.MLEval.olsFit(Tables.documents(s, d)
+          .select(size(TextFns.tokens(col("text"))).as("x"),
+            col("n_chars").as("y")),
+        col("x"), col("y")),
+      Some(Sentiment.oracleCte + """,
+          |os AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT)) AS BIGINT) AS sx,
+          |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sy,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT) * CAST(len(tokens) AS BIGINT)) AS BIGINT) AS sxx,
+          |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS syy,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS sxy
+          |  FROM toks),
+          |od AS (SELECT n, CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+          |    CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,
+          |    CAST(syy AS DOUBLE) AS dsyy, CAST(sxy AS DOUBLE) AS dsxy
+          |  FROM os),
+          |ov AS (SELECT *, dn * dsxy - dsx * dsy AS covn,
+          |    dn * dsxx - dsx * dsx AS varxn, dn * dsyy - dsy * dsy AS varyn
+          |  FROM od),
+          |ob AS (SELECT *, covn / varxn AS b FROM ov),
+          |oa AS (SELECT *, (dsy - b * dsx) / dn AS a FROM ob),
+          |oc AS (SELECT n, varxn, varyn, covn, a, b, dsy, dsxy, dsx, dn,
+          |    dsyy + dn * a * a + b * b * dsxx - CAST(2.0 AS DOUBLE) * a * dsy
+          |      - CAST(2.0 AS DOUBLE) * b * dsxy
+          |      + CAST(2.0 AS DOUBLE) * a * b * dsx AS sse
+          |  FROM oa),
+          |om AS (SELECT ROUND(AVG(CASE WHEN c.varxn > 0 THEN
+          |      ABS(CAST(t.n_chars AS DOUBLE)
+          |        - (c.a + c.b * CAST(len(t.tokens) AS DOUBLE))) END), 6) AS mae
+          |  FROM toks t, oc c)
+          |SELECT c.n,
+          |  CASE WHEN varxn > 0 THEN ROUND(b, 6) END AS slope,
+          |  CASE WHEN varxn > 0 THEN ROUND(a, 6) END AS intercept,
+          |  CASE WHEN varxn > 0 AND varyn > 0
+          |    THEN ROUND(covn * covn / (varxn * varyn), 6) END AS r2,
+          |  CASE WHEN varxn > 0
+          |    THEN ROUND(sqrt(GREATEST(sse, CAST(0.0 AS DOUBLE)) / dn), 6) END AS rmse,
+          |  om.mae
+          |FROM oc c, om""".stripMargin)),
+
     Q("ml_mcnemar",
       // paired classifier comparison (McNemar/Dietterich): the F7-score
       // gate vs a word-count heuristic, both predicting the long-form

@@ -537,6 +537,60 @@ object MLEval {
       .orderBy(queryCol)
   }
 
+  /** Simple OLS fit + regression metrics in (almost) one pass — the
+    * regression arm the eval family was missing: slope/intercept/R²/RMSE
+    * all derive in CLOSED FORM from the six sufficient statistics
+    * `(n, Σx, Σy, Σx², Σy², Σxy)`, which is the textbook "regression as
+    * aggregation" Spark shape — ONE map-side-combined pass over any
+    * corpus, no gradient loop, no collect. MAE needs the fitted
+    * residuals, so it costs one more pass with the coefficient row
+    * broadcast back (still no shuffle of the data).
+    *
+    * Determinism: x and y are cast to LONG before summing, so the
+    * sufficient statistics are exact integers on both engines and every
+    * derived metric is row-local double arithmetic — bit-identical with
+    * no intermediate rounding (the only ROUND(6) is MAE's
+    * order-dependent residual average, plus presentation rounding).
+    * Integer sums bound the envelope: Σxy stays exact while
+    * `n·max(x)·max(y) < 2^63` — beyond that (trillion-row corpora),
+    * swap the casts to double and accept last-ulp drift. Degenerate
+    * zero-variance x: NULL coefficients and metrics, not a division
+    * error. */
+  def olsFit(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    val sums = df.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"),
+      sum(x * y).as("sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val covN = d("n") * d("sxy") - d("sx") * d("sy")
+    val varXN = d("n") * d("sxx") - d("sx") * d("sx")
+    val varYN = d("n") * d("syy") - d("sy") * d("sy")
+    val slope = covN / varXN
+    val icept = (d("sy") - slope * d("sx")) / d("n")
+    val sse = d("syy") + d("n") * icept * icept + slope * slope * d("sxx") -
+      lit(2.0) * icept * d("sy") - lit(2.0) * slope * d("sxy") +
+      lit(2.0) * icept * slope * d("sx")
+    val fitted = sums.select(col("n"),
+      when(varXN > 0.0, slope).as("__b"),
+      when(varXN > 0.0, icept).as("__a"),
+      when(varXN > 0.0 && varYN > 0.0, covN * covN / (varXN * varYN)).as("__r2"),
+      when(varXN > 0.0, sqrt(greatest(sse, lit(0.0)) / d("n"))).as("__rmse"))
+    val mae = df.crossJoin(broadcast(fitted.select(col("__a").as("__ma"),
+        col("__b").as("__mb"))))
+      .agg(round(avg(abs(y.cast("double") - (col("__ma") + col("__mb") *
+        x.cast("double")))), 6).as("mae"))
+    fitted.crossJoin(broadcast(mae))
+      .select(col("n"),
+        round(col("__b"), 6).as("slope"),
+        round(col("__a"), 6).as("intercept"),
+        round(col("__r2"), 6).as("r2"),
+        round(col("__rmse"), 6).as("rmse"),
+        col("mae"))
+  }
+
   /** McNemar's test for PAIRED classifier comparison (McNemar 1947;
     * Dietterich 1998 recommends it for comparing two classifiers on the
     * SAME examples — marginal accuracies alone ignore the pairing): from

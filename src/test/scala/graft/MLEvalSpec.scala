@@ -318,6 +318,33 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
 
+  test("olsFit: exact line recovered, hand-checked noisy fit, zero-variance degenerate") {
+    val s = spark
+    import s.implicits._
+    // y = 3x + 2 exactly: slope/intercept exact, r2 = 1, rmse = mae = 0
+    val exact = (1L to 10L).map(x => (x, 3 * x + 2)).toDF("x", "y")
+    val e = MLEval.olsFit(exact, col("x"), col("y")).collect().head
+    assert(e.getAs[Double]("slope") == 3.0 && e.getAs[Double]("intercept") == 2.0)
+    assert(e.getAs[Double]("r2") == 1.0 && e.getAs[Double]("rmse") == 0.0 &&
+      e.getAs[Double]("mae") == 0.0)
+    // hand-checked noisy fit: points (0,0),(1,2),(2,2) -> slope 1,
+    // intercept 1/3, r2 = 3/4, sse = 2/3 -> rmse = sqrt(2/9), mae residuals
+    // |0-1/3|,|2-4/3|,|2-7/3| -> mean 4/9
+    val noisy = Seq((0L, 0L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    val nf = MLEval.olsFit(noisy, col("x"), col("y")).collect().head
+    assert(nf.getAs[Double]("slope") == 1.0)
+    assert(nf.getAs[Double]("intercept") == 0.333333)
+    assert(nf.getAs[Double]("r2") == 0.75)
+    assert(nf.getAs[Double]("rmse") == math.round(math.sqrt(2.0 / 9.0) * 1e6) / 1e6)
+    assert(nf.getAs[Double]("mae") == 0.444444)
+    // zero-variance x: every metric NULL, no division error
+    val flat = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    val d = MLEval.olsFit(flat, col("x"), col("y")).collect().head
+    assert(d.getAs[Long]("n") == 2L)
+    for (c <- Seq("slope", "intercept", "r2", "rmse", "mae"))
+      assert(d.isNullAt(d.fieldIndex(c)), c)
+  }
+
   test("mcnemar: hand-counted discordant cells, continuity correction, degenerate agreement") {
     val s = spark
     import s.implicits._

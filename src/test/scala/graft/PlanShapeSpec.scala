@@ -225,7 +225,8 @@ class PlanShapeSpec extends SparkSpec {
       "ir_mrl_funnel", // prefix shortlist + exact-truth passes x the broadcast panel
       "emb_whiten_topk", // whitened corpus x the single broadcast query row
       "gov_t_closeness", // O(classes) histogram rows x ONE broadcast global-distribution map row
-      "ml_bt_strength") // O(items) dimension rows x single-row broadcast (item count / normalizer) per MM round
+      "ml_bt_strength", // O(items) dimension rows x single-row broadcast (item count / normalizer) per MM round
+      "ml_ols_fit") // corpus scan x ONE broadcast coefficient row (the MAE pass)
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
