@@ -4211,6 +4211,27 @@ object SparkEntry {
           |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("fe_target_encode",
+      // leakage-safe leave-one-out target encoding with m=10 additive
+      // smoothing: each doc's source encodes to the OTHER members' label
+      // mean blended with the global prior — the tabular-ML categorical
+      // prep. O(categories) stats + broadcast join back; the corpus
+      // never shuffles, and exact integer sums keep engines bit-identical
+      (s, d) => operators.MLEval.targetEncode(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          (col("n_chars") >= 200).cast("int").as("y")),
+        "source", col("y"), "doc_id", m = 10.0),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |    CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS y
+             |  FROM documents),
+             |st AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(y) AS BIGINT) AS s FROM r GROUP BY 1),
+             |pr AS (SELECT CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS prior FROM r)
+             |SELECT doc_id, source, y AS label,
+             |  ROUND((CAST(s - y AS DOUBLE) + CAST(10.0 AS DOUBLE) * prior)
+             |    / (CAST(cnt - 1 AS DOUBLE) + CAST(10.0 AS DOUBLE)), 6) AS encoded
+             |FROM r JOIN st USING (source), pr ORDER BY doc_id""".stripMargin)),
+
     Q("ml_ols_fit",
       // regression-as-aggregation: simple OLS of doc char length on
       // whitespace token count — slope/intercept/R²/RMSE in closed form

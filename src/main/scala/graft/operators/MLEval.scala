@@ -537,6 +537,40 @@ object MLEval {
       .orderBy(queryCol)
   }
 
+  /** Leave-one-out target encoding with additive smoothing (the
+    * leakage-safe categorical encoder of the Kaggle/CTR lineage; Micci-
+    * Barreca 2001 for the smoothing form) — the feature-engineering prep
+    * a tabular trainer runs at corpus scale: category c's encoding for
+    * row i is `(sum_c − y_i + m·prior) / (cnt_c − 1 + m)` — the row's
+    * OWN label is subtracted out (else the feature memorizes the label,
+    * the classic target-leak), and `m` pseudo-observations of the global
+    * prior keep rare categories from collapsing to their noisy mean
+    * (a singleton category encodes exactly to the prior).
+    *
+    * Scale shape: ONE map-side aggregation to O(categories) stats, a
+    * broadcast single-row global prior, and a broadcast join back — the
+    * corpus never shuffles. All inputs to the row-level arithmetic are
+    * exact integer sums, so the encoding is bit-identical across
+    * engines; ROUND(6) is presentation only. */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: Column,
+                   idCol: String, m: Double = 10.0): DataFrame = {
+    require(m > 0, "m must be > 0 (m = 0 divides by zero on singletons)")
+    val y = labelCol.cast("long")
+    val rows = df.select(col(idCol), col(catCol), y.as("__y"))
+    val stats = rows.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__sum"))
+    val prior = rows.agg(
+      (sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
+        .as("__prior"))
+    rows.join(broadcast(stats), Seq(catCol))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col(catCol), col("__y").as("label"),
+        round(((col("__sum") - col("__y")).cast("double") +
+            lit(m) * col("__prior")) /
+          ((col("__cnt") - 1).cast("double") + lit(m)), 6).as("encoded"))
+      .orderBy(idCol)
+  }
+
   /** Simple OLS fit + regression metrics in (almost) one pass — the
     * regression arm the eval family was missing: slope/intercept/R²/RMSE
     * all derive in CLOSED FORM from the six sufficient statistics

@@ -318,6 +318,26 @@ class MLEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("accuracy") == 1.0)
   }
 
+  test("targetEncode: own label excluded, smoothing toward prior, singleton encodes to prior") {
+    val s = spark
+    import s.implicits._
+    // cat A: labels 1,1,0 (sum 2); cat B: single row label 1. prior = 3/4
+    val df = Seq((1L, "A", 1), (2L, "A", 1), (3L, "A", 0), (4L, "B", 1))
+      .toDF("id", "cat", "y")
+    val out = MLEval.targetEncode(df, "cat", col("y"), "id", m = 4.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val prior = 0.75
+    def enc(sumMinus: Long, cntMinus: Long) =
+      math.round((sumMinus + 4.0 * prior) / (cntMinus + 4.0) * 1e6) / 1e6
+    assert(out(1L) == enc(1, 2)) // A, own 1 excluded: (1 + 3)/(2 + 4)
+    assert(out(3L) == enc(2, 2)) // A, own 0 excluded: (2 + 3)/6
+    // singleton category: nothing left after LOO -> exactly the prior
+    assert(out(4L) == prior)
+    // leakage check: rows with different labels in the SAME category get
+    // different encodings (the label is genuinely subtracted out)
+    assert(out(1L) != out(3L))
+  }
+
   test("olsFit: exact line recovered, hand-checked noisy fit, zero-variance degenerate") {
     val s = spark
     import s.implicits._
