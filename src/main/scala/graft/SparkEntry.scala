@@ -6704,6 +6704,46 @@ object SparkEntry {
           |SELECT item_a, item_b, n_duels, wins_a, wins_b, win_rate_a
           |FROM mx ORDER BY item_a, item_b""".stripMargin)),
 
+    Q("st16_stream_ols",
+      // model fitting as a STREAMING AGGREGATION: the six OLS sufficient
+      // statistics fold in per micro-batch (state = six numbers), and
+      // the closed-form slope/intercept/R²/RMSE project off the final
+      // snapshot through the SAME code path as the batch operator —
+      // integer sums make stream ≡ batch exact, hash-gated against the
+      // ml_ols_fit oracle (minus MAE, which needs a residual pass over
+      // raw rows and is a batch join by nature)
+      (s, d) => graft.streaming.OlsStream.runOlsToCompletion(s, d),
+      Some(Sentiment.oracleCte + """,
+          |os AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT)) AS BIGINT) AS sx,
+          |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sy,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT) * CAST(len(tokens) AS BIGINT)) AS BIGINT) AS sxx,
+          |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS syy,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS sxy
+          |  FROM toks),
+          |od AS (SELECT n, CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+          |    CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,
+          |    CAST(syy AS DOUBLE) AS dsyy, CAST(sxy AS DOUBLE) AS dsxy
+          |  FROM os),
+          |ov AS (SELECT *, dn * dsxy - dsx * dsy AS covn,
+          |    dn * dsxx - dsx * dsx AS varxn, dn * dsyy - dsy * dsy AS varyn
+          |  FROM od),
+          |ob AS (SELECT *, covn / varxn AS b FROM ov),
+          |oa AS (SELECT *, (dsy - b * dsx) / dn AS a FROM ob),
+          |oc AS (SELECT n, varxn, varyn, covn, a, b, dn,
+          |    dsyy + dn * a * a + b * b * dsxx - CAST(2.0 AS DOUBLE) * a * dsy
+          |      - CAST(2.0 AS DOUBLE) * b * dsxy
+          |      + CAST(2.0 AS DOUBLE) * a * b * dsx AS sse
+          |  FROM oa)
+          |SELECT n,
+          |  CASE WHEN varxn > 0 THEN ROUND(b, 6) END AS slope,
+          |  CASE WHEN varxn > 0 THEN ROUND(a, 6) END AS intercept,
+          |  CASE WHEN varxn > 0 AND varyn > 0
+          |    THEN ROUND(covn * covn / (varxn * varyn), 6) END AS r2,
+          |  CASE WHEN varxn > 0
+          |    THEN ROUND(sqrt(GREATEST(sse, CAST(0.0 AS DOUBLE)) / dn), 6) END AS rmse
+          |FROM oc""".stripMargin)),
+
     Q("tok_bpe_pairs",
       // BPE learning's iteration-1 statistic: adjacent symbol-pair counts
       // (chars + </w>) weighted by word frequency, over the O(vocab)

@@ -590,14 +590,23 @@ object MLEval {
     * swap the casts to double and accept last-ulp drift. Degenerate
     * zero-variance x: NULL coefficients and metrics, not a division
     * error. */
-  def olsFit(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    val x = xCol.cast("long")
-    val y = yCol.cast("long")
-    val sums = df.agg(
-      count(lit(1)).as("n"),
-      sum(x).as("sx"), sum(y).as("sy"),
-      sum(x * x).as("sxx"), sum(y * y).as("syy"),
-      sum(x * y).as("sxy"))
+  /** The six OLS sufficient statistics `(n, sx, sy, sxx, syy, sxy)` as
+    * exact-integer aggregates — shared by [[olsFit]] and the streaming
+    * incremental fit (the sums are what a streaming aggregation
+    * maintains; the closed form is a snapshot-time projection). */
+  def olsSumAggs(x: Column, y: Column): Seq[Column] = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    Seq(count(lit(1)).as("n"),
+      sum(xl).as("sx"), sum(yl).as("sy"),
+      sum(xl * xl).as("sxx"), sum(yl * yl).as("syy"),
+      sum(xl * yl).as("sxy"))
+  }
+
+  /** Closed-form OLS coefficients/metrics from a sufficient-statistics
+    * row: `(n, __b slope, __a intercept, __r2, __rmse)`, NULL-guarded on
+    * zero x-variance. Row-local double arithmetic on exact sums. */
+  def olsStatsFromSums(sums: DataFrame): DataFrame = {
     def d(c: String): Column = col(c).cast("double")
     val covN = d("n") * d("sxy") - d("sx") * d("sy")
     val varXN = d("n") * d("sxx") - d("sx") * d("sx")
@@ -607,11 +616,19 @@ object MLEval {
     val sse = d("syy") + d("n") * icept * icept + slope * slope * d("sxx") -
       lit(2.0) * icept * d("sy") - lit(2.0) * slope * d("sxy") +
       lit(2.0) * icept * slope * d("sx")
-    val fitted = sums.select(col("n"),
+    sums.select(col("n"),
       when(varXN > 0.0, slope).as("__b"),
       when(varXN > 0.0, icept).as("__a"),
       when(varXN > 0.0 && varYN > 0.0, covN * covN / (varXN * varYN)).as("__r2"),
       when(varXN > 0.0, sqrt(greatest(sse, lit(0.0)) / d("n"))).as("__rmse"))
+  }
+
+  def olsFit(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    val aggs = olsSumAggs(xCol, yCol)
+    val sums = df.agg(aggs.head, aggs.tail: _*)
+    val fitted = olsStatsFromSums(sums)
     val mae = df.crossJoin(broadcast(fitted.select(col("__a").as("__ma"),
         col("__b").as("__mb"))))
       .agg(round(avg(abs(y.cast("double") - (col("__ma") + col("__mb") *

@@ -125,7 +125,8 @@ class PlanShapeSpec extends SparkSpec {
       // st13/st14 run full ingest streams on invocation and return bare
       // snapshot/memory-table scans — nothing for this sweep to learn,
       // much to pay
-      "st13_stream_vector_ingest", "st14_stream_sft", "st15_stream_arena")
+      "st13_stream_vector_ingest", "st14_stream_sft", "st15_stream_arena",
+      "st16_stream_ols")
     // A window over NOT-yet-aggregated rows is only scale-safe when its
     // partition key has cardinality that grows with the data (or the
     // cluster): each window group stays small and groups parallelize.
@@ -233,7 +234,8 @@ class PlanShapeSpec extends SparkSpec {
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
       "st4_stream_join", "st6_stream_sessionize", "st7_stream_static_join",
       "st9_stream_outer_join", "st10_dedup_ingest", "st11_dedup_within_wm",
-      "st13_stream_vector_ingest", "st14_stream_sft", "st15_stream_arena")
+      "st13_stream_vector_ingest", "st14_stream_sft", "st15_stream_arena",
+      "st16_stream_ols")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !streaming(name) && !allowed(name) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

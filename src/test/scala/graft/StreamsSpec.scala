@@ -353,6 +353,24 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length == emb.count())
   }
 
+  test("streaming OLS sufficient statistics == batch fit (exact, not approximate)") {
+    val s = spark
+    val streamed = graft.streaming.OlsStream
+      .runOlsToCompletion(s, "/root/testdata/sf0.001", "ols_spec_out")
+      .collect().head
+    val batch = graft.operators.MLEval.olsFit(
+        graft.Tables.documents(s, "/root/testdata/sf0.001")
+          .select(org.apache.spark.sql.functions.size(
+              graft.functions.TextFns.tokens(col("text"))).as("x"),
+            col("n_chars").as("y")),
+        col("x"), col("y")).collect().head
+    // integer sufficient statistics: the streamed fit is BIT-identical
+    // to the batch fit, not within-epsilon
+    for (c <- Seq("slope", "intercept", "r2", "rmse"))
+      assert(streamed.getAs[Double](c) == batch.getAs[Double](c), c)
+    assert(streamed.getAs[Long]("n") == batch.getAs[Long]("n"))
+  }
+
   test("streaming duel pairing: outcomes exactly once, self-duels silent, extras ignored") {
     val s = spark
     import s.implicits._
