@@ -4211,6 +4211,68 @@ object SparkEntry {
           |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dq_benford",
+      // Benford first-digit audit over extended prices — the forensic
+      // screen for value columns: observed vs log10(1+1/d) per digit.
+      // The digit comes from integer cents' string head (explicit
+      // half-up), never floor(log10(x)) whose libm boundary ulps could
+      // flip digits between engines. One aggregation to 9 rows
+      (s, d) => operators.DataQuality.benfordAudit(
+        Tables.lineitem(s, d), col("l_extendedprice")),
+      Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+             |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+             |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM g),
+             |e AS (SELECT digit, n,
+             |    ROUND(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS observed,
+             |    ROUND(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS expected
+             |  FROM g, t)
+             |SELECT digit, n, observed, expected,
+             |  ROUND(ABS(observed - expected), 6) AS abs_dev
+             |FROM e ORDER BY digit""".stripMargin)),
+
+    Q("ml_ols_by_source",
+      // per-segment regression lines (the rocAucBy convention): the OLS
+      // chars-on-tokens fit PER SOURCE — one aggregation to O(sources)
+      // sufficient-statistic rows, closed form row-local on each. The
+      // per-domain slope drift is the mixture diagnostic a vocab/quality
+      // owner actually reads
+      (s, d) => operators.MLEval.olsFitBy(Tables.documents(s, d)
+          .select(col("source"),
+            size(TextFns.tokens(col("text"))).as("x"), col("n_chars").as("y")),
+        "source", col("x"), col("y")),
+      Some(Sentiment.oracleCte + """,
+          |os AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT)) AS BIGINT) AS sx,
+          |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sy,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT) * CAST(len(tokens) AS BIGINT)) AS BIGINT) AS sxx,
+          |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS syy,
+          |    CAST(SUM(CAST(len(tokens) AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS sxy
+          |  FROM toks GROUP BY source),
+          |od AS (SELECT source, n, CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+          |    CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,
+          |    CAST(syy AS DOUBLE) AS dsyy, CAST(sxy AS DOUBLE) AS dsxy
+          |  FROM os),
+          |ov AS (SELECT *, dn * dsxy - dsx * dsy AS covn,
+          |    dn * dsxx - dsx * dsx AS varxn, dn * dsyy - dsy * dsy AS varyn
+          |  FROM od),
+          |ob AS (SELECT *, covn / varxn AS b FROM ov),
+          |oa AS (SELECT *, (dsy - b * dsx) / dn AS a FROM ob),
+          |oc AS (SELECT source, n, varxn, varyn, covn, a, b, dn,
+          |    dsyy + dn * a * a + b * b * dsxx - CAST(2.0 AS DOUBLE) * a * dsy
+          |      - CAST(2.0 AS DOUBLE) * b * dsxy
+          |      + CAST(2.0 AS DOUBLE) * a * b * dsx AS sse
+          |  FROM oa)
+          |SELECT source, n,
+          |  CASE WHEN varxn > 0 THEN ROUND(b, 6) END AS slope,
+          |  CASE WHEN varxn > 0 THEN ROUND(a, 6) END AS intercept,
+          |  CASE WHEN varxn > 0 AND varyn > 0
+          |    THEN ROUND(covn * covn / (varxn * varyn), 6) END AS r2,
+          |  CASE WHEN varxn > 0
+          |    THEN ROUND(sqrt(GREATEST(sse, CAST(0.0 AS DOUBLE)) / dn), 6) END AS rmse
+          |FROM oc ORDER BY source""".stripMargin)),
+
     Q("fe_target_encode",
       // leakage-safe leave-one-out target encoding with m=10 additive
       // smoothing: each doc's source encodes to the OTHER members' label

@@ -239,6 +239,37 @@ object DataQuality {
       .orderBy(keys: _*)
   }
 
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the classic
+    * forensic-accounting screen, Nigrini 2012) — the data-quality gate
+    * for VALUE columns the expectation/drift family doesn't cover:
+    * naturally-occurring multi-magnitude amounts follow
+    * `P(d) = log10(1 + 1/d)`; fabricated, clipped, or unit-mangled
+    * amounts don't. Per first significant digit: count, observed
+    * fraction, Benford expectation, absolute deviation.
+    *
+    * Determinism: values convert to integer cents with explicit half-up
+    * (`floor(x·100 + 0.5)` — the gov_dp rounding convention) and the
+    * digit comes from the INTEGER's string head — never from
+    * `floor(log10(x))`, whose libm last-ulp at power-of-10 boundaries
+    * could flip a digit between engines. Null/non-positive values are
+    * excluded (no first significant digit to audit).
+    *
+    * Scale shape: one map-side aggregation to 9 rows + a broadcast
+    * single-row total. */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val cents = floor(valueCol.cast("double") * lit(100.0) + lit(0.5)).cast("long")
+    val counts = df.filter(valueCol.isNotNull && valueCol > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6).as("expected"))
+      .withColumn("abs_dev", round(abs(col("observed") - col("expected")), 6))
+      .orderBy("digit")
+  }
+
   /** t-closeness audit (Li et al. 2007) — the fourth governance gate
     * after k-anonymity / l-diversity / the DP simulation: a k-anonymous,
     * l-diverse class whose sensitive-value DISTRIBUTION differs sharply

@@ -606,7 +606,7 @@ object MLEval {
   /** Closed-form OLS coefficients/metrics from a sufficient-statistics
     * row: `(n, __b slope, __a intercept, __r2, __rmse)`, NULL-guarded on
     * zero x-variance. Row-local double arithmetic on exact sums. */
-  def olsStatsFromSums(sums: DataFrame): DataFrame = {
+  def olsStatsFromSums(sums: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     def d(c: String): Column = col(c).cast("double")
     val covN = d("n") * d("sxy") - d("sx") * d("sy")
     val varXN = d("n") * d("sxx") - d("sx") * d("sx")
@@ -616,11 +616,30 @@ object MLEval {
     val sse = d("syy") + d("n") * icept * icept + slope * slope * d("sxx") -
       lit(2.0) * icept * d("sy") - lit(2.0) * slope * d("sxy") +
       lit(2.0) * icept * slope * d("sx")
-    sums.select(col("n"),
+    sums.select(keep.map(col) ++ Seq(col("n"),
       when(varXN > 0.0, slope).as("__b"),
       when(varXN > 0.0, icept).as("__a"),
       when(varXN > 0.0 && varYN > 0.0, covN * covN / (varXN * varYN)).as("__r2"),
-      when(varXN > 0.0, sqrt(greatest(sse, lit(0.0)) / d("n"))).as("__rmse"))
+      when(varXN > 0.0, sqrt(greatest(sse, lit(0.0)) / d("n"))).as("__rmse")): _*)
+  }
+
+  /** [[olsFit]] PER GROUP (the rocAucBy convention): one aggregation to
+    * O(groups) sufficient-statistic rows, the closed form row-local on
+    * each — per-segment regression lines (a per-language chars-per-token
+    * slope, a per-cohort calibration line) at one shuffle, no MAE (the
+    * residual pass is a per-group batch join; callers who need it
+    * broadcast the coefficient table back themselves). */
+  def olsFitBy(df: DataFrame, keyCol: String, xCol: Column,
+               yCol: Column): DataFrame = {
+    val aggs = olsSumAggs(xCol, yCol)
+    val sums = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    olsStatsFromSums(sums, keep = Seq(keyCol))
+      .select(col(keyCol), col("n"),
+        round(col("__b"), 6).as("slope"),
+        round(col("__a"), 6).as("intercept"),
+        round(col("__r2"), 6).as("r2"),
+        round(col("__rmse"), 6).as("rmse"))
+      .orderBy(keyCol)
   }
 
   def olsFit(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {

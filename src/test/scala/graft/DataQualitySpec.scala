@@ -114,6 +114,28 @@ class DataQualitySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_cur")).sum == 100L)
   }
 
+  test("benfordAudit: digits from cents strings, fractions sum to 1, nulls/non-positives excluded") {
+    val s = spark
+    import s.implicits._
+    // 1.23 -> 123 cents -> digit 1; 0.05 -> 5 -> digit 5; 250.0 -> 25000
+    // -> digit 2; 9.995 pins the DOUBLE-representation truth: the literal
+    // stores as 9.99499999…, so half-up cents give 999, digit 9 (both
+    // engines agree because both run the same double arithmetic — the
+    // convention trades the decimal illusion for bit-exact parity).
+    // null/zero/negative are excluded
+    val df = Seq(Some(1.23), Some(9.995), Some(0.05), Some(250.0),
+      None, Some(0.0), Some(-4.2)).toDF("v")
+    val out = DataQuality.benfordAudit(df, col("v")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1, 2, 5, 9))
+    assert(out(1)._1 == 1L && out(2)._1 == 1L && out(5)._1 == 1L && out(9)._1 == 1L)
+    assert(out(1)._2 == 0.25 && out(2)._2 == 0.25)
+    // expectation column is the Benford mass (log10(2) for digit 1)
+    val e1 = DataQuality.benfordAudit(df, col("v")).collect()
+      .find(_.getInt(0) == 1).get.getDouble(3)
+    assert(e1 == math.round(math.log10(2.0) * 1e6) / 1e6)
+  }
+
   test("tCloseness: hand-computed TVD, absent values contribute global mass") {
     val s = spark
     import s.implicits._

@@ -228,7 +228,8 @@ class PlanShapeSpec extends SparkSpec {
       "gov_t_closeness", // O(classes) histogram rows x ONE broadcast global-distribution map row
       "ml_bt_strength", // O(items) dimension rows x single-row broadcast (item count / normalizer) per MM round
       "ml_ols_fit", // corpus scan x ONE broadcast coefficient row (the MAE pass)
-      "fe_target_encode") // corpus rows x ONE broadcast global-prior row
+      "fe_target_encode", // corpus rows x ONE broadcast global-prior row
+      "dq_benford") // 9 digit rows x ONE broadcast total row
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
