@@ -4211,6 +4211,25 @@ object SparkEntry {
           |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dq_column_profile",
+      // the table-stakes profiling report: per column, rows / non-null /
+      // null / EXACT distinct / min / max (strings, one schema across
+      // types). One pruned-scan aggregation per column, O(columns) rows
+      (s, d) => operators.DataQuality.columnProfile(
+        Tables.documents(s, d), Seq("doc_id", "lang", "source", "n_chars")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count($c) AS BIGINT) AS n_nonnull,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_str,
+             |  CAST(max($c) AS VARCHAR) AS max_str
+             |FROM documents""".stripMargin
+        Seq("doc_id", "lang", "source", "n_chars").map(one)
+          .mkString("", "\nUNION ALL ", "\nORDER BY \"column\"")
+      }),
+
     Q("dq_benford",
       // Benford first-digit audit over extended prices — the forensic
       // screen for value columns: observed vs log10(1+1/d) per digit.

@@ -239,6 +239,32 @@ object DataQuality {
       .orderBy(keys: _*)
   }
 
+  /** Column profile — the table-stakes profiling report (what every
+    * warehouse "describe" / expectation-suite bootstrap runs first):
+    * per column, row count, non-null/null counts, EXACT distinct
+    * cardinality, and min/max rendered as strings so the report has one
+    * schema across types (longs render canonically and strings compare
+    * in binary order on both engines).
+    *
+    * Scale shape: one aggregation per profiled column, each scanning
+    * ONLY its column (Catalyst prunes the per-branch scan), unioned into
+    * the O(columns) report. Exact countDistinct shuffles per column by
+    * design — profiling is an offline audit; swap approx_count_distinct
+    * for the always-on flavor (the ad_distinct_counts split). */
+  def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile at least one column")
+    columns.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
+          (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionAll _).orderBy("column")
+  }
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the classic
     * forensic-accounting screen, Nigrini 2012) — the data-quality gate
     * for VALUE columns the expectation/drift family doesn't cover:

@@ -114,6 +114,18 @@ class DataQualitySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_cur")).sum == 100L)
   }
 
+  test("columnProfile: null accounting, exact distincts, typed min/max rendered as strings") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("b")), (2L, Some("a")), (3L, None), (3L, Some("a")))
+      .toDF("k", "v")
+    val out = DataQuality.columnProfile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    assert(out("k") == ((4L, 4L, 0L, 3L, "1", "3")))
+    assert(out("v") == ((4L, 3L, 1L, 2L, "a", "b"))) // null not a distinct value
+  }
+
   test("benfordAudit: digits from cents strings, fractions sum to 1, nulls/non-positives excluded") {
     val s = spark
     import s.implicits._
