@@ -4240,7 +4240,8 @@ object SparkEntry {
         Tables.lineitem(s, d), col("l_extendedprice")),
       Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
              |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
-             |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+             |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c
+             |  WHERE cents >= 1),
              |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
              |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM g),
              |e AS (SELECT digit, n,
@@ -4921,12 +4922,12 @@ object SparkEntry {
       // whitespace-free, so scoring the paragraph-recovered
       // cleanText(text) is bit-identical to scoring text — a hash match
       // therefore proves the whole write→dispatch→fetch→parse round-trip
-      // lossless, not just the scoring algebra. Driver-sized pieces by
-      // contract: the pasted URL list (S2's input shape) and the page
-      // fan-out (a fixture write; at cluster scale pages land on shared
-      // storage and the manifest IS a DataFrame fed to fetchUrls
-      // directly). Fetch fan-out = manifest partitioning; politeness 0
-      // for local files.
+      // lossless, not just the scoring algebra. The manifest is a
+      // DataFrame end to end — the DataFrame searchDispatch overload, so
+      // URLs never visit the driver (the corpus-scale contract; the only
+      // driver-side piece left is the fixture write itself, which at
+      // cluster scale is shared storage). Fetch fan-out = manifest
+      // partitioning; politeness 0 for local files.
       (s, d) => {
         val pageDir = java.nio.file.Paths
           .get("target", "ep1_pages", new java.io.File(d).getName)
@@ -4941,10 +4942,9 @@ object SparkEntry {
               lit("</h1><p>"), col("text"),
               lit("</p><script>var x = 1;</script></body></html>")).as("content")),
           pageDir)
-        val urlList = subset.select(col("doc_id")).orderBy("doc_id").collect()
-          .map(r => s"file://$pageDir/doc_${r.getLong(0)}.html").mkString("\n")
         val manifest = sources.Ingest.searchDispatch(
-          s, "urls", Some(urlList), resolveUrls = true)
+          subset.select(concat(lit(s"file://$pageDir/doc_"),
+            col("doc_id"), lit(".html")).as("url")), "url")
         val fetched = sources.Ingest.fetchUrls(s, manifest.select("url"))
         val html = col("content").cast("string")
         val reviewText = coalesce(
@@ -6311,6 +6311,25 @@ object SparkEntry {
              |JOIN isup sb ON item_b = sb.p_brand, n
              |WHERE pair_cnt >= 5
              |ORDER BY item_a, item_b""".stripMargin)),
+
+    Q("mb_dropped_baskets",
+      // the observability half of mb_pair_lift's hot-basket guard (the
+      // "no silent caps" discipline): the SAME admission predicate,
+      // reported instead of silently applied — one row per basket the
+      // guard would exclude, largest first. maxBasket=5 here (vs the
+      // lift entry's no-op 20) so the guard demonstrably FIRES on this
+      // corpus and the alerting shape is exercised end-to-end
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val p = Tables.part(s, d).select("p_partkey", "p_brand")
+        Analytics.pairLiftDropped(
+          li.join(broadcast(p), li("l_partkey") === p("p_partkey")),
+          "l_orderkey", "p_brand", maxBasket = 5)
+      },
+      Some("""SELECT l_orderkey AS basket, CAST(count(DISTINCT p_brand) AS BIGINT) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 HAVING count(DISTINCT p_brand) > 5
+             |ORDER BY n_items DESC, basket""".stripMargin)),
 
     Q("ag_unpivot",
       // melt the daily-trends pivot back to long form — Spark's native

@@ -1046,7 +1046,11 @@ object Analytics {
     * executor-OOM risk, not just a slow key. The default (1000 ≈ 500k
     * pair structs, tens of MB in one row) is the conservative ceiling
     * for that shape; pass 0 ONLY to disable the guard deliberately on
-    * inputs whose basket size is already bounded upstream.
+    * inputs whose basket size is already bounded upstream. The guard is
+    * a SILENT exclusion inside this operator (dropped baskets simply
+    * don't contribute pairs) — pipelines that engage it should pair it
+    * with [[pairLiftDropped]], which reports exactly which baskets the
+    * same predicate excluded, and alert when that frame is non-empty.
     *
     * Plan shape (the round-10 rewrite — semantics unchanged, oracle
     * hashes identical): baskets collapse to sorted distinct-item arrays
@@ -1117,6 +1121,21 @@ object Analytics {
         .localCheckpoint(eager = true)
     } finally arrays.unpersist()
   }
+
+  /** The observability half of [[pairLift]]'s `maxBasket` guard — the
+    * "no silent caps" discipline: the guard silently excludes baskets
+    * from pair formation, so a pipeline that engages it should ALSO run
+    * this diagnostic and alert/log when `n_dropped > 0` (the guard
+    * firing means either a pathological hot basket or a bound set too
+    * low for the corpus). Returns one row per dropped basket (id +
+    * distinct-item size, largest first) — same admission predicate as
+    * the operator, one countDistinct aggregation, O(dropped) rows. */
+  def pairLiftDropped(baskets: DataFrame, basketCol: String, itemCol: String,
+                      maxBasket: Int = 1000): DataFrame =
+    baskets.select(col(basketCol).as("basket"), col(itemCol).as("__it"))
+      .groupBy("basket").agg(countDistinct(col("__it")).as("n_items"))
+      .where(col("n_items") > maxBasket)
+      .orderBy(col("n_items").desc, col("basket"))
 
   /** OHLC candle bars per (event_type, hour): open/close = value at the
     * earliest/latest (ts, event_id) in the bucket, high/low = extremes,

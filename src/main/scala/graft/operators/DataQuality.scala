@@ -277,15 +277,23 @@ object DataQuality {
     * (`floor(x·100 + 0.5)` — the gov_dp rounding convention) and the
     * digit comes from the INTEGER's string head — never from
     * `floor(log10(x))`, whose libm last-ulp at power-of-10 boundaries
-    * could flip a digit between engines. Null/non-positive values are
-    * excluded (no first significant digit to audit).
+    * could flip a digit between engines. This pins a TWO-DECIMAL
+    * CURRENCY domain: the audited digit is the first digit of the
+    * rounded cent amount, so sub-cent magnitudes are out of scope (a
+    * value of 0.004 rounds to 0 cents — digit 0, whose Benford
+    * expectation log10(1 + 1/0) is undefined and engine-divergent:
+    * NULL under Spark's null-on-division-by-zero, ±Inf under IEEE
+    * float division). Null, non-positive, AND sub-half-cent values are
+    * therefore excluded (`cents >= 1`) — no first significant digit to
+    * audit.
     *
     * Scale shape: one map-side aggregation to 9 rows + a broadcast
     * single-row total. */
   def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
     val cents = floor(valueCol.cast("double") * lit(100.0) + lit(0.5)).cast("long")
     val counts = df.filter(valueCol.isNotNull && valueCol > 0)
-      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .select(cents.as("__cents")).filter(col("__cents") >= 1)
+      .select(substring(col("__cents").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("__t"))
     counts.crossJoin(broadcast(total))

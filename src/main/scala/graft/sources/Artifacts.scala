@@ -68,19 +68,22 @@ object Artifacts {
     val base = new java.io.File(baseDir)
     if (!base.exists()) return Nil
     val maxAgeMs = maxAgeDays.toLong * 24 * 3600 * 1000
-    // never recurse through a symlink: listFiles on a link-to-directory
-    // returns the TARGET's children, so recursing would delete files
-    // outside baseDir (the reference's shutil.rmtree also refuses to
-    // follow links) — unlink the link itself instead
-    def rm(x: java.io.File): Unit = {
-      if (!java.nio.file.Files.isSymbolicLink(x.toPath))
-        Option(x.listFiles()).foreach(_.foreach(rm))
-      x.delete()
-    }
     Option(base.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && !keep(f.getName) && !f.getName.startsWith("."))
       .filter(f => nowMs - f.lastModified() > maxAgeMs)
-      .map { f => rm(f); f.getName }
+      .map { f => deleteRecursively(f); f.getName }
       .sorted
+  }
+
+  /** Recursive delete that never recurses THROUGH a symlink: listFiles
+    * on a link-to-directory returns the TARGET's children, so recursing
+    * would delete files outside the tree (the reference's shutil.rmtree
+    * also refuses to follow links) — the link itself is unlinked
+    * instead. Shared by the retention sweep and the streaming replay
+    * harnesses' staging-dir cleanup. */
+  def deleteRecursively(x: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(x.toPath))
+      Option(x.listFiles()).foreach(_.foreach(deleteRecursively))
+    x.delete()
   }
 }

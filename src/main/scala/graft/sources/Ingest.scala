@@ -166,8 +166,8 @@ object Ingest {
     * Missing input for `keywords`/`urls` and unknown methods throw
     * `IllegalArgumentException`, mirroring the reference's ValueError
     * (`:102,105,116`). The input string is driver-sized BY CONTRACT —
-    * it is a user-pasted list, not a corpus; corpus-scale manifests
-    * skip dispatch and feed [[fetchUrls]] directly as a DataFrame. */
+    * it is a user-pasted list, not a corpus; corpus-scale URL sets use
+    * the DataFrame overload below, which never touches the driver. */
   def searchDispatch(spark: SparkSession, method: String,
                      searchInput: Option[String] = None,
                      fixturesDir: String = null,
@@ -204,6 +204,21 @@ object Ingest {
     }
     rows.toDF("method", "requested", "url", "resolved", "note")
   }
+
+  /** The corpus-scale form of [[searchDispatch]]: a URL set that already
+    * lives in a DataFrame routes straight through as a resolved `urls`
+    * manifest — same five-column schema as the string dispatch, but the
+    * URLs never visit the driver (no collect, no newline-joined string;
+    * a billion-row manifest flows plan-to-plan into [[fetchUrls]]).
+    * `requested` is null: there is no user-pasted input string in this
+    * mode, the DataFrame itself is the request. Blank/null URLs are
+    * dropped, matching the string path's split-and-trim filter. */
+  def searchDispatch(manifest: DataFrame, urlCol: String): DataFrame =
+    manifest
+      .select(trim(col(urlCol).cast("string")).as("url"))
+      .where(col("url").isNotNull && col("url") =!= "")
+      .select(lit("urls").as("method"), lit(null: String).as("requested"),
+        col("url"), lit(true).as("resolved"), lit(null: String).as("note"))
 
   /** Fan a DataFrame out as one LOCAL file per row (`dir/<name col>`,
     * UTF-8) — the fixture-materialization half of the ingest loop: pages

@@ -15,15 +15,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * voting is still open, instead of waiting for a batch job over the
   * full vote log.
   *
-  * Outcome semantics are byte-identical to the batch operator: winner =
-  * argmax of (score, id) — the dpoPairs tie convention — and self-duels
-  * (both sides the same item) emit nothing, exactly like the batch
-  * `__w.item =!= __l.item` filter. Rows beyond a duel's second side are
-  * ignored (the duel is already decided; the batch operator's
-  * exactly-two filter is the same contract from the other end). State
-  * is O(1) per open duel and clears the moment the duel completes, so
-  * long-lived state tracks only the open-duel frontier — a production
-  * deployment adds an event-time timeout to retire abandoned duels.
+  * Outcome semantics match the batch operator on WELL-FORMED two-side
+  * duels (the production contract): winner = argmax of (score, id) —
+  * the dpoPairs tie convention — and self-duels (both sides the same
+  * item) emit nothing, exactly like the batch `__w.item =!= __l.item`
+  * filter. Malformed duels with >2 sides diverge by construction: the
+  * batch `pairwiseWinMatrix` drops them entirely (its exactly-two
+  * filter), while the stream has already emitted an outcome from
+  * whichever two sides arrived first and cannot retract it in append
+  * mode — extra sides are ignored (StreamsSpec pins this divergence).
+  * State is O(1) per duel: an open duel holds its first side; a
+  * completed duel retains an O(1) `done` tombstone so late extra sides
+  * stay ignored rather than re-opening the duel. Total state therefore
+  * grows with DISTINCT duels seen, not just the open-duel frontier — a
+  * production deployment adds an event-time timeout
+  * (`GroupStateTimeout.EventTimeTimeout` past the watermark) to retire
+  * both abandoned duels and old tombstones once late data is
+  * impossible.
   *
   * The st15 catalog entry stages duel sides across three shuffled
   * micro-batches, aggregates the emitted outcomes into the canonical
@@ -100,10 +108,16 @@ object ArenaStream {
     writeOne(duels.filter(col("id") % 3 === 2), "b1", "1_m2.parquet", t0)
     writeOne(duels.filter(col("id") % 3 === 0), "b2", "2_m0.parquet", t0 + 60000)
     writeOne(duels.filter(col("id") % 3 === 1), "b3", "3_m1.parquet", t0 + 120000)
+    // the conf override must stay in force until the LAST micro-batch
+    // has been planned (planning is async after start(), so restoring
+    // immediately could plan the stateful shuffle at the session
+    // default); restore + stop + temp cleanup all sit in finally so a
+    // failed run leaks neither the override, the query, nor the staging
+    // directory
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
-      duelOutcomesStateful(
+    try {
+      val q = duelOutcomesStateful(
         spark.readStream.schema(duels.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(inDir))
@@ -113,9 +127,12 @@ object ArenaStream {
         .format("memory")
         .queryName(queryName)
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.processAllAvailable()
-    q.stop()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.sources.Artifacts.deleteRecursively(new java.io.File(tmp))
+    }
     // canonical matrix over the streamed outcomes (batch agg on the
     // memory sink — O(completed duels) rows)
     spark.table(queryName)

@@ -53,16 +53,20 @@ object OlsStream {
     writeOne(rows.filter(col("doc_id") % 3 === 1), "b2", "2.parquet", t0 + 60000)
     writeOne(rows.filter(col("doc_id") % 3 === 2), "b3", "3.parquet", t0 + 120000)
     val aggs = MLEval.olsSumAggs(col("x"), col("y"))
-    val q = spark.readStream.schema(rows.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
-      .agg(aggs.head, aggs.tail: _*)
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // stop + staging cleanup in finally: a failed replay must leak
+    // neither the query nor the temp directory
+    try {
+      val q = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .agg(aggs.head, aggs.tail: _*)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally graft.sources.Artifacts.deleteRecursively(new java.io.File(tmp))
     MLEval.olsStatsFromSums(spark.table(queryName))
       .select(col("n"),
         round(col("__b"), 6).as("slope"),
