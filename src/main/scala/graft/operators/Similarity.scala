@@ -214,35 +214,44 @@ object Similarity {
   }
 
   /** Cell assignment — argmax centroid cosine, ties to the LOWEST cell —
-    * as a map-side-combinable `max_by` aggregation over a SLIM
-    * (vec_id, cell, ccos) projection, with the vector columns joined
-    * back afterwards. The first formulation of this step was a
-    * crossJoin + per-vector row_number window, which shuffles
-    * |vectors| × |cells| rows each CARRYING the 0.5 KB vector arrays: at
-    * sf1 with occupancy-sized cells (20k vectors × 834 cells) that is a
-    * ~16 GB exchange and measured 47 s for sim_semdedup_auto alone. The
-    * max_by form reduces to |vectors| rows BEFORE any exchange (partial
-    * aggregation) and never shuffles an array column.
+    * as a ROW-LOCAL fold over a single-row broadcast centroid array.
+    * This step's history is the catalog's scaling lesson in miniature:
+    * formulation 1 (crossJoin + per-vector row_number window) shuffled
+    * |vectors| × |cells| rows carrying 0.5 KB arrays (~16 GB exchange,
+    * 47 s at sf1); formulation 2 (slim max_by aggregation) cut the
+    * exchange to |vectors| rows but still MATERIALIZED |vectors| ×
+    * |cells| join-output rows through a hash aggregate — with
+    * occupancy-sized cell counts (|cells| ∝ n) that term is quadratic
+    * in n and re-measured as the catalog's worst scaler (sim_semdedup_
+    * auto 6.9× wall at 10× data, assignment-dominated). This form
+    * materializes NOTHING per (vector, cell): centroids collapse to one
+    * array row (sorted by cell — collect_list order is
+    * engine-nondeterministic), broadcast once, and each vector computes
+    * its argmax in one `aggregate` fold inside its own projection —
+    * zero extra rows, zero shuffle, zero re-join; the scan stays
+    * narrow. Per-vector work is the same O(|cells|·dim) dot products as
+    * before (that product is inherent to flat nprobe=1 assignment; a
+    * 100 TB deployment bounds |cells| via the IVF convention of ~100k–
+    * 1M trained centroids, which is also what keeps this single-row
+    * broadcast small).
     *
-    * Tie/NaN semantics are identical to the window form (`ORDER BY ccos
-    * DESC, cell`): the max_by key is `(ccos, -cell)`, Spark orders NaN
-    * greatest in both window sorts and max/greatest aggregation, and
-    * NaN = NaN for ordering, so a zero-norm vector (all-NaN ccos)
-    * resolves to its lowest cell either way. Returns
-    * `(vec_id, v, nrm, cell, ccos)`. */
+    * Tie/NaN semantics are identical to both earlier forms (`ORDER BY
+    * ccos DESC, cell`): the fold visits cells ASCENDING and replaces
+    * only on strictly-greater ccos, so equal cosines keep the lowest
+    * cell; Spark's `>` on doubles orders NaN greatest and NaN > NaN is
+    * false, so a zero-norm vector (all-NaN ccos) resolves to its lowest
+    * cell either way. Every column of `e` rides through (metadata for
+    * the filtered-search path); adds `(cell, ccos)`. */
   private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    val best = e.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
-        (dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cell"), col("ccos")),
-        struct(col("ccos"), (col("cell") * lit(-1L)).as("nc"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"),
-        col("best.ccos").as("ccos"))
-    // every column of `e` rides through (metadata for the filtered-search
-    // path); callers project what they need
-    e.join(best, Seq("vec_id"))
+    val centsArr = cents.agg(sort_array(
+      collect_list(struct(col("cell").cast("long").as("cell"), col("cv"),
+        col("cnrm").cast("double").as("cnrm")))).as("__cells"))
+    e.crossJoin(broadcast(centsArr))
+      .withColumn("__best", graft.plans.VectorExpressions.nearestCellNative(
+        col("v"), col("nrm"), col("__cells")))
+      .withColumn("cell", col("__best").getField("cell"))
+      .withColumn("ccos", col("__best").getField("ccos"))
+      .drop("__cells", "__best")
   }
 
   /** IVF-style ANN (nprobe=1): coarse-quantize every vector to its

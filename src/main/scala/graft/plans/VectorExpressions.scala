@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY §7.3:
   * preference order (b) — a custom `Expression` with `doGenCode` beats a
@@ -123,11 +123,140 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Flat nearest-centroid assignment as ONE native expression:
+  * `NearestCell(vec, nrm, cells)` → `struct(cell BIGINT, ccos DOUBLE)`,
+  * where `cells` is the single-row broadcast centroid array
+  * `array<struct<cell, cv, cnrm>>` sorted ascending by cell. The IVF /
+  * SemDeDup assignment step is argmax over |cells| cosines PER VECTOR —
+  * inherently O(|cells|·dim) work per row — and every declarative
+  * formulation of it materializes that product as ROWS (crossJoin +
+  * window: shuffles n·|cells| array-carrying rows; slim max_by: still
+  * n·|cells| join-output rows through a hash aggregate; HOF fold:
+  * row-local but interpreted, a lambda dispatch + struct copy per cell).
+  * With occupancy-sized cell counts (|cells| ∝ n) the constant behind
+  * that n·|cells| term is the whole game at scale; this expression makes
+  * it a fused primitive loop inside whole-stage codegen — zero
+  * materialization, zero dispatch.
+  *
+  * Semantics pinned to the declarative forms (the DuckDB oracle replays
+  * them): visit cells in array order (ascending cell), replace only on
+  * strictly-greater cosine via `Double.compare` — so ties keep the
+  * lowest cell, NaN orders greatest (Spark's own double comparison
+  * semantics), and NaN > NaN is false (zero-norm vectors resolve to
+  * their lowest cell). A malformed cell entry (null struct/field,
+  * dim-mismatched cv, null element) is SKIPPED — identical to the HOF
+  * fold where a null cosine fails the `>` guard. Empty `cells` yields
+  * the (-1, -2.0) sentinel. */
+case class NearestCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("ccos", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType,
+            ArrayType(StructType(Array(
+              StructField(_, LongType, _, _),
+              StructField(_, ArrayType(DoubleType, _), _, _),
+              StructField(_, DoubleType, _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double, " +
+          s"array<struct<bigint,array<double>,double>>), got " +
+          s"(${a.sql}, ${b.sql}, ${c.sql})")
+    }
+
+  override def nullSafeEval(vecAny: Any, nrmAny: Any, cellsAny: Any): Any = {
+    val vec = vecAny.asInstanceOf[ArrayData]
+    val nrm = nrmAny.asInstanceOf[Double]
+    val cells = cellsAny.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    var bestCell = -1L
+    var bestCos = -2.0
+    var i = 0
+    val n = cells.numElements()
+    while (i < n) {
+      if (!cells.isNullAt(i)) {
+        val cs = cells.getStruct(i, 3)
+        if (!cs.isNullAt(0) && !cs.isNullAt(1) && !cs.isNullAt(2)) {
+          val cv = cs.getArray(1)
+          if (cv.numElements() == dim) {
+            var acc = 0.0
+            var j = 0
+            var ok = true
+            while (ok && j < dim) {
+              if (vec.isNullAt(j) || cv.isNullAt(j)) ok = false
+              else { acc += vec.getDouble(j) * cv.getDouble(j); j += 1 }
+            }
+            if (ok) {
+              val cos = acc / (nrm * cs.getDouble(2))
+              if (java.lang.Double.compare(cos, bestCos) > 0) {
+                bestCell = cs.getLong(0); bestCos = cos
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCell, bestCos))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, nrm, cells) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val dim = ctx.freshName("dim")
+      val cs = ctx.freshName("cs"); val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc"); val ok = ctx.freshName("ok")
+      val cos = ctx.freshName("cos")
+      val bestCell = ctx.freshName("bestCell")
+      val bestCos = ctx.freshName("bestCos")
+      s"""
+         |long $bestCell = -1L;
+         |double $bestCos = -2.0;
+         |final int $dim = $vec.numElements();
+         |final int $n = $cells.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($cells.isNullAt($i)) continue;
+         |  org.apache.spark.sql.catalyst.InternalRow $cs = $cells.getStruct($i, 3);
+         |  if ($cs.isNullAt(0) || $cs.isNullAt(1) || $cs.isNullAt(2)) continue;
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cs.getArray(1);
+         |  if ($cv.numElements() != $dim) continue;
+         |  double $acc = 0.0;
+         |  boolean $ok = true;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($vec.isNullAt($j) || $cv.isNullAt($j)) { $ok = false; break; }
+         |    $acc += $vec.getDouble($j) * $cv.getDouble($j);
+         |  }
+         |  if (!$ok) continue;
+         |  double $cos = $acc / ($nrm * $cs.getDouble(2));
+         |  if (java.lang.Double.compare($cos, $bestCos) > 0) {
+         |    $bestCell = $cs.getLong(0); $bestCos = $cos;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$bestCell, $bestCos});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExpressions {
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2NormNative(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
+  def nearestCellNative(vec: Column, nrm: Column, cells: Column): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(vec),
+      ColumnBridge.expression(nrm), ColumnBridge.expression(cells)))
 
   /** SQL registration: `graft_dot(a, b)`, `graft_l2norm(a)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
