@@ -964,6 +964,59 @@ object SparkEntry {
     * file's identity (a regenerated corpus auto-invalidates), broadcast
     * at query time. Re-running an entry pays the query path only, not a
     * retrain — exactly how a 100 TB deployment amortizes training. */
+  /** Shared DuckDB replay of the deterministic-convention IVF-PQ query
+    * (query 20, k 10, nprobe 4, shortlist 50): the oracle for BOTH
+    * `sim_ivfpq_ann` (in-memory path) and `sim_index_export` (the same
+    * query replayed from the exported parquet layout alone) — one SQL
+    * string, two engine paths, so the entries also prove the two paths
+    * equal each other. */
+  private lazy val ivfpqAnnOracle: String =
+    s"""WITH $evecCteSql,
+       |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+       |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+       |asg0 AS (
+       |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+       |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+       |  FROM en CROSS JOIN cents),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM asg0) WHERE rn = 1),
+       |ss AS (SELECT unnest(range(0, 8)) AS s),
+       |sl AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vs
+       |  FROM evec, ss),
+       |cb AS (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
+       |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
+       |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
+       |  FROM sl JOIN cb ON sl.s = cb.s),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |    FROM enc0) WHERE rn = 1),
+       |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 20),
+       |pb0 AS (SELECT cents.cell,
+       |    ${dotSql("cents.cv", "qv")} / (cents.cnrm * qnrm) AS qccos
+       |  FROM cents, q),
+       |probed AS (SELECT cell FROM (
+       |    SELECT cell, row_number() OVER (ORDER BY qccos DESC, cell) AS pr
+       |    FROM pb0) WHERE pr <= 4),
+       |qsl AS (SELECT s, vs AS qvs FROM sl WHERE vec_id = 20),
+       |qt AS (SELECT cb.s, cb.code,
+       |    ${dotSql("qvs", "qvs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("qvs", "cw")} AS qd2
+       |  FROM cb JOIN qsl ON cb.s = qsl.s),
+       |shortl AS (
+       |  SELECT a.vec_id, a.cell, ROUND(SUM(qd2), 6) AS adc_dist
+       |  FROM asg a
+       |  JOIN probed p ON a.cell = p.cell
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN qt ON qt.s = enc.s AND qt.code = enc.code
+       |  WHERE a.vec_id <> 20
+       |  GROUP BY a.vec_id, a.cell
+       |  ORDER BY adc_dist, a.vec_id LIMIT 50)
+       |SELECT sh.vec_id, sh.cell, sh.adc_dist,
+       |  ROUND(${dotSql("en.v", "qv")} / (en.nrm * qnrm), 6) AS cos
+       |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
+       |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin
+
   private def trainedQuantizers(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val dir = new java.io.File(
       s"spark-warehouse/graft_state/tq_v1_c64m8n16_${sourceStateKey(s, d, "embeddings.parquet")}")
@@ -2459,51 +2512,39 @@ object SparkEntry {
       // codebook/ADC), so DuckDB replays the whole composition
       (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), queryId = 20,
         k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16, shortlist = 50),
-      Some(s"""WITH $evecCteSql,
-              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
-              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
-              |asg0 AS (
-              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
-              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
-              |  FROM en CROSS JOIN cents),
-              |asg AS (
-              |  SELECT vec_id, v, nrm, cell FROM (
-              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
-              |    FROM asg0) WHERE rn = 1),
-              |ss AS (SELECT unnest(range(0, 8)) AS s),
-              |sl AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vs
-              |  FROM evec, ss),
-              |cb AS (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
-              |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
-              |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
-              |  FROM sl JOIN cb ON sl.s = cb.s),
-              |enc AS (SELECT vec_id, s, code FROM (
-              |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
-              |    FROM enc0) WHERE rn = 1),
-              |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 20),
-              |pb0 AS (SELECT cents.cell,
-              |    ${dotSql("cents.cv", "qv")} / (cents.cnrm * qnrm) AS qccos
-              |  FROM cents, q),
-              |probed AS (SELECT cell FROM (
-              |    SELECT cell, row_number() OVER (ORDER BY qccos DESC, cell) AS pr
-              |    FROM pb0) WHERE pr <= 4),
-              |qsl AS (SELECT s, vs AS qvs FROM sl WHERE vec_id = 20),
-              |qt AS (SELECT cb.s, cb.code,
-              |    ${dotSql("qvs", "qvs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("qvs", "cw")} AS qd2
-              |  FROM cb JOIN qsl ON cb.s = qsl.s),
-              |shortl AS (
-              |  SELECT a.vec_id, a.cell, ROUND(SUM(qd2), 6) AS adc_dist
-              |  FROM asg a
-              |  JOIN probed p ON a.cell = p.cell
-              |  JOIN enc ON enc.vec_id = a.vec_id
-              |  JOIN qt ON qt.s = enc.s AND qt.code = enc.code
-              |  WHERE a.vec_id <> 20
-              |  GROUP BY a.vec_id, a.cell
-              |  ORDER BY adc_dist, a.vec_id LIMIT 50)
-              |SELECT sh.vec_id, sh.cell, sh.adc_dist,
-              |  ROUND(${dotSql("en.v", "qv")} / (en.nrm * qnrm), 6) AS cos
-              |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
-              |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin)),
+      Some(ivfpqAnnOracle)),
+
+    Q("sim_index_export",
+      // the SERVING-LAYOUT boundary (r11 VERDICT task 6): the IVF-PQ
+      // index exported as ONE versioned parquet layout — centroids,
+      // codebook, postings partitionBy(cell) carrying PQ codes AND raw
+      // vectors (FAISS IVFPQ+Refine posture), plus a manifest row — and
+      // the query REPLAYED FROM THE LAYOUT ALONE: no embeddings table,
+      // no in-memory state. Hash-gated against the SAME oracle as
+      // sim_ivfpq_ann: export → read → probe → partition-pruned ADC →
+      // exact re-rank is bit-identical to the in-memory path. At 100 TB
+      // this is the batch/serving handoff: Spark refreshes v=N+1 while
+      // readers replay from v=N
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dir = s"spark-warehouse/graft_state/ivfpq_index_${sourceStateKey(s, d, "embeddings.parquet")}"
+        if (!new java.io.File(s"$dir/v=1/manifest/_SUCCESS").exists) {
+          val e0 = emb.select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("v"))
+          val cents = e0.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cell"), col("v").as("cv"))
+          val cb = e0.filter(col("vec_id") < 16).select(col("vec_id"),
+            posexplode(array((0 until 8).map(ss =>
+              slice(col("v"), ss * 8 + 1, 8)): _*)).as(Seq("s", "vs")))
+            .select(col("s"), col("vec_id").cast("int").as("code"),
+              col("vs").as("cw"))
+          Similarity.writeIvfPqIndex(emb, cents, cb, dir, version = 1)
+        }
+        val idx = Similarity.readIvfPqIndex(s, dir, version = 1)
+        Similarity.ivfPqTopKFromIndex(idx, queryId = 20, k = 10,
+          nprobe = 4, shortlist = 50)
+      },
+      Some(ivfpqAnnOracle)),
 
     Q("sim_ivfpq_res_ann",
       // residual IVF-PQ (the FAISS IVFx,PQy default): PQ runs over

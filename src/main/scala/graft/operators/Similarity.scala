@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -1634,6 +1634,143 @@ object Similarity {
       .limit(shortlist)
     short
       .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"), col("adc_dist"),
+        round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // Serving-layout index export (r11 VERDICT task 6): the batch half of
+  // the "online ANN serving does not fit Spark" boundary. The trained
+  // IVF/PQ artifacts (coarse centroids, PQ codebook, encoded postings)
+  // are persisted as ONE versioned parquet layout that a query can be
+  // replayed from ALONE — no access to the original embedding table, no
+  // in-memory state. At 100 TB this is the handoff contract: Spark
+  // builds/refreshes `v=N+1` while serving reads `v=N`; the postings
+  // are partitionBy(cell), so a probe's scan is partition-pruned to its
+  // nprobe cells (the FAISS inverted-list locality, expressed as
+  // parquet partitioning). The layout keeps raw vectors alongside the
+  // PQ codes (FAISS's IVFPQ+Refine posture) so the exact re-rank stage
+  // needs nothing outside the index.
+  // ------------------------------------------------------------------
+
+  /** Handle over an exported index: manifest fields + the three frames. */
+  final case class IvfPqIndex(version: Int, dim: Int, m: Int, nCodes: Int,
+                              nCells: Long, nVectors: Long,
+                              cents: DataFrame, codebook: DataFrame,
+                              postings: DataFrame)
+
+  /** Export the IVF-PQ index for `emb` under `dir/v=<version>/`:
+    * `centroids` (cell, cv), `codebook` (s, code, cw), `postings`
+    * (vec_id, codes, v, nrm; parquet-partitioned by cell), `manifest`
+    * (one row: version/dim/m/n_codes/n_cells/n_vectors). Assignment and
+    * encoding reuse the exact query-path conventions ([[assignCells]]
+    * cosine-argmax, nearest-codeword by (d2, code)), so a query replayed
+    * from the layout is bit-identical to the in-memory path — the
+    * `sim_index_export` entry hash-gates that equivalence against the
+    * same DuckDB oracle as `sim_ivfpq_ann`. */
+  def writeIvfPqIndex(emb: DataFrame, centsIn: DataFrame, codebookIn: DataFrame,
+                      dir: String, version: Int, m: Int = 8,
+                      dim: Int = 64): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val base = s"$dir/v=$version"
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = centsIn
+      .select(col("cell").cast("long").as("cell"), col("cv"),
+        normFast(col("cv")).as("cnrm"))
+    val codebook = codebookIn.select(col("s").cast("int").as("s"),
+      col("code").cast("int").as("code"), col("cw"))
+    val assigned = assignCells(e, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    def l2sq(a: Column, b: Column): Column =
+      dotFast(a, a) + dotFast(b, b) - lit(2.0) * dotFast(a, b)
+    val slices = assigned.select(col("vec_id"),
+      posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+        .as(Seq("s", "vs")))
+    val enc = slices.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", l2sq(col("vs"), col("cw")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))))
+      .filter(col("rn") === 1)
+      // codes as ONE array ordered by subspace (collect_list order is
+      // engine-nondeterministic; the struct sort pins it)
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    cents.select(col("cell"), col("cv")).write.mode("overwrite")
+      .parquet(s"$base/centroids")
+    codebook.write.mode("overwrite").parquet(s"$base/codebook")
+    assigned.join(enc, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("codes"), col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/postings")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nCodes = codebook.agg(max(col("code"))).collect()(0).getInt(0) + 1
+    Seq((version, dim, m, nCodes, cents.count(), e.count()))
+      .toDF("version", "dim", "m", "n_codes", "n_cells", "n_vectors")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+  }
+
+  /** Open an exported index: reads the manifest and binds the three
+    * frames. The partition column `cell` comes back through parquet
+    * partition discovery (cast pinned to long — discovery infers int). */
+  def readIvfPqIndex(spark: SparkSession, dir: String, version: Int): IvfPqIndex = {
+    val base = s"$dir/v=$version"
+    val mf = spark.read.parquet(s"$base/manifest").collect()(0)
+    IvfPqIndex(
+      version = mf.getAs[Int]("version"), dim = mf.getAs[Int]("dim"),
+      m = mf.getAs[Int]("m"), nCodes = mf.getAs[Int]("n_codes"),
+      nCells = mf.getAs[Long]("n_cells"), nVectors = mf.getAs[Long]("n_vectors"),
+      cents = spark.read.parquet(s"$base/centroids"),
+      codebook = spark.read.parquet(s"$base/codebook"),
+      postings = spark.read.parquet(s"$base/postings")
+        .withColumn("cell", col("cell").cast("long")))
+  }
+
+  /** IVF-PQ top-k replayed from an exported layout ALONE — the serving
+    * read path: probe against the index centroids, ADC-rank the probed
+    * cells' CODES (partition-pruned scan), exact-re-rank the shortlist
+    * from the index's own raw vectors. Bit-identical to
+    * [[ivfPqTopKWith]] over the same quantizers by construction (same
+    * conventions at every stage); the catalog entry proves it by hash
+    * against the `sim_ivfpq_ann` oracle. */
+  def ivfPqTopKFromIndex(idx: IvfPqIndex, queryId: Long, k: Int,
+                         nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val sub = idx.dim / idx.m
+    def l2sq(a: Column, b: Column): Column =
+      dotFast(a, a) + dotFast(b, b) - lit(2.0) * dotFast(a, b)
+    val q = idx.postings.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val cents = idx.cents.select(col("cell"), col("cv"),
+      normFast(col("cv")).as("cnrm"))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("qccos",
+        dotFast(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+      .orderBy(col("qccos").desc, col("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    val qslices = idx.postings.filter(col("vec_id") === queryId)
+      .select(posexplode(array(
+        (0 until idx.m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+        .as(Seq("s", "qvs")))
+    val qtab = idx.codebook.join(broadcast(qslices), Seq("s"))
+      .select(col("s"), col("code"), l2sq(col("qvs"), col("cw")).as("qd2"))
+    val short = idx.postings.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(qtab), Seq("s", "code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(round(sum(col("qd2")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(shortlist)
+    short
+      .join(idx.postings.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"), col("adc_dist"),
         round(dotFast(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))

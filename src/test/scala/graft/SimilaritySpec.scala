@@ -773,4 +773,31 @@ class SimilaritySpec extends SparkSpec {
          twin <- byId.get(id + 2000000))
       assert(twin._2 == cell && twin._3 == cos)
   }
+
+  test("index export: trained IVF-PQ query from the parquet layout == in-memory path") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.trainCentroids(emb, nCells = 8)
+    val cb = Similarity.trainCodebook(emb, m = 8, nCodes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_t").toString
+    Similarity.writeIvfPqIndex(emb, cents, cb, dir, version = 3)
+    val idx = Similarity.readIvfPqIndex(spark, dir, version = 3)
+    // manifest round-trips the layout's shape
+    assert(idx.version == 3 && idx.dim == 64 && idx.m == 8 && idx.nCodes == 8)
+    assert(idx.nCells == 8 && idx.nVectors == emb.count())
+    // postings carry one codes entry per subspace, partitioned by cell
+    assert(idx.postings.count() == idx.nVectors)
+    assert(idx.postings.select("codes").limit(1).collect()(0)
+      .getSeq[Int](0).length == 8)
+    // the replay-from-layout query equals the in-memory trained path,
+    // row for row (same quantizers, same conventions at every stage)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val fromIndex = rows(Similarity.ivfPqTopKFromIndex(idx, queryId = 20,
+      k = 10, nprobe = 3, shortlist = 40))
+    val inMemory = rows(Similarity.ivfPqTopKWith(emb, cents, cb, queryId = 20,
+      k = 10, nprobe = 3, m = 8, shortlist = 40))
+    assert(fromIndex == inMemory)
+    assert(fromIndex.length == 10)
+    sources.Artifacts.deleteRecursively(new java.io.File(dir))
+  }
 }
