@@ -229,7 +229,8 @@ class PlanShapeSpec extends SparkSpec {
       "ml_bt_strength", // O(items) dimension rows x single-row broadcast (item count / normalizer) per MM round
       "ml_ols_fit", // corpus scan x ONE broadcast coefficient row (the MAE pass)
       "fe_target_encode", // corpus rows x ONE broadcast global-prior row
-      "dq_benford") // 9 digit rows x ONE broadcast total row
+      "dq_benford", // 9 digit rows x ONE broadcast total row
+      "sim_index_export") // assignCells' single-row centroid-array broadcast + single-row query probe/re-rank
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
@@ -370,5 +371,52 @@ class PlanShapeSpec extends SparkSpec {
     val b2 = graft.operators.Similarity.trainCodebook(emb, m = 8, nCodes = 16)
       .collect().map(_.toSeq).toSet
     assert(b1 == b2, "trainCodebook is not deterministic across calls")
+  }
+
+  test("AQE skew join: a planted hot key is split across tasks (OptimizeSkewedJoin fires)") {
+    // ev_salted_join demonstrates the MANUAL skew fix; this pins the
+    // ADAPTIVE one (r11 VERDICT task 7): with AQE's skew-join handling
+    // on (the engine default), a sort-merge join whose build partition
+    // is dominated by one hot key is split at runtime — no salting, no
+    // plan change. Thresholds are lowered to demonstration scale (the
+    // defaults target 256 MB partitions); the asserted invariant is the
+    // executed plan marking the SMJ as skew=true, i.e. the split FIRED.
+    val s = spark
+    import org.apache.spark.sql.functions.{col, concat, count, lit, when}
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of the fact lands on key 0; the tail spreads over 99 keys.
+      // The payload is a HIGH-ENTROPY string consumed AFTER the join:
+      // partition sizes are measured on compressed shuffle bytes, and a
+      // column-pruned stream of identical longs compresses below any
+      // threshold — the first draft of this test "planted" skew that
+      // lz4 erased
+      val fact = s.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, lit(0L))
+          .otherwise(col("id") % 100).as("k"),
+          org.apache.spark.sql.functions.md5(col("id").cast("string")).as("payload"))
+      val dim = s.range(0, 100).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("name"))
+      val joined = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.max(col("payload")).as("mx"))
+      assert(joined.collect()(0).getLong(0) == 200000L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire; executed plan:\n$p")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
   }
 }

@@ -371,6 +371,69 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.getAs[Long]("n") == batch.getAs[Long]("n"))
   }
 
+  test("state rescale: OLS stream restarted under a DIFFERENT shuffle-partition conf stays bit-identical") {
+    // the st16 GroupState/agg-state restore contract (r11 VERDICT task
+    // 8): Spark PINS a stateful query's state-store partitioning in the
+    // checkpoint metadata — a restart under a different session
+    // `spark.sql.shuffle.partitions` must neither crash nor change the
+    // state layout, and the resumed aggregation must fold the new
+    // micro-batch into the RESTORED six-number OLS state exactly. The
+    // assertion is the strongest available: the restarted stream's
+    // closed-form fit is BIT-identical (integer sufficient statistics)
+    // to the uninterrupted batch fit over the full corpus.
+    import java.nio.file.{Files, Paths}
+    val s = spark
+    import graft.operators.MLEval
+    val rows = Tables.documents(s, sf0001)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("x"),
+        col("n_chars").cast("long").as("y"))
+    val tmp = Files.createTempDirectory("graft_rescale_").toString
+    val inDir = tmp + "/in"; val chk = tmp + "/chk"
+    Files.createDirectories(Paths.get(inDir))
+    def writeOne(df: org.apache.spark.sql.DataFrame, stage: String, target: String): Unit = {
+      val stageDir = s"$tmp/$stage"
+      df.coalesce(1).write.parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, new java.io.File(inDir, target).toPath)
+    }
+    val aggs = MLEval.olsSumAggs(col("x"), col("y"))
+    def runOnce(shufflePartitions: String): Unit = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+      try {
+        val q = s.readStream.schema(rows.schema).parquet(inDir)
+          .agg(aggs.head, aggs.tail: _*)
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("rescale_spec_out")
+          .option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    // run 1 plans the stateful shuffle at 3 partitions...
+    writeOne(rows.filter(col("doc_id") % 2 === 0), "b1", "1_even.parquet")
+    runOnce("3")
+    // ...run 2 restarts from the checkpoint under a conf of 13 — the
+    // checkpoint's recorded partitioning must win, state intact
+    writeOne(rows.filter(col("doc_id") % 2 =!= 0), "b2", "2_odd.parquet")
+    runOnce("13")
+    val streamed = MLEval.olsStatsFromSums(s.table("rescale_spec_out"))
+      .select(col("n"),
+        round(col("__b"), 6).as("slope"),
+        round(col("__a"), 6).as("intercept"),
+        round(col("__r2"), 6).as("r2"),
+        round(col("__rmse"), 6).as("rmse"))
+      .collect().head
+    val batch = MLEval.olsFit(rows.select(col("x"), col("y")), col("x"), col("y"))
+      .collect().head
+    assert(streamed.getAs[Long]("n") == batch.getAs[Long]("n"))
+    for (c <- Seq("slope", "r2", "rmse"))
+      assert(streamed.getAs[Double](c) == batch.getAs[Double](c), c)
+    sources.Artifacts.deleteRecursively(new java.io.File(tmp))
+  }
+
   test("streaming duel pairing: outcomes exactly once, self-duels silent, extras ignored") {
     val s = spark
     import s.implicits._
