@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.plans.{DotProduct, L2Norm, ShingleArray, TopKByScore, VectorSum}
+import graft.plans.{DotProduct, L2Norm, NearestCell, ShingleArray, TopKByScore, VectorSum}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions at session build time
@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vector_sum"),
       new ExpressionInfo(classOf[VectorSum].getName, "graft_vector_sum"),
       (exprs: Seq[Expression]) => VectorSum(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+      (exprs: Seq[Expression]) => NearestCell(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -258,11 +258,15 @@ object VectorExpressions {
     ColumnBridge.column(NearestCell(ColumnBridge.expression(vec),
       ColumnBridge.expression(nrm), ColumnBridge.expression(cells)))
 
-  /** SQL registration: `graft_dot(a, b)`, `graft_l2norm(a)`. */
+  /** SQL registration: `graft_dot(a, b)`, `graft_l2norm(a)`,
+    * `graft_nearest_cell(v, nrm, cells)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2norm", exprs => L2Norm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_cell",
+      exprs => NearestCell(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

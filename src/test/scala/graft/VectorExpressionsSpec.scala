@@ -73,4 +73,22 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(sh == Seq("a b", "b c", "c b"))
   }
+
+  test("graft_nearest_cell: argmax cosine, ties to lowest cell, sentinel on empty") {
+    // unit x along e1 vs centroids on e1 (cells 0 and 2, tied) and e2
+    // (cell 1, orthogonal): best = cell 0 (lowest of the tied pair)
+    val r = spark.sql(
+      """SELECT graft_nearest_cell(array(1.0d, 0.0d), 1.0d, array(
+        |  named_struct('cell', 0L, 'cv', array(2.0d, 0.0d), 'cnrm', 2.0d),
+        |  named_struct('cell', 1L, 'cv', array(0.0d, 1.0d), 'cnrm', 1.0d),
+        |  named_struct('cell', 2L, 'cv', array(1.0d, 0.0d), 'cnrm', 1.0d))) AS b""".stripMargin)
+      .collect()(0).getStruct(0)
+    assert(r.getLong(0) == 0L && r.getDouble(1) == 1.0)
+    // empty centroid array -> the (-1, -2.0) sentinel
+    val s = spark.sql(
+      """SELECT graft_nearest_cell(array(1.0d), 1.0d,
+        |  CAST(array() AS array<struct<cell:bigint, cv:array<double>, cnrm:double>>)) AS b""".stripMargin)
+      .collect()(0).getStruct(0)
+    assert(s.getLong(0) == -1L && s.getDouble(1) == -2.0)
+  }
 }
