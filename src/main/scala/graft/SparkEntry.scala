@@ -2697,6 +2697,48 @@ object SparkEntry {
               |   OR vec_id IN (SELECT vec_id FROM skeep)
               |ORDER BY vec_id""".stripMargin)),
 
+    Q("sim_cell_occupancy",
+      // the PRE-JOIN occupancy audit the cell-bucketed family's docs
+      // prescribe, as a first-class entry: per cell — member count,
+      // corpus share, the n(n-1)/2 pair-join cost that cell will incur,
+      // and the over-budget flag (4x expected occupancy). A flagged cell
+      // means the Voronoi regions miss the data's modes and the
+      // quadratic within-cell join is about to reappear (the hot-LSH-
+      // bucket failure mode); run it before any cellNearDupPairs /
+      // semDedup job on a new corpus. Same auto cell-count rule as
+      // sim_semdedup_auto, so the oracle derives nCells identically
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val n = emb.count()
+        val nCells = math.max(16L, (n + 23) / 24)
+        val e0 = emb.select(col("vec_id"),
+          Similarity.toDoubleArray(col("embedding")).as("v"))
+        Similarity.cellOccupancy(emb,
+          e0.filter(col("vec_id") < nCells)
+            .select(col("vec_id").as("cell"), col("v").as("cv")),
+          expectedOccupancy = 24)
+      },
+      Some(s"""WITH $evecCteSql,
+              |params AS (SELECT GREATEST(16, (SELECT (count(*) + 23) // 24 FROM evec)) AS nc),
+              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en
+              |  WHERE vec_id < (SELECT nc FROM params)),
+              |asg0 AS (
+              |  SELECT en.vec_id, cents.cell,
+              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+              |  FROM en CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+              |    FROM asg0) WHERE rn = 1),
+              |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM asg GROUP BY 1),
+              |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tt FROM g)
+              |SELECT cell, n_vecs,
+              |  ROUND(CAST(n_vecs AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share,
+              |  CAST((n_vecs * (n_vecs - 1)) // 2 AS BIGINT) AS pair_cost,
+              |  CAST(n_vecs AS DOUBLE) > CAST(4.0 AS DOUBLE) * CAST(24 AS DOUBLE) AS over_budget
+              |FROM g, t ORDER BY n_vecs DESC, cell""".stripMargin)),
+
     Q("sim_mrl_ann",
       // Matryoshka prefix-dim ANN: exact cosine over the first 16 dims
       // re-normalized — the column-pruned cheap pass of an MRL funnel

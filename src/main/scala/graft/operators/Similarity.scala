@@ -1641,6 +1641,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-cell occupancy audit — the PRE-JOIN guard the cell-bucketed
+    * family's scaladocs prescribe ("a per-cell occupancy audit before
+    * the join; a cell over budget gets sub-quantized or falls back to
+    * banding"), promoted to a first-class operator: per cell, the
+    * member count, its share of the corpus, the pair-join cost that
+    * cell will incur (`n·(n−1)/2`), and an `over_budget` flag at
+    * `factor ×` the expected occupancy. Run this BEFORE
+    * [[cellNearDupPairs]]/[[semDedupWith]] on a new corpus: a flagged
+    * cell means the Voronoi regions don't match the data's modes and
+    * the quadratic within-cell join is about to re-appear (the hot-LSH-
+    * bucket failure mode). One aggregation to O(cells) rows. */
+  def cellOccupancy(emb: DataFrame, centsIn: DataFrame,
+                    expectedOccupancy: Long, factor: Double = 4.0): DataFrame = {
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = centsIn
+      .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))
+    val n = assignCells(e, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    n.crossJoin(broadcast(n.agg(sum(col("n_vecs")).as("__t"))))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("__t").cast("double"), 6)
+          .as("share"),
+        // Spark's `/` is double division; exact here (counts < 2^26) and
+        // pinned back to the oracle's BIGINT
+        (col("n_vecs") * (col("n_vecs") - 1) / 2).cast("long").as("pair_cost"),
+        (col("n_vecs").cast("double") >
+          lit(factor) * lit(expectedOccupancy).cast("double")).as("over_budget"))
+      .orderBy(col("n_vecs").desc, col("cell"))
+  }
+
   // ------------------------------------------------------------------
   // Serving-layout index export (r11 VERDICT task 6): the batch half of
   // the "online ANN serving does not fit Spark" boundary. The trained

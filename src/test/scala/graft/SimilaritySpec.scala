@@ -774,6 +774,22 @@ class SimilaritySpec extends SparkSpec {
       assert(twin._2 == cell && twin._3 == cos)
   }
 
+  test("cellOccupancy: a planted hot cell is flagged over budget; costs add up") {
+    val s = spark
+    import s.implicits._
+    // 10 vectors all pointing at e1 -> everything lands in cell 0; the
+    // e2 centroid (cell 1) stays empty and never appears in the report
+    val emb = (0L until 10L).map(i => (i, Seq.fill(4)(0.0f).updated(0, 1.0f + i * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cell", "cv")
+    val rows = operators.Similarity.cellOccupancy(emb, cents,
+        expectedOccupancy = 1L, factor = 4.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq((0L, 10L, 1.0, 45L, true)))
+  }
+
   test("index export: trained IVF-PQ query from the parquet layout == in-memory path") {
     val emb = Tables.embeddings(spark, sf0001)
     val cents = Similarity.trainCentroids(emb, nCells = 8)
