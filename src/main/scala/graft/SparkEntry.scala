@@ -7782,7 +7782,54 @@ object SparkEntry {
           |SELECT sentiment, CAST(count(*) AS BIGINT) AS cnt,
           |  ROUND(AVG(confidence), 6) AS avg_confidence,
           |  ROUND(AVG(original_score), 6) AS avg_score
-          |FROM atscored GROUP BY sentiment ORDER BY sentiment""".stripMargin))
+          |FROM atscored GROUP BY sentiment ORDER BY sentiment""".stripMargin)),
+
+    Q("v4_attn_order",
+      // the ORDER-SENSITIVITY certificate at catalog level: each panel
+      // document scored twice through the attention seam — original
+      // token order and token-reversed — with both exact-double
+      // confidences and the differs flag hash-gated. AttnSentimentSpec
+      // pins the property unit-level; this pins it against the DuckDB
+      // replay of BOTH forward passes, which no bag-of-words scorer in
+      // the seam (lexicon, hashed-logistic, MLP) could pass with any
+      // non-trivial differs column: positional encodings are the only
+      // order-carrying term in the engine's model family
+      (s, d) => {
+        val base = Tables.documents(s, d).filter(col("doc_id") < 50)
+          .select("doc_id", "text")
+        val rev = base.select((col("doc_id") + 100000).as("doc_id"),
+          array_join(reverse(TextFns.tokens(col("text"))), " ").as("text"))
+        val scored = Sentiment.scoreWithModel(base.unionByName(rev),
+            ml.AttnSentiment.batchScorer(attnArtifact()))
+          .select("doc_id", "confidence")
+        val fwd = scored.filter(col("doc_id") < 100000)
+          .select(col("doc_id"), col("confidence").as("conf"))
+        val bwd = scored.filter(col("doc_id") >= 100000)
+          .select((col("doc_id") - 100000).as("doc_id"),
+            col("confidence").as("conf_rev"))
+        fwd.join(bwd, "doc_id")
+          .select(col("doc_id"), col("conf"), col("conf_rev"),
+            (col("conf") =!= col("conf_rev")).as("order_sensitive"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+             |                t -> t <> '') AS tokens
+             |  FROM documents WHERE doc_id < 50),
+             |toks AS (
+             |  SELECT doc_id, text, tokens FROM t0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, array_to_string(list_reverse(tokens), ' '),
+             |    list_reverse(tokens) FROM t0),
+             |""".stripMargin +
+        ml.AttnSentiment.oracleCtes(ml.AttnSentiment.defaultModel) +
+        """
+          |SELECT a.doc_id, a.confidence AS conf, b.confidence AS conf_rev,
+          |  a.confidence <> b.confidence AS order_sensitive
+          |FROM atsent a JOIN atsent b ON b.doc_id = a.doc_id + 100000
+          |WHERE a.doc_id < 100000
+          |ORDER BY a.doc_id""".stripMargin))
   )
 
   /** The MLP model artifact for the `v4_model_*` entries, written once
