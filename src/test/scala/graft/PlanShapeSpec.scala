@@ -230,7 +230,8 @@ class PlanShapeSpec extends SparkSpec {
       "ml_ols_fit", // corpus scan x ONE broadcast coefficient row (the MAE pass)
       "fe_target_encode", // corpus rows x ONE broadcast global-prior row
       "dq_benford", // 9 digit rows x ONE broadcast total row
-      "sim_index_export") // assignCells' single-row centroid-array broadcast + single-row query probe/re-rank
+      "sim_index_export", // assignCells' single-row centroid-array broadcast + single-row query probe/re-rank
+      "sim_cell_occupancy") // assignCells' single-row centroid-array broadcast + ONE total-row broadcast
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
     val streaming = Set("st2_stream_hourly", "st3_stream_dedup",
