@@ -374,6 +374,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(b1 == b2, "trainCodebook is not deterministic across calls")
   }
 
+  test("v4_attn_scores: the model-seam scan prunes to (doc_id, text) only") {
+    // the mapPartitions seam is opaque to Catalyst ABOVE it, but the
+    // projection BELOW it must still prune the parquet read — a seam
+    // that drags every document column through inference reads ~5x the
+    // bytes at 100 TB
+    val p = plan("v4_attn_scores")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("AQE skew join: a planted hot key is split across tasks (OptimizeSkewedJoin fires)") {
     // ev_salted_join demonstrates the MANUAL skew fix; this pins the
     // ADAPTIVE one (r11 VERDICT task 7): with AQE's skew-join handling
