@@ -790,6 +790,45 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSeq == Seq((0L, 10L, 1.0, 45L, true)))
   }
 
+  test("index versioning: a v2 refresh never disturbs v1 readers; v2 sees the new vectors") {
+    // the whole point of the v=N layout: Spark refreshes version N+1
+    // while serving replays from version N — prove reader isolation by
+    // exporting v1, growing the corpus, exporting v2 alongside, and
+    // checking the v1 replay is byte-for-byte what it was before v2
+    // existed while the v2 replay surfaces a planted near-clone
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val e0 = emb.select(col("vec_id"),
+      operators.Similarity.toDoubleArray(col("embedding")).as("v"))
+    val cents = e0.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val cb = e0.filter(col("vec_id") < 8).select(col("vec_id"),
+      posexplode(array((0 until 8).map(ss =>
+        slice(col("v"), ss * 8 + 1, 8)): _*)).as(Seq("s", "vs")))
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("vs").as("cw"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxv_").toString
+    operators.Similarity.writeIvfPqIndex(emb, cents, cb, dir, version = 1)
+    def replay(version: Int) = operators.Similarity.ivfPqTopKFromIndex(
+        operators.Similarity.readIvfPqIndex(spark, dir, version),
+        queryId = 20, k = 10, nprobe = 3, shortlist = 40)
+      .collect().map(_.toSeq).toSeq
+    val v1Before = replay(1)
+    // corpus grows by a near-clone of the query vector (id 900001):
+    // same direction, scaled — cosine 1.0 to the query, must top v2
+    val clone = emb.filter(col("vec_id") === 20)
+      .select(lit(900001L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    operators.Similarity.writeIvfPqIndex(
+      emb.select("vec_id", "embedding").unionByName(clone), cents, cb,
+      dir, version = 2)
+    assert(replay(1) == v1Before, "v1 replay changed after the v2 export")
+    val v2Top = replay(2).head
+    assert(v2Top.head == 900001L && v2Top.last == 1.0,
+      s"v2 must surface the planted clone at cosine 1.0, got $v2Top")
+    sources.Artifacts.deleteRecursively(new java.io.File(dir))
+  }
+
   test("index export: trained IVF-PQ query from the parquet layout == in-memory path") {
     val emb = Tables.embeddings(spark, sf0001)
     val cents = Similarity.trainCentroids(emb, nCells = 8)
