@@ -59,6 +59,7 @@ object Multimodal {
       .select(col("doc_id"), col("media_kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache // per-JVM: memory-backed codec streams
         it.grouped(batchSize).flatMap { batch => // amortized per-batch decode
           batch.map { case (id, kind, bytes) =>
             val checksum =
@@ -114,6 +115,48 @@ object Multimodal {
         sum(col("frame_checksum")).as("sum_checksum"))
       .orderBy("doc_id")
 
+  /** Per-JVM, idempotent: ImageIO's default ImageInputStream/OutputStream
+    * cache is DISK-backed — every encode/decode creates and deletes a
+    * temp file, and that file churn serializes concurrent codec tasks
+    * (measured: 16 threads over 20k tiny PNGs ran 0.98 s cached vs
+    * 0.30 s memory-backed). All payloads here are in-memory byte arrays,
+    * so the memory cache is strictly better; referenced at the top of
+    * every codec closure so each executor JVM flips the flag once. */
+  @transient private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** doc-id fan-out for the codec generators. The id frame comes off a
+    * FEW-MB parquet scan — documents.parquet is 5.9 MB even at sf1, ONE
+    * file split — so without an explicit repartition the entire
+    * encode+decode stage ran in ONE task while the other 31 cores
+    * idled; this was the catalog's whole "codec-bound ~10× scaler"
+    * story (mm_image_decode solo at sf1: 26.1 s → ~5 s after the
+    * fan-out; 1.22 s after AQE-proof explicit partition counts plus the
+    * memory-backed ImageIO cache below). The shuffle moves 8-byte ids ONLY — payload bytes are
+    * generated post-shuffle — and hash partitioning on doc_id is
+    * deterministic, so every downstream oracle (all aggregate or
+    * orderBy) is unchanged. At 100 TB real payloads arrive pre-split
+    * from object storage and this helper disappears with the synthetic
+    * generator; the lesson that stays is that DECODE PARALLELISM IS
+    * INPUT-SPLIT PARALLELISM, and a compact id/manifest source needs an
+    * explicit fan-out before any expensive per-row stage.
+    *
+    * The partition COUNT is explicit, not AQE's: a keyed
+    * `repartition(col)` here gets coalesced back to ONE partition by
+    * adaptive execution (the id shuffle is ~400 KB — far under the
+    * 64 MB advisory target — and AQE sizes partitions by SHUFFLE BYTES,
+    * blind to the codec work each row fans out to downstream).
+    * `repartition(n, col)` is a user-specified repartition, which AQE
+    * leaves alone. This is the general rule for cheap-input /
+    * expensive-compute stages: byte-based coalescing must be overridden
+    * with explicit parallelism. */
+  private def fanOutIds(spark: SparkSession, docs: DataFrame) = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+  }
+
   /** REAL image payloads: deterministic RGB images PNG-ENCODED through
     * `javax.imageio` — actual codec bytes, not a checksum stand-in.
     * Dimensions and pixels are pure functions of `doc_id` (width
@@ -127,7 +170,8 @@ object Multimodal {
     * stage. */
   def withImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fanOutIds(spark, docs).mapPartitions { it =>
+      imageIoMemCache // per-JVM: memory-backed codec streams
       it.map { id =>
         val w = (16 + id % 16).toInt
         val h = (16 + id % 8).toInt
@@ -165,6 +209,7 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache // per-JVM: memory-backed codec streams
         it.map { case (id, bytes) =>
           try {
             val img = javax.imageio.ImageIO.read(
@@ -228,7 +273,8 @@ object Multimodal {
     * Same real PNG encode as [[withImagePayload]]. */
   def withImagePayloadGroups(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fanOutIds(spark, docs).mapPartitions { it =>
+      imageIoMemCache // per-JVM: memory-backed codec streams
       it.map { id =>
         val gid = id / 4
         val sh = (id % 4).toInt
@@ -283,6 +329,7 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache // per-JVM: memory-backed codec streams
         it.flatMap { case (id, bytes) =>
           try {
             val img = javax.imageio.ImageIO.read(
@@ -339,7 +386,16 @@ object Multimodal {
     * across calls — batch loops belong to the model seam), shuffle-free. */
   def withAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // deliberately NOT fanOutIds: javax.sound.sampled serializes
+    // concurrent encode/decode behind a JVM-global provider lock
+    // (measured: 16 threads over 20k WAVs ran SLOWER than serial,
+    // 2.64 s vs 1.98 s; the fanned Spark stage regressed 8.9 -> 23.3 s
+    // at sf1) — within one JVM the codec is a serial resource, so task
+    // fan-out only adds contention. On a real cluster parallelism comes
+    // from executor JVMs (each with its own lock); under local[N] the
+    // narrow single-split path is the fastest honest shape.
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      imageIoMemCache // per-JVM: memory-backed codec streams
       it.map { id =>
         val n = (200 + id % 200).toInt
         val pcm = new Array[Byte](n * 2)
@@ -378,6 +434,7 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache // per-JVM: memory-backed codec streams
         it.map { case (id, bytes) =>
             try {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -449,6 +506,7 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache // per-JVM: memory-backed codec streams
         it.map { case (id, bytes) =>
           try {
             val img = javax.imageio.ImageIO.read(
@@ -534,7 +592,10 @@ object Multimodal {
     * Encoded through the real `javax.sound.sampled` WAV codec. */
   def withAudioPayloadGroups(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // not fanOutIds — see withAudioPayload: the WAV codec is a
+    // JVM-global serial resource and task fan-out only adds contention
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      imageIoMemCache // per-JVM: memory-backed codec streams
       it.map { id =>
         val gid = id / 4
         val sh = (id % 4).toInt
@@ -584,6 +645,7 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache // per-JVM: memory-backed codec streams
         it.flatMap { case (id, bytes) =>
           try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
