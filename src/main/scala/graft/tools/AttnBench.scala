@@ -22,6 +22,11 @@ object AttnBench {
       .resolve("m.bin").toString
     AttnSentiment.save(AttnSentiment.defaultModel, p)
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      // fan out BEFORE the checkpoint: the documents scan is one file
+      // split at every SF (few-MB parquet), so without this the "seam
+      // throughput" was a SINGLE-CORE number; at deployment scale input
+      // splits provide this parallelism for free
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true) // isolate inference cost from the scan
     val sorted = docs
       .sortWithinPartitions(size(functions.TextFns.tokens(col("text"))))

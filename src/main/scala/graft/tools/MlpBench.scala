@@ -19,6 +19,11 @@ object MlpBench {
       .resolve("m.bin").toString
     MlpSentiment.save(MlpSentiment.defaultModel, p)
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      // fan out BEFORE the checkpoint: the documents scan is one file
+      // split at every SF (few-MB parquet), so without this the "seam
+      // throughput" was a SINGLE-CORE number; at deployment scale input
+      // splits provide this parallelism for free
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true) // isolate inference cost from the scan
     val n = docs.count()
 
