@@ -14,8 +14,29 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Adaptive parallelism floor for the COMPUTE-HEAVY tables (documents,
+    * embeddings): their few-MB synthetic files are a single parquet row
+    * group, so the scan is ONE split and every expensive narrow stage
+    * above it (regex/shingle/HOF text analytics, vector norms, the V4
+    * inference seam) ran on one core with the rest of the machine idle —
+    * measured 29.1 → 2.6 s for the Gopher gate at sf1. When the scan
+    * already has at least core-count partitions — every production-sized
+    * table — this is the identity: no exchange appears in the plan, so
+    * at 100 TB the loaders behave exactly as before. The repartition is
+    * round-robin under sortBeforeRepartition (deterministic given scan
+    * order), Catalyst pushes filters and column pruning straight through
+    * it, and the shuffled payload is by definition a few MB. TPC-H
+    * tables keep their natural splits (their entries are scan+agg shapes
+    * where an extra exchange only costs). */
+  private def withParallelismFloor(spark: SparkSession, df: DataFrame): DataFrame = {
+    val floor = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= floor) df else df.repartition(floor)
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    withParallelismFloor(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    withParallelismFloor(spark, load(spark, dir, "embeddings"))
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark does not model;
     * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
     * [[Sessions.configure]]) and this loader converts the raw nanos to a
