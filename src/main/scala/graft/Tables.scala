@@ -14,29 +14,33 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Adaptive parallelism floor for the COMPUTE-HEAVY tables (documents,
-    * embeddings): their few-MB synthetic files are a single parquet row
-    * group, so the scan is ONE split and every expensive narrow stage
-    * above it (regex/shingle/HOF text analytics, vector norms, the V4
-    * inference seam) ran on one core with the rest of the machine idle —
-    * measured 29.1 → 2.6 s for the Gopher gate at sf1. When the scan
-    * already has at least core-count partitions — every production-sized
-    * table — this is the identity: no exchange appears in the plan, so
-    * at 100 TB the loaders behave exactly as before. The repartition is
-    * round-robin under sortBeforeRepartition (deterministic given scan
-    * order), Catalyst pushes filters and column pruning straight through
-    * it, and the shuffled payload is by definition a few MB. TPC-H
-    * tables keep their natural splits (their entries are scan+agg shapes
-    * where an extra exchange only costs). */
-  private def withParallelismFloor(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** [[documents]] carries an adaptive parallelism floor: the synthetic
+    * documents.parquet is a SINGLE parquet row group at every bench SF,
+    * so the plain scan is one split and every compute-heavy narrow stage
+    * above it (regex/shingle/HOF text analytics, per-token md5, the V4
+    * inference seam) ran one-task while the rest of the machine idled —
+    * the source of the catalog-wide 4.5-9.5x sf1/sf0.1 band (the Gopher
+    * gate alone measured 29.1 → 2.6 s at sf1 from this fix). If the scan
+    * already has at least core-count partitions — any production-sized
+    * table — the floor is the IDENTITY: no exchange in the plan, 100 TB
+    * behavior unchanged. Otherwise: round-robin repartition to
+    * defaultParallelism (deterministic under sortBeforeRepartition;
+    * filters and column pruning push straight through the exchange — the
+    * PlanShapeSpec pushdown/pruning guards pin it).
+    *
+    * `embeddings` deliberately does NOT get the floor: its entries'
+    * heavy stages sit behind shuffles already, several make multiple
+    * passes over the table (recall panels, trained-vs-deterministic
+    * twins), and the measured effect of fanning it was net-negative
+    * (extra AQE stages per pass). Codec consumers that must bound THEIR
+    * OWN parallelism (the JVM-global audio encoder) clamp explicitly —
+    * see Multimodal.codecParallelism. */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "documents")
     val floor = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= floor) df else df.repartition(floor)
   }
-
-  def documents(spark: SparkSession, dir: String): DataFrame =
-    withParallelismFloor(spark, load(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    withParallelismFloor(spark, load(spark, dir, "embeddings"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark does not model;
     * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
     * [[Sessions.configure]]) and this loader converts the raw nanos to a

@@ -384,17 +384,27 @@ object Multimodal {
     * so a downstream decode is independently verifiable in closed form.
     * Narrow per-item `mapPartitions` encode (the codec amortizes nothing
     * across calls — batch loops belong to the model seam), shuffle-free. */
+  /** Codec-parallelism clamp for the AUDIO generators — the opposite of
+    * [[fanOutIds]], for the opposite reason: javax.sound.sampled
+    * serializes concurrent encode/decode behind a JVM-GLOBAL provider
+    * lock (measured: 16 threads over 20k WAVs ran SLOWER than serial,
+    * 2.64 s vs 1.98 s; a fanned Spark stage regressed 8.9 -> 23.3 s at
+    * sf1), so WITHIN one JVM the WAV codec is a serial resource and
+    * task fan-out only buys contention. The honest parallelism unit is
+    * the executor JVM: clamp the id stream to one partition per
+    * executor (local mode: 1). coalesce() fuses without a shuffle, and
+    * because the upstream documents loader may be fanned, the clamp
+    * must live HERE, next to the lock it protects. */
+  private def audioCodecIds(spark: SparkSession, docs: DataFrame) = {
+    import spark.implicits._
+    val jvms = math.max(1,
+      spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
+    docs.select(col("doc_id")).coalesce(jvms).as[Long]
+  }
+
   def withAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    // deliberately NOT fanOutIds: javax.sound.sampled serializes
-    // concurrent encode/decode behind a JVM-global provider lock
-    // (measured: 16 threads over 20k WAVs ran SLOWER than serial,
-    // 2.64 s vs 1.98 s; the fanned Spark stage regressed 8.9 -> 23.3 s
-    // at sf1) — within one JVM the codec is a serial resource, so task
-    // fan-out only adds contention. On a real cluster parallelism comes
-    // from executor JVMs (each with its own lock); under local[N] the
-    // narrow single-split path is the fastest honest shape.
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    audioCodecIds(spark, docs).mapPartitions { it =>
       imageIoMemCache // per-JVM: memory-backed codec streams
       it.map { id =>
         val n = (200 + id % 200).toInt
@@ -592,9 +602,7 @@ object Multimodal {
     * Encoded through the real `javax.sound.sampled` WAV codec. */
   def withAudioPayloadGroups(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    // not fanOutIds — see withAudioPayload: the WAV codec is a
-    // JVM-global serial resource and task fan-out only adds contention
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    audioCodecIds(spark, docs).mapPartitions { it =>
       imageIoMemCache // per-JVM: memory-backed codec streams
       it.map { id =>
         val gid = id / 4
