@@ -1017,6 +1017,66 @@ object SparkEntry {
        |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
        |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin
 
+  /** Shared DuckDB replay of the RESIDUAL IVF-PQ query (query 20,
+    * k 10, nprobe 4, shortlist 50, per-probed-cell ADC): the oracle
+    * for BOTH `sim_ivfpq_res_ann` (in-memory path) and
+    * `sim_index_export_res` (the same query replayed from the exported
+    * residual layout alone) — one SQL string, two engine paths, so the
+    * entries also prove the two paths equal each other. */
+  private lazy val ivfpqResAnnOracle: String =
+    s"""WITH $evecCteSql,
+       |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+       |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
+       |asg0 AS (
+       |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
+       |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
+       |  FROM en CROSS JOIN cents),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM asg0) WHERE rn = 1),
+       |rb AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS ev
+       |  FROM asg a JOIN cents c ON a.cell = c.cell),
+       |ss AS (SELECT unnest(range(0, 8)) AS s),
+       |sl AS MATERIALIZED (SELECT vec_id, s, list_slice(ev, s * 8 + 1, s * 8 + 8) AS vs
+       |  FROM rb, ss),
+       |cb AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
+       |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
+       |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
+       |  FROM sl JOIN cb ON sl.s = cb.s),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |    FROM enc0) WHERE rn = 1),
+       |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 20),
+       |pb0 AS (SELECT cents.cell, cents.cv,
+       |    ${dotSql("cents.cv", "qv")} / (cents.cnrm * qnrm) AS qccos
+       |  FROM cents, q),
+       |probed AS (SELECT cell, cv FROM (
+       |    SELECT cell, cv, row_number() OVER (ORDER BY qccos DESC, cell) AS pr
+       |    FROM pb0) WHERE pr <= 4),
+       |qres AS (SELECT p.cell AS qcell,
+       |    list_transform(list_zip(qv, p.cv), x -> x[1] - x[2]) AS qr
+       |  FROM probed p, q),
+       |qsl AS (SELECT qcell, s, list_slice(qr, s * 8 + 1, s * 8 + 8) AS qvs
+       |  FROM qres, ss),
+       |qt AS (SELECT qsl.qcell, cb.s, cb.code,
+       |    ${dotSql("qvs", "qvs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("qvs", "cw")} AS qd2
+       |  FROM cb JOIN qsl ON cb.s = qsl.s),
+       |shortl AS (
+       |  SELECT a.vec_id, a.cell, ROUND(SUM(qd2), 6) AS adc_dist
+       |  FROM asg a
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN qt ON qt.qcell = a.cell AND qt.s = enc.s AND qt.code = enc.code
+       |  WHERE a.vec_id <> 20
+       |  GROUP BY a.vec_id, a.cell
+       |  ORDER BY adc_dist, a.vec_id LIMIT 50)
+       |SELECT sh.vec_id, sh.cell, sh.adc_dist,
+       |  ROUND(${dotSql("en.v", "qv")} / (en.nrm * qnrm), 6) AS cos
+       |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
+       |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin
+
   private def trainedQuantizers(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val dir = new java.io.File(
       s"spark-warehouse/graft_state/tq_v1_c64m8n16_${sourceStateKey(s, d, "embeddings.parquet")}")
@@ -2556,58 +2616,35 @@ object SparkEntry {
       (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), queryId = 20,
         k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16, shortlist = 50,
         residual = true),
-      Some(s"""WITH $evecCteSql,
-              |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
-              |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
-              |asg0 AS (
-              |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
-              |    ${dotSql("en.v", "cents.cv")} / (en.nrm * cents.cnrm) AS ccos
-              |  FROM en CROSS JOIN cents),
-              |asg AS MATERIALIZED (
-              |  SELECT vec_id, v, nrm, cell FROM (
-              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
-              |    FROM asg0) WHERE rn = 1),
-              |rb AS MATERIALIZED (
-              |  SELECT a.vec_id, a.cell,
-              |    list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS ev
-              |  FROM asg a JOIN cents c ON a.cell = c.cell),
-              |ss AS (SELECT unnest(range(0, 8)) AS s),
-              |sl AS MATERIALIZED (SELECT vec_id, s, list_slice(ev, s * 8 + 1, s * 8 + 8) AS vs
-              |  FROM rb, ss),
-              |cb AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
-              |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
-              |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
-              |  FROM sl JOIN cb ON sl.s = cb.s),
-              |enc AS (SELECT vec_id, s, code FROM (
-              |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
-              |    FROM enc0) WHERE rn = 1),
-              |q AS (SELECT v AS qv, nrm AS qnrm FROM en WHERE vec_id = 20),
-              |pb0 AS (SELECT cents.cell, cents.cv,
-              |    ${dotSql("cents.cv", "qv")} / (cents.cnrm * qnrm) AS qccos
-              |  FROM cents, q),
-              |probed AS (SELECT cell, cv FROM (
-              |    SELECT cell, cv, row_number() OVER (ORDER BY qccos DESC, cell) AS pr
-              |    FROM pb0) WHERE pr <= 4),
-              |qres AS (SELECT p.cell AS qcell,
-              |    list_transform(list_zip(qv, p.cv), x -> x[1] - x[2]) AS qr
-              |  FROM probed p, q),
-              |qsl AS (SELECT qcell, s, list_slice(qr, s * 8 + 1, s * 8 + 8) AS qvs
-              |  FROM qres, ss),
-              |qt AS (SELECT qsl.qcell, cb.s, cb.code,
-              |    ${dotSql("qvs", "qvs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("qvs", "cw")} AS qd2
-              |  FROM cb JOIN qsl ON cb.s = qsl.s),
-              |shortl AS (
-              |  SELECT a.vec_id, a.cell, ROUND(SUM(qd2), 6) AS adc_dist
-              |  FROM asg a
-              |  JOIN enc ON enc.vec_id = a.vec_id
-              |  JOIN qt ON qt.qcell = a.cell AND qt.s = enc.s AND qt.code = enc.code
-              |  WHERE a.vec_id <> 20
-              |  GROUP BY a.vec_id, a.cell
-              |  ORDER BY adc_dist, a.vec_id LIMIT 50)
-              |SELECT sh.vec_id, sh.cell, sh.adc_dist,
-              |  ROUND(${dotSql("en.v", "qv")} / (en.nrm * qnrm), 6) AS cos
-              |FROM shortl sh JOIN en ON sh.vec_id = en.vec_id, q
-              |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin)),
+      Some(ivfpqResAnnOracle)),
+
+    Q("sim_index_export_res",
+      // the exported-layout boundary for the RESIDUAL encoding (r12
+      // VERDICT task 8): writeIvfPqIndex(residual = true) persists the
+      // FAISS-default IVFx,PQy variant — residual-trained codebook,
+      // residual codes in the postings, `residual` flag in the manifest
+      // — and the replay reads the flag back (the layout is
+      // self-describing, the serving path is never told which variant
+      // it opened) to build the per-probed-cell ADC table. Hash-gated
+      // against the SAME oracle as sim_ivfpq_res_ann: export → read →
+      // probe → partition-pruned per-cell ADC → exact re-rank is
+      // bit-identical to the in-memory residual path. With
+      // sim_index_export this closes both encodings of the
+      // batch/serving handoff
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dir = s"spark-warehouse/graft_state/ivfpq_res_index_${sourceStateKey(s, d, "embeddings.parquet")}"
+        if (!new java.io.File(s"$dir/v=1/manifest/_SUCCESS").exists) {
+          Similarity.writeIvfPqIndex(emb,
+            Similarity.deterministicCentroids(emb, nCells = 16),
+            Similarity.residualCodebook(emb, nCells = 16, nCodes = 16),
+            dir, version = 1, residual = true)
+        }
+        val idx = Similarity.readIvfPqIndex(s, dir, version = 1)
+        Similarity.ivfPqTopKFromIndex(idx, queryId = 20, k = 10,
+          nprobe = 4, shortlist = 50)
+      },
+      Some(ivfpqResAnnOracle)),
 
     Q("sim_semdedup",
       // SemDeDup (Abbas et al. 2023): semantic pruning in embedding
@@ -4509,7 +4546,7 @@ object SparkEntry {
     Q("mm_audio_neardup",
       // perceptual audio near-dup (energy-delta fingerprint, the
       // Haitsma-Kalker idea over 64 L1 frame energies): REAL WAV encode
-      // -> REAL javax.sound decode -> ring of frame-energy comparisons
+      // -> REAL RiffWav chunk-walk decode -> ring of frame-energy comparisons
       // -> the SimHash banding + exact Hamming <= 3 verify. Payloads are
       // planted groups of four amplitude-scaled variants (delta-SIGN
       // bits are gain-invariant, so small Hamming by construction); the
@@ -4666,8 +4703,8 @@ object SparkEntry {
 
     Q("mm_audio_decode",
       // the audio twin of mm_image_decode: deterministic 16-bit mono PCM
-      // WAV-encoded via javax.sound.sampled, decoded back with
-      // AudioSystem.getAudioInputStream in batched mapPartitions, exact
+      // WAV-encoded via the lock-free RiffWav codec, decoded back with
+      // RiffWav.decodeInt16Mono in batched mapPartitions, exact
       // integer signal stats (amplitude sum, energy, min/max, zero
       // crossings) off the decoded samples. The oracle replays the
       // sample formula in closed form — a RIFF header mis-parse, an
@@ -7829,7 +7866,59 @@ object SparkEntry {
           |  a.confidence <> b.confidence AS order_sensitive
           |FROM atsent a JOIN atsent b ON b.doc_id = a.doc_id + 100000
           |WHERE a.doc_id < 100000
-          |ORDER BY a.doc_id""".stripMargin))
+          |ORDER BY a.doc_id""".stripMargin)),
+
+    Q("v4_attn_trained",
+      // the TRAINED attention scorer (r12 VERDICT task 3): same
+      // architecture and runtime as v4_attn_scores, but the value path
+      // + head are FIT IN-REPO to the lexicon teacher by deterministic
+      // integer coordinate descent over the frozen attention pattern
+      // (ml.AttnTrain — zero-init probe, accuracy-first objective,
+      // even-doc_id train split; held-out accuracy beats the
+      // hand-derived weights, pinned in AttnSentimentSpec). Inference
+      // stays exact 64-bit integer math, so the per-document hash gate
+      // is unchanged: every label and exact-double confidence matched
+      // against the DuckDB replay generated FROM the trained model —
+      // training cannot drift the oracle
+      (s, d) => Sentiment.scoreWithModel(
+          Tables.documents(s, d).select("doc_id", "text"),
+          ml.AttnSentiment.batchScorer(attnTrainedArtifact,
+            ml.AttnTrain.trainedConfDenom))
+        .select(col("doc_id"), col("raw_label"), col("confidence"),
+          col("sentiment"))
+        .orderBy("doc_id"),
+      Some(Sentiment.oracleCte + ",\n" +
+        ml.AttnSentiment.oracleCtes(ml.AttnTrain.trainedModel,
+          ml.AttnTrain.trainedConfDenom) +
+        """
+          |SELECT doc_id, raw_label, confidence, sentiment FROM atsent
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("v4_attn_trained_pipeline",
+      // the trained scorer composed with the UNCHANGED downstream
+      // family (F8 thresholding, F7 original_score, A1 aggregation) —
+      // the third artifact swapped through the same model slot
+      // (hashed-logistic, MLP, hand-derived attention, now trained
+      // attention), nothing downstream changes, everything hash-green:
+      // the model-agnostic seam contract of SURVEY §7.1
+      (s, d) => Sentiment.scoreWithModel(
+          Tables.documents(s, d).select("doc_id", "text")
+            .sortWithinPartitions(size(TextFns.tokens(col("text")))),
+          ml.AttnSentiment.batchScorer(attnTrainedArtifact,
+            ml.AttnTrain.trainedConfDenom))
+        .groupBy("sentiment")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("confidence")), 6).as("avg_confidence"),
+          round(avg(col("original_score")), 6).as("avg_score"))
+        .orderBy("sentiment"),
+      Some(Sentiment.oracleCte + ",\n" +
+        ml.AttnSentiment.oracleCtes(ml.AttnTrain.trainedModel,
+          ml.AttnTrain.trainedConfDenom) +
+        """
+          |SELECT sentiment, CAST(count(*) AS BIGINT) AS cnt,
+          |  ROUND(AVG(confidence), 6) AS avg_confidence,
+          |  ROUND(AVG(original_score), 6) AS avg_score
+          |FROM atscored GROUP BY sentiment ORDER BY sentiment""".stripMargin))
   )
 
   /** The MLP model artifact for the `v4_model_*` entries, written once
@@ -7848,6 +7937,20 @@ object SparkEntry {
   private def attnArtifact(): String = {
     val f = new java.io.File("spark-warehouse/graft_state/attn_v1.bin")
     if (!f.exists) ml.AttnSentiment.save(ml.AttnSentiment.defaultModel, f.getPath)
+    f.getAbsolutePath
+  }
+
+  /** The TRAINED attention artifact for the `v4_attn_trained*` entries.
+    * Unlike the derived-weight artifacts this one is REWRITTEN once per
+    * session rather than written-if-absent: training is deterministic,
+    * so the bytes can only ever be identical, and the unconditional
+    * save guarantees a stale file from an older trainer version can
+    * never serve weights the (freshly generated) oracle SQL doesn't
+    * carry. The entries still consume the LOADED file through the
+    * per-JVM session cache — the full artifact runtime path. */
+  private lazy val attnTrainedArtifact: String = {
+    val f = new java.io.File("spark-warehouse/graft_state/attn_trained_v1.bin")
+    ml.AttnSentiment.save(ml.AttnTrain.trainedModel, f.getPath)
     f.getAbsolutePath
   }
 

@@ -38,7 +38,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "documents")
     val floor = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= floor) df else df.repartition(floor)
+    if (scanParallelism(df) >= floor) df else df.repartition(floor)
+  }
+
+  /** Scan-task count of a freshly-loaded frame, read off the physical
+    * file scan's input RDD — file listing + split arithmetic only, NOT
+    * `df.rdd.getNumPartitions`, which converts the whole plan to an RDD
+    * lineage (a deserializer stage bolted onto every load just to read
+    * a number). A bare parquet load has no exchange, so AQE never wraps
+    * it and the `FileSourceScanExec` sits directly in the executed
+    * plan; if the plan shape is ever something else, fall back to
+    * "already parallel" so the production invariant — no extra exchange
+    * on big tables — is preserved. */
+  private def scanParallelism(df: DataFrame): Int = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.inputRDDs().map(_.getNumPartitions).sum
+    }
+    if (scans.isEmpty) Int.MaxValue else scans.sum
   }
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark does not model;

@@ -136,14 +136,20 @@ object AttnSentiment {
     } finally in.close()
   }
 
-  /** Per-JVM model session cache — load once per executor, share across
-    * tasks (the OrtEnvironment-singleton pattern; task closures carry
-    * only the path string). */
+  /** Per-JVM model session cache keyed on (path, mtime, size) — load
+    * once per executor, share across tasks (the OrtEnvironment-singleton
+    * pattern; task closures carry only the path string). Keying on the
+    * stat, not the path alone, means a retrained artifact overwritten at
+    * the same path is picked up at the next batch in long-lived executor
+    * JVMs (same contract as [[graft.ml.MlpSentiment.sessionFor]]). */
   private val sessions =
-    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Model]()
 
-  def sessionFor(path: String): Model =
-    sessions.computeIfAbsent(path, load(_))
+  def sessionFor(path: String): Model = {
+    val f = new java.io.File(path)
+    sessions.computeIfAbsent((path, f.lastModified(), f.length()),
+      _ => load(path))
+  }
 
   /** Batched forward pass. Integer bounds, audited: |x| ≤ 9 (emb 7 +
     * pos 2); |q|,|k|,|v| ≤ 7 + 8·7·9 = 511; |s| ≤ 8·511² ≈ 2.09e6;
@@ -156,7 +162,8 @@ object AttnSentiment {
     * Returns (raw_label, confidence) per text, the scoreWithModel
     * contract; empty-token texts score (POSITIVE, 0.5) → NEUTRAL after
     * F8 (the seam-wide convention). */
-  def forward(m: Model, texts: Seq[String]): Seq[(String, Double)] = {
+  def forward(m: Model, texts: Seq[String],
+              confDenom: Double = ConfDenom): Seq[(String, Double)] = {
     // per-batch embedding memo: embeddings are a pure function of the
     // token and corpora are Zipfian — ~D md5 digests per DISTINCT token
     // per batch instead of per occurrence (the tokenizer-cache
@@ -220,7 +227,7 @@ object AttnSentiment {
         }
         val margin = logits(1) - logits(0)
         val conf = math.min(0.99,
-          0.5 + math.abs(margin).toDouble / (ConfDenom * math.sqrt(n.toDouble)))
+          0.5 + math.abs(margin).toDouble / (confDenom * math.sqrt(n.toDouble)))
         (if (margin >= 0L) "POSITIVE" else "NEGATIVE", conf)
       }
     }
@@ -228,9 +235,13 @@ object AttnSentiment {
 
   /** The seam-shaped batch scorer: session resolved INSIDE the closure
     * (per-executor, cached), one [[forward]] per batch — plug straight
-    * into [[Sentiment.scoreWithModel]]. */
-  def batchScorer(modelPath: String): Seq[String] => Seq[(String, Double)] =
-    texts => forward(sessionFor(modelPath), texts)
+    * into [[Sentiment.scoreWithModel]]. `confDenom` is the model's
+    * confidence calibration (the default suits the hand-derived
+    * weights; a trained model ships its own — see
+    * `AttnTrain.trainedConfDenom`). */
+  def batchScorer(modelPath: String,
+                  confDenom: Double = ConfDenom): Seq[String] => Seq[(String, Double)] =
+    texts => forward(sessionFor(modelPath), texts, confDenom)
 
   // --------------------------------------------------------------------
   // DuckDB oracle rendering — generated FROM the model object so SQL and
@@ -243,7 +254,7 @@ object AttnSentiment {
 
   private def d(x: Double): String = s"CAST($x AS DOUBLE)"
 
-  def oracleCtes(m: Model): String = {
+  def oracleCtes(m: Model, confDenom: Double = ConfDenom): String = {
     val dims = 0 until m.d
     // x_k at (token t, position i): embedding hash + positional literal
     def xSql(k: Int): String =
@@ -297,7 +308,7 @@ object AttnSentiment {
        |atconf AS (SELECT doc_id, text, wc,
        |    CASE WHEN margin IS NULL THEN ${d(0.5)}
        |      ELSE LEAST(${d(0.99)}, ${d(0.5)} + CAST(abs(margin) AS DOUBLE)
-       |        / (${d(ConfDenom)} * sqrt(CAST(n_att AS DOUBLE)))) END AS confidence,
+       |        / (${d(confDenom)} * sqrt(CAST(n_att AS DOUBLE)))) END AS confidence,
        |    CASE WHEN margin IS NULL OR margin >= 0
        |      THEN 'POSITIVE' ELSE 'NEGATIVE' END AS raw_label
        |  FROM atm),

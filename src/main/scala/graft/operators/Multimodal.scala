@@ -377,35 +377,23 @@ object Multimodal {
       imageAHash(spark, withImagePayloadGroups(spark, docs)), maxHamming)
 
   /** REAL audio payloads: deterministic 16-bit mono PCM, WAV-ENCODED
-    * through `javax.sound.sampled` — actual RIFF/WAVE codec bytes, the
-    * audio twin of [[withImagePayload]]. Sample i of document id is
+    * through the hand-rolled lock-free [[RiffWav]] codec — actual
+    * RIFF/WAVE container bytes (javax interop pinned in MultimodalSpec),
+    * the audio twin of [[withImagePayload]]. Sample i of document id is
     * `((id*31 + i*17) mod 65536) − 32768` (full-range integer noise) and
     * `n_samples = 200 + id % 200` at 8 kHz — pure functions of `doc_id`,
     * so a downstream decode is independently verifiable in closed form.
     * Narrow per-item `mapPartitions` encode (the codec amortizes nothing
-    * across calls — batch loops belong to the model seam), shuffle-free. */
-  /** Codec-parallelism clamp for the AUDIO generators — the opposite of
-    * [[fanOutIds]], for the opposite reason: javax.sound.sampled
-    * serializes concurrent encode/decode behind a JVM-GLOBAL provider
-    * lock (measured: 16 threads over 20k WAVs ran SLOWER than serial,
-    * 2.64 s vs 1.98 s; a fanned Spark stage regressed 8.9 -> 23.3 s at
-    * sf1), so WITHIN one JVM the WAV codec is a serial resource and
-    * task fan-out only buys contention. The honest parallelism unit is
-    * the executor JVM: clamp the id stream to one partition per
-    * executor (local mode: 1). coalesce() fuses without a shuffle, and
-    * because the upstream documents loader may be fanned, the clamp
-    * must live HERE, next to the lock it protects. */
-  private def audioCodecIds(spark: SparkSession, docs: DataFrame) = {
-    import spark.implicits._
-    val jvms = math.max(1,
-      spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
-    docs.select(col("doc_id")).coalesce(jvms).as[Long]
-  }
-
+    * across calls — batch loops belong to the model seam), shuffle-free.
+    *
+    * History: rounds ≤12 encoded through `javax.sound.sampled`, whose
+    * JVM-global provider lock made concurrent codec tasks SLOWER than
+    * serial and forced a one-partition-per-JVM clamp here. [[RiffWav]]
+    * removed the lock, so audio now takes the same [[fanOutIds]] path
+    * as the image family and scales with task parallelism. */
   def withAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    audioCodecIds(spark, docs).mapPartitions { it =>
-      imageIoMemCache // per-JVM: memory-backed codec streams
+    fanOutIds(spark, docs).mapPartitions { it =>
       it.map { id =>
         val n = (200 + id % 200).toInt
         val pcm = new Array[Byte](n * 2)
@@ -416,66 +404,48 @@ object Multimodal {
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, 1, true, false) // signed, little-endian
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-        (id, out.toByteArray)
+        (id, RiffWav.encode(pcm, 8000))
       }
     }.toDF("doc_id", "payload")
   }
 
-  /** REAL audio decode over binary payloads:
-    * `AudioSystem.getAudioInputStream` in batched `mapPartitions`,
-    * emitting the decoded format's typed metadata (sample rate, channel
-    * count, frame count) and exact integer signal stats off the decoded
-    * samples — amplitude sum, energy (sum of squares), min/max, and the
-    * zero-crossing count (the classic voiced/unvoiced heuristic). A
-    * header mis-parse, an endianness flip, or a resampling decode breaks
-    * every stat. Unreadable payloads — and formats the int16 stride
-    * assumption doesn't hold for (non-16-bit, multi-channel, big-endian)
-    * — surface as NULL stats rows (the error-column posture), never
-    * exceptions. Narrow per-item `mapPartitions` — no shuffle. */
+  /** REAL audio decode over binary payloads: [[RiffWav.decodeInt16Mono]]
+    * in batched `mapPartitions`, emitting the decoded format's typed
+    * metadata (sample rate, channel count, frame count) and exact
+    * integer signal stats off the decoded samples — amplitude sum,
+    * energy (sum of squares), min/max, and the zero-crossing count (the
+    * classic voiced/unvoiced heuristic). A header mis-parse or a stride
+    * slip breaks every stat (and PCM WAV is little-endian by spec, so a
+    * successful parse pins endianness too). Unreadable payloads — and
+    * formats outside the int16-mono assumption (non-16-bit,
+    * multi-channel, non-PCM) — surface as NULL stats rows (the
+    * error-column posture), never exceptions. Narrow per-item
+    * `mapPartitions` — no shuffle, and with the lock-free codec the
+    * stage scales with task parallelism. */
   def audioDecodeStats(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        imageIoMemCache // per-JVM: memory-backed codec streams
         it.map { case (id, bytes) =>
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-                  fmt.isBigEndian)
-                throw new javax.sound.sampled.UnsupportedAudioFileException(
-                  s"int16-mono-LE stats need a matching format, got $fmt")
-              val data = ais.readAllBytes()
-              val n = data.length / 2
-              var (sumAmp, sumSq, zc) = (0L, 0L, 0L)
-              var (minAmp, maxAmp) = (Int.MaxValue, Int.MinValue)
-              var prev = 0
-              var i = 0
-              while (i < n) {
-                // little-endian signed int16, as the format declares
-                val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
-                sumAmp += s; sumSq += s.toLong * s
-                if (s < minAmp) minAmp = s
-                if (s > maxAmp) maxAmp = s
-                if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
-                prev = s
-                i += 1
-              }
-              (id, Some((fmt.getSampleRate.toInt, fmt.getChannels, n.toLong,
-                sumAmp, sumSq, minAmp, maxAmp, zc)))
-            } catch {
-              case _: Exception =>
-                (id, None: Option[(Int, Int, Long, Long, Long, Int, Int, Long)])
+          (id, RiffWav.decodeInt16Mono(bytes).map { case (fmt, samples) =>
+            val n = samples.length
+            var (sumAmp, sumSq, zc) = (0L, 0L, 0L)
+            var (minAmp, maxAmp) = (Int.MaxValue, Int.MinValue)
+            var prev = 0
+            var i = 0
+            while (i < n) {
+              val s = samples(i)
+              sumAmp += s; sumSq += s.toLong * s
+              if (s < minAmp) minAmp = s
+              if (s > maxAmp) maxAmp = s
+              if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
+              prev = s
+              i += 1
             }
+            (fmt.sampleRate, fmt.channels, n.toLong,
+              sumAmp, sumSq, minAmp, maxAmp, zc)
+          })
         }
       }
       .map { case (id, st) =>
@@ -490,10 +460,11 @@ object Multimodal {
 
   /** Encode → decode round trip per document, ordered — the
     * `mm_audio_decode` catalog entry. The engine side pushes every sample
-    * through an actual WAV encode and an actual `javax.sound.sampled`
-    * decode; the DuckDB oracle computes the identical stats in closed
-    * form from the sample formula, so a header/endianness/stride bug in
-    * either codec direction goes red. */
+    * through an actual RIFF/WAVE encode and chunk-walking decode
+    * ([[RiffWav]]); the DuckDB oracle computes the identical stats in
+    * closed form from the sample formula, so a header/endianness/stride
+    * bug in either codec direction goes red (and MultimodalSpec
+    * cross-checks both directions against `javax.sound.sampled`). */
   def audioDecodeReport(spark: SparkSession, docs: DataFrame): DataFrame =
     audioDecodeStats(spark, withAudioPayload(spark, docs)).orderBy("doc_id")
 
@@ -599,11 +570,10 @@ object Multimodal {
     * shift-robust on signals whose every frame boundary moves with the
     * length — the round-10 prototype was dropped for exactly that, and
     * this family only plants what the fingerprint can honestly claim.
-    * Encoded through the real `javax.sound.sampled` WAV codec. */
+    * Encoded through the lock-free [[RiffWav]] WAV codec. */
   def withAudioPayloadGroups(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    audioCodecIds(spark, docs).mapPartitions { it =>
-      imageIoMemCache // per-JVM: memory-backed codec streams
+    fanOutIds(spark, docs).mapPartitions { it =>
       it.map { id =>
         val gid = id / 4
         val sh = (id % 4).toInt
@@ -619,13 +589,7 @@ object Multimodal {
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-        (id, out.toByteArray)
+        (id, RiffWav.encode(pcm, 8000))
       }
     }.toDF("doc_id", "payload")
   }
@@ -653,40 +617,29 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        imageIoMemCache // per-JVM: memory-backed codec streams
         it.flatMap { case (id, bytes) =>
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val fmt = ais.getFormat
-            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-                fmt.isBigEndian) None
+          RiffWav.decodeInt16Mono(bytes).flatMap { case (_, samples) =>
+            val n = samples.length
+            if (n < 64) None // fewer samples than frames: no fingerprint
             else {
-              val data = ais.readAllBytes()
-              val n = data.length / 2
-              if (n < 64) None // fewer samples than frames: no fingerprint
-              else {
-                val e = new Array[Long](64)
-                var i = 0
-                while (i < n) {
-                  val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
-                    .toShort.toInt
-                  e((i.toLong * 64 / n).toInt) += math.abs(s)
-                  i += 1
-                }
-                var hi = 0L
-                var lo = 0L
-                var f = 0
-                while (f < 64) {
-                  if (e(f) > e((f + 1) % 64)) {
-                    if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
-                  }
-                  f += 1
-                }
-                Some((id, hi, lo))
+              val e = new Array[Long](64)
+              var i = 0
+              while (i < n) {
+                e((i.toLong * 64 / n).toInt) += math.abs(samples(i))
+                i += 1
               }
+              var hi = 0L
+              var lo = 0L
+              var f = 0
+              while (f < 64) {
+                if (e(f) > e((f + 1) % 64)) {
+                  if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
+                }
+                f += 1
+              }
+              Some((id, hi, lo))
             }
-          } catch { case _: Exception => None }
+          }
         }
       }
       .toDF("id", "fp_hi", "fp_lo")

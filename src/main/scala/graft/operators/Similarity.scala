@@ -1687,24 +1687,67 @@ object Similarity {
   // needs nothing outside the index.
   // ------------------------------------------------------------------
 
-  /** Handle over an exported index: manifest fields + the three frames. */
+  /** The deterministic-convention centroid table: the first `nCells`
+    * vectors (the IVF convention every sim_* oracle replays). */
+  def deterministicCentroids(emb: DataFrame, nCells: Int = 16): DataFrame =
+    emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+
+  /** The deterministic residual codebook — sub-vectors of the first
+    * `nCodes` vectors' ASSIGNED-CELL residuals, exactly the quantizer
+    * `ivfPqTopK(residual = true)` trains inline — extracted so the
+    * exported-layout entry (`sim_index_export_res`) writes the very
+    * same codebook and the layout replay stays bit-identical to the
+    * in-memory path. */
+  def residualCodebook(emb: DataFrame, nCells: Int = 16, nCodes: Int = 16,
+                       m: Int = 8, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    assignCells(e, cents)
+      .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("ev"))
+      .filter(col("vec_id") < nCodes)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(s => slice(col("ev"), s * sub + 1, sub)): _*))
+          .as(Seq("s", "vs")))
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("vs").as("cw"))
+  }
+
+  /** Handle over an exported index: manifest fields + the three frames.
+    * `residual` records the ENCODING the postings' codes carry — the
+    * layout is self-describing, so the serving read path never needs to
+    * be told which variant it opened. */
   final case class IvfPqIndex(version: Int, dim: Int, m: Int, nCodes: Int,
-                              nCells: Long, nVectors: Long,
+                              nCells: Long, nVectors: Long, residual: Boolean,
                               cents: DataFrame, codebook: DataFrame,
                               postings: DataFrame)
 
   /** Export the IVF-PQ index for `emb` under `dir/v=<version>/`:
     * `centroids` (cell, cv), `codebook` (s, code, cw), `postings`
     * (vec_id, codes, v, nrm; parquet-partitioned by cell), `manifest`
-    * (one row: version/dim/m/n_codes/n_cells/n_vectors). Assignment and
-    * encoding reuse the exact query-path conventions ([[assignCells]]
-    * cosine-argmax, nearest-codeword by (d2, code)), so a query replayed
-    * from the layout is bit-identical to the in-memory path — the
-    * `sim_index_export` entry hash-gates that equivalence against the
-    * same DuckDB oracle as `sim_ivfpq_ann`. */
+    * (one row: version/dim/m/n_codes/n_cells/n_vectors/residual).
+    * Assignment and encoding reuse the exact query-path conventions
+    * ([[assignCells]] cosine-argmax, nearest-codeword by (d2, code)), so
+    * a query replayed from the layout is bit-identical to the in-memory
+    * path — the `sim_index_export` entry hash-gates that equivalence
+    * against the same DuckDB oracle as `sim_ivfpq_ann`.
+    *
+    * `residual = true` encodes `v − centroid(cell(v))` instead of `v`
+    * (the FAISS IVFx,PQy default — `sim_ivfpq_res_ann`'s convention);
+    * the caller then supplies a residual-trained codebook, and the flag
+    * lands in the manifest so [[ivfPqTopKFromIndex]] builds the
+    * per-probed-cell ADC table the encoding requires. The
+    * `sim_index_export_res` entry hash-gates this variant against the
+    * same oracle as `sim_ivfpq_res_ann`. */
   def writeIvfPqIndex(emb: DataFrame, centsIn: DataFrame, codebookIn: DataFrame,
                       dir: String, version: Int, m: Int = 8,
-                      dim: Int = 64): Unit = {
+                      dim: Int = 64, residual: Boolean = false): Unit = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
     val base = s"$dir/v=$version"
@@ -1719,8 +1762,16 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     def l2sq(a: Column, b: Column): Column =
       dotFast(a, a) + dotFast(b, b) - lit(2.0) * dotFast(a, b)
-    val slices = assigned.select(col("vec_id"),
-      posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+    // the encoded vector: raw, or the residual against the assigned cell
+    // (the ivfPqTopK convention, zip_with subtraction)
+    val encBase =
+      if (!residual) assigned.select(col("vec_id"), col("v").as("ev"))
+      else assigned
+        .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+        .select(col("vec_id"),
+          zip_with(col("v"), col("cv"), (x, c) => x - c).as("ev"))
+    val slices = encBase.select(col("vec_id"),
+      posexplode(array((0 until m).map(s => slice(col("ev"), s * sub + 1, sub)): _*))
         .as(Seq("s", "vs")))
     val enc = slices.join(broadcast(codebook), Seq("s"))
       .withColumn("d2", l2sq(col("vs"), col("cw")))
@@ -1742,21 +1793,27 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val nCodes = codebook.agg(max(col("code"))).collect()(0).getInt(0) + 1
-    Seq((version, dim, m, nCodes, cents.count(), e.count()))
-      .toDF("version", "dim", "m", "n_codes", "n_cells", "n_vectors")
+    Seq((version, dim, m, nCodes, cents.count(), e.count(), residual))
+      .toDF("version", "dim", "m", "n_codes", "n_cells", "n_vectors", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
   }
 
   /** Open an exported index: reads the manifest and binds the three
     * frames. The partition column `cell` comes back through parquet
-    * partition discovery (cast pinned to long — discovery infers int). */
+    * partition discovery (cast pinned to long — discovery infers int).
+    * Manifests written before the residual variant existed lack the
+    * `residual` column; they are all raw-encoded by construction, so
+    * the absent column reads as false (additive schema evolution). */
   def readIvfPqIndex(spark: SparkSession, dir: String, version: Int): IvfPqIndex = {
     val base = s"$dir/v=$version"
     val mf = spark.read.parquet(s"$base/manifest").collect()(0)
+    val residual = mf.schema.fieldNames.contains("residual") &&
+      mf.getAs[Boolean]("residual")
     IvfPqIndex(
       version = mf.getAs[Int]("version"), dim = mf.getAs[Int]("dim"),
       m = mf.getAs[Int]("m"), nCodes = mf.getAs[Int]("n_codes"),
       nCells = mf.getAs[Long]("n_cells"), nVectors = mf.getAs[Long]("n_vectors"),
+      residual = residual,
       cents = spark.read.parquet(s"$base/centroids"),
       codebook = spark.read.parquet(s"$base/codebook"),
       postings = spark.read.parquet(s"$base/postings")
@@ -1769,7 +1826,14 @@ object Similarity {
     * from the index's own raw vectors. Bit-identical to
     * [[ivfPqTopKWith]] over the same quantizers by construction (same
     * conventions at every stage); the catalog entry proves it by hash
-    * against the `sim_ivfpq_ann` oracle. */
+    * against the `sim_ivfpq_ann` oracle.
+    *
+    * The manifest's `residual` flag (not a caller argument — the layout
+    * is self-describing) switches the ADC table to per-probed-cell: the
+    * query's residual differs per cell, so `qtab` carries nprobe × m ×
+    * nCodes rows joined on (cell, s, code) instead of m × nCodes on
+    * (s, code) — still broadcast-sized. Hash-gated against the
+    * `sim_ivfpq_res_ann` oracle by `sim_index_export_res`. */
   def ivfPqTopKFromIndex(idx: IvfPqIndex, queryId: Long, k: Int,
                          nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
     val sub = idx.dim / idx.m
@@ -1784,18 +1848,37 @@ object Similarity {
         dotFast(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
       .orderBy(col("qccos").desc, col("cell"))
       .limit(nprobe)
-      .select(col("cell"))
-    val qslices = idx.postings.filter(col("vec_id") === queryId)
-      .select(posexplode(array(
-        (0 until idx.m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
-        .as(Seq("s", "qvs")))
-    val qtab = idx.codebook.join(broadcast(qslices), Seq("s"))
-      .select(col("s"), col("code"), l2sq(col("qvs"), col("cw")).as("qd2"))
-    val short = idx.postings.join(broadcast(probed), Seq("cell"))
+      .select(col("cell"), col("cv"))
+    val qtab =
+      if (!idx.residual) {
+        val qslices = idx.postings.filter(col("vec_id") === queryId)
+          .select(posexplode(array(
+            (0 until idx.m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+            .as(Seq("s", "qvs")))
+        idx.codebook.join(broadcast(qslices), Seq("s"))
+          .select(lit(null).cast("long").as("qcell"), col("s"), col("code"),
+            l2sq(col("qvs"), col("cw")).as("qd2"))
+      } else {
+        val qres = probed.crossJoin(broadcast(q))
+          .select(col("cell").as("qcell"),
+            zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+        val qslices = qres.select(col("qcell"), posexplode(array(
+            (0 until idx.m).map(s => slice(col("qr"), s * sub + 1, sub)): _*))
+            .as(Seq("s", "qvs")))
+        idx.codebook.join(broadcast(qslices), Seq("s"))
+          .select(col("qcell"), col("s"), col("code"),
+            l2sq(col("qvs"), col("cw")).as("qd2"))
+      }
+    val candCodes = idx.postings.join(broadcast(probed.select("cell")), Seq("cell"))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("s", "code")))
-      .join(broadcast(qtab), Seq("s", "code"))
+    val joined =
+      if (!idx.residual) candCodes.join(broadcast(qtab), Seq("s", "code"))
+      else candCodes.join(broadcast(qtab),
+        col("cell") === col("qcell") &&
+          candCodes("s") === qtab("s") && candCodes("code") === qtab("code"))
+    val short = joined
       .groupBy(col("vec_id"), col("cell"))
       .agg(round(sum(col("qd2")), 6).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))

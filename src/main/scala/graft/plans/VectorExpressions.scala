@@ -140,7 +140,9 @@ case class L2Norm(child: Expression)
   *
   * Semantics pinned to the declarative forms (the DuckDB oracle replays
   * them): visit cells in array order (ascending cell), replace only on
-  * strictly-greater cosine via `Double.compare` — so ties keep the
+  * strictly-greater cosine via `Double.compare` on the `+ 0.0`
+  * -canonicalized cosine (-0.0 folded to +0.0, so signed zeros tie and
+  * keep the lowest cell exactly like Spark's `>`) — ties keep the
   * lowest cell, NaN orders greatest (Spark's own double comparison
   * semantics), and NaN > NaN is false (zero-norm vectors resolve to
   * their lowest cell). A malformed cell entry (null struct/field,
@@ -192,7 +194,13 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
               else { acc += vec.getDouble(j) * cv.getDouble(j); j += 1 }
             }
             if (ok) {
-              val cos = acc / (nrm * cs.getDouble(2))
+              // + 0.0 canonicalizes IEEE -0.0 to +0.0 (identity on every
+              // other value incl. NaN) so the strictly-greater test agrees
+              // with Spark's `>`, which treats -0.0 == 0.0 — without it a
+              // later cell's +0.0 would displace an earlier cell's -0.0,
+              // diverging from the HOF fold / `ORDER BY ccos DESC, cell`
+              // on orthogonal-vector ties.
+              val cos = acc / (nrm * cs.getDouble(2)) + 0.0
               if (java.lang.Double.compare(cos, bestCos) > 0) {
                 bestCell = cs.getLong(0); bestCos = cos
               }
@@ -233,7 +241,8 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
          |    $acc += $vec.getDouble($j) * $cv.getDouble($j);
          |  }
          |  if (!$ok) continue;
-         |  double $cos = $acc / ($nrm * $cs.getDouble(2));
+         |  // + 0.0 canonicalizes -0.0 (see nullSafeEval)
+         |  double $cos = $acc / ($nrm * $cs.getDouble(2)) + 0.0;
          |  if (java.lang.Double.compare($cos, $bestCos) > 0) {
          |    $bestCell = $cs.getLong(0); $bestCos = $cos;
          |  }

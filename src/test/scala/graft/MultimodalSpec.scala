@@ -306,4 +306,74 @@ class MultimodalSpec extends SparkSpec {
     val (hi, lo) = fps(1L); val (hi3, lo3) = fps(3L)
     assert(java.lang.Long.bitCount(hi ^ hi3) + java.lang.Long.bitCount(lo ^ lo3) <= 3)
   }
+
+  // --- RiffWav: the hand-rolled lock-free WAV codec that replaced the
+  // javax.sound.sampled provider (JVM-global lock). Interop is the
+  // certification: each direction decodes the other's bytes sample-exact.
+
+  private def pcmBytes(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    pcm
+  }
+
+  test("RiffWav encode: javax.sound decodes our bytes sample-exact (and the header is canonical)") {
+    import graft.operators.RiffWav
+    val samples = Array.tabulate(333)(i => ((i * 7919 + 13) % 65536) - 32768)
+    val bytes = RiffWav.encode(pcmBytes(samples), 8000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getSampleSizeInBits == 16)
+    assert(fmt.getChannels == 1 && !fmt.isBigEndian)
+    assert(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+    assert(java.util.Arrays.equals(ais.readAllBytes(), pcmBytes(samples)))
+    // and our own decoder round-trips bit-exact
+    val Some((f2, s2)) = RiffWav.decodeInt16Mono(bytes)
+    assert(f2 == RiffWav.Format(8000, 16, 1) && s2.sameElements(samples))
+  }
+
+  test("RiffWav decode: javax.sound-written bytes parse sample-exact") {
+    import graft.operators.RiffWav
+    val samples = Array.tabulate(257)(i => ((i * 31 + 7) % 65536) - 32768)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBytes(samples)), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val Some((f, s)) = RiffWav.decodeInt16Mono(out.toByteArray)
+    assert(f == RiffWav.Format(8000, 16, 1))
+    assert(s.sameElements(samples))
+  }
+
+  test("RiffWav decode: chunk walk skips unknown odd-sized chunks (pad-byte aware); malformed/non-PCM is None") {
+    import graft.operators.RiffWav
+    val samples = Array.tabulate(64)(i => i * 100 - 3200)
+    val plain = RiffWav.encode(pcmBytes(samples), 8000)
+    // splice an odd-sized LIST chunk (5 bytes + 1 pad) between fmt and data
+    val listChunk = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0 /* pad */)
+    val spliced = plain.take(36) ++ listChunk ++ plain.drop(36)
+    // patch the RIFF size field (u32le at offset 4) for the added bytes
+    val newSize = plain.length - 8 + listChunk.length
+    spliced(4) = (newSize & 0xff).toByte
+    spliced(5) = ((newSize >>> 8) & 0xff).toByte
+    spliced(6) = ((newSize >>> 16) & 0xff).toByte
+    spliced(7) = ((newSize >>> 24) & 0xff).toByte
+    val Some((f, s)) = RiffWav.decodeInt16Mono(spliced)
+    assert(f == RiffWav.Format(8000, 16, 1) && s.sameElements(samples))
+    // malformed shapes -> None, never throw
+    assert(RiffWav.decode(Array[Byte](1, 2, 3)).isEmpty)            // junk
+    assert(RiffWav.decode(plain.take(40)).isEmpty)                  // truncated data
+    val floatFmt = plain.clone(); floatFmt(20) = 3                  // IEEE-float PCM
+    assert(RiffWav.decode(floatFmt).isEmpty)
+    val stereo = plain.clone(); stereo(22) = 2                      // channels=2
+    assert(RiffWav.decodeInt16Mono(stereo).isEmpty)                 // mono gate
+    val notWave = plain.clone(); notWave(8) = 'A'                   // RIFF, not WAVE
+    assert(RiffWav.decode(notWave).isEmpty)
+  }
 }

@@ -855,4 +855,48 @@ class SimilaritySpec extends SparkSpec {
     assert(fromIndex.length == 10)
     sources.Artifacts.deleteRecursively(new java.io.File(dir))
   }
+
+  test("residual index export: layout replay == in-memory residual path; manifest is self-describing") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_r").toString
+    Similarity.writeIvfPqIndex(emb,
+      Similarity.deterministicCentroids(emb, nCells = 16),
+      Similarity.residualCodebook(emb, nCells = 16, nCodes = 16),
+      dir, version = 1, residual = true)
+    val idx = Similarity.readIvfPqIndex(spark, dir, version = 1)
+    // the manifest carries the encoding — the replay is never told
+    assert(idx.residual, "manifest must record residual encoding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val fromIndex = rows(Similarity.ivfPqTopKFromIndex(idx, queryId = 20,
+      k = 10, nprobe = 4, shortlist = 50))
+    val inMemory = rows(Similarity.ivfPqTopK(emb, queryId = 20, k = 10,
+      nCells = 16, nprobe = 4, m = 8, nCodes = 16, shortlist = 50,
+      residual = true))
+    assert(fromIndex == inMemory,
+      "residual layout replay must be bit-identical to the in-memory path")
+    assert(fromIndex.length == 10)
+    // and the residual codes genuinely differ from a raw encoding of the
+    // same corpus (the flag changes the bytes, not just the metadata)
+    val rawDir = java.nio.file.Files.createTempDirectory("graft_idx_r0").toString
+    Similarity.writeIvfPqIndex(emb,
+      Similarity.deterministicCentroids(emb, nCells = 16),
+      // raw codebook: first-16 sub-vectors of the raw embeddings
+      emb.select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("v"))
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id"), posexplode(array((0 until 8).map(ss =>
+          slice(col("v"), ss * 8 + 1, 8)): _*)).as(Seq("s", "vs")))
+        .select(col("s"), col("vec_id").cast("int").as("code"), col("vs").as("cw")),
+      rawDir, version = 1)
+    val rawIdx = Similarity.readIvfPqIndex(spark, rawDir, version = 1)
+    assert(!rawIdx.residual)
+    val resCodes = idx.postings.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rawCodes = rawIdx.postings.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(resCodes.keySet == rawCodes.keySet)
+    assert(resCodes.exists { case (id, cs) => rawCodes(id) != cs })
+    sources.Artifacts.deleteRecursively(new java.io.File(dir))
+    sources.Artifacts.deleteRecursively(new java.io.File(rawDir))
+  }
 }

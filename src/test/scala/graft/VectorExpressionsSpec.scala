@@ -26,9 +26,8 @@ class VectorExpressionsSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sf0001)
       .select(Similarity.toDoubleArray(col("embedding")).as("v"))
       .select(VectorExpressions.dotNative(col("v"), col("v")).as("d"))
-    // evaluate first: the embeddings loader's parallelism-floor exchange
-    // makes this an AQE plan, and the pre-execution plan string shows
-    // unstaged nodes without codegen markers
+    // evaluate first so the executed-plan string reflects final stages
+    // whatever the plan shape (harmless on the current plain load)
     e.collect()
     // the `*(n)` prefix marks a WholeStageCodegen stage; the graft_dot
     // projection must carry it (CodegenFallback expressions don't)
