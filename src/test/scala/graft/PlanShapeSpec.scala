@@ -231,6 +231,7 @@ class PlanShapeSpec extends SparkSpec {
       "fe_target_encode", // corpus rows x ONE broadcast global-prior row
       "dq_benford", // 9 digit rows x ONE broadcast total row
       "sim_index_export", // assignCells' single-row centroid-array broadcast + single-row query probe/re-rank
+      "sim_index_export_res", // same single-row probe/re-rank broadcasts + the nprobe-row query-residual build (one row per probed cell)
       "sim_cell_occupancy") // assignCells' single-row centroid-array broadcast + ONE total-row broadcast
     // streaming fns execute on invocation; their stateful plans are
     // covered by their own oracles/tests
