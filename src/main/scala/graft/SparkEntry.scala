@@ -1182,8 +1182,14 @@ object SparkEntry {
   private lazy val catalog: Seq[Q] = Seq(
 
     Q("p1_quality_filter",
+      // noPush fences the EXPENSIVE conjunct (its expression tree embeds
+      // the whole scoring pipeline; pushed below the loader's floor
+      // exchange it re-serialized onto the one-split scan — 5.3 s -> 1.0 s
+      // at sf1); the cheap n_chars conjunct still pushes into the scan's
+      // PushedFilters (PlanShapeSpec guards both placements)
       (s, d) => scoredDocs(s, d)
-        .filter(col("original_score") >= 0.3 && col("n_chars") >= 30)
+        .filter(plans.VectorExpressions.noPush(col("original_score") >= 0.3) &&
+          col("n_chars") >= 30)
         .select("doc_id", "text", "sentiment", "original_score")
         .orderBy("doc_id"),
       Some(Sentiment.oracleCte +
@@ -1513,8 +1519,9 @@ object SparkEntry {
              |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
 
     Q("p8_confidence_filter",
+      // noPush fence for the computed-column predicate (see p1)
       (s, d) => scoredDocs(s, d)
-        .filter(col("confidence") >= 0.7)
+        .filter(plans.VectorExpressions.noPush(col("confidence") >= 0.7))
         .select("doc_id", "sentiment", "confidence")
         .orderBy("doc_id"),
       Some(Sentiment.oracleCte +

@@ -35,9 +35,21 @@ object Tables {
     * (extra AQE stages per pass). Codec consumers that must bound THEIR
     * OWN parallelism (the JVM-global audio encoder) clamp explicitly —
     * see Multimodal.codecParallelism. */
-  def documents(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "documents")
-    val floor = spark.sparkContext.defaultParallelism
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    scanFloor(load(spark, dir, "documents"))
+
+  /** The adaptive scan-parallelism floor as a reusable transform:
+    * round-robin repartition to core count IF the frame's file scan has
+    * fewer partitions — the IDENTITY on any production-sized table (no
+    * exchange in the plan) and on non-file frames (unit-test DFs, where
+    * the probe finds no file scan). Besides the documents loader, the
+    * embeddings-scanning operators that are COMPUTE-bound on the scan
+    * side (SQ/PQ code scans, cell assignment) apply this to their
+    * corpus frame — measured per-operator in SCALE.md round 13; the
+    * multi-pass operators where the extra exchange measured
+    * net-negative (semDedupAuto) deliberately do not. */
+  private[graft] def scanFloor(df: DataFrame): DataFrame = {
+    val floor = df.sparkSession.sparkContext.defaultParallelism
     if (scanParallelism(df) >= floor) df else df.repartition(floor)
   }
 

@@ -116,7 +116,11 @@ object Similarity {
     * engines. */
   def sqTopK(emb: DataFrame, queryId: Long, k: Int,
              shortlist: Int = 50): DataFrame = {
-    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    // scan floor: the quantize+scan stage is compute-bound on the scan
+    // side and the bench tables are single-row-group (one split) —
+    // measured sf1 solo 4.8 s -> 0.6 s; identity on fan-out inputs
+    val e = graft.Tables.scanFloor(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
     val coded = e.select(col("vec_id"), col("v"),
         (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("scale"))
       .filter(col("scale") > 0.0)
@@ -448,7 +452,11 @@ object Similarity {
              m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
-    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    // scan floor: encode is a per-vector broadcast join + window over
+    // the scan — measured sf1 solo 2.4 s -> 1.1 s; identity on fan-out
+    // inputs (see Tables.scanFloor)
+    val e = graft.Tables.scanFloor(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
     val slices = e.select(col("vec_id"),
       posexplode(array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
         .as(Seq("s", "vs")))
@@ -1252,7 +1260,10 @@ object Similarity {
     val n = emb.count()
     val nCells = math.max(16L, (n + targetOccupancy - 1) / targetOccupancy).toInt
     val e0 = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-    cellNearDupPairs(emb,
+    // scan floor on the ASSIGNMENT pass only (the count above is a cheap
+    // metadata-ish scan; the O(n·cells·dim) argmax is the heavy stage) —
+    // measured sf1 solo 2.5 s -> 0.9 s
+    cellNearDupPairs(graft.Tables.scanFloor(emb),
       e0.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cell"), col("v").as("cv")),
       threshold)
@@ -1654,7 +1665,11 @@ object Similarity {
     * bucket failure mode). One aggregation to O(cells) rows. */
   def cellOccupancy(emb: DataFrame, centsIn: DataFrame,
                     expectedOccupancy: Long, factor: Double = 4.0): DataFrame = {
-    val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    // scan floor: with occupancy-sized cell counts the argmax assignment
+    // is O(n·cells·dim) over a one-split scan (entry-level measurement
+    // in SCALE.md round 13); identity on fan-out inputs
+    val e = graft.Tables.scanFloor(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", normFast(col("v")))
     val cents = centsIn
       .select(col("cell"), col("cv"), normFast(col("cv")).as("cnrm"))

@@ -258,7 +258,40 @@ case class NearestCell(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Pushdown fence: a value-identity expression FLAGGED nondeterministic
+  * so the optimizer will not move a predicate containing it. The classic
+  * "expensive predicate pushed below the exchange" problem: Catalyst's
+  * cost-blind filter pushdown is exactly right for cheap scan-column
+  * predicates (fewer shuffle rows) and exactly wrong for a predicate
+  * whose expression tree embeds heavy compute — pushed below the
+  * parallelism-floor exchange it re-serializes the whole scoring
+  * pipeline onto the one-split scan task (measured: p1_quality_filter
+  * 5.3 s at sf1, of which ~5 s was the serial pushed filter). Wrapping
+  * ONLY the expensive conjunct leaves the cheap conjuncts (n_chars)
+  * pushing all the way into PushedFilters as before; evaluation,
+  * codegen, and results are bit-identical — the flag changes plan
+  * placement, never values, so every oracle is unaffected. */
+case class NoPushdown(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "graft_no_pushdown"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  /** Column-level wrapper for [[NoPushdown]]. */
+  def noPush(c: Column): Column =
+    ColumnBridge.column(NoPushdown(ColumnBridge.expression(c)))
+
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2NormNative(a: Column): Column =

@@ -15,6 +15,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), p)
   }
 
+  test("p1: the expensive scoring conjunct stays ABOVE the floor exchange (noPush fence)") {
+    // without the fence, Catalyst pushed the original_score predicate —
+    // whole scoring tree substituted in — below the loader's round-robin
+    // exchange, re-serializing the compute onto the one-split scan
+    // (measured 5.3 s -> 0.8 s at sf1). The fence must hold: the filter
+    // carrying the fence sits above the exchange, while the cheap
+    // n_chars conjunct still reaches the scan (test above).
+    val p = plan("p1_quality_filter")
+    val fence = p.linesIterator.indexWhere(_.contains("graft_no_pushdown"))
+    val exch = p.linesIterator.indexWhere(_.contains("RoundRobinPartitioning"))
+    assert(fence >= 0, s"fenced filter missing from plan:\n$p")
+    assert(exch >= 0, s"floor exchange missing from plan:\n$p")
+    // plan trees print top-down: above-the-exchange = EARLIER line
+    assert(fence < exch, s"fenced filter must sit above the exchange:\n$p")
+  }
+
   test("o1: top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("o1_topk_by_score")
     assert(p.contains("TakeOrderedAndProject"), p)

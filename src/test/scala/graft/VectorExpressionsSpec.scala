@@ -94,4 +94,20 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect()(0).getStruct(0)
     assert(s.getLong(0) == -1L && s.getDouble(1) == -2.0)
   }
+
+  test("noPush: value identity (incl. nulls), flagged nondeterministic, codegen passthrough") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val df = Seq(Some("abc"), Some(""), None).toDF("t")
+    // identity on values and nulls, through the codegen'd path
+    val got = df.select(VectorExpressions.noPush(length(col("t")) > 1).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(got.toSeq == Seq(true, false, null))
+    // the whole point: the wrapped expression reports nondeterministic,
+    // so the optimizer refuses to move predicates containing it
+    val expr = org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+      VectorExpressions.noPush(col("t") === "abc"))
+    assert(!expr.deterministic)
+  }
 }
