@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Pdf, Serving}
+
+/** The hand-rolled S11 PDF renderer: structural validity (xref offsets,
+  * header, trailer), text round-trip through the writer's own
+  * parse-back, layout invariants, determinism, and the end-to-end
+  * report render off the real ep4 frame. */
+class PdfSpec extends SparkSpec {
+
+  private def tinySections = Seq(
+    "Alpha" -> Seq("first line", "second line with (parens) and a \\ backslash"),
+    "Beta" -> Seq(("word " * 200).trim)) // wraps, but fits one flow page
+
+  test("structure: %PDF header, exact xref offsets, startxref, %%EOF") {
+    val pdf = Pdf.render("acme", "Title", tinySections)
+    val txt = new String(pdf, "ISO-8859-1")
+    assert(txt.startsWith("%PDF-1.4\n"))
+    assert(txt.endsWith("%%EOF\n"))
+    assert(Pdf.xrefValid(pdf), "xref offsets must point at their objects")
+  }
+
+  test("determinism: identical bytes across renders") {
+    val a = Pdf.render("acme", "Title", tinySections)
+    val b = Pdf.render("acme", "Title", tinySections)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("text round-trip: escaping and wrapping survive parse-back") {
+    val pdf = Pdf.render("acme (HQ)", "Title", tinySections)
+    val lines = Pdf.extractTextLines(pdf)
+    assert(lines.contains("acme (HQ)")) // stripe company name, escaped parens
+    assert(lines.contains("Title"))
+    assert(lines.contains("Alpha") && lines.contains("Beta"))
+    assert(lines.contains("second line with (parens) and a \\ backslash"))
+    // the wrapped long body reassembles exactly
+    val body = lines.dropWhile(_ != "Beta").drop(1)
+      .takeWhile(l => l.startsWith("word") || l == "word")
+    assert(body.mkString(" ") == ("word " * 200).trim)
+  }
+
+  test("layout: title page + flow pages, stripe and page number on every page") {
+    // a section long enough to span multiple flow pages
+    val pdf = Pdf.render("acme", "Title",
+      tinySections :+ ("Gamma" -> Seq(("word " * 900).trim)))
+    val txt = new String(pdf, "ISO-8859-1")
+    val stripes = s"q 0.86 0.08 0.08 rg 0 ${Pdf.PageH - Pdf.StripeH}".r
+      .findAllIn(txt).length
+    val pageNos = "\\(Page \\d+ of (\\d+)\\) Tj".r.findAllMatchIn(txt).toSeq
+    assert(stripes >= 2, "title page + at least one flow page")
+    assert(pageNos.length == stripes, "one page number per page")
+    assert(pageNos.forall(_.group(1).toInt == stripes), "consistent page count")
+    // every line stays inside the text box: below the stripe, above the margin
+    val ys = "BT 0 0 0 rg /F1 \\d+ Tf \\d+ (\\d+) Td".r
+      .findAllMatchIn(txt).map(_.group(1).toInt).toSeq
+    assert(ys.forall(y => y >= 40 && y < Pdf.PageH - Pdf.StripeH))
+  }
+
+  test("wrap: bounded width, long words hard-split, empty text yields one line") {
+    val w = Pdf.wrap("a" * 500, 10)
+    val maxChars = 2 * (Pdf.PageW - 2 * Pdf.MarginX) / 10
+    assert(w.forall(_.length <= maxChars) && w.mkString == "a" * 500)
+    assert(Pdf.wrap("", 10) == Seq(""))
+  }
+
+  test("end-to-end: the ep4 report frame renders to a valid, parseable report PDF") {
+    val docs = Tables.documents(spark, sf0001)
+    val report = Serving.reportDocument(
+      functions.Sentiment.score(docs),
+      operators.Analytics.dailyTrends(Tables.events(spark, sf0001)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf").toString
+    val bytes = Pdf.writeReportPdf(report, s"$dir/report.pdf")
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/report.pdf")).sameElements(bytes))
+    assert(Pdf.xrefValid(bytes))
+    val lines = Pdf.extractTextLines(bytes)
+    for (t <- Seq("Sentiment Analysis Report", "Executive Summary",
+        "Representative Comments", "Insurance Risk Assessment",
+        "Technical Details"))
+      assert(lines.contains(t), s"missing section '$t'")
+    val total = report.collect()(0).getAs[Long]("total_comments")
+    assert(lines.contains(s"Total comments analyzed: $total"))
+    sources.Artifacts.deleteRecursively(new java.io.File(dir))
+  }
+}
