@@ -81,32 +81,55 @@ object Pdf {
     }
   }
 
+  /** A report section: header, body lines, and inline raster images
+    * (drawn after the lines — the reference's visualization section
+    * shape). */
+  final case class Section(title: String, lines: Seq[String],
+                           images: Seq[java.awt.image.BufferedImage] = Nil)
+
+  /** Display box for an embedded chart, points (480×280 px at 0.9). */
+  private val ImgW = 432
+  private val ImgH = 252
+
   /** One positioned text line: (content, font size). */
   private final case class L(text: String, size: Int)
+  private sealed trait Item
+  private final case class TextItem(y: Int, l: L) extends Item
+  /** y = BOTTOM edge of the placed image box. */
+  private final case class ImgItem(y: Int, imgIdx: Int) extends Item
 
-  /** Flow section lines into pages: each page holds the header stripe;
-    * a section header never strands alone at a page bottom (one-line
-    * widow guard); returns per-page line lists with y positions. */
+  /** Flow section lines + images into pages: each page holds the header
+    * stripe; a section header never strands alone at a page bottom
+    * (one-line widow guard); an image that does not fit the remaining
+    * space moves whole to the next page. */
   private def paginate(title: String,
-                       sections: Seq[(String, Seq[String])]): Seq[Seq[(Int, L)]] = {
+                       sections: Seq[Section]): Seq[Seq[Item]] = {
     val topY = PageH - StripeH - 40
-    val pages = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, L)]]
-    var page = scala.collection.mutable.ArrayBuffer.empty[(Int, L)]
+    val pages = scala.collection.mutable.ArrayBuffer.empty[Seq[Item]]
+    var page = scala.collection.mutable.ArrayBuffer.empty[Item]
     var y = topY
+    var imgIdx = 0
     def breakPage(): Unit = { pages += page.toSeq; page = scala.collection.mutable.ArrayBuffer.empty; y = topY }
     def put(l: L): Unit = {
       if (y - leading(l.size) < BottomY) breakPage()
       y -= leading(l.size)
-      page += ((y, l))
+      page += TextItem(y, l)
+    }
+    def putImg(): Unit = {
+      if (y - ImgH - 8 < BottomY) breakPage()
+      y -= ImgH + 8
+      page += ImgItem(y, imgIdx)
+      imgIdx += 1
     }
     // title page: document title centered-ish high, alone
     put(L(title, 20))
     breakPage()
-    for ((header, body) <- sections) {
+    for (sec <- sections) {
       // widow guard: header + first body line must fit together
       if (y - leading(HeaderSize) - leading(BodySize) < BottomY) breakPage()
-      put(L(header, HeaderSize))
-      for (line <- body; w <- wrap(line, BodySize)) put(L(w, BodySize))
+      put(L(sec.title, HeaderSize))
+      for (line <- sec.lines; w <- wrap(line, BodySize)) put(L(w, BodySize))
+      for (_ <- sec.images) putImg()
       y -= leading(BodySize) // blank gap between sections
     }
     if (page.nonEmpty) pages += page.toSeq
@@ -114,37 +137,63 @@ object Pdf {
   }
 
   /** Content-stream source for one page: stripe, company name on the
-    * stripe in white, the flowed lines, the centered page number. */
-  private def pageContent(company: String, lines: Seq[(Int, L)],
+    * stripe in white, the flowed lines and images, the page number. */
+  private def pageContent(company: String, items: Seq[Item],
                           pageNo: Int, pageCount: Int): String = {
     val sb = new StringBuilder
     // header stripe: the reference's red banner (draw_header_stripe)
     sb ++= s"q 0.86 0.08 0.08 rg 0 ${PageH - StripeH} $PageW $StripeH re f Q\n"
     sb ++= s"BT 1 1 1 rg /F1 16 Tf $MarginX ${PageH - StripeH + 24} Td (${escape(company)}) Tj ET\n"
-    for ((y, l) <- lines)
-      sb ++= s"BT 0 0 0 rg /F1 ${l.size} Tf $MarginX $y Td (${escape(l.text)}) Tj ET\n"
+    for (item <- items) item match {
+      case TextItem(y, l) =>
+        sb ++= s"BT 0 0 0 rg /F1 ${l.size} Tf $MarginX $y Td (${escape(l.text)}) Tj ET\n"
+      case ImgItem(y, idx) =>
+        sb ++= s"q $ImgW 0 0 $ImgH $MarginX $y cm /Im${idx + 1} Do Q\n"
+    }
     sb ++= s"BT 0 0 0 rg /F1 9 Tf ${PageW / 2 - 20} 40 Td (Page $pageNo of $pageCount) Tj ET\n"
     sb.toString
   }
 
-  /** Assemble a complete PDF byte array: catalog(1), pages(2), font(3),
-    * then per page 2 objects (page, contents). Exact xref offsets. */
+  /** Tuple-section convenience overload (text-only sections). */
   def render(company: String, title: String,
-             sections: Seq[(String, Seq[String])]): Array[Byte] = {
+             sections: Seq[(String, Seq[String])]): Array[Byte] =
+    renderSections(company, title,
+      sections.map { case (t, ls) => Section(t, ls) })
+
+  /** Assemble a complete PDF byte array: catalog(1), pages(2), font(3),
+    * per page 2 objects (page, contents), then one image XObject per
+    * embedded chart (raw RGB24, FlateDecode — java.util.zip is
+    * deterministic for a fixed input and level). Exact xref offsets. */
+  def renderSections(company: String, title: String,
+                     sections: Seq[Section]): Array[Byte] = {
     val paged = paginate(title, sections)
+    val images = sections.flatMap(_.images)
     val n = paged.length
     val pageObjIds = (0 until n).map(i => 4 + 2 * i)
+    val imgObjId = (k: Int) => 4 + 2 * n + k // k is 0-based image index
     val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     objs += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
     objs += 2 -> s"<< /Type /Pages /Kids [${pageObjIds.map(id => s"$id 0 R").mkString(" ")}] /Count $n >>"
     objs += 3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    for ((lines, i) <- paged.zipWithIndex) {
-      val content = pageContent(company, lines, i + 1, n)
+    val xobjDict =
+      if (images.isEmpty) ""
+      else " /XObject << " + images.indices
+        .map(k => s"/Im${k + 1} ${imgObjId(k)} 0 R").mkString(" ") + " >>"
+    for ((items, i) <- paged.zipWithIndex) {
+      val content = pageContent(company, items, i + 1, n)
       objs += (4 + 2 * i) ->
         (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $PageW $PageH] " +
-          s"/Contents ${5 + 2 * i} 0 R /Resources << /Font << /F1 3 0 R >> >> >>")
+          s"/Contents ${5 + 2 * i} 0 R /Resources << /Font << /F1 3 0 R >>$xobjDict >> >>")
       objs += (5 + 2 * i) ->
         s"<< /Length ${content.getBytes("ISO-8859-1").length} >>\nstream\n${content}endstream"
+    }
+    for ((img, k) <- images.zipWithIndex) {
+      val data = deflate(Charts.rgbBytes(img))
+      objs += imgObjId(k) ->
+        (s"<< /Type /XObject /Subtype /Image /Width ${img.getWidth} " +
+          s"/Height ${img.getHeight} /ColorSpace /DeviceRGB " +
+          s"/BitsPerComponent 8 /Filter /FlateDecode /Length ${data.length} >>" +
+          s"\nstream\n${new String(data, "ISO-8859-1")}\nendstream")
     }
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
@@ -164,13 +213,26 @@ object Pdf {
     out.toByteArray
   }
 
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
   private def fmt2(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
   /** The report row → the reference's section sequence
     * (`pdf_sections.create_*`, called in `pdf_generator.py:97-126`).
-    * Consumes the `Serving.reportDocument` single-row frame. */
-  def reportSections(r: Row): Seq[(String, Seq[String])] = {
+    * Consumes the `Serving.reportDocument` single-row frame;
+    * `trendDays` (date, total) rows feed the visualization section's
+    * line chart when supplied. */
+  def reportSections(r: Row,
+                     trendDays: Seq[(String, Long)] = Nil): Seq[Section] = {
     def s(c: String): String = Option(r.getAs[Any](c)).map(_.toString).getOrElse("n/a")
     def d(c: String): String =
       Option(r.getAs[Any](c)).map(v => fmt2(v.toString.toDouble)).getOrElse("n/a")
@@ -181,60 +243,77 @@ object Pdf {
     def cls(prefix: String, label: String): Seq[String] = Seq(
       s"$label [Confidence: ${d(prefix + "_confidence")}]:",
       s(prefix + "_text"))
+    def cnt(c: String): Long =
+      Option(r.getAs[Any](c)).map(_.toString.toLong).getOrElse(0L)
+    val bar = Charts.sentimentBar(Seq(
+      ("POSITIVE", cnt("positive_cnt"), s("positive_pct")),
+      ("NEGATIVE", cnt("negative_cnt"), s("negative_pct")),
+      ("NEUTRAL", cnt("neutral_cnt"), s("neutral_pct"))))
+    val vizImages =
+      if (trendDays.isEmpty) Seq(bar)
+      else Seq(bar, Charts.trendLine(trendDays))
     Seq(
-      "Table of Contents" -> toc.zipWithIndex.map { case (t, i) => s"${i + 1}. $t" },
-      "Executive Summary" -> Seq(
+      Section("Table of Contents",
+        toc.zipWithIndex.map { case (t, i) => s"${i + 1}. $t" }),
+      Section("Executive Summary", Seq(
         s"Source: ${s("source_info")}",
         s"Total comments analyzed: ${s("total_comments")}",
         s"Positive: ${s("positive_cnt")} (${s("positive_pct")}%)",
         s"Negative: ${s("negative_cnt")} (${s("negative_pct")}%)",
-        s"Neutral: ${s("neutral_cnt")} (${s("neutral_pct")}%)"),
-      "Methodology" -> Seq(
+        s"Neutral: ${s("neutral_cnt")} (${s("neutral_pct")}%)")),
+      Section("Methodology", Seq(
         "Sentiment classification over the ingested corpus with " +
           "confidence thresholding; class shares, representative and " +
           "highest-confidence exemplars, and the insurance risk formula " +
-          "are computed from the scored table."),
-      "Visualizations" -> Seq(
-        "Distribution (see counts above) and daily trend aggregates " +
-          "back the charts; chart rendering is the plotting seam."),
-      "Comment Analysis Methodology" -> Seq(
+          "are computed from the scored table.")),
+      Section("Visualizations", Seq(
+        "Sentiment distribution and daily event trend, rendered from " +
+          "the report aggregates:"),
+        vizImages),
+      Section("Comment Analysis Methodology", Seq(
         "Representative comment per class = nearest to the class mean " +
           "confidence (ties to lower id); highest confidence per class " +
           "= argmax confidence (ties to lower id). Texts truncated at " +
-          "300 characters."),
-      "Representative Comments" ->
-        (cls("rep_positive", "POSITIVE") ++ cls("rep_negative", "NEGATIVE") ++
+          "300 characters.")),
+      Section("Representative Comments",
+        cls("rep_positive", "POSITIVE") ++ cls("rep_negative", "NEGATIVE") ++
           cls("rep_neutral", "NEUTRAL")),
-      "Highest Confidence Comments" ->
-        (cls("hc_positive", "POSITIVE") ++ cls("hc_negative", "NEGATIVE") ++
+      Section("Highest Confidence Comments",
+        cls("hc_positive", "POSITIVE") ++ cls("hc_negative", "NEGATIVE") ++
           cls("hc_neutral", "NEUTRAL")),
-      "LLM Summaries" -> Seq(
+      Section("LLM Summaries", Seq(
         s"Positive basis: ${s("summary_positive_basis")}",
         s"Negative basis: ${s("summary_negative_basis")}",
         "Summary generation is the external-LLM seam; the bases above " +
-          "are the evidence the generator consumes."),
-      "Recommendations" -> Seq(
+          "are the evidence the generator consumes.")),
+      Section("Recommendations", Seq(
         "Derived from the class balance and the summary bases above " +
-          "(the recommendation prompt is the l2_reco_prompt entry)."),
-      "Insurance Risk Assessment" -> Seq(
+          "(the recommendation prompt is the l2_reco_prompt entry).")),
+      Section("Insurance Risk Assessment", Seq(
         s"Insurance cost: ${s("insurance_cost")}",
         s"Risk level: ${s("risk_level")} (score ${s("risk_score")})",
         s"Multipliers: sentiment ${s("sentiment_multiplier")}, " +
           s"confidence ${s("confidence_multiplier")}, " +
           s"sample ${s("sample_multiplier")}, trend ${s("trend_multiplier")}",
-        s"Trend status: ${s("trend_status")}"),
-      "Technical Details" -> Seq(
+        s"Trend status: ${s("trend_status")}")),
+      Section("Technical Details", Seq(
         s"Total samples: ${s("total_comments")}",
-        s"Average confidence: ${d("avg_confidence")}"))
+        s"Average confidence: ${d("avg_confidence")}")))
   }
 
   /** Render the `Serving.reportDocument` frame to a PDF file — the S11
     * sink. The frame is one row by construction (assert, not assume). */
   def writeReportPdf(report: DataFrame, path: String,
-                     company: String = "graft"): Array[Byte] = {
+                     company: String = "graft",
+                     trends: Option[DataFrame] = None): Array[Byte] = {
     val rows = report.collect()
     require(rows.length == 1, s"report frame must be one row, got ${rows.length}")
-    val bytes = render(company, "Sentiment Analysis Report", reportSections(rows(0)))
+    // trend chart input: (date, total) off the already-aggregated A4
+    // frame — O(days) rows, the same reduction the reference plots
+    val days = trends.toSeq.flatMap(_.select("date", "total").collect()
+      .map(r => (r.getString(0), r.getLong(1))))
+    val bytes = renderSections(company, "Sentiment Analysis Report",
+      reportSections(rows(0), days))
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val tmp = new java.io.File(path + ".tmp")
@@ -251,10 +330,12 @@ object Pdf {
   // minus an external library to interop with.
   // ------------------------------------------------------------------
 
-  /** All text-show operands `(...) Tj` in document order, unescaped. */
+  /** All text-show operands `Td (...) Tj` in document order, unescaped
+    * (the `Td ` anchor keeps accidental byte coincidences inside the
+    * compressed image streams out). */
   private[graft] def extractTextLines(pdf: Array[Byte]): Seq[String] = {
     val txt = new String(pdf, "ISO-8859-1")
-    val re = "\\(((?:[^()\\\\]|\\\\.)*)\\) Tj".r
+    val re = "Td \\(((?:[^()\\\\]|\\\\.)*)\\) Tj".r
     re.findAllMatchIn(txt).map { m =>
       m.group(1)
         .replace("\\(", "(").replace("\\)", ")").replace("\\\\", "\\")
@@ -268,7 +349,9 @@ object Pdf {
     * conforming reader navigates by. */
   private[graft] def xrefValid(pdf: Array[Byte]): Boolean = {
     val txt = new String(pdf, "ISO-8859-1")
-    val sx = "startxref\\n(\\d+)\\n".r.findFirstMatchIn(txt)
+    // LAST match: binary image streams could in principle contain the
+    // keyword bytes; the real startxref is always in the trailer
+    val sx = "startxref\\n(\\d+)\\n".r.findAllMatchIn(txt).toSeq.lastOption
       .map(_.group(1).toInt).getOrElse(return false)
     if (!txt.startsWith("%PDF-1.4\n") || !txt.regionMatches(sx, "xref", 0, 4))
       return false

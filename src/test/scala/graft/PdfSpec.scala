@@ -63,23 +63,47 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.wrap("", 10) == Seq(""))
   }
 
-  test("end-to-end: the ep4 report frame renders to a valid, parseable report PDF") {
+  test("image XObjects: the embedded chart's RGB buffer round-trips through inflate") {
+    import graft.operators.Charts
+    val img = Charts.sentimentBar(Seq(
+      ("POSITIVE", 5L, "50.0"), ("NEGATIVE", 3L, "30.0"), ("NEUTRAL", 2L, "20.0")))
+    val pdf = Pdf.renderSections("acme", "T",
+      Seq(Pdf.Section("Viz", Seq("chart:"), Seq(img))))
+    assert(Pdf.xrefValid(pdf), "xref must stay exact with binary image objects")
+    val txt = new String(pdf, "ISO-8859-1")
+    assert(txt.contains(s"/Width ${img.getWidth}"))
+    assert(txt.contains("/Im1 Do"), "the page must draw the image")
+    val m = "/Filter /FlateDecode /Length (\\d+) >>\\nstream\\n".r
+      .findFirstMatchIn(txt).get
+    val data = pdf.slice(m.end, m.end + m.group(1).toInt) // latin-1 is 1 byte/char
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](img.getWidth * img.getHeight * 3)
+    assert(inf.inflate(out) == out.length && inf.finished())
+    assert(java.util.Arrays.equals(out, Charts.rgbBytes(img)),
+      "decompressed XObject samples must equal the raster's RGB bytes")
+  }
+
+  test("end-to-end: the ep4 report frame renders to a valid, parseable report PDF with charts") {
     val docs = Tables.documents(spark, sf0001)
-    val report = Serving.reportDocument(
-      functions.Sentiment.score(docs),
-      operators.Analytics.dailyTrends(Tables.events(spark, sf0001)))
+    val trends = operators.Analytics.dailyTrends(Tables.events(spark, sf0001))
+    val report = Serving.reportDocument(functions.Sentiment.score(docs), trends)
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf").toString
-    val bytes = Pdf.writeReportPdf(report, s"$dir/report.pdf")
+    val bytes = Pdf.writeReportPdf(report, s"$dir/report.pdf", trends = Some(trends))
     assert(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/report.pdf")).sameElements(bytes))
     assert(Pdf.xrefValid(bytes))
     val lines = Pdf.extractTextLines(bytes)
     for (t <- Seq("Sentiment Analysis Report", "Executive Summary",
-        "Representative Comments", "Insurance Risk Assessment",
-        "Technical Details"))
+        "Visualizations", "Representative Comments",
+        "Insurance Risk Assessment", "Technical Details"))
       assert(lines.contains(t), s"missing section '$t'")
     val total = report.collect()(0).getAs[Long]("total_comments")
     assert(lines.contains(s"Total comments analyzed: $total"))
+    // both charts embedded: distribution bar + daily trend line
+    val txt = new String(bytes, "ISO-8859-1")
+    assert("/Subtype /Image".r.findAllIn(txt).length == 2)
+    assert(txt.contains("/Im1 Do") && txt.contains("/Im2 Do"))
     sources.Artifacts.deleteRecursively(new java.io.File(dir))
   }
 }
