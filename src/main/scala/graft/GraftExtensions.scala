@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.plans.{DotProduct, L2Norm, NearestCell, ShingleArray, TopKByScore, VectorSum}
+import graft.plans.{DotProduct, L2Norm, NearestCell, NoPushdown, ShingleArray, TopKByScore, VectorSum}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions at session build time
@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
       (exprs: Seq[Expression]) => NearestCell(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_no_pushdown"),
+      new ExpressionInfo(classOf[NoPushdown].getName, "graft_no_pushdown"),
+      (exprs: Seq[Expression]) => NoPushdown(exprs.head)))
   }
 }

@@ -301,7 +301,7 @@ object VectorExpressions {
       ColumnBridge.expression(nrm), ColumnBridge.expression(cells)))
 
   /** SQL registration: `graft_dot(a, b)`, `graft_l2norm(a)`,
-    * `graft_nearest_cell(v, nrm, cells)`. */
+    * `graft_nearest_cell(v, nrm, cells)`, `graft_no_pushdown(x)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
@@ -310,5 +310,7 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nearest_cell",
       exprs => NearestCell(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_no_pushdown", exprs => NoPushdown(exprs.head), "built-in")
   }
 }

@@ -399,4 +399,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("RiffWav property: encode/decode round-trips arbitrary int16 signals; decode never throws on junk") {
+    import graft.operators.RiffWav
+    val sigGen = for {
+      n <- Gen.chooseNum(1, 400)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      xs <- Gen.listOfN(n, Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, xs)
+    for ((rate, xs) <- samples(sigGen, 25)) {
+      val pcm = new Array[Byte](xs.length * 2)
+      xs.indices.foreach { i =>
+        pcm(2 * i) = (xs(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((xs(i) >> 8) & 0xff).toByte
+      }
+      val Some((fmt, back)) = RiffWav.decodeInt16Mono(RiffWav.encode(pcm, rate))
+      assert(fmt == RiffWav.Format(rate, 16, 1))
+      assert(back.toSeq == xs, s"round-trip mismatch at rate $rate n=${xs.length}")
+    }
+    // never-throw on arbitrary junk bytes (the error-row contract)
+    val junkGen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt)))
+    for (bs <- samples(junkGen, 50)) {
+      val arr = bs.map(_.toByte).toArray
+      RiffWav.decode(arr) // must not throw; result may be Some only for real WAVs
+    }
+    // ...including junk that starts with the RIFF/WAVE magic but lies
+    val liar = "RIFF".getBytes ++ Array[Byte](64, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0) ++ Array.fill[Byte](10)(1)
+    assert(RiffWav.decode(liar).isEmpty)
+  }
 }

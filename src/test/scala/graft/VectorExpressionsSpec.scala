@@ -75,6 +75,8 @@ class VectorExpressionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT graft_shingles(array('a','b','c','b','c'), 2) AS s")
       .collect()(0).getSeq[String](0)
     assert(sh == Seq("a b", "b c", "c b"))
+    // the pushdown fence is SQL-reachable too, and is a value identity
+    assert(spark.sql("SELECT graft_no_pushdown(1 + 1) AS v").collect()(0).getInt(0) == 2)
   }
 
   test("graft_nearest_cell: argmax cosine, ties to lowest cell, sentinel on empty") {
