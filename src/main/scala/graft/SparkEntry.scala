@@ -31,7 +31,21 @@ import graft.operators.{Analytics, AsOf, Dedup, Multimodal, RangeJoin, Risk, Sim
 object SparkEntry {
   type QFn = (SparkSession, String) => DataFrame
 
-  private case class Q(name: String, fn: QFn, oracle: Option[String])
+  /** Catalog row. `oracle` is LAZY (by-name through the companion
+    * apply): two oracle strings embed the trained attention weights, so
+    * eager evaluation would run the training fit — and read its fixed
+    * corpus path — at catalog construction, breaking EVERY entry on a
+    * machine without the corpus and taxing every session that never
+    * touches the trained entries. `queries` never forces oracles;
+    * `oracleSql` (the Verify dump) forces them once each. */
+  private final class Q(val name: String, val fn: QFn,
+                        oracleThunk: () => Option[String]) {
+    lazy val oracle: Option[String] = oracleThunk()
+  }
+  private object Q {
+    def apply(name: String, fn: QFn, oracle: => Option[String]): Q =
+      new Q(name, fn, () => oracle)
+  }
 
   private def scoredDocs(s: SparkSession, d: String): DataFrame =
     Sentiment.score(Tables.documents(s, d))

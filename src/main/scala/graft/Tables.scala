@@ -32,9 +32,12 @@ object Tables {
     * heavy stages sit behind shuffles already, several make multiple
     * passes over the table (recall panels, trained-vs-deterministic
     * twins), and the measured effect of fanning it was net-negative
-    * (extra AQE stages per pass). Codec consumers that must bound THEIR
-    * OWN parallelism (the JVM-global audio encoder) clamp explicitly —
-    * see Multimodal.codecParallelism. */
+    * (extra AQE stages per pass) — though round 13 re-measured
+    * per-operator and moved the scan-compute similarity operators onto
+    * [[scanFloor]] individually (see that method's doc). The round-12
+    * audio clamp this note once pointed at is GONE: the hand-rolled
+    * [[graft.operators.RiffWav]] codec removed the JVM-global provider
+    * lock, and audio fans out like the image family. */
   def documents(spark: SparkSession, dir: String): DataFrame =
     scanFloor(load(spark, dir, "documents"))
 

@@ -1,6 +1,6 @@
 package graft.ml
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, FileOutputStream}
 
 import graft.functions.Sentiment
 
@@ -123,32 +123,34 @@ object AttnSentiment {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def load(path: String): Model = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
-    try {
-      require(in.readInt() == Magic, s"not a graft attention artifact: $path")
-      require(in.readInt() == 1, "unsupported attention artifact version")
-      val d = in.readInt(); val maxLen = in.readInt()
-      def mat(r: Int, c: Int) = Array.fill(r)(Array.fill(c)(in.readLong()))
-      def vec(n: Int) = Array.fill(n)(in.readLong())
-      Model(d, maxLen, mat(d, d), vec(d), mat(d, d), vec(d), mat(d, d), vec(d),
-        mat(2, d), vec(2))
-    } finally in.close()
+  def load(path: String): Model =
+    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), path)
+
+  private def parse(bytes: Array[Byte], path: String): Model = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, s"not a graft attention artifact: $path")
+    require(in.readInt() == 1, "unsupported attention artifact version")
+    val d = in.readInt(); val maxLen = in.readInt()
+    def mat(r: Int, c: Int) = Array.fill(r)(Array.fill(c)(in.readLong()))
+    def vec(n: Int) = Array.fill(n)(in.readLong())
+    Model(d, maxLen, mat(d, d), vec(d), mat(d, d), vec(d), mat(d, d), vec(d),
+      mat(2, d), vec(2))
   }
 
-  /** Per-JVM model session cache keyed on (path, mtime, size) — load
-    * once per executor, share across tasks (the OrtEnvironment-singleton
-    * pattern; task closures carry only the path string). Keying on the
-    * stat, not the path alone, means a retrained artifact overwritten at
-    * the same path is picked up at the next batch in long-lived executor
-    * JVMs (same contract as [[graft.ml.MlpSentiment.sessionFor]]). */
+  /** Per-JVM model session cache keyed on (path, CRC32-of-content) —
+    * load once per executor, share across tasks (the
+    * OrtEnvironment-singleton pattern; task closures carry only the
+    * path string). Content-keyed so an in-place retrain is picked up
+    * at the next batch even inside one mtime tick (same contract and
+    * rationale as [[graft.ml.MlpSentiment.sessionFor]]). */
   private val sessions =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Model]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Model]()
 
   def sessionFor(path: String): Model = {
-    val f = new java.io.File(path)
-    sessions.computeIfAbsent((path, f.lastModified(), f.length()),
-      _ => load(path))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes)
+    sessions.computeIfAbsent((path, crc.getValue), _ => parse(bytes, path))
   }
 
   /** Batched forward pass. Integer bounds, audited: |x| ≤ 9 (emb 7 +

@@ -108,14 +108,14 @@ object AttnTrain {
     } finally reader.close()
   }
 
-  /** The lexicon teacher label, exactly `Sentiment.score`'s raw rule:
-    * +1 iff pos_hits >= neg_hits over ALL tokens (ties positive). */
-  def lexLabel(text: String): Int = {
-    val toks = text.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
-    val p = toks.count(Sentiment.PositiveWords.contains(_))
-    val n = toks.count(Sentiment.NegativeWords.contains(_))
-    if (p >= n) 1 else -1
-  }
+  /** The lexicon teacher label: +1 iff the lexicon scorer's raw label is
+    * POSITIVE (pos_hits >= neg_hits over ALL tokens, ties positive) —
+    * DERIVED from [[Sentiment.lexiconBatchScorer]] rather than
+    * re-implemented, so a tokenization or tie-rule change there can
+    * never silently de-sync the teacher from the scorer the spec
+    * measures accuracy against. */
+  def lexLabel(text: String): Int =
+    if (Sentiment.lexiconBatchScorer(Seq(text)).head._1 == "POSITIVE") 1 else -1
 
   /** Per-document state that is CONSTANT while Q/K stay frozen: the
     * truncated token matrix `x`, the integer-softmax attention weights
@@ -127,12 +127,9 @@ object AttnTrain {
                            wsum: Array[Long], rx: Array[Long], y: Int)
 
   def precompute(m: AttnSentiment.Model, text: String, y: Int): Option[Precomp] = {
-    val toks = text.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
-    if (toks.isEmpty) return None
-    val n = math.min(toks.length, m.maxLen)
+    val x = tokenMatrix(text, m.maxLen).getOrElse(return None)
+    val n = x.length
     val d = m.d
-    val x = Array.tabulate(n, d)((i, k) =>
-      AttnSentiment.emb(toks(i), k) + AttnSentiment.pos(i, k))
     def proj(wm: Array[Array[Long]], b: Array[Long]): Array[Array[Long]] =
       Array.tabulate(n, d) { (i, j) =>
         var acc = b(j); var k = 0
@@ -290,13 +287,54 @@ object AttnTrain {
     * ([[fullMargin]]); this is the phase that lets the model learn to
     * ATTEND to label-bearing tokens, capacity a mean-pool linear probe
     * over the same frozen embeddings cannot express. */
+  /** A trainable coordinate: (read, write). */
+  private type Coord = (() => Long, Long => Unit)
+
+  /** Matrix/vector coordinates in fixed row-major order. */
+  private def matCoords(m: Array[Array[Long]]): Seq[Coord] =
+    for (j <- m.indices; k <- m(j).indices)
+      yield ((() => m(j)(k), (v: Long) => m(j)(k) = v): Coord)
+  private def vecCoords(b: Array[Long]): Seq[Coord] =
+    for (j <- b.indices) yield ((() => b(j), (v: Long) => b(j) = v): Coord)
+
+  /** ONE deterministic coordinate hill-climb, shared by both training
+    * phases so the accept rule, the delta ladder, and the clamp can
+    * never diverge between them (the alternation's monotonicity claim
+    * depends on that): sweep `coords` in their fixed order, try
+    * [[Deltas]] clamped to the int4 range [−7, 7], keep the best STRICT
+    * improvement of `loss`, stop on a zero-accept sweep or `maxSweeps`.
+    * Returns (sweeps run, final loss). */
+  private def climb(coords: Seq[Coord], loss: () => Long,
+                    maxSweeps: Int): (Int, Long) = {
+    var best = loss()
+    var sweeps = 0
+    var improvedInSweep = true
+    while (improvedInSweep && sweeps < maxSweeps) {
+      improvedInSweep = false
+      sweeps += 1
+      for ((get, set) <- coords) {
+        val cur = get()
+        var bestVal = cur
+        for (delta <- Deltas) {
+          val cand = math.max(-7L, math.min(7L, cur + delta))
+          if (cand != cur && cand != bestVal) {
+            set(cand)
+            val l = loss()
+            if (l < best) { best = l; bestVal = cand; improvedInSweep = true }
+          }
+        }
+        set(bestVal)
+      }
+    }
+    (sweeps, best)
+  }
+
   def trainQK(base: AttnSentiment.Model,
               xs: Array[Array[Array[Long]]], ys: Array[Int],
               maxSweeps: Int): (AttnSentiment.Model, Int, Long) = {
-    val d = base.d
     val wq = base.wq.map(_.clone()); val bq = base.bq.clone()
     val wk = base.wk.map(_.clone()); val bk = base.bk.clone()
-    var cur = base.copy(wq = wq, bq = bq, wk = wk, bk = bk)
+    val cur = base.copy(wq = wq, bq = bq, wk = wk, bk = bk)
     def loss(): Long = {
       var acc = 0L; var i = 0
       while (i < xs.length) {
@@ -307,33 +345,8 @@ object AttnTrain {
       }
       acc
     }
-    var best = loss()
-    var sweeps = 0
-    var improvedInSweep = true
-    while (improvedInSweep && sweeps < maxSweeps) {
-      improvedInSweep = false
-      sweeps += 1
-      val coords: Seq[(() => Long, Long => Unit)] =
-        (for (j <- 0 until d; k <- 0 until d)
-          yield (() => wq(j)(k), (v: Long) => wq(j)(k) = v)) ++
-        (for (j <- 0 until d) yield (() => bq(j), (v: Long) => bq(j) = v)) ++
-        (for (j <- 0 until d; k <- 0 until d)
-          yield (() => wk(j)(k), (v: Long) => wk(j)(k) = v)) ++
-        (for (j <- 0 until d) yield (() => bk(j), (v: Long) => bk(j) = v))
-      for ((get, set) <- coords) {
-        val c0 = get()
-        var bestVal = c0
-        for (delta <- Deltas) {
-          val cand = math.max(-7L, math.min(7L, c0 + delta))
-          if (cand != c0 && cand != bestVal) {
-            set(cand)
-            val l = loss()
-            if (l < best) { best = l; bestVal = cand; improvedInSweep = true }
-          }
-        }
-        set(bestVal)
-      }
-    }
+    val coords = matCoords(wq) ++ vecCoords(bq) ++ matCoords(wk) ++ vecCoords(bk)
+    val (sweeps, best) = climb(coords, () => loss(), maxSweeps)
     (cur, sweeps, best)
   }
 
@@ -342,7 +355,6 @@ object AttnTrain {
   def train(base: AttnSentiment.Model,
             docs: Seq[(String, Int)]): (AttnSentiment.Model, Int, Long) = {
     val pre = docs.flatMap { case (t, y) => precompute(base, t, y) }.toArray
-    val d = base.d
     // deep-copy the trainable params; frozen params alias the base
     val wv = base.wv.map(_.clone())
     val bv = base.bv.clone()
@@ -360,34 +372,9 @@ object AttnTrain {
       }
       acc
     }
-    var best = loss()
-    var sweeps = 0
-    var improvedInSweep = true
-    while (improvedInSweep && sweeps < MaxSweeps) {
-      improvedInSweep = false
-      sweeps += 1
-      // fixed parameter order: wv rows, bv, w2 rows, b2
-      val coords: Seq[(() => Long, Long => Unit)] =
-        (for (j <- 0 until d; k <- 0 until d)
-          yield (() => wv(j)(k), (v: Long) => wv(j)(k) = v)) ++
-        (for (j <- 0 until d) yield (() => bv(j), (v: Long) => bv(j) = v)) ++
-        (for (c <- 0 until 2; k <- 0 until d)
-          yield (() => w2(c)(k), (v: Long) => w2(c)(k) = v)) ++
-        (for (c <- 0 until 2) yield (() => b2(c), (v: Long) => b2(c) = v))
-      for ((get, set) <- coords) {
-        val cur = get()
-        var bestVal = cur
-        for (delta <- Deltas) {
-          val cand = math.max(-7L, math.min(7L, cur + delta))
-          if (cand != cur && cand != bestVal) {
-            set(cand)
-            val l = loss()
-            if (l < best) { best = l; bestVal = cand; improvedInSweep = true }
-          }
-        }
-        set(bestVal)
-      }
-    }
+    // fixed parameter order: wv rows, bv, w2 rows, b2
+    val coords = matCoords(wv) ++ vecCoords(bv) ++ matCoords(w2) ++ vecCoords(b2)
+    val (sweeps, best) = climb(coords, () => loss(), MaxSweeps)
     (base.copy(wv = wv, bv = bv, w2 = w2, b2 = b2), sweeps, best)
   }
 
@@ -419,10 +406,13 @@ object AttnTrain {
     * generalizes better (holdout 0.740 vs 0.724 — the random init's
     * quirks are local optima the climb keeps), while the hand-derived
     * BASELINE scores 0.712. Both points pinned in AttnSentimentSpec. */
-  lazy val trainedModel: AttnSentiment.Model = {
-    val (trainSet, _) = splitDocs()
-    train(zeroProbe, trainSet)._1
-  }
+  /** The fixed-corpus split, read once per process (both the fit and
+    * the calibration consume it). */
+  private lazy val fixedSplit: (Seq[(String, Int)], Seq[(String, Int)]) =
+    splitDocs()
+
+  lazy val trainedModel: AttnSentiment.Model =
+    train(zeroProbe, fixedSplit._1)._1
 
   /** Zero-initialized probe over the hand-derived frozen backbone —
     * value path + head at 0, Q/K/embeddings untouched. */
@@ -482,7 +472,7 @@ object AttnTrain {
     * only (the held-out half stays untouched); fully deterministic, so
     * the oracle SQL rendered with this value can never drift. */
   lazy val trainedConfDenom: Double = {
-    val (trainSet, _) = splitDocs()
+    val trainSet = fixedSplit._1
     val m = trainedModel
     val scaled = trainSet
       .flatMap { case (t, y) => precompute(m, t, y) }

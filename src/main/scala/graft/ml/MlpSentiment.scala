@@ -1,6 +1,6 @@
 package graft.ml
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, FileOutputStream}
 
 import graft.functions.Sentiment
 
@@ -90,35 +90,39 @@ object MlpSentiment {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def load(path: String): Model = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
-    try {
-      require(in.readInt() == Magic, s"not a graft MLP artifact: $path")
-      require(in.readInt() == 1, "unsupported MLP artifact version")
-      val v = in.readInt(); val h = in.readInt()
-      Model(v, h,
-        Array.fill(h)(Array.fill(v)(in.readDouble())),
-        Array.fill(h)(in.readDouble()),
-        Array.fill(2)(Array.fill(h)(in.readDouble())),
-        Array.fill(2)(in.readDouble()))
-    } finally in.close()
+  def load(path: String): Model =
+    parse(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), path)
+
+  private def parse(bytes: Array[Byte], path: String): Model = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, s"not a graft MLP artifact: $path")
+    require(in.readInt() == 1, "unsupported MLP artifact version")
+    val v = in.readInt(); val h = in.readInt()
+    Model(v, h,
+      Array.fill(h)(Array.fill(v)(in.readDouble())),
+      Array.fill(h)(in.readDouble()),
+      Array.fill(2)(Array.fill(h)(in.readDouble())),
+      Array.fill(2)(in.readDouble()))
   }
 
-  /** Per-JVM model session cache keyed on (path, mtime, size) — load
-    * once per executor, share across tasks (the runtime-session
-    * singleton every inference engine keeps). Keying on the stat, not
-    * the path alone, means an artifact retrained IN PLACE is picked up
-    * at the next batch in long-lived executor JVMs; the stat is one
-    * File metadata call per batch. Entries for superseded generations
-    * linger but are bounded by the number of generations a JVM ever
-    * observes. */
+  /** Per-JVM model session cache keyed on (path, CRC32-of-content) —
+    * load once per executor, share across tasks (the runtime-session
+    * singleton every inference engine keeps). CONTENT-keyed, not
+    * stat-keyed: an artifact retrained in place is picked up at the
+    * next batch even when the rewrite lands inside one mtime tick and
+    * the (fixed-layout) size never changes — the stat key could serve
+    * generation-1 weights against generation-2 oracle SQL. The cost is
+    * one read+CRC of a few-KB file per BATCH, noise next to the
+    * batch's matmuls. Entries for superseded generations linger but
+    * are bounded by the number of generations a JVM ever observes. */
   private val sessions =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Model]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Model]()
 
   def sessionFor(path: String): Model = {
-    val f = new java.io.File(path)
-    sessions.computeIfAbsent((path, f.lastModified(), f.length()),
-      _ => load(path))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes)
+    sessions.computeIfAbsent((path, crc.getValue), _ => parse(bytes, path))
   }
 
   /** Batched forward pass: tokenize (the engine-wide whitespace

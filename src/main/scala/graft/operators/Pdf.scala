@@ -184,8 +184,10 @@ object Pdf {
       objs += (4 + 2 * i) ->
         (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $PageW $PageH] " +
           s"/Contents ${5 + 2 * i} 0 R /Resources << /Font << /F1 3 0 R >>$xobjDict >> >>")
+      // the EOL before `endstream` is REQUIRED by ISO 32000-1 §7.3.8.1
+      // and not counted in /Length (same framing as the image objects)
       objs += (5 + 2 * i) ->
-        s"<< /Length ${content.getBytes("ISO-8859-1").length} >>\nstream\n${content}endstream"
+        s"<< /Length ${content.getBytes("ISO-8859-1").length} >>\nstream\n${content}\nendstream"
     }
     for ((img, k) <- images.zipWithIndex) {
       val data = deflate(Charts.rgbBytes(img))
