@@ -11,9 +11,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Scope: the subset of PDF the reference report actually uses — A4
   * pages, the 8%-of-page-height header stripe with the company name
   * (`pdf_header.draw_header_stripe`), flowed Helvetica text with
-  * per-section headers and page breaks, page numbers. Charts stay out
-  * (the visualization section lists its numbers instead — the chart
-  * PNGs are a plotting-library seam just as LLM text is an LLM seam).
+  * per-section headers and page breaks, page numbers, and the
+  * visualization section's bar/trend charts — rendered by [[Charts]]
+  * and embedded below as indexed-palette RunLengthDecode image
+  * XObjects (the matplotlib-PNG equivalent of `pdf_sections
+  * .create_visualizations_section`; RLE is hand-rolled from the PDF
+  * spec, so image bytes carry no zlib-build dependence and the whole
+  * file is byte-identical across JVMs — PdfSpec pins a golden SHA-256).
   *
   * Format notes (PDF 1.4 spec, public):
   *  - objects are numbered byte ranges; the `xref` table at the end
@@ -162,8 +166,9 @@ object Pdf {
 
   /** Assemble a complete PDF byte array: catalog(1), pages(2), font(3),
     * per page 2 objects (page, contents), then one image XObject per
-    * embedded chart (raw RGB24, FlateDecode — java.util.zip is
-    * deterministic for a fixed input and level). Exact xref offsets. */
+    * embedded chart (8-bit `/Indexed /DeviceRGB` samples, hand-rolled
+    * [[rleEncode RunLengthDecode]] — every byte a pure function of the
+    * chart raster). Exact xref offsets. */
   def renderSections(company: String, title: String,
                      sections: Seq[Section]): Array[Byte] = {
     val paged = paginate(title, sections)
@@ -190,11 +195,14 @@ object Pdf {
         s"<< /Length ${content.getBytes("ISO-8859-1").length} >>\nstream\n${content}\nendstream"
     }
     for ((img, k) <- images.zipWithIndex) {
-      val data = deflate(Charts.rgbBytes(img))
+      val (pal, idx) = Charts.indexedBytes(img)
+      val data = rleEncode(idx)
+      val palHex = pal.map(b => f"${b & 0xff}%02X").mkString
       objs += imgObjId(k) ->
         (s"<< /Type /XObject /Subtype /Image /Width ${img.getWidth} " +
-          s"/Height ${img.getHeight} /ColorSpace /DeviceRGB " +
-          s"/BitsPerComponent 8 /Filter /FlateDecode /Length ${data.length} >>" +
+          s"/Height ${img.getHeight} " +
+          s"/ColorSpace [/Indexed /DeviceRGB ${pal.length / 3 - 1} <$palHex>] " +
+          s"/BitsPerComponent 8 /Filter /RunLengthDecode /Length ${data.length} >>" +
           s"\nstream\n${new String(data, "ISO-8859-1")}\nendstream")
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -215,13 +223,47 @@ object Pdf {
     out.toByteArray
   }
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
-    d.setInput(data); d.finish()
+  /** PDF `RunLengthDecode` (PackBits) encoder, ISO 32000-1 §7.4.5:
+    * a length byte `l < 128` copies the next `l+1` bytes literally;
+    * `l > 128` repeats the next byte `257-l` times; `128` is EOD.
+    * Hand-rolled (like the xref writer) so the compressed bytes are a
+    * pure function of the input — no zlib-build dependence. Runs of
+    * ≥2 identical bytes are run-encoded; over [[Charts.indexedBytes]]
+    * output (flat-color rasters, one byte per pixel) this beats Flate
+    * while staying deterministic. */
+  private[graft] def rleEncode(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (run < 128 && i + run < data.length && data(i + run) == data(i)) run += 1
+      if (run >= 2) { out.write(257 - run); out.write(data(i) & 0xff); i += run }
+      else {
+        val start = i
+        var lit = 0
+        while (lit < 128 && i < data.length &&
+               !(i + 1 < data.length && data(i) == data(i + 1))) { i += 1; lit += 1 }
+        out.write(lit - 1); out.write(data, start, lit)
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** Inverse of [[rleEncode]] — spec-facing, so PdfSpec verifies the
+    * writer against its own bytes (the RiffWav interop posture). */
+  private[graft] def rleDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0; var done = false
+    while (!done && i < data.length) {
+      val l = data(i) & 0xff; i += 1
+      if (l == 128) done = true
+      else if (l < 128) { out.write(data, i, l + 1); i += l + 1 }
+      else {
+        val n = 257 - l; val b = data(i) & 0xff; i += 1
+        var k = 0; while (k < n) { out.write(b); k += 1 }
+      }
+    }
     out.toByteArray
   }
 

@@ -63,7 +63,7 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.wrap("", 10) == Seq(""))
   }
 
-  test("image XObjects: the embedded chart's RGB buffer round-trips through inflate") {
+  test("image XObjects: the embedded chart round-trips through RLE + palette") {
     import graft.operators.Charts
     val img = Charts.sentimentBar(Seq(
       ("POSITIVE", 5L, "50.0"), ("NEGATIVE", 3L, "30.0"), ("NEUTRAL", 2L, "20.0")))
@@ -73,16 +73,72 @@ class PdfSpec extends SparkSpec {
     val txt = new String(pdf, "ISO-8859-1")
     assert(txt.contains(s"/Width ${img.getWidth}"))
     assert(txt.contains("/Im1 Do"), "the page must draw the image")
-    val m = "/Filter /FlateDecode /Length (\\d+) >>\\nstream\\n".r
+    val m = ("/ColorSpace \\[/Indexed /DeviceRGB (\\d+) <([0-9A-F]+)>\\] " +
+      "/BitsPerComponent 8 /Filter /RunLengthDecode /Length (\\d+) >>\\nstream\\n").r
       .findFirstMatchIn(txt).get
-    val data = pdf.slice(m.end, m.end + m.group(1).toInt) // latin-1 is 1 byte/char
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(data)
-    val out = new Array[Byte](img.getWidth * img.getHeight * 3)
-    assert(inf.inflate(out) == out.length && inf.finished())
-    assert(java.util.Arrays.equals(out, Charts.rgbBytes(img)),
-      "decompressed XObject samples must equal the raster's RGB bytes")
+    val data = pdf.slice(m.end, m.end + m.group(3).toInt) // latin-1 is 1 byte/char
+    val idx = Pdf.rleDecode(data)
+    assert(idx.length == img.getWidth * img.getHeight,
+      "decoded indexed samples must cover the raster")
+    val (pal, expectIdx) = Charts.indexedBytes(img)
+    assert(java.util.Arrays.equals(idx, expectIdx),
+      "decoded XObject samples must equal the raster's indexed bytes")
+    assert(m.group(1).toInt == pal.length / 3 - 1, "hival must match the palette")
+    assert(m.group(2) == pal.map(b => f"${b & 0xff}%02X").mkString,
+      "embedded palette must match the raster's")
+    // palette expansion reproduces the exact RGB samples
+    val rgb = new Array[Byte](idx.length * 3)
+    for (i <- idx.indices) {
+      val k = idx(i) & 0xff
+      rgb(3 * i) = pal(3 * k); rgb(3 * i + 1) = pal(3 * k + 1); rgb(3 * i + 2) = pal(3 * k + 2)
+    }
+    assert(java.util.Arrays.equals(rgb, Charts.rgbBytes(img)))
   }
+
+  test("RLE codec: PackBits round-trips on runs, literals, and boundary lengths") {
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      Array(7),
+      Array.fill(300)(0x41.toByte), // run > two max-length groups
+      (0 until 300).map(_.toByte).toArray, // pure literal > 128
+      Array(1, 1, 2, 3, 3, 3, 4, 5, 5), // mixed
+      Array.fill(128)(9.toByte) ++ (0 until 5).map(_.toByte) ++ Array.fill(2)(6.toByte))
+    for (c <- cases)
+      assert(java.util.Arrays.equals(Pdf.rleDecode(Pdf.rleEncode(c)), c),
+        s"round-trip failed for len=${c.length}")
+    // runs actually compress: 300 identical bytes fit in a few groups
+    assert(Pdf.rleEncode(Array.fill(300)(0x41.toByte)).length <= 7)
+  }
+
+  test("golden bytes: the full synthetic report render is byte-pinned (cross-JVM)") {
+    // Every byte of the PDF is integer-derived: layout, bitmap-font
+    // chart labels, Bresenham strokes, palette order, hand-rolled RLE.
+    // No font stack, no zlib, no timestamps — so this hash must hold on
+    // ANY JVM/host. If it moves, the renderer changed.
+    import graft.operators.Charts
+    val bar = Charts.sentimentBar(Seq(
+      ("POSITIVE", 42L, "42.0"), ("NEGATIVE", 33L, "33.0"), ("NEUTRAL", 25L, "25.0")))
+    val line = Charts.trendLine(Seq(
+      "2024-01-01" -> 5L, "2024-01-02" -> 9L, "2024-01-03" -> 2L,
+      "2024-01-04" -> 7L, "2024-01-05" -> 11L))
+    val pdf = Pdf.renderSections("graft", "Sentiment Analysis Report", Seq(
+      Pdf.Section("Executive Summary", Seq(
+        "Total comments analyzed: 100",
+        "Positive: 42 (42.0%)", "Negative: 33 (33.0%)", "Neutral: 25 (25.0%)")),
+      Pdf.Section("Visualizations", Seq(
+        "Sentiment distribution and daily event trend:"), Seq(bar, line)),
+      Pdf.Section("Technical Details", Seq(
+        "Average confidence: 0.87", ("word " * 400).trim))))
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(pdf)
+      .map(b => f"$b%02x").mkString
+    assert(sha == GoldenReportSha256, s"renderer bytes moved: $sha")
+  }
+
+  /** Pinned over the synthetic report above; recompute ONLY on a
+    * deliberate renderer change (the assertion message prints the new
+    * value). */
+  private val GoldenReportSha256 =
+    "249e35d80f0f6e702f2682ffa2c5a70f41966bb84ca5b98c297a3d557c95b51e"
 
   test("end-to-end: the ep4 report frame renders to a valid, parseable report PDF with charts") {
     val docs = Tables.documents(spark, sf0001)
