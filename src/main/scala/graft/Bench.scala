@@ -31,6 +31,71 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  // --------------------------------------------------------------------
+  // Host-window calibration panel (SCALE.md "Bench drift protocol").
+  // Three fixed probes whose code NEVER changes: a single-thread integer
+  // mix (core clock), a 32-slice codegen'd range scan (parallel CPU
+  // through Tungsten), and a fixed 1024-key shuffle (exchange
+  // machinery). Every bench run records the panel twice — before and
+  // after the measured catalog passes — so each BENCH artifact carries
+  // its own window factor (time / CalibRef) and a reader can normalize
+  // any run without cross-run archaeology. CalibRef is the clean-window
+  // panel minimum (pinned from accumulated samples; re-pin ONLY
+  // downward, and never change the probe workloads). factor ≈ 1.0 =
+  // clean window; the round-13 +25–31% windows would have read ~1.3.
+  // --------------------------------------------------------------------
+  @volatile private var calibSink: Long = 0L // defeat dead-code elimination
+
+  private def calibCpu(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 400000000L) {
+      acc = java.lang.Long.rotateLeft(acc ^ (i * 0xFF51AFD7ED558CCDL), 31) *
+        0xC4CEB9FE1A85EC53L
+      i += 1
+    }
+    calibSink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def calibScan(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: 800M pseudo-random longs overflow an ANSI sum
+    calibSink = spark.range(0L, 800000000L, 1L, 32)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def calibShuffle(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    calibSink = spark.range(0L, 20000000L, 1L, 32)
+      .groupBy(pmod(xxhash64(col("id")), lit(1024)).as("k"))
+      .agg(sum("id").as("s")).agg(count(lit(1))).collect()(0).getLong(0)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Clean-window reference times for the panel (seconds), pinned from
+    * the minimum across round-14 bench runs on this host class. */
+  private val CalibRef = Map("cpu" -> 0.715, "scan" -> 0.240, "shuffle" -> 0.355)
+
+  /** min-of-2 per probe (same stall shielding as the catalog queries). */
+  private def calibPanel(spark: SparkSession): Map[String, Double] = {
+    def minOf2(f: () => Double): Double = math.min(f(), f())
+    Map("cpu" -> minOf2(() => calibCpu()),
+      "scan" -> minOf2(() => calibScan(spark)),
+      "shuffle" -> minOf2(() => calibShuffle(spark)))
+  }
+
+  /** Median ratio vs CalibRef — the run's host-window factor. */
+  private def calibFactor(panel: Map[String, Double]): Double = {
+    val rs = panel.map { case (k, v) => v / CalibRef(k) }.toSeq.sorted
+    rs(rs.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,6 +116,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // calibration warmup (JIT + codegen for the probe jobs), then the
+    // pre-catalog panel — runs even under SPARK_GRAFT_ONLY pins so every
+    // artifact, including solo re-measures, carries its window factor
+    // two warmup rounds: one is not enough for the scan/shuffle probes
+    // to reach steady JIT state, which would inflate factor_pre vs
+    // factor_post on identical hosts
+    calibCpu(); calibScan(spark); calibShuffle(spark)
+    calibCpu(); calibScan(spark); calibShuffle(spark)
+    val calibPre = calibPanel(spark)
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
@@ -90,7 +164,18 @@ object Bench {
         name -> best
       }
     }
+    val calibPost = calibPanel(spark)
     val total = results.map(_._2).sum
+    // the conservative window verdict: a window that turned slow at
+    // either end of the run flags the whole artifact
+    val fPre = calibFactor(calibPre); val fPost = calibFactor(calibPost)
+    val calibJson = {
+      val entries =
+        calibPre.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "_pre\":" + fmt(v) } ++
+          calibPost.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "_post\":" + fmt(v) } ++
+          Seq("\"factor_pre\":" + fmt(fPre), "\"factor_post\":" + fmt(fPost))
+      entries.mkString("{", ",", "}")
+    }
     // Full per-query detail goes to a FILE: with 130 queries the map is
     // ~4 KB, and the driver's log capture keeps only the final ~2000
     // characters — a full inline map truncates its own opening brace and
@@ -99,7 +184,7 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib":$calibJson,"queries":$detail,"sf":"$sfDir"}""")
     val headline = Seq(
       "h1_pricing_summary", "h3_top_customers_by_revenue", "h5_regional_revenue",
       "p1_quality_filter", "a4_daily_trends", "j1_containment_dedup",
@@ -110,7 +195,7 @@ object Bench {
     val rmap = results.toMap
     val qs = headline.flatMap(h => rmap.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib":{"pre":${fmt(fPre)},"post":${fmt(fPost)}},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
