@@ -561,6 +561,50 @@ object SparkEntry {
          |GROUP BY token ORDER BY token_cnt DESC, token""".stripMargin
   }
 
+  /** Oracle for `tok_bpe_train`: `n` greedy BPE merge rounds unrolled
+    * as materialized CTEs (the btIterCtes discipline — each round
+    * references the previous state; inlining would grow the plan
+    * exponentially). Round r: pair counts from the bracketed state
+    * (`tp$r`), the repeating-pair argmax with (a, b) tie-break
+    * (`tm$r`, one row), state rewrite via the boundary-anchored
+    * replace (`tb$r` — see [[bpeSubwordOracleSql]] for why replace ==
+    * the greedy fold). The final SELECT unions the per-round argmax
+    * rows in rank order — exactly
+    * [[operators.Tokenizer.bpeTrain]]'s output. */
+  private def bpeTrainOracle(n: Int): String = {
+    val (o, c) = ("chr(1)", "chr(2)")
+    val rounds = (1 to n).map { r =>
+      val rewrite =
+        if (r == n) "" // the last rewrite is never read
+        else s""",
+           |tb$r AS MATERIALIZED (SELECT cnt,
+           |  replace(s, $o || a || $c || $o || b || $c, $o || a || b || $c) AS s
+           |  FROM tb${r - 1}, tm$r)""".stripMargin
+      s""",
+         |tp$r AS MATERIALIZED (
+         |  SELECT list_extract(ss, i) AS a, list_extract(ss, i + 1) AS b,
+         |    CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT cnt, ss, unnest(range(1, len(ss))) AS i
+         |    FROM (SELECT cnt,
+         |        string_split(substr(s, 2, length(s) - 2), $c || $o) AS ss
+         |      FROM tb${r - 1}))
+         |  GROUP BY 1, 2),
+         |tm$r AS MATERIALIZED (SELECT a, b FROM tp$r
+         |  WHERE pc >= 2 ORDER BY pc DESC, a, b LIMIT 1)""".stripMargin + rewrite
+    }.mkString
+    val unions = (1 to n)
+      .map(r => s"SELECT $r AS merge_rank, a, b FROM tm$r")
+      .mkString("\n|", "\n|UNION ALL ", "").stripMargin
+    Sentiment.oracleCte + s""",
+       |tw AS (SELECT unnest(tokens) AS word FROM toks),
+       |twc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tw GROUP BY word),
+       |tb0 AS MATERIALIZED (SELECT cnt,
+       |  array_to_string(list_transform(string_split(word, ''), ch -> $o || ch || $c), '')
+       |    || $o || '</w>' || $c AS s
+       |  FROM twc WHERE NOT contains(word, chr(1)) AND NOT contains(word, chr(2)))""".stripMargin +
+      rounds + unions + "\nORDER BY merge_rank"
+  }
+
   /** DuckDB replay of [[operators.MLEval.pairwiseWinMatrix]] over the
     * doc_id//2 duel pairing on the F7 reward: composes after
     * [[Sentiment.oracleCte]], ends with the
@@ -985,8 +1029,25 @@ object SparkEntry {
     * string, two engine paths, so the entries also prove the two paths
     * equal each other. */
   private lazy val ivfpqAnnOracle: String =
+    s"WITH $evecCteSql,\n" + ivfpqAnnOracleBody("evec")
+
+  /** The same replay over corpus ∪ ingest batch (every 17th vector
+    * cloned under vec_id+2e6 — `sim_incr_ivf`'s convention): the oracle
+    * for `sim_index_compact`, which must equal a from-scratch rebuild
+    * over the merged corpus. Centroid/codebook CTEs still select
+    * `vec_id < 16`, i.e. base vectors only — the compacted layout keeps
+    * v=1's quantizers unchanged by construction. */
+  private lazy val ivfpqCompactOracle: String =
     s"""WITH $evecCteSql,
-       |en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+       |allv AS (SELECT vec_id, v FROM evec
+       |  UNION ALL SELECT vec_id + 2000000, v FROM evec WHERE vec_id % 17 = 0),
+       |""".stripMargin + ivfpqAnnOracleBody("allv")
+
+  /** Body of the deterministic-convention IVF-PQ replay, parameterized
+    * on the vector source CTE (`evec` for the base corpus, `allv` for
+    * the compaction's merged corpus). */
+  private def ivfpqAnnOracleBody(src: String): String =
+    s"""en AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM $src),
        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 16),
        |asg0 AS (
        |  SELECT en.vec_id, en.v, en.nrm, cents.cell,
@@ -998,7 +1059,7 @@ object SparkEntry {
        |    FROM asg0) WHERE rn = 1),
        |ss AS (SELECT unnest(range(0, 8)) AS s),
        |sl AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vs
-       |  FROM evec, ss),
+       |  FROM $src, ss),
        |cb AS (SELECT s, CAST(vec_id AS INT) AS code, vs AS cw FROM sl WHERE vec_id < 16),
        |enc0 AS (SELECT sl.vec_id, sl.s, cb.code,
        |    ${dotSql("vs", "vs")} + ${dotSql("cw", "cw")} - CAST(2.0 AS DOUBLE) * ${dotSql("vs", "cw")} AS d2
@@ -1162,6 +1223,29 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(p)
+  }
+
+  /** Guarded v=1 build of the exported IVF-PQ layout (deterministic
+    * first-16 centroids/codebook, raw encoding) SHARED by
+    * `sim_index_export` (replays v=1) and `sim_index_compact` (appends
+    * a delta to v=1 and compacts into v=2) — one layout living the full
+    * build→serve→append→compact lifecycle. Returns the layout dir. */
+  private def ivfPqIndexShared(s: SparkSession, d: String): String = {
+    val dir = s"spark-warehouse/graft_state/ivfpq_index_${sourceStateKey(s, d, "embeddings.parquet")}"
+    if (!new java.io.File(s"$dir/v=1/manifest/_SUCCESS").exists) {
+      val emb = Tables.embeddings(s, d)
+      val e0 = emb.select(col("vec_id"),
+        Similarity.toDoubleArray(col("embedding")).as("v"))
+      val cents = e0.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      val cb = e0.filter(col("vec_id") < 16).select(col("vec_id"),
+        posexplode(array((0 until 8).map(ss =>
+          slice(col("v"), ss * 8 + 1, 8)): _*)).as(Seq("s", "vs")))
+        .select(col("s"), col("vec_id").cast("int").as("code"),
+          col("vs").as("cw"))
+      Similarity.writeIvfPqIndex(emb, cents, cb, dir, version = 1)
+    }
+    dir
   }
 
   /** Shared oracle for the two incremental-components entries
@@ -2607,25 +2691,40 @@ object SparkEntry {
       // this is the batch/serving handoff: Spark refreshes v=N+1 while
       // readers replay from v=N
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val dir = s"spark-warehouse/graft_state/ivfpq_index_${sourceStateKey(s, d, "embeddings.parquet")}"
-        if (!new java.io.File(s"$dir/v=1/manifest/_SUCCESS").exists) {
-          val e0 = emb.select(col("vec_id"),
-            Similarity.toDoubleArray(col("embedding")).as("v"))
-          val cents = e0.filter(col("vec_id") < 16)
-            .select(col("vec_id").as("cell"), col("v").as("cv"))
-          val cb = e0.filter(col("vec_id") < 16).select(col("vec_id"),
-            posexplode(array((0 until 8).map(ss =>
-              slice(col("v"), ss * 8 + 1, 8)): _*)).as(Seq("s", "vs")))
-            .select(col("s"), col("vec_id").cast("int").as("code"),
-              col("vs").as("cw"))
-          Similarity.writeIvfPqIndex(emb, cents, cb, dir, version = 1)
-        }
-        val idx = Similarity.readIvfPqIndex(s, dir, version = 1)
+        val idx = Similarity.readIvfPqIndex(s, ivfPqIndexShared(s, d), version = 1)
         Similarity.ivfPqTopKFromIndex(idx, queryId = 20, k = 10,
           nprobe = 4, shortlist = 50)
       },
       Some(ivfpqAnnOracle)),
+
+    Q("sim_index_compact",
+      // the nightly close of the index-export lifecycle (r13 VERDICT
+      // task 3): the sim_index_export layout (v=1) accumulates an
+      // encoded delta batch (sim_incr_ivf's ingest convention — every
+      // 17th vector re-appearing under vec_id+2e6, planted exact dups),
+      // appendIvfPqDelta encodes it against v=1's own quantizers in
+      // O(batch), compactIvfPqIndex merges postings ⊎ delta into v=2
+      // (quantizers copied unchanged, base corpus never re-encoded),
+      // and the query replays from the COMPACTED layout alone. The
+      // oracle full-recomputes IVF-PQ over corpus ∪ batch, hash-proving
+      // compaction ≡ from-scratch rebuild; IndexCompactSpec additionally
+      // pins layout equality vs writeIvfPqIndex over the merged corpus,
+      // v=1 reader isolation mid-compaction, upsert (delta-wins)
+      // semantics, and DPP firing on the compacted postings scan
+      (s, d) => {
+        val dir = ivfPqIndexShared(s, d)
+        if (!new java.io.File(s"$dir/v=2/manifest/_SUCCESS").exists) {
+          val batch = Tables.embeddings(s, d)
+            .filter(col("vec_id") % 17 === 0)
+            .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+          Similarity.appendIvfPqDelta(batch, dir, version = 1)
+          Similarity.compactIvfPqIndex(s, dir, fromVersion = 1)
+        }
+        val idx = Similarity.readIvfPqIndex(s, dir, version = 2)
+        Similarity.ivfPqTopKFromIndex(idx, queryId = 20, k = 10,
+          nprobe = 4, shortlist = 50)
+      },
+      Some(ivfpqCompactOracle)),
 
     Q("sim_ivfpq_res_ann",
       // residual IVF-PQ (the FAISS IVFx,PQy default): PQ runs over
@@ -7020,6 +7119,22 @@ object SparkEntry {
             !col("word").contains("\u0002")),
         operators.Tokenizer.PinnedMerges),
       Some(bpeSubwordOracleSql)),
+
+    Q("tok_bpe_train",
+      // the merge LIST itself learned in-engine (r13 VERDICT task 4):
+      // 16 greedy max-pair rounds unrolled into one lineage — each
+      // round's argmax is a broadcast one-row frame consumed twice
+      // (extend the merge table, rewrite the bracketed state with one
+      // codegen'd replace), per-round localCheckpoint bounds the tree
+      // (the ml_bt_strength discipline), NO per-round driver collect of
+      // row data. The oracle unrolls the identical 16 rounds as
+      // materialized CTEs; TokenizerSpec pins the output equal to
+      // bpeLearn's driver loop AND to PinnedMerges on the sf0.001
+      // corpus — the pinned config tok_subword_counts / tok_fertility
+      // consume is a learned, oracle-replayed artifact end-to-end
+      (s, d) => operators.Tokenizer.bpeTrain(
+        operators.Tokenizer.wordCounts(Tables.documents(s, d)), nMerges = 16),
+      Some(bpeTrainOracle(16))),
 
     Q("tok_fertility",
       // tokenizer fertility/compression per language under the pinned

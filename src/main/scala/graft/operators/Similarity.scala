@@ -1763,8 +1763,6 @@ object Similarity {
   def writeIvfPqIndex(emb: DataFrame, centsIn: DataFrame, codebookIn: DataFrame,
                       dir: String, version: Int, m: Int = 8,
                       dim: Int = 64, residual: Boolean = false): Unit = {
-    require(dim % m == 0, "m must divide dim")
-    val sub = dim / m
     val base = s"$dir/v=$version"
     val e = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", normFast(col("v")))
@@ -1773,6 +1771,32 @@ object Similarity {
         normFast(col("cv")).as("cnrm"))
     val codebook = codebookIn.select(col("s").cast("int").as("s"),
       col("code").cast("int").as("code"), col("cw"))
+    cents.select(col("cell"), col("cv")).write.mode("overwrite")
+      .parquet(s"$base/centroids")
+    codebook.write.mode("overwrite").parquet(s"$base/codebook")
+    encodePostings(e, cents, codebook, m, dim, residual)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/postings")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nCodes = codebook.agg(max(col("code"))).collect()(0).getInt(0) + 1
+    Seq((version, dim, m, nCodes, cents.count(), e.count(), residual))
+      .toDF("version", "dim", "m", "n_codes", "n_cells", "n_vectors", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+  }
+
+  /** Assignment + PQ encoding shared by [[writeIvfPqIndex]] (full
+    * builds) and [[appendIvfPqDelta]] (incremental batches): the same
+    * code path by construction, so compaction merging stored base
+    * postings with a delta is bit-identical to a from-scratch rebuild
+    * over the merged corpus (IndexCompactSpec pins it). Expects
+    * `(vec_id, v, nrm)` input and NORMALIZED quantizer frames (cents
+    * with cnrm, codebook with int s/code); emits the postings schema
+    * `(vec_id, cell, codes, v, nrm)`. */
+  private def encodePostings(e: DataFrame, cents: DataFrame,
+                             codebook: DataFrame, m: Int, dim: Int,
+                             residual: Boolean): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
     val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     def l2sq(a: Column, b: Column): Column =
@@ -1799,18 +1823,99 @@ object Similarity {
       .groupBy("vec_id")
       .agg(transform(sort_array(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
-    cents.select(col("cell"), col("cv")).write.mode("overwrite")
-      .parquet(s"$base/centroids")
-    codebook.write.mode("overwrite").parquet(s"$base/codebook")
     assigned.join(enc, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), col("codes"), col("v"), col("nrm"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/postings")
-    val spark = emb.sparkSession
+  }
+
+  /** Encode an ingest batch against an EXISTING layout's quantizers and
+    * persist it as that version's accumulated delta state
+    * (`dir/v=<version>/delta/`, postings schema, cell-partitioned) —
+    * the accumulate half of the nightly append→compact lifecycle (ref:
+    * the job-artifact refresh loop `pipeline_helpers.py:63-77`). Reads
+    * the manifest for m/dim/residual (the layout is self-describing;
+    * the caller never restates geometry) and ONLY the quantizer frames
+    * — O(batch) work, the base postings are never touched. Repeated
+    * calls accumulate by vec_id (append semantics; a re-sent vec_id
+    * replaces its earlier delta row — last write wins, matching the
+    * upsert [[compactIvfPqIndex]] applies against the base). */
+  def appendIvfPqDelta(batch: DataFrame, dir: String, version: Int): Unit = {
+    val spark = batch.sparkSession
+    val base = s"$dir/v=$version"
+    val mf = spark.read.parquet(s"$base/manifest").collect()(0)
+    val residual = mf.schema.fieldNames.contains("residual") &&
+      mf.getAs[Boolean]("residual")
+    val m = mf.getAs[Int]("m"); val dim = mf.getAs[Int]("dim")
+    val cents = spark.read.parquet(s"$base/centroids")
+      .select(col("cell").cast("long").as("cell"), col("cv"),
+        normFast(col("cv")).as("cnrm"))
+    val codebook = spark.read.parquet(s"$base/codebook")
+      .select(col("s").cast("int").as("s"), col("code").cast("int").as("code"),
+        col("cw"))
+    val e = batch.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val deltaDir = s"$base/delta"
+    val fresh = encodePostings(e, cents, codebook, m, dim, residual)
+    val merged =
+      if (!new java.io.File(deltaDir, "_SUCCESS").exists) fresh
+      else {
+        val prior = spark.read.parquet(deltaDir)
+          .withColumn("cell", col("cell").cast("long"))
+        // parquet can't overwrite its own input mid-plan; pin the prior
+        // delta before the rewrite (bounded: a delta is one ingest window)
+        val pinned = prior.localCheckpoint(true)
+        pinned.join(fresh.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(fresh)
+      }
+    merged.write.mode("overwrite").partitionBy("cell").parquet(deltaDir)
+  }
+
+  /** Merge a layout version's accumulated delta into the NEXT layout
+    * version — the nightly close of the batch/serving handoff (r13
+    * VERDICT task 3): postings(v=N) upserted with delta (delta wins on
+    * vec_id collision) → postings(v=N+1), quantizers copied UNCHANGED
+    * (compaction reorganizes layout, never geometry — a query probes
+    * the same cells before and after), manifest rewritten with the new
+    * version and count. Pure layout-level work: reads codes + raw
+    * vectors from parquet and rewrites cell partitions — the base
+    * corpus is never re-assigned or re-encoded, so the nightly run
+    * costs O(index + delta), not O(corpus × training). Version
+    * directories are immutable once their manifest lands: readers
+    * replaying v=N are untouched mid-compaction (IndexCompactSpec pins
+    * both the reader isolation and compacted ≡ from-scratch-rebuild
+    * equality; the `sim_index_compact` entry hash-gates the v=N+1
+    * replay against a full-recompute DuckDB oracle). Returns the new
+    * version number. */
+  def compactIvfPqIndex(spark: SparkSession, dir: String,
+                        fromVersion: Int): Int = {
+    val from = s"$dir/v=$fromVersion"
+    val toVersion = fromVersion + 1
+    val to = s"$dir/v=$toVersion"
+    val mf = spark.read.parquet(s"$from/manifest").collect()(0)
+    val residual = mf.schema.fieldNames.contains("residual") &&
+      mf.getAs[Boolean]("residual")
+    val basePosts = spark.read.parquet(s"$from/postings")
+      .withColumn("cell", col("cell").cast("long"))
+    val deltaDir = s"$from/delta"
+    val merged =
+      if (!new java.io.File(deltaDir, "_SUCCESS").exists) basePosts
+      else {
+        val delta = spark.read.parquet(deltaDir)
+          .withColumn("cell", col("cell").cast("long"))
+        basePosts.join(delta.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(delta)
+      }
+    spark.read.parquet(s"$from/centroids").write.mode("overwrite")
+      .parquet(s"$to/centroids")
+    spark.read.parquet(s"$from/codebook").write.mode("overwrite")
+      .parquet(s"$to/codebook")
+    merged.write.mode("overwrite").partitionBy("cell").parquet(s"$to/postings")
     import spark.implicits._
-    val nCodes = codebook.agg(max(col("code"))).collect()(0).getInt(0) + 1
-    Seq((version, dim, m, nCodes, cents.count(), e.count(), residual))
+    val n = spark.read.parquet(s"$to/postings").count()
+    Seq((toVersion, mf.getAs[Int]("dim"), mf.getAs[Int]("m"),
+      mf.getAs[Int]("n_codes"), mf.getAs[Long]("n_cells"), n, residual))
       .toDF("version", "dim", "m", "n_codes", "n_cells", "n_vectors", "residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$to/manifest")
+    toVersion
   }
 
   /** Open an exported index: reads the manifest and binds the three
