@@ -107,6 +107,75 @@ object Tokenizer {
     merges.toSeq
   }
 
+  /** Learn `nMerges` BPE merges ENTIRELY in the engine — the oracled
+    * twin of [[bpeLearn]] (r13 VERDICT task 4): no per-round driver
+    * collect; each round's greedy max-pair argmax (ties broken (a, b)
+    * lexicographically, pairs must repeat: `pc >= 2`) stays in the plan
+    * as a broadcast ONE-ROW frame consumed twice — appended to the
+    * merge table and crossJoined into the state rewrite. State is the
+    * bracketed-string representation (see [[bpeSymbolsOf]]), so each
+    * rewrite is one codegen'd `replace`; per-round localCheckpoint
+    * bounds the unrolled tree (the Bradley-Terry/PageRank lineage
+    * discipline). Returns `(merge_rank, a, b)` in learning order.
+    *
+    * Degenerate corpora (no repeating pair before `nMerges` rounds)
+    * collapse the state to empty through the crossJoin and stop
+    * emitting rows — the DuckDB replay collapses identically, so the
+    * hash gate holds even there; [[bpeLearn]] is the early-stopping
+    * variant when the merge count must be exact. */
+  def bpeTrain(wordCounts: DataFrame, nMerges: Int,
+               statePartitions: Int = 8): DataFrame = {
+    val (o, c) = ("\u0001", "\u0002")
+    val bracketed = concat(
+      array_join(transform(filter(split(col("word"), ""), s => s =!= lit("")),
+        s => concat(lit(o), s, lit(c))), ""),
+      lit(o + EndOfWord + c))
+    // the state is O(vocab) — tiny next to the corpus — but every round
+    // schedules two jobs over it, so default-parallelism partitioning
+    // turns rounds into pure task-scheduling overhead (32 tasks x 2 jobs
+    // x nMerges for kilobyte slices). Coalesce once up front; size
+    // `statePartitions` to keep per-partition vocab in the low millions
+    // at 100 TB (vocab grows ~logarithmically with corpus)
+    var st = wordCounts
+      .where(!col("word").contains(o) && !col("word").contains(c))
+      .select(col("cnt"), bracketed.as("bw"))
+      .repartition(statePartitions)
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (r <- 1 to nMerges) {
+      val ss = split(col("bw").substr(lit(2), length(col("bw")) - 2), c + o)
+      val n = size(ss)
+      val pairs = when(n >= 2, transform(sequence(lit(1), n - 1), i => struct(
+        element_at(ss, i).as("a"), element_at(ss, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = st
+        .select(col("cnt"), explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .where(col("pc") >= 2)
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val mrow = top.select(lit(r).as("merge_rank"), col("a"), col("b"))
+      merges = if (merges == null) mrow else merges.unionByName(mrow)
+      // per-round state checkpoint, MEASURED: the lineage without it is
+      // linear (each rewrite is one replace + a broadcast of an already-
+      // checkpointed one-row frame), but skipping the materialization
+      // re-derives the chain from tb0 inside every argmax job and
+      // re-compiles a growing codegen unit per round — 3.9 s -> 4.9 s at
+      // sf0.1 (SCALE.md round 14). Materialize-per-round wins even on a
+      // 31-word vocab; more so when vocab is large
+      if (r < nMerges) st = st.crossJoin(broadcast(top))
+        .select(col("cnt"),
+          replace(col("bw"),
+            concat(lit(o), col("a"), lit(c), lit(o), col("b"), lit(c)),
+            concat(lit(o), col("a"), col("b"), lit(c))).as("bw"))
+        .localCheckpoint()
+    }
+    merges.orderBy("merge_rank")
+  }
+
   /** 16 merges learned by [[bpeLearn]] over the sf0.001 corpus word table —
     * pinned as configuration (the stoplist convention) so downstream
     * segmentation is static, reproducible, and oracle-replayable. At

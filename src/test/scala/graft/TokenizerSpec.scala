@@ -102,6 +102,31 @@ class TokenizerSpec extends SparkSpec {
     assert(m1 == m2 && m1.length == 8)
   }
 
+  test("bpeTrain (in-plan) equals bpeLearn (driver loop) and re-derives PinnedMerges") {
+    val base = Tokenizer.wordCounts(Tables.documents(spark, sf0001))
+    val trained = Tokenizer.bpeTrain(base, 16).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(trained.map(_._1) == (1 to 16), "one merge per rank, in order")
+    assert(trained.map(t => (t._2, t._3)) == Tokenizer.bpeLearn(base, 16),
+      "the in-plan learner must equal the driver-loop learner")
+    assert(trained.map(t => (t._2, t._3)) == Tokenizer.PinnedMerges,
+      "PinnedMerges IS the learned artifact on the sf0.001 corpus")
+  }
+
+  test("bpeTrain greedy rounds and tie-break on a hand-checked corpus") {
+    val trained = Tokenizer.bpeTrain(wc(Seq("abc" -> 3L, "abd" -> 2L)), 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(trained == Seq(("a", "b"), ("ab", "c"), ("abc", "</w>")))
+  }
+
+  test("bpeTrain collapses identically to bpeLearn's early stop on degenerate input") {
+    // no pair repeats: bpeLearn returns Nil; bpeTrain's argmax frame is
+    // empty every round, so the crossJoin empties the state and no
+    // merge rows are emitted — the documented parity
+    val trained = Tokenizer.bpeTrain(wc(Seq("ab" -> 1L, "cd" -> 1L)), 4)
+    assert(trained.collect().isEmpty)
+  }
+
   test("fertilityByLang: hand-counted words/subwords/chars and ratios") {
     val s = spark
     import s.implicits._
