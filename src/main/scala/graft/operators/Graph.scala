@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Session-conf storage knob for the iterative loops' checkpoint
+    * blocks (`spark.graft.graph.checkpointStorage`): `default` keeps
+    * Spark's MEMORY_AND_DISK (deserialized rows — measured fastest
+    * while the heap is roomy: 6.7 s vs 7.6 s for the other modes at
+    * sf0.1@8g), `ser` pins MEMORY_AND_DISK_SER (serialized blocks —
+    * smaller, but still competing with execution memory), `disk` pins
+    * DISK_ONLY (zero block-manager heap; on any host with page cache
+    * the "disk" blocks are memory-speed anyway). Round-14 sf3@8g
+    * measurement (SCALE.md): the GCLocker-thrashing default (95.9 s,
+    * 7–9 s GC) drops to 86.4 s under `ser` and to **54.7 s under
+    * `disk` — faster than the 24 GB default run (61.2 s)**, because
+    * evicting checkpoint blocks from the heap returns the whole budget
+    * to execution. Memory-tight deployments should set `disk`. */
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.graph.checkpointStorage")
+      .getOrElse("default") match {
+      case "ser" => df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      case "disk" => df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case _ => df.localCheckpoint()
+    }
+
+  private implicit class IterCkpt(private val df: DataFrame) {
+    def iterCkpt(): DataFrame = iterCheckpoint(df)
+  }
+
   /** Estimated bytes per rank-table row for the broadcast decision below:
     * 8 B id + 8 B rank + UnsafeRow/broadcast-map overhead. */
   private[graft] val RankRowBytes = 32.0
@@ -103,7 +130,7 @@ object Graph {
     // first cut of this operator derived out-degrees from the raw edge
     // plan inside the loop's dangling probe, re-running the upstream join
     // every iteration — 18.4 s at sf0.1 vs ~4 s with the plan below.
-    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val edges = edges0.select(col("src"), col("dst")).distinct().iterCkpt()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     // arcs pre-partitioned on src, rank tables on id: checkpoint preserves
     // the hash partitioning, so the loop's arc⋈rank join and the
@@ -111,24 +138,24 @@ object Graph {
     // edge list every round (the co-location a cluster would pin with
     // bucketing)
     val arcs = edges.repartition(col("src")).join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
+      .select(col("src"), col("dst"), col("deg")).iterCkpt()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).localCheckpoint()
+      .repartition(col("id")).iterCkpt()
     // dangling node SET is loop-invariant (membership, not mass):
     // materialized once; when it is empty (any symmetrized graph) the
     // per-round dangling aggregation is elided outright — the mass is
     // exactly 0.0, not a job
     val danglingNodes = nodes
       .join(arcs.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint()
+      .iterCkpt()
     val hasDangling = danglingNodes.limit(1).count() > 0
     // the node count is a loop-invariant scalar: one count action here
     // (the canonicalComponents labelSum-probe precedent) instead of a
     // re-broadcast one-row aggregate inside every iteration's plan
     val nNodes = nodes.count().toDouble
     var ranks = nodes
-      .select(col("id"), (lit(1.0) / lit(nNodes)).as("rank")).localCheckpoint()
+      .select(col("id"), (lit(1.0) / lit(nNodes)).as("rank")).iterCkpt()
     // a checkpointed rank table carries no size stats, so the planner
     // would sort-merge the arc⋈rank join every round; the node count is
     // already known, so pick the strategy the optimizer would pick with
@@ -163,7 +190,13 @@ object Graph {
     // the per-round checkpoint is the guard (the canonicalComponents
     // measurement showed batching a twice-referenced round is a
     // regression — AQE re-executes the shared subplan)
-    val checkpointEvery = if (hasDangling) 1 else 2
+    // explicit cadence knob (`spark.graft.graph.checkpointEvery`): a
+    // memory-tight deployment can checkpoint more often (smaller live
+    // plan state per job) or batch more rounds per barrier; the default
+    // stays the measured reference-twice heuristic below
+    val checkpointEvery = edges0.sparkSession.conf
+      .getOption("spark.graft.graph.checkpointEvery").map(_.toInt)
+      .getOrElse(if (hasDangling) 1 else 2)
     var iter = 0
     while (iter < iterations) {
       var work = ranks
@@ -171,7 +204,7 @@ object Graph {
       while (steps < checkpointEvery && iter + steps < iterations) {
         work = prRound(work); steps += 1
       }
-      ranks = work.localCheckpoint()
+      ranks = work.iterCkpt()
       iter += steps
     }
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
@@ -195,7 +228,7 @@ object Graph {
     // materialization — it was the whole-edge-list cost paid twice
     val edges =
       if (edgesPrepared) edges0
-      else edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+      else edges0.select(col("src"), col("dst")).distinct().iterCkpt()
     // frontier BFS: in an unweighted graph the minimum hop distance IS
     // the first round a node is reached, so each round only the NEW
     // frontier joins the edge list and an anti-join against the settled
@@ -204,7 +237,7 @@ object Graph {
     // O(frontier_k × avg-degree), and on a hub-seeded trade graph the
     // frontier collapses after 2 hops instead of re-scanning every
     // settled node each round
-    var dist = seeds.select(col("id"), lit(0).as("dist")).localCheckpoint()
+    var dist = seeds.select(col("id"), lit(0).as("dist")).iterCkpt()
     var frontier = dist
     var k = 0
     while (k < maxHops) {
@@ -213,13 +246,13 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
         .select(col("id"), lit(k + 1).as("dist"))
-        .localCheckpoint()
+        .iterCkpt()
       // scalar probe on the already-checkpointed frontier: once the BFS
       // exhausts the component the remaining rounds are no-ops — skip
       // them (the convergence-probe precedent; probes a bit, not rows)
       if (next.isEmpty) k = maxHops
       else {
-        dist = dist.unionByName(next).localCheckpoint()
+        dist = dist.unionByName(next).iterCkpt()
         frontier = next
         k += 1
       }
@@ -234,7 +267,7 @@ object Graph {
     * and the BFS loop. */
   def hopDistancesFromTopDegree(edges0: DataFrame, seedCount: Int,
                                 maxHops: Int): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val edges = edges0.select(col("src"), col("dst")).distinct().iterCkpt()
     val seeds = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("id")).limit(seedCount)
@@ -303,7 +336,7 @@ object Graph {
             .orderBy("id")
             // materialize before the finally unpersists the inputs the
             // plan still references
-            .localCheckpoint()
+            .iterCkpt()
         } finally arcs.unpersist()
       } finally deg.unpersist()
     } finally e.unpersist()
@@ -332,7 +365,7 @@ object Graph {
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("a"))
       .select(col("a.src").as("src"), col("a.dst").as("dst"))
-      .localCheckpoint()
+      .iterCkpt()
     var i = 0
     while (i < peels) {
       val keep = arcs.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -340,7 +373,7 @@ object Graph {
       arcs = arcs
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst").localCheckpoint()
+        .select("src", "dst").iterCkpt()
       i += 1
     }
     arcs.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
