@@ -90,11 +90,16 @@ object Bench {
       "shuffle" -> minOf2(() => calibShuffle(spark)))
   }
 
-  /** Median ratio vs CalibRef — the run's host-window factor. */
-  private def calibFactor(panel: Map[String, Double]): Double = {
-    val rs = panel.map { case (k, v) => v / CalibRef(k) }.toSeq.sorted
-    rs(rs.length / 2)
-  }
+  /** The run's host-window factor = the CPU probe's ratio vs CalibRef.
+    * The single-thread integer mix is the stable detector (±1.7% across
+    * every round-14 sample, immune to JVM/Spark warm-up state), and the
+    * r13-style windows were host-uniform, so it captures exactly them;
+    * the scan/shuffle probes stay in the artifact as corroboration but
+    * are too cold-state-noisy to gate on (a cold pre-panel shuffle read
+    * 1.55× in a window the cpu probe put at 1.03×). Clean window =
+    * both factors ≤ 1.05. */
+  private def calibFactor(panel: Map[String, Double]): Double =
+    panel("cpu") / CalibRef("cpu")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
