@@ -605,6 +605,70 @@ object SparkEntry {
       rounds + unions + "\nORDER BY merge_rank"
   }
 
+  /** Oracle for `sel_kcenter`: the greedy farthest-point rounds unrolled
+    * as materialized CTEs (the [[bpeTrainOracle]] discipline). `kc$r` is
+    * round r's one-row argmax over the previous state's min-distance
+    * column; `kst$r` folds the new center into every point's `mind` with
+    * LEAST — exactly [[operators.Similarity.kCenterCoreset]]'s loop, with
+    * the same left-fold dot/norm so the argmax agrees bit-for-bit. */
+  private def kCenterOracle(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = r - 1
+      val upd =
+        if (r == k) "" // the last fold is never read
+        else s""",
+           |kst$r AS MATERIALIZED (
+           |  SELECT s.vec_id, s.v, s.nrm,
+           |    LEAST(s.mind,
+           |      CAST(1.0 AS DOUBLE) - ${dotSql("s.v", "c.cv")} / (s.nrm * c.cnrm)) AS mind
+           |  FROM kst$prev s CROSS JOIN kc$r c)""".stripMargin
+      s""",
+         |kc$r AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm, mind AS mrad
+         |  FROM kst$prev ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin + upd
+    }.mkString
+    val unions = (2 to k)
+      .map(r => s"UNION ALL SELECT $r, c_id, ROUND(mrad, 6) + CAST(0.0 AS DOUBLE) FROM kc$r")
+      .mkString("\n")
+    s"""WITH $evecCteSql,
+       |ken AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+       |kc1 AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+       |  FROM ken ORDER BY vec_id LIMIT 1),
+       |kst1 AS MATERIALIZED (
+       |  SELECT ken.vec_id, ken.v, ken.nrm,
+       |    CAST(1.0 AS DOUBLE) - ${dotSql("ken.v", "c.cv")} / (ken.nrm * c.cnrm) AS mind
+       |  FROM ken CROSS JOIN kc1 c)""".stripMargin + rounds + s"""
+       |SELECT * FROM (
+       |SELECT 1 AS sel_rank, c_id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM kc1
+       |$unions
+       |) ORDER BY sel_rank""".stripMargin
+  }
+
+  /** Oracle for `gr_labelprop`: the synchronous LPA rounds unrolled as
+    * materialized CTEs over the trade graph. Per round: closed-
+    * neighborhood votes (`lv$r` — neighbor labels UNION ALL the node's
+    * own), integer counts (`lc$r`), and the (count DESC, label ASC)
+    * argmax (`ll$r`) — exactly [[operators.Graph.labelPropagation]]'s
+    * arg-min-over-struct aggregation. */
+  private def lpaOracle(rounds: Int): String = {
+    val per = (1 to rounds).map { r =>
+      s""",
+         |lv$r AS (SELECT e.src AS id, l.lbl FROM ledges e JOIN ll${r - 1} l ON e.dst = l.id
+         |  UNION ALL SELECT id, lbl FROM ll${r - 1}),
+         |lc$r AS (SELECT id, lbl, CAST(count(*) AS BIGINT) AS c FROM lv$r GROUP BY 1, 2),
+         |ll$r AS MATERIALIZED (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |    FROM lc$r) WHERE rn = 1)""".stripMargin
+    }.mkString
+    s"""WITH eraw AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+       |    's' || CAST(l.l_suppkey AS VARCHAR) AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |ledges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
+       |ll0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM ledges)""".stripMargin +
+      per + s"\nSELECT id, lbl AS community FROM ll$rounds ORDER BY id"
+  }
+
   /** DuckDB replay of [[operators.MLEval.pairwiseWinMatrix]] over the
     * doc_id//2 duel pairing on the F7 reward: composes after
     * [[Sentiment.oracleCte]], ends with the
@@ -7468,6 +7532,28 @@ object SparkEntry {
           |    + CAST(0.0 AS DOUBLE) AS modularity
           |FROM mt GROUP BY m""".stripMargin)),
 
+    Q("gr_labelprop",
+      // synchronous label-propagation communities over the trade graph
+      // (4 fixed rounds, closed-neighborhood majority vote, min-label
+      // tie-break) — the labeling PRODUCER whose output gr_modularity's
+      // operator scores; integer vote counts end-to-end, so the
+      // unrolled-CTE oracle replays every round exactly
+      (s, d) => operators.Graph.labelPropagation(
+        operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
+        rounds = 4),
+      Some(lpaOracle(4))),
+
+    Q("sel_kcenter",
+      // greedy k-center coreset (farthest-point sampling, the geometric
+      // training-data selection pass): 8 rounds, each ONE one-row argmax
+      // (TakeOrderedAndProject, no full sort) + ONE broadcast fold of the
+      // new center into every point's nearest-center distance — O(n·k),
+      // never O(n²). The oracle unrolls the identical rounds (the
+      // tok_bpe_train discipline); the shared left-fold dot/norm makes
+      // the per-round argmax and the reported covering radii bit-exact
+      (s, d) => Similarity.kCenterCoreset(Tables.embeddings(s, d), k = 8),
+      Some(kCenterOracle(8))),
+
     Q("sim_filtered_ann",
       // filtered vector search: IVF probe with the metadata predicate
       // (label = 3) pushed inside the probed cell — the "vector search
@@ -7778,6 +7864,42 @@ object SparkEntry {
              |SELECT strftime(day, '%Y-%m-%d') AS day, dow, cnt, trend, seasonal,
              |  ROUND(det - seasonal, 6) + CAST(0.0 AS DOUBLE) AS residual
              |FROM d2 JOIN se USING (dow) ORDER BY day""".stripMargin)),
+
+    Q("ts_sax_symbols",
+      // SAX symbolization (Lin et al. 2003) of each event type's
+      // daily-mean value series: z-normalize, 5-day PAA segment means,
+      // standard-normal quartile breakpoints → one short a-d word per
+      // series (the discretization motif/anomaly search runs string
+      // algorithms on). Every arithmetic boundary feeding a comparison
+      // or a downstream mean is ROUND(6)ed on both sides, so the symbol
+      // binning compares identical doubles
+      (s, d) => Analytics.saxSymbols(Tables.events(s, d)),
+      Some("""WITH xdaily AS (
+             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    ROUND(AVG(value), 6) AS dv
+             |  FROM events GROUP BY 1, 2),
+             |xstats AS (
+             |  SELECT event_type, ROUND(AVG(dv), 6) AS mu,
+             |    ROUND(stddev_pop(dv), 6) AS sd, MIN(day) AS d0,
+             |    CAST(count(*) AS BIGINT) AS n_days
+             |  FROM xdaily GROUP BY 1),
+             |xz AS (
+             |  SELECT d.event_type,
+             |    date_diff('day', s.d0, d.day) // 5 AS seg,
+             |    CASE WHEN s.sd > 0 THEN ROUND((d.dv - s.mu) / s.sd, 6)
+             |      ELSE CAST(0.0 AS DOUBLE) END AS z
+             |  FROM xdaily d JOIN xstats s USING (event_type)),
+             |xsym AS (
+             |  SELECT event_type, seg,
+             |    CASE WHEN pz < -0.6745 THEN 'a' WHEN pz < 0.0 THEN 'b'
+             |      WHEN pz < 0.6745 THEN 'c' ELSE 'd' END AS sym
+             |  FROM (SELECT event_type, seg, ROUND(AVG(z), 6) AS pz
+             |    FROM xz GROUP BY 1, 2))
+             |SELECT y.event_type, string_agg(sym, '' ORDER BY seg) AS sax,
+             |  CAST(count(*) AS BIGINT) AS n_segments, MAX(st.n_days) AS n_days,
+             |  MAX(st.mu) AS mean_daily, MAX(st.sd) AS sd_daily
+             |FROM xsym y JOIN xstats st USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("v4_seam_pipeline",
       // the V4 inference seam carrying a scorer that genuinely DISAGREES

@@ -1360,4 +1360,64 @@ object Analytics {
         round(col("__det") - col("seasonal"), 6).as("residual"))
       .orderBy("day")
   }
+
+  /** SAX symbolization (Lin et al. 2003, "A Symbolic Representation of
+    * Time Series"): each event type's daily-mean value series is
+    * z-normalized, compressed by Piecewise Aggregate Approximation
+    * (`segDays`-day segment means), and each segment mapped to one of 4
+    * symbols by the standard-normal quartile breakpoints (−0.6745, 0,
+    * 0.6745) — the discretization that turns a numeric series into a
+    * short string on which similarity/motif/anomaly search runs with
+    * string algorithms (the time-series counterpart of the text family's
+    * shingle fingerprints). Returns one row per series: the SAX word,
+    * segment/day counts, and the normalization stats.
+    *
+    * Scale shape: the fact stream collapses to O(types × days) in ONE
+    * map-side-combined aggregation; everything after runs on that
+    * reduced frame (per-type stats broadcast back — the [[madAnomalies]]
+    * join shape — then one O(types × segments) aggregation). Every
+    * arithmetic boundary that feeds a comparison or a downstream mean is
+    * ROUND(6)ed first (daily means, series stats, z-scores, PAA means),
+    * so the symbol thresholds compare identical doubles in engine and
+    * oracle — the repo-wide convention for order-dependent double
+    * aggregates. */
+  def saxSymbols(events: DataFrame, typeCol: String = "event_type",
+                 tsCol: String = "ts", valCol: String = "value",
+                 segDays: Int = 5): DataFrame = {
+    require(segDays >= 1, "segDays must be >= 1")
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("__day"))
+      .agg(round(avg(col(valCol)), 6).as("__dv"))
+    val stats = daily.groupBy(col(typeCol))
+      .agg(round(avg(col("__dv")), 6).as("__mu"),
+        round(stddev_pop(col("__dv")), 6).as("__sd"),
+        min(col("__day")).as("__d0"),
+        count(lit(1)).as("n_days"))
+    // a flat series (sd = 0: constant daily means) z-maps to 0 — symbol
+    // 'c' everywhere — rather than dividing by zero
+    val z = daily.join(broadcast(stats), Seq(typeCol))
+      .select(col(typeCol),
+        floor(datediff(col("__day"), col("__d0")) / lit(segDays)).as("__seg"),
+        when(col("__sd") > 0,
+          round((col("__dv") - col("__mu")) / col("__sd"), 6))
+          .otherwise(lit(0.0)).as("__z"))
+    val sym = z.groupBy(col(typeCol), col("__seg"))
+      .agg(round(avg(col("__z")), 6).as("__pz"))
+      .withColumn("__sym",
+        when(col("__pz") < -0.6745, lit("a"))
+          .when(col("__pz") < 0.0, lit("b"))
+          .when(col("__pz") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    sym.groupBy(col(typeCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__seg"), col("__sym")))),
+          e => e.getField("__sym")), "").as("sax"),
+        count(lit(1)).as("n_segments"))
+      .join(broadcast(stats.select(col(typeCol), col("n_days"),
+        col("__mu").as("mean_daily"), col("__sd").as("sd_daily"))), Seq(typeCol))
+      .select(col(typeCol), col("sax"), col("n_segments"), col("n_days"),
+        col("mean_daily"), col("sd_daily"))
+      .orderBy(typeCol)
+  }
 }

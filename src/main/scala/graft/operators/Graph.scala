@@ -422,6 +422,56 @@ object Graph {
       .select(col("communities"), col("m"), col("modularity"))
   }
 
+  /** Synchronous label propagation communities (Raghavan et al. 2007),
+    * the deterministic fixed-round form: every node starts as its own
+    * label; each round every node adopts the most frequent label in its
+    * closed neighborhood (neighbors + its own current label — the
+    * self-vote damps the two-coloring oscillation synchronous LPA is
+    * known for on bipartite graphs like the trade graph), ties broken to
+    * the LEXICOGRAPHICALLY SMALLEST label. A fixed round count replaces
+    * the usual "until no change" stop for the same reason [[pageRank]]
+    * fixes its iteration count: convergence-triggered stops make the
+    * output depend on scheduling noise; a round count is
+    * oracle-replayable (the DuckDB oracle unrolls the identical rounds).
+    *
+    * Complements [[modularity]]: that operator SCORES a given labeling,
+    * this one PRODUCES a labeling — together they are the detect/score
+    * loop a community pipeline runs.
+    *
+    * Scale shape per round: one edge⋈label equi-join on the node key
+    * (co-partitioned at scale — same discipline as the PageRank loop),
+    * one map-side-combinable count aggregation on (node, label), and one
+    * arg-min aggregation on node — no windows over fact rows, no driver
+    * collect; integer counts so engine/oracle agree exactly. Per-round
+    * [[iterCheckpoint]] truncates lineage and honors the
+    * `spark.graft.graph.checkpointStorage` knob. Expects a distinct
+    * symmetrized edge list (the [[tradeEdges]] contract). Returns
+    * `(id, community)` ordered by id. */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    val edges = edges0.select(col("src"), col("dst")).iterCkpt()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .iterCkpt()
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.select(col("id").as("dst_id"), col("lbl")),
+          col("dst") === col("dst_id"))
+        .select(col("src").as("id"), col("lbl"))
+        .unionByName(labels)
+      // arg-min over struct: min(-count) = max count, then min label on
+      // ties — one aggregation, map-side-combinable, instead of a
+      // row_number window over every (node, label) vote row
+      labels = votes.groupBy(col("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("lbl"))
+        .iterCkpt()
+    }
+    labels.select(col("id"), col("lbl").as("community")).orderBy("id")
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of the
     * endpoint degrees across all directed arcs of the symmetrized graph —
     * one number telling whether hubs trade with hubs (positive, social

@@ -2012,6 +2012,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** Greedy k-center coreset selection (farthest-point sampling,
+    * Gonzalez 1985) over an embedding corpus — the standard geometric
+    * data-selection pass a training pipeline runs to pick a maximally
+    * spread subset (coreset papers — Sener & Savarese 2018 active
+    * learning — use exactly this greedy, which is a 2-approximation to
+    * the optimal k-center cover). Distance is cosine distance
+    * (1 − cos); the seed is the lowest `vec_id` (deterministic), each
+    * subsequent pick is the point FARTHEST from its nearest selected
+    * center (ties to the lower `vec_id`).
+    *
+    * Returns `(sel_rank, vec_id, radius)` where `radius` is the chosen
+    * point's distance-to-selected-set at selection time — the covering
+    * radius the selection guarantees after that pick (non-increasing in
+    * rank; the seed has no prior set, radius NULL).
+    *
+    * Scale shape: O(n·k), never O(n²) — the state is one `(vec_id, v,
+    * nrm, mind)` frame holding each point's distance to its NEAREST
+    * selected center; each round is (a) a one-row argmax
+    * (`TakeOrderedAndProject` — a per-partition top-1 then a driver-side
+    * merge of 32 candidate rows, no full sort) and (b) one broadcast
+    * crossJoin of that single row to fold the new center into `mind`
+    * with `least` — a map-only pass over the corpus. Per-round
+    * `localCheckpoint` keeps the lineage linear (the [[graft.operators
+    * .Tokenizer.bpeTrain]] discipline). All vector math uses the
+    * [[dotFast]]/[[normFast]] ascending left folds, so the DuckDB
+    * oracle's unrolled-CTE replay is bit-identical and the argmax picks
+    * the same point every round. */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-center needs at least one center")
+    // the state is re-scanned k times (argmax + fold per round), so the
+    // one-split small-SF parquet layout would serialize every round —
+    // the scan-floor fan-out pays for itself k times over (the SQ/PQ
+    // code-scan measurement in SCALE.md round 13; identity at scale)
+    val en = graft.Tables.scanFloor(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val seed = en.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .localCheckpoint()
+    var picks = seed.select(lit(1).as("sel_rank"), col("c_id").as("vec_id"),
+      lit(null).cast("double").as("radius"))
+    // mind = cosine distance to the nearest selected center so far; the
+    // self-row lands at 1 − dot(v,v)/(nrm·nrm) ≈ 0 (not exactly — nrm is
+    // a sqrt — but the oracle computes the identical expression, so the
+    // tiny residual agrees bit-for-bit and never perturbs the argmax)
+    var st = en.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (lit(1.0) - dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("mind"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val top = st.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm"), col("mind").as("mrad"))
+        .localCheckpoint()
+      picks = picks.unionByName(top.select(lit(r).as("sel_rank"),
+        col("c_id").as("vec_id"), round(col("mrad"), 6).as("radius")))
+      if (r < k) st = st.crossJoin(broadcast(top.select("c_id", "cv", "cnrm")))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          least(col("mind"),
+            lit(1.0) - dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+            .as("mind"))
+        .localCheckpoint()
+    }
+    picks.orderBy("sel_rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline —
     * kept as the recall oracle for [[lshNearDupPairs]] (unit tests only;
     * at 100 TB you never run all-pairs). */

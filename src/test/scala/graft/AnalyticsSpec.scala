@@ -600,4 +600,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.filter(_.getAs[Long]("lag") > 0L)
       .forall(_.isNullAt(1)))
   }
+
+  test("saxSymbols: linear ramp maps to extreme symbols, flat series to 'c'") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1704067200000L + day * 86400000L)
+    // "ramp": daily mean = day index 0..9 → mean 4.5, sd_pop √8.25 ≈
+    // 2.872281; 5-day PAA means z≈∓0.8704, past the ±0.6745 breakpoints
+    // → word "ad". "flat": sd = 0 → z pinned to 0 → every segment 'c'.
+    val ev = ((0 until 10).map(d => ("ramp", t(d), d.toDouble)) ++
+      (0 until 10).map(d => ("flat", t(d), 7.0)))
+      .toDF("event_type", "ts", "value")
+    val out = Analytics.saxSymbols(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ramp = out("ramp")
+    assert(ramp.getAs[String]("sax") == "ad")
+    assert(ramp.getAs[Long]("n_segments") == 2L)
+    assert(ramp.getAs[Long]("n_days") == 10L)
+    assert(ramp.getAs[Double]("mean_daily") == 4.5)
+    assert(ramp.getAs[Double]("sd_daily") == 2.872281)
+    val flat = out("flat")
+    assert(flat.getAs[String]("sax") == "cc")
+    assert(flat.getAs[Double]("sd_daily") == 0.0)
+    // output is ordered by type
+    assert(Analytics.saxSymbols(ev).collect()
+      .map(_.getString(0)).toSeq == Seq("flat", "ramp"))
+  }
 }

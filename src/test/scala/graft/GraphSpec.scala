@@ -190,4 +190,41 @@ class GraphSpec extends SparkSpec {
       assert(!Graph.shouldBroadcastRanks(spark, 10.0))
     } finally spark.conf.set(key, saved)
   }
+
+  /** Two triangles bridged by one edge — the minimal graph with real
+    * community structure. Symmetrized distinct edge list (the
+    * tradeEdges contract). */
+  private def bridgedTriangles: DataFrame = {
+    val und = Seq("a" -> "b", "a" -> "c", "b" -> "c",
+      "x" -> "y", "x" -> "z", "y" -> "z", "c" -> "x")
+    edges(und ++ und.map(_.swap))
+  }
+
+  test("labelPropagation: one round, hand-computed closed-neighborhood vote") {
+    // init: own label. Round 1 (neighbors + self, all counts 1 → min):
+    // a:{b,c,a}→a  b:{a,c,b}→a  c:{a,b,x,c}→a  x:{c,y,z,x}→c
+    // y:{x,z,y}→x  z:{x,y,z}→x
+    val r = Graph.labelPropagation(bridgedTriangles, rounds = 1)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "x", "z" -> "x"))
+  }
+
+  test("labelPropagation: converges to one community per triangle") {
+    // by round 3 the bridge stops flipping c/x (self-vote + majority):
+    // {a,b,c} → a, {x,y,z} → x; round 4 confirms the fixpoint
+    val r = Graph.labelPropagation(bridgedTriangles, rounds = 4)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+    // fixpoint: more rounds change nothing
+    val r6 = Graph.labelPropagation(bridgedTriangles, rounds = 6)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r6 == r)
+  }
+
+  test("labelPropagation output covers every node exactly once") {
+    val out = Graph.labelPropagation(bridgedTriangles, rounds = 2).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c", "x", "y", "z"))
+  }
 }

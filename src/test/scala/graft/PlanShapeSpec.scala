@@ -247,6 +247,7 @@ class PlanShapeSpec extends SparkSpec {
       "fe_target_encode", // corpus rows x ONE broadcast global-prior row
       "dq_benford", // 9 digit rows x ONE broadcast total row
       "tok_bpe_train", // 16 deliberate one-row argmax broadcasts (each round's merge pair crossJoins the state rewrite)
+      "sel_kcenter", // 8 deliberate one-row argmax broadcasts (each round's center crossJoins the mind fold)
       "sim_index_export", // assignCells' single-row centroid-array broadcast + single-row query probe/re-rank
       "sim_index_compact", // same replay path over the compacted layout (v=2) — identical single-row broadcasts
       "sim_index_export_res", // same single-row probe/re-rank broadcasts + the nprobe-row query-residual build (one row per probed cell)

@@ -899,4 +899,53 @@ class SimilaritySpec extends SparkSpec {
     sources.Artifacts.deleteRecursively(new java.io.File(dir))
     sources.Artifacts.deleteRecursively(new java.io.File(rawDir))
   }
+
+  test("kCenterCoreset: hand-computed greedy picks on 3 planar vectors") {
+    // v1=(1,0) seed (lowest id). v2=(0,1): d=1 (orthogonal) — farthest,
+    // picked second with radius 1. v3=(1,1): d=1−1/√2≈0.292893 to both
+    // centers — picked last with that radius.
+    val df = vecsDf(Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0))))
+    val out = Similarity.kCenterCoreset(df, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+    assert(out(0)._3.isNaN) // the seed has no prior set
+    assert(out(1)._3 == 1.0)
+    assert(out(2)._3 == 0.292893)
+  }
+
+  test("kCenterCoreset matches a driver-side greedy reference (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 30).map(i =>
+      i.toLong -> Seq.fill(5)(rnd.nextDouble() * 2 - 1))
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def nrm(a: Seq[Double]) =
+      math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+    def d(a: Seq[Double], b: Seq[Double]) = 1.0 - dot(a, b) / (nrm(a) * nrm(b))
+    // driver replay of the exact greedy: argmax by (mind desc, id asc)
+    var mind = vecs.map { case (id, v) => id -> d(v, vecs.head._2) }.toMap
+    val byId = vecs.toMap
+    var expect = Seq((1, 0L, Double.NaN))
+    for (r <- 2 to 6) {
+      // no candidate filtering: the operator keeps picked centers in the
+      // state (their mind collapses to ~0 after the fold, so they never
+      // win again) — the replay mirrors that exactly
+      val (pid, prad) = mind.toSeq.minBy { case (id, md) => (-md, id) }
+      expect :+= ((r, pid, prad))
+      mind = mind.map { case (id, md) =>
+        id -> math.min(md, d(byId(id), byId(pid))) }
+    }
+    val out = Similarity.kCenterCoreset(vecsDf(vecs), k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == expect.map(t => (t._1, t._2)))
+    // radii agree to the ROUND(6) the operator applies
+    out.drop(1).zip(expect.drop(1)).foreach { case (got, exp) =>
+      assert(math.abs(got._3 - exp._3) < 5e-7, s"$got vs $exp") }
+    // greedy invariant: covering radius is non-increasing in rank
+    val radii = out.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
+  }
 }
