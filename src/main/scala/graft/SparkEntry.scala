@@ -649,7 +649,7 @@ object SparkEntry {
     * own), integer counts (`lc$r`), and the (count DESC, label ASC)
     * argmax (`ll$r`) — exactly [[operators.Graph.labelPropagation]]'s
     * arg-min-over-struct aggregation. */
-  private def lpaOracle(rounds: Int): String = {
+  private def lpaCtes(rounds: Int): String = {
     val per = (1 to rounds).map { r =>
       s""",
          |lv$r AS (SELECT e.src AS id, l.lbl FROM ledges e JOIN ll${r - 1} l ON e.dst = l.id
@@ -666,7 +666,93 @@ object SparkEntry {
        |ledges AS MATERIALIZED (
        |  SELECT a AS src, b AS dst FROM eraw UNION ALL SELECT b, a FROM eraw),
        |ll0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM ledges)""".stripMargin +
-      per + s"\nSELECT id, lbl AS community FROM ll$rounds ORDER BY id"
+      per
+  }
+
+  private def lpaOracle(rounds: Int): String =
+    lpaCtes(rounds) + s"\nSELECT id, lbl AS community FROM ll$rounds ORDER BY id"
+
+  /** Oracle for `gr_lpa_modularity`: the [[lpaCtes]] rounds feeding the
+    * gr_modularity score formula — every trade edge is scored against
+    * the learned labeling (eraw IS the undirected pair set: `c…` <
+    * `s…` lexicographically, so it matches the engine's src<dst cut). */
+  private def lpaModularityOracle(rounds: Int): String =
+    lpaCtes(rounds) + s""",
+       |gme AS (SELECT a AS u, b AS v FROM eraw),
+       |gmm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gme),
+       |gmdeg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT u AS id FROM gme UNION ALL SELECT v FROM gme) GROUP BY id),
+       |gmdc AS (SELECT lbl AS c, CAST(SUM(deg) AS BIGINT) AS d_c
+       |  FROM gmdeg JOIN ll$rounds USING (id) GROUP BY lbl),
+       |gmmc AS (SELECT lu.lbl AS c, CAST(count(*) AS BIGINT) AS m_c
+       |  FROM gme JOIN ll$rounds lu ON lu.id = gme.u JOIN ll$rounds lv ON lv.id = gme.v
+       |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+       |gmt AS (SELECT gmdc.c, COALESCE(m_c, CAST(0 AS BIGINT)) AS m_c, d_c, m
+       |  FROM gmdc LEFT JOIN gmmc ON gmmc.c = gmdc.c, gmm)
+       |SELECT CAST(count(*) AS BIGINT) AS communities, m,
+       |  ROUND(SUM(CAST(m_c AS DOUBLE) / CAST(m AS DOUBLE)
+       |    - (CAST(d_c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
+       |    * (CAST(d_c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))), 6)
+       |    + CAST(0.0 AS DOUBLE) AS modularity
+       |FROM gmt GROUP BY m""".stripMargin
+
+  /** Oracle for `sel_kmeanspar`: the k-means|| rounds unrolled. Per
+    * round: the ROUND(6) potential (`pphi$r` — the repo-wide
+    * order-dependent-sum boundary), the md5-uniform draw against
+    * `ell·mind/φ` (`ppick$r`), and the fold of the drawn centers into
+    * every point's `mind` via an aggregate-join MIN (`pmin$r`/`pst$r` —
+    * MIN is order-independent, so it matches the engine's `array_min`
+    * exactly). The tail replays the weighting step with a
+    * (distance, id) row_number — the engine's struct-min tie-break. */
+  private def kppOracle(rounds: Int, ell: Int): String = {
+    def uSql(r: Int) =
+      s"""(CAST(CAST(('0x' || substr(md5('kpp$r:' || CAST(s.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE)""".stripMargin
+    val per = (1 to rounds).map { r =>
+      val prev = r - 1
+      val fold =
+        if (r == rounds) "" // the last fold is never read
+        else s""",
+           |pmin$r AS (SELECT s.vec_id,
+           |  MIN(CAST(1.0 AS DOUBLE) - ${dotSql("s.v", "c.cv")} / (s.nrm * c.cnrm)) AS nd
+           |  FROM pst$prev s CROSS JOIN ppick$r c GROUP BY s.vec_id),
+           |pst$r AS MATERIALIZED (SELECT s.vec_id, s.v, s.nrm,
+           |  LEAST(s.mind, COALESCE(m.nd, s.mind)) AS mind
+           |  FROM pst$prev s LEFT JOIN pmin$r m USING (vec_id))""".stripMargin
+      s""",
+         |pphi$r AS (SELECT ROUND(SUM(mind), 6) AS phi FROM pst$prev),
+         |ppick$r AS MATERIALIZED (SELECT s.vec_id, s.v AS cv, s.nrm AS cnrm, s.mind
+         |  FROM pst$prev s, pphi$r
+         |  WHERE ${uSql(r)}
+         |    < CAST($ell.0 AS DOUBLE) * s.mind / phi)""".stripMargin + fold
+    }.mkString
+    val candUnions = (1 to rounds)
+      .map(r => s"UNION ALL SELECT $r, vec_id, ROUND(mind, 6) + CAST(0.0 AS DOUBLE) FROM ppick$r")
+      .mkString("\n")
+    s"""WITH $evecCteSql,
+       |ken AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
+       |pc0 AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+       |  FROM ken ORDER BY vec_id LIMIT 1),
+       |pst0 AS MATERIALIZED (
+       |  SELECT ken.vec_id, ken.v, ken.nrm,
+       |    CAST(1.0 AS DOUBLE) - ${dotSql("ken.v", "c.cv")} / (ken.nrm * c.cnrm) AS mind
+       |  FROM ken CROSS JOIN pc0 c)""".stripMargin + per + s""",
+       |pcand AS MATERIALIZED (
+       |  SELECT 0 AS sel_round, c_id AS vec_id, CAST(NULL AS DOUBLE) AS dist FROM pc0
+       |$candUnions),
+       |pcv AS (SELECT p.vec_id AS c_id, k.v AS cv, k.nrm AS cnrm
+       |  FROM (SELECT DISTINCT vec_id FROM pcand) p JOIN ken k ON k.vec_id = p.vec_id),
+       |pd AS (SELECT k.vec_id, c.c_id,
+       |    CAST(1.0 AS DOUBLE) - ${dotSql("k.v", "c.cv")} / (k.nrm * c.cnrm) AS d
+       |  FROM ken k CROSS JOIN pcv c),
+       |passign AS (SELECT vec_id, c_id FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+       |    FROM pd) WHERE rn = 1),
+       |pw AS (SELECT c_id, CAST(count(*) AS BIGINT) AS weight FROM passign GROUP BY c_id)
+       |SELECT sel_round, p.vec_id, dist,
+       |  COALESCE(w.weight, CAST(0 AS BIGINT)) AS weight
+       |FROM pcand p LEFT JOIN pw w ON w.c_id = p.vec_id
+       |ORDER BY sel_round, p.vec_id""".stripMargin
   }
 
   /** DuckDB replay of [[operators.MLEval.pairwiseWinMatrix]] over the
@@ -7553,6 +7639,38 @@ object SparkEntry {
       // the per-round argmax and the reported covering radii bit-exact
       (s, d) => Similarity.kCenterCoreset(Tables.embeddings(s, d), k = 8),
       Some(kCenterOracle(8))),
+
+    Q("sel_kmeanspar",
+      // k-means|| oversampled selection (Bahmani 2012) — sel_kcenter's
+      // SCALE path: an expected ell points drawn per round (deterministic
+      // md5-uniform vs ell·mind/φ, the dsirResample convention) so a
+      // handful of rounds replaces k sequential argmaxes; new centers
+      // fold into mind via ONE broadcast array (no shuffle), and the
+      // classic weighting step counts each candidate's assigned points.
+      // φ is ROUND(6) (the order-dependent-sum boundary); everything
+      // else is row-level bit-exact, so the unrolled oracle replays the
+      // draw, the folds and the weights
+      (s, d) => Similarity.kMeansParOversample(Tables.embeddings(s, d),
+        rounds = 4, ell = 8),
+      Some(kppOracle(4, 8))),
+
+    Q("gr_lpa_modularity",
+      // detect → score in ONE plan: the LPA labeling fed straight into
+      // the Newman modularity scorer — the loop a community pipeline
+      // actually runs (produce a labeling, score it, compare against
+      // the component-partition baseline gr_modularity). The edge list
+      // is checkpointed once and shared by both halves
+      (s, d) => {
+        val e = operators.Graph.tradeEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)).localCheckpoint(true)
+        val lab = operators.Graph.labelPropagation(e, rounds = 4)
+          .select(col("id"), col("community").as("canonical"))
+        operators.Graph.modularity(
+          e.filter(col("src") < col("dst"))
+            .select(col("src").as("id_a"), col("dst").as("id_b")), lab)
+          .localCheckpoint(eager = true)
+      },
+      Some(lpaModularityOracle(4))),
 
     Q("sim_filtered_ann",
       // filtered vector search: IVF probe with the metadata predicate

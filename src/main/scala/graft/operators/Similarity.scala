@@ -2079,6 +2079,97 @@ object Similarity {
     picks.orderBy("sel_rank")
   }
 
+  /** 60-bit md5-derived hash — the engine-portable convention shared
+    * with [[graft.operators.TextAnalysis]]'s samplers and the DuckDB
+    * oracle (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`). */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** k-means|| oversampled selection (Bahmani et al. 2012, "Scalable
+    * k-means++") — the SCALE companion to [[kCenterCoreset]]: where the
+    * greedy is k-sequential (one argmax round per pick), k-means||
+    * selects an EXPECTED `ell` points per round independently — each
+    * point enters with probability `ell·d²/φ` — so a handful of rounds
+    * replaces thousands, and each round is one aggregate plus one
+    * map-only pass. The usual random draw is replaced by the repo's
+    * deterministic md5-uniform (`u = (hash60("kpp<r>:"+id)+0.5)/2⁶⁰`,
+    * the dsirResample/domainCap convention), so the selection — and the
+    * DuckDB oracle's unrolled replay — is reproducible across runs,
+    * partitionings and engines. Distance is cosine distance (the
+    * [[kCenterCoreset]] metric; the paper's d² becomes d — a
+    * monotone-equivalent potential on the unit sphere).
+    *
+    * Per round: (a) φ = ROUND(Σ mind, 6) as a one-row broadcast (the
+    * ROUND is the repo-wide order-dependent-double-sum boundary); (b)
+    * the filter `u < ell·mind/φ` — map-only; (c) the new centers fold
+    * into every point's `mind` via ONE broadcast array and an
+    * `array_min` lambda — no shuffle, no per-center join. After the
+    * rounds, the classic weighting step assigns every point to its
+    * nearest candidate ((distance, id) struct-min tie-break) and counts
+    * — the weights the final weighted k-means++ reduction consumes.
+    *
+    * Returns `(sel_round, vec_id, dist, weight)`: selection round (0 =
+    * seed), the candidate, its distance-to-selected-set when drawn
+    * (NULL for the seed), and its assigned-point count. */
+  def kMeansParOversample(emb: DataFrame, rounds: Int = 4,
+                          ell: Int = 8): DataFrame = {
+    require(rounds >= 1, "kMeansParOversample needs at least one round")
+    require(ell >= 1, "oversampling factor ell must be >= 1")
+    val en = graft.Tables.scanFloor(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+      .localCheckpoint()
+    val seed = en.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .localCheckpoint()
+    var st = en.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("mind"))
+      .localCheckpoint()
+    var cands = seed.select(lit(0).as("sel_round"), col("c_id").as("vec_id"),
+      lit(null).cast("double").as("dist"))
+    for (r <- 1 to rounds) {
+      val u = (hash60(concat(lit(s"kpp$r:"), col("vec_id").cast("string")))
+        .cast("double") + lit(0.5)) / lit(1152921504606846976.0) // 2^60
+      val phi = st.agg(round(sum(col("mind")), 6).as("phi")).localCheckpoint()
+      val pick = st.crossJoin(broadcast(phi))
+        .filter(u < lit(ell.toDouble) * col("mind") / col("phi"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("mind"))
+        .localCheckpoint()
+      cands = cands.unionByName(pick.select(lit(r).as("sel_round"),
+        col("vec_id"), round(col("mind"), 6).as("dist")))
+      // an adversarial round can draw zero candidates (every u above its
+      // threshold): the coalesce keeps mind, the round records no rows
+      if (r < rounds) st = st.crossJoin(broadcast(pick.agg(
+          sort_array(collect_list(struct(col("vec_id").as("c_id"),
+            col("v").as("cv"), col("nrm").as("cnrm")))).as("cents"))))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          least(col("mind"), coalesce(
+            array_min(transform(col("cents"), c =>
+              lit(1.0) - dot(col("v"), c.getField("cv"))
+                / (col("nrm") * c.getField("cnrm")))),
+            col("mind"))).as("mind"))
+        .localCheckpoint()
+    }
+    // weighting: nearest candidate per point ((d, id) struct-min — ties
+    // to the lower candidate id), then one count aggregation
+    val cvecs = cands.select("vec_id").join(en, Seq("vec_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cents"))
+      .localCheckpoint()
+    val weights = en.crossJoin(broadcast(cvecs))
+      .select(array_min(transform(col("cents"), c => struct(
+          (lit(1.0) - dot(col("v"), c.getField("cv"))
+            / (col("nrm") * c.getField("cnrm"))).as("d"),
+          c.getField("c_id").as("c_id")))).getField("c_id").as("c_id"))
+      .groupBy("c_id").agg(count(lit(1)).as("weight"))
+    cands.join(weights, cands("vec_id") === weights("c_id"), "left")
+      .select(col("sel_round"), cands("vec_id"), col("dist"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+      .orderBy("sel_round", "vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline —
     * kept as the recall oracle for [[lshNearDupPairs]] (unit tests only;
     * at 100 TB you never run all-pairs). */

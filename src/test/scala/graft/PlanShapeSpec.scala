@@ -248,6 +248,7 @@ class PlanShapeSpec extends SparkSpec {
       "dq_benford", // 9 digit rows x ONE broadcast total row
       "tok_bpe_train", // 16 deliberate one-row argmax broadcasts (each round's merge pair crossJoins the state rewrite)
       "sel_kcenter", // 8 deliberate one-row argmax broadcasts (each round's center crossJoins the mind fold)
+      "sel_kmeanspar", // per-round single-row phi/center-array broadcasts + the weighting pass's candidate-array broadcast
       "sim_index_export", // assignCells' single-row centroid-array broadcast + single-row query probe/re-rank
       "sim_index_compact", // same replay path over the compacted layout (v=2) — identical single-row broadcasts
       "sim_index_export_res", // same single-row probe/re-rank broadcasts + the nprobe-row query-residual build (one row per probed cell)

@@ -948,4 +948,56 @@ class SimilaritySpec extends SparkSpec {
     val radii = out.drop(1).map(_._3)
     assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
   }
+
+  test("kMeansParOversample matches a driver-side replay (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      i.toLong -> Seq.fill(4)(rnd.nextDouble() * 2 - 1))
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def nrm(a: Seq[Double]) =
+      math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+    def d(a: Seq[Double], b: Seq[Double]) = 1.0 - dot(a, b) / (nrm(a) * nrm(b))
+    def u(r: Int, id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"kpp$r:$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble + 0.5) /
+        1152921504606846976.0
+    }
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val byId = vecs.toMap
+    val (rounds, ell) = (3, 4)
+    var mind = vecs.map { case (id, v) => id -> d(v, vecs.head._2) }.toMap
+    var expect = Seq((0, 0L))
+    for (r <- 1 to rounds) {
+      val phi = r6(vecs.map(x => mind(x._1)).sum) // engine fold order n/a: test asserts ids only
+      val picks = vecs.map(_._1).filter(id => u(r, id) < ell.toDouble * mind(id) / phi)
+      expect ++= picks.sorted.map(id => (r, id))
+      if (r < rounds) mind = mind.map { case (id, md) =>
+        id -> picks.foldLeft(md)((acc, p) => math.min(acc, d(byId(id), byId(p)))) }
+    }
+    val out = Similarity.kMeansParOversample(vecsDf(vecs),
+      rounds = rounds, ell = ell).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq == expect)
+    // the classic coreset invariant: every point is assigned to exactly
+    // one candidate, so the weights sum to the corpus size
+    assert(out.map(_.getLong(3)).sum == vecs.size)
+    assert(out.forall(_.getLong(3) >= 0L))
+    // the seed carries no draw distance; every drawn candidate does
+    assert(out.head.isNullAt(2) && out.drop(1).forall(!_.isNullAt(2)))
+  }
+
+  test("kMeansParOversample: a saturating ell drafts the whole corpus in round 1") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 12).map(i =>
+      i.toLong -> Seq.fill(3)(rnd.nextDouble() + 0.1))
+    val out = Similarity.kMeansParOversample(vecsDf(vecs), rounds = 1,
+      ell = 100000).collect()
+    // every point with positive distance-to-seed is drawn (u < ell·mind/φ
+    // saturates); only the seed itself (mind ≈ 0) stays out of round 1
+    assert(out.length >= vecs.size) // seed + all positive-mind points
+    assert(out.map(_.getLong(3)).sum == vecs.size)
+  }
 }
