@@ -7663,7 +7663,8 @@ object SparkEntry {
       (s, d) => {
         val e = operators.Graph.tradeEdges(
           Tables.orders(s, d), Tables.lineitem(s, d)).localCheckpoint(true)
-        val lab = operators.Graph.labelPropagation(e, rounds = 4)
+        val lab = operators.Graph.labelPropagation(e, rounds = 4,
+            assumeMaterialized = true)
           .select(col("id"), col("community").as("canonical"))
         operators.Graph.modularity(
           e.filter(col("src") < col("dst"))
