@@ -7659,10 +7659,12 @@ object SparkEntry {
       // the Newman modularity scorer — the loop a community pipeline
       // actually runs (produce a labeling, score it, compare against
       // the component-partition baseline gr_modularity). The edge list
-      // is checkpointed once and shared by both halves
+      // is checkpointed ONCE — through the graph family's storage knob,
+      // so checkpointStorage=disk governs the composition's big block
+      // too — and shared by both halves
       (s, d) => {
-        val e = operators.Graph.tradeEdges(
-          Tables.orders(s, d), Tables.lineitem(s, d)).localCheckpoint(true)
+        val e = operators.Graph.iterCheckpoint(operators.Graph.tradeEdges(
+          Tables.orders(s, d), Tables.lineitem(s, d)))
         val lab = operators.Graph.labelPropagation(e, rounds = 4,
             assumeMaterialized = true)
           .select(col("id"), col("community").as("canonical"))

@@ -29,7 +29,7 @@ object Graph {
     * `disk` — faster than the 24 GB default run (61.2 s)**, because
     * evicting checkpoint blocks from the heap returns the whole budget
     * to execution. Memory-tight deployments should set `disk`. */
-  private def iterCheckpoint(df: DataFrame): DataFrame =
+  private[graft] def iterCheckpoint(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.graph.checkpointStorage")
       .getOrElse("default") match {
       case "ser" => df.localCheckpoint(true,
