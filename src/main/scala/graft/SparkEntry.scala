@@ -611,7 +611,7 @@ object SparkEntry {
     * column; `kst$r` folds the new center into every point's `mind` with
     * LEAST — exactly [[operators.Similarity.kCenterCoreset]]'s loop, with
     * the same left-fold dot/norm so the argmax agrees bit-for-bit. */
-  private def kCenterOracle(k: Int): String = {
+  private def kCenterCtes(k: Int): String = {
     val rounds = (2 to k).map { r =>
       val prev = r - 1
       val upd =
@@ -626,9 +626,6 @@ object SparkEntry {
          |kc$r AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm, mind AS mrad
          |  FROM kst$prev ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin + upd
     }.mkString
-    val unions = (2 to k)
-      .map(r => s"UNION ALL SELECT $r, c_id, ROUND(mrad, 6) + CAST(0.0 AS DOUBLE) FROM kc$r")
-      .mkString("\n")
     s"""WITH $evecCteSql,
        |ken AS (SELECT vec_id, v, ${normSql("v")} AS nrm FROM evec),
        |kc1 AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
@@ -636,11 +633,41 @@ object SparkEntry {
        |kst1 AS MATERIALIZED (
        |  SELECT ken.vec_id, ken.v, ken.nrm,
        |    CAST(1.0 AS DOUBLE) - ${dotSql("ken.v", "c.cv")} / (ken.nrm * c.cnrm) AS mind
-       |  FROM ken CROSS JOIN kc1 c)""".stripMargin + rounds + s"""
+       |  FROM ken CROSS JOIN kc1 c)""".stripMargin + rounds
+  }
+
+  private def kCenterOracle(k: Int): String = {
+    val unions = (2 to k)
+      .map(r => s"UNION ALL SELECT $r, c_id, ROUND(mrad, 6) + CAST(0.0 AS DOUBLE) FROM kc$r")
+      .mkString("\n")
+    kCenterCtes(k) + s"""
        |SELECT * FROM (
        |SELECT 1 AS sel_rank, c_id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM kc1
        |$unions
        |) ORDER BY sel_rank""".stripMargin
+  }
+
+  /** Oracle for `sel_coverage_audit`: the [[kCenterCtes]] selection
+    * replayed, then every corpus point's distance to its NEAREST center
+    * (aggregate MIN — order-independent, matching the engine's
+    * array_min) rolled into the coverage statistics. quantile_cont
+    * mirrors Spark's interpolating `percentile` (the ev_time_deltas
+    * convention). */
+  private def kCenterCoverageOracle(k: Int): String = {
+    val centUnions = (2 to k)
+      .map(r => s"UNION ALL SELECT c_id, cv, cnrm FROM kc$r")
+      .mkString("\n|", "\n|", "").stripMargin
+    kCenterCtes(k) + s""",
+       |kcent AS (SELECT c_id, cv, cnrm FROM kc1$centUnions),
+       |kd AS (SELECT k.vec_id,
+       |    MIN(CAST(1.0 AS DOUBLE) - ${dotSql("k.v", "c.cv")} / (k.nrm * c.cnrm)) AS d
+       |  FROM ken k CROSS JOIN kcent c GROUP BY k.vec_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kcent) AS n_centers,
+       |  ROUND(MAX(d), 6) + CAST(0.0 AS DOUBLE) AS radius_max,
+       |  ROUND(AVG(d), 6) + CAST(0.0 AS DOUBLE) AS dist_mean,
+       |  ROUND(quantile_cont(d, CAST(0.9 AS DOUBLE)), 6) + CAST(0.0 AS DOUBLE) AS dist_p90
+       |FROM kd""".stripMargin
   }
 
   /** Oracle for `gr_labelprop`: the synchronous LPA rounds unrolled as
@@ -7653,6 +7680,22 @@ object SparkEntry {
       (s, d) => Similarity.kMeansParOversample(Tables.embeddings(s, d),
         rounds = 4, ell = 8),
       Some(kppOracle(4, 8))),
+
+    Q("sel_coverage_audit",
+      // the selection family's EVAL half: the k-center pick replayed,
+      // then every corpus point's distance to its nearest center rolled
+      // into the achieved covering radius / mean / p90 — the number a
+      // data-selection pass is judged by before anyone trains on the
+      // subset. Center set broadcast as one array, map-only distances,
+      // one global aggregate; 1-row result localCheckpoint'ed (the
+      // triangleStats discipline)
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.selectionCoverage(emb,
+          Similarity.kCenterCoreset(emb, k = 8).select("vec_id"))
+          .localCheckpoint(eager = true)
+      },
+      Some(kCenterCoverageOracle(8))),
 
     Q("gr_lpa_modularity",
       // detect → score in ONE plan: the LPA labeling fed straight into

@@ -2079,6 +2079,45 @@ object Similarity {
     picks.orderBy("sel_rank")
   }
 
+  /** Coverage audit of a selected center set — the quality metric a
+    * selection pass ([[kCenterCoreset]], [[kMeansParOversample]]) is
+    * judged by: every corpus point's cosine distance to its NEAREST
+    * selected center, rolled up into the achieved covering radius
+    * (max), the mean, and the p90 — one row. `centers` is any frame
+    * with a `vec_id` column naming the selected points.
+    *
+    * Scale shape: the center set is small by construction (k or
+    * rounds·ell members), so it travels as ONE broadcast array and the
+    * distances are a map-only `array_min` pass over the corpus —
+    * followed by a single global aggregate. ROUND(6) on every output
+    * (order-dependent avg; max/percentile are order-stable but the
+    * convention keeps every boundary rounded). Spark's interpolating
+    * `percentile` pairs with DuckDB `quantile_cont` (the ev_time_deltas
+    * convention). */
+  def selectionCoverage(emb: DataFrame, centers: DataFrame): DataFrame = {
+    val en = graft.Tables.scanFloor(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    val cvecs = centers.select("vec_id").join(en, Seq("vec_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cents"),
+        count(lit(1)).as("k"))
+      .localCheckpoint()
+    en.crossJoin(broadcast(cvecs))
+      .select(col("k"), array_min(transform(col("cents"), c =>
+        lit(1.0) - dot(col("v"), c.getField("cv"))
+          / (col("nrm") * c.getField("cnrm")))).as("d"))
+      // k is constant across rows — grouping on it carries it to the
+      // output without a second broadcast join
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_points"),
+        round(max(col("d")), 6).as("radius_max"),
+        round(avg(col("d")), 6).as("dist_mean"),
+        round(percentile(col("d"), lit(0.9)), 6).as("dist_p90"))
+      .select(col("n_points"), col("k").as("n_centers"),
+        col("radius_max"), col("dist_mean"), col("dist_p90"))
+  }
+
   /** 60-bit md5-derived hash — the engine-portable convention shared
     * with [[graft.operators.TextAnalysis]]'s samplers and the DuckDB
     * oracle (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`). */

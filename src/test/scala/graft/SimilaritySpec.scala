@@ -989,6 +989,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.isNullAt(2) && out.drop(1).forall(!_.isNullAt(2)))
   }
 
+  test("selectionCoverage: hand-computed stats on the planar fixture") {
+    // centers {1,2}: v1/(1,0) and v2/(0,1) cover themselves at ~0 and
+    // v3=(1,1) at 1−1/√2 ≈ 0.292893 — the covering radius; mean =
+    // 0.292893/3; p90 interpolates 0.8 of the way to the max
+    val df = vecsDf(Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0))))
+    val s = spark
+    import s.implicits._
+    val r = Similarity.selectionCoverage(df, Seq(1L, 2L).toDF("vec_id"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_points") == 3L)
+    assert(r.getAs[Long]("n_centers") == 2L)
+    assert(r.getAs[Double]("radius_max") == 0.292893)
+    assert(math.abs(r.getAs[Double]("dist_mean") - 0.097631) < 2e-6)
+    assert(math.abs(r.getAs[Double]("dist_p90") - 0.234315) < 2e-6)
+  }
+
   test("kMeansParOversample: a saturating ell drafts the whole corpus in round 1") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 12).map(i =>
