@@ -188,7 +188,15 @@ object Bench {
     // only) so it survives the tail buffer; BENCH_DETAIL.json has it all.
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // Solo/probe runs (any SPARK_GRAFT_ONLY pin = a non-full catalog)
+    // write their detail to the UNCOMMITTED BENCH_SOLO.json — never the
+    // committed min-protocol reference. The round-14 slip (an sf3 solo
+    // detail rode into a commit via `git add -A` and masqueraded as the
+    // sf0.1 reference) is thereby impossible by construction: the only
+    // path into BENCH_DETAIL.json for partial data is tools/merge_bench.py,
+    // which refuses mixed scale factors and dirty calibration windows.
+    val detailPath = if (only.isDefined) "BENCH_SOLO.json" else "BENCH_DETAIL.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib":$calibJson,"queries":$detail,"sf":"$sfDir"}""")
     val headline = Seq(
       "h1_pricing_summary", "h3_top_customers_by_revenue", "h5_regional_revenue",
@@ -200,7 +208,7 @@ object Bench {
     val rmap = results.toMap
     val qs = headline.flatMap(h => rmap.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib":{"pre":${fmt(fPre)},"post":${fmt(fPost)}},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib":{"pre":${fmt(fPre)},"post":${fmt(fPost)}},"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

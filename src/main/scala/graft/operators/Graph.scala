@@ -36,7 +36,13 @@ object Graph {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       case "disk" => df.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      case _ => df.localCheckpoint()
+      case "default" => df.localCheckpoint()
+      // a typo ("SER", "disk ") must not silently lose the memory-tight
+      // deployment's intended DISK_ONLY posture — the knob exists for
+      // exactly that deployment, so unknown values fail loudly
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.graph.checkpointStorage=$other: " +
+          "expected one of default|ser|disk")
     }
 
   private implicit class IterCkpt(private val df: DataFrame) {
@@ -195,8 +201,16 @@ object Graph {
     // plan state per job) or batch more rounds per barrier; the default
     // stays the measured reference-twice heuristic below
     val checkpointEvery = edges0.sparkSession.conf
-      .getOption("spark.graft.graph.checkpointEvery").map(_.toInt)
-      .getOrElse(if (hasDangling) 1 else 2)
+      .getOption("spark.graft.graph.checkpointEvery").map { v =>
+        val n = try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.graph.checkpointEvery=$v: expected a positive int")
+        }
+        // <= 0 would make the outer loop spin forever (steps stays 0)
+        require(n >= 1,
+          s"spark.graft.graph.checkpointEvery=$v: must be >= 1")
+        n
+      }.getOrElse(if (hasDangling) 1 else 2)
     var iter = 0
     while (iter < iterations) {
       var work = ranks

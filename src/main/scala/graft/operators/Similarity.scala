@@ -1827,6 +1827,18 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("codes"), col("v"), col("nrm"))
   }
 
+  /** Does `dir` hold a committed parquet write? Probed via the Hadoop
+    * FileSystem resolved from the path itself — NOT `java.io.File`, which
+    * on any non-local dir (HDFS/S3A) would answer false and make
+    * [[compactIvfPqIndex]] silently roll v=N+1 WITHOUT the accumulated
+    * delta (silent data loss, not an error). The `_SUCCESS` marker is the
+    * committer's own commit record, so "marker present" ≡ "a complete
+    * delta exists" on every Hadoop-committed filesystem. */
+  private def committedDirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Encode an ingest batch against an EXISTING layout's quantizers and
     * persist it as that version's accumulated delta state
     * (`dir/v=<version>/delta/`, postings schema, cell-partitioned) —
@@ -1856,7 +1868,7 @@ object Similarity {
     val deltaDir = s"$base/delta"
     val fresh = encodePostings(e, cents, codebook, m, dim, residual)
     val merged =
-      if (!new java.io.File(deltaDir, "_SUCCESS").exists) fresh
+      if (!committedDirExists(spark, deltaDir)) fresh
       else {
         val prior = spark.read.parquet(deltaDir)
           .withColumn("cell", col("cell").cast("long"))
@@ -1897,7 +1909,7 @@ object Similarity {
       .withColumn("cell", col("cell").cast("long"))
     val deltaDir = s"$from/delta"
     val merged =
-      if (!new java.io.File(deltaDir, "_SUCCESS").exists) basePosts
+      if (!committedDirExists(spark, deltaDir)) basePosts
       else {
         val delta = spark.read.parquet(deltaDir)
           .withColumn("cell", col("cell").cast("long"))

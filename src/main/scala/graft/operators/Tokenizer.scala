@@ -71,7 +71,15 @@ object Tokenizer {
   def initialSymbols(word: Column): Column =
     concat(filter(split(word, ""), s => s =!= lit("")), array(lit(EndOfWord)))
 
-  /** Learn `nMerges` BPE merges from a word-frequency table. Ties on pair
+  /** SMALL-VOCAB / REFERENCE PATH — the driver-loop twin of [[bpeTrain]],
+    * retained as TokenizerSpec's independent cross-check (plan ≡ driver
+    * loop ≡ pinned merges) and as the early-stopping variant when the
+    * merge count must be exact. Each round does a `limit(1).collect()`
+    * (bounded: one scalar row per round, never row data), so at scale
+    * prefer [[bpeTrain]], which learns the same merges in ONE lineage
+    * with no per-round driver round-trip.
+    *
+    * Learn `nMerges` BPE merges from a word-frequency table. Ties on pair
     * count break lexicographically (a, then b) so the learned vocabulary
     * is engine-deterministic. Each iteration: one pair-count aggregation
     * over the O(vocab) symbol table, a 1-row argmax collect (scalar probe,
@@ -125,6 +133,10 @@ object Tokenizer {
     * variant when the merge count must be exact. */
   def bpeTrain(wordCounts: DataFrame, nMerges: Int,
                statePartitions: Int = 8): DataFrame = {
+    // the family convention (labelPropagation, kCenterCoreset,
+    // kMeansParOversample): guard the round count up front — with zero
+    // rounds the loop body never runs and `merges` stays unbound
+    require(nMerges >= 1, "bpeTrain needs at least one merge round")
     val (o, c) = ("\u0001", "\u0002")
     val bracketed = concat(
       array_join(transform(filter(split(col("word"), ""), s => s =!= lit("")),
