@@ -730,8 +730,10 @@ object SparkEntry {
     * every point's `mind` via an aggregate-join MIN (`pmin$r`/`pst$r` —
     * MIN is order-independent, so it matches the engine's `array_min`
     * exactly). The tail replays the weighting step with a
-    * (distance, id) row_number — the engine's struct-min tie-break. */
-  private def kppOracle(rounds: Int, ell: Int): String = {
+    * (distance, id) row_number — the engine's struct-min tie-break.
+    * Ends at the `pcand` (candidates) / `pw` (weights) CTEs so the
+    * reduction oracles can compose on top. */
+  private def kppCtes(rounds: Int, ell: Int): String = {
     def uSql(r: Int) =
       s"""(CAST(CAST(('0x' || substr(md5('kpp$r:' || CAST(s.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
          |      + CAST(0.5 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE)""".stripMargin
@@ -775,11 +777,104 @@ object SparkEntry {
        |passign AS (SELECT vec_id, c_id FROM (
        |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
        |    FROM pd) WHERE rn = 1),
-       |pw AS (SELECT c_id, CAST(count(*) AS BIGINT) AS weight FROM passign GROUP BY c_id)
+       |pw AS (SELECT c_id, CAST(count(*) AS BIGINT) AS weight FROM passign GROUP BY c_id)""".stripMargin
+  }
+
+  /** Oracle for `sel_kmeanspar`: [[kppCtes]] + the weighted-candidate
+    * projection (LEFT JOIN keeps zero-weight candidates). */
+  private def kppOracle(rounds: Int, ell: Int): String =
+    kppCtes(rounds, ell) + s"""
        |SELECT sel_round, p.vec_id, dist,
        |  COALESCE(w.weight, CAST(0 AS BIGINT)) AS weight
        |FROM pcand p LEFT JOIN pw w ON w.c_id = p.vec_id
        |ORDER BY sel_round, p.vec_id""".stripMargin
+
+  /** Reduction-round CTEs shared by the `sel_kmeanspar_reduce` oracle
+    * and its coverage audit: [[operators.Similarity.kMeansParReduce]]'s
+    * weighted k-means++ unrolled. `kw` binds the candidate working set
+    * (vector + COALESCEd weight); round 1 (`kp1`) draws the seed
+    * ∝ weight via the scalar md5-uniform against the integer-exact
+    * cumulative weight sum; rounds 2..k quantize the potential to
+    * `CAST(FLOOR((w·mind)·10⁶) AS BIGINT)` (`kq$r` — floor of identical
+    * doubles is exact, so the inverse-CDF is integer arithmetic on both
+    * engines) and fold the pick into `mind` via LEAST over the one-row
+    * cross join (`ks$r`). A picked center's mind≈0 floors its potential
+    * to 0 — exclusion falls out of the arithmetic, exactly as in the
+    * engine. */
+  private def kppReduceCtes(k: Int): String = {
+    def uSql(r: Int) =
+      s"""(CAST(CAST(('0x' || substr(md5('kpr$r'), 1, 15)) AS BIGINT) AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) / CAST(1152921504606846976.0 AS DOUBLE)""".stripMargin
+    val per = (2 to k).map { r =>
+      val prev = r - 1
+      val fold =
+        if (r == k) "" // the last fold is never read
+        else s""",
+           |ks$r AS MATERIALIZED (SELECT s.vec_id, s.v, s.nrm, s.w,
+           |  LEAST(s.mind, CAST(1.0 AS DOUBLE) - ${dotSql("s.v", "c.cv")} / (s.nrm * c.cnrm)) AS mind
+           |  FROM ks$prev s CROSS JOIN kp$r c)""".stripMargin
+      s""",
+         |kq$r AS (SELECT vec_id, v, nrm, w, mind,
+         |  CAST(FLOOR((CAST(w AS DOUBLE) * mind) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS qi
+         |  FROM ks$prev),
+         |kt$r AS (SELECT SUM(qi) AS tot FROM kq$r),
+         |kp$r AS MATERIALIZED (SELECT vec_id, cv, cnrm, mind FROM (
+         |    SELECT vec_id, v AS cv, nrm AS cnrm, mind,
+         |      SUM(qi) OVER (ORDER BY vec_id) AS cum FROM kq$r), kt$r
+         |  WHERE CAST(cum AS DOUBLE) > ${uSql(r)} * CAST(tot AS DOUBLE)
+         |  ORDER BY vec_id LIMIT 1)""".stripMargin + fold
+    }.mkString
+    s""",
+       |kw AS MATERIALIZED (
+       |  SELECT p.vec_id, k.v, k.nrm, COALESCE(w.weight, CAST(0 AS BIGINT)) AS w
+       |  FROM (SELECT DISTINCT vec_id FROM pcand) p
+       |  JOIN ken k ON k.vec_id = p.vec_id
+       |  LEFT JOIN pw w ON w.c_id = p.vec_id),
+       |kt1 AS (SELECT SUM(w) AS tot FROM kw),
+       |kp1 AS MATERIALIZED (SELECT vec_id, cv, cnrm FROM (
+       |    SELECT vec_id, v AS cv, nrm AS cnrm,
+       |      SUM(w) OVER (ORDER BY vec_id) AS cum FROM kw), kt1
+       |  WHERE CAST(cum AS DOUBLE) > ${uSql(1)} * CAST(tot AS DOUBLE)
+       |  ORDER BY vec_id LIMIT 1),
+       |ks1 AS MATERIALIZED (SELECT kw.vec_id, kw.v, kw.nrm, kw.w,
+       |  CAST(1.0 AS DOUBLE) - ${dotSql("kw.v", "c.cv")} / (kw.nrm * c.cnrm) AS mind
+       |  FROM kw CROSS JOIN kp1 c)""".stripMargin + per
+  }
+
+  /** Oracle for `sel_kmeanspar_reduce`: [[kppCtes]] + [[kppReduceCtes]]
+    * + the pick projection (dist NULL for the seed, ROUND(6) at the
+    * output boundary; weight joined back from the candidate set). */
+  private def kppReduceOracle(k: Int, rounds: Int, ell: Int): String = {
+    val pickUnions = (2 to k)
+      .map(r => s"UNION ALL SELECT $r, vec_id, ROUND(mind, 6) + CAST(0.0 AS DOUBLE) FROM kp$r")
+      .mkString("\n")
+    kppCtes(rounds, ell) + kppReduceCtes(k) + s"""
+       |SELECT sel_rank, pk.vec_id, dist, kw.w AS weight FROM (
+       |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS dist FROM kp1
+       |$pickUnions
+       |) pk JOIN kw ON kw.vec_id = pk.vec_id
+       |ORDER BY sel_rank""".stripMargin
+  }
+
+  /** Oracle for `sel_kmeanspar_audit`: the reduced k centers replayed,
+    * then the [[kCenterCoverageOracle]] statistics over the FULL corpus
+    * — the family's end-product quality, not the oversampled
+    * intermediate's. */
+  private def kppReduceCoverageOracle(k: Int, rounds: Int, ell: Int): String = {
+    val centUnions = (2 to k)
+      .map(r => s"UNION ALL SELECT vec_id, cv, cnrm FROM kp$r")
+      .mkString("\n|", "\n|", "").stripMargin
+    kppCtes(rounds, ell) + kppReduceCtes(k) + s""",
+       |rcent AS (SELECT vec_id, cv, cnrm FROM kp1$centUnions),
+       |rd AS (SELECT k.vec_id,
+       |    MIN(CAST(1.0 AS DOUBLE) - ${dotSql("k.v", "c.cv")} / (k.nrm * c.cnrm)) AS d
+       |  FROM ken k CROSS JOIN rcent c GROUP BY k.vec_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rcent) AS n_centers,
+       |  ROUND(MAX(d), 6) + CAST(0.0 AS DOUBLE) AS radius_max,
+       |  ROUND(AVG(d), 6) + CAST(0.0 AS DOUBLE) AS dist_mean,
+       |  ROUND(quantile_cont(d, CAST(0.9 AS DOUBLE)), 6) + CAST(0.0 AS DOUBLE) AS dist_p90
+       |FROM rd""".stripMargin
   }
 
   /** DuckDB replay of [[operators.MLEval.pairwiseWinMatrix]] over the
@@ -2898,6 +2993,36 @@ object SparkEntry {
           Similarity.compactIvfPqIndex(s, dir, fromVersion = 1)
         }
         val idx = Similarity.readIvfPqIndex(s, dir, version = 2)
+        Similarity.ivfPqTopKFromIndex(idx, queryId = 20, k = 10,
+          nprobe = 4, shortlist = 50)
+      },
+      Some(ivfpqCompactOracle)),
+
+    Q("sim_index_query_delta",
+      // the READ side of the append→compact lifecycle (r14 VERDICT
+      // task 1): between nightly compactions a serving fleet replays
+      // queries against base postings (v=1) ∪ the accumulated
+      // UN-compacted delta, delta-wins-on-collision —
+      // readIvfPqIndexWithDelta overlays exactly the upsert
+      // compactIvfPqIndex later applies, so the SAME oracle as
+      // sim_index_compact hash-proves compaction is transparent to
+      // readers: query(base ∪ delta) ≡ query(compacted v=2) ≡
+      // from-scratch rebuild. The delta vec_id set broadcasts into the
+      // base anti-join (the delta is one ingest window, O(batch)); the
+      // corpus-sized base scan stays partition-pruned by the nprobe
+      // probe (IndexCompactSpec pins the dynamicpruning evidence on
+      // the unioned scan)
+      (s, d) => {
+        val dir = ivfPqIndexShared(s, d)
+        // same ingest batch as sim_index_compact; guarded + idempotent
+        // (last-write-wins append), so entry order never matters
+        if (!new java.io.File(s"$dir/v=1/delta/_SUCCESS").exists) {
+          val batch = Tables.embeddings(s, d)
+            .filter(col("vec_id") % 17 === 0)
+            .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+          Similarity.appendIvfPqDelta(batch, dir, version = 1)
+        }
+        val idx = Similarity.readIvfPqIndexWithDelta(s, dir, version = 1)
         Similarity.ivfPqTopKFromIndex(idx, queryId = 20, k = 10,
           nprobe = 4, shortlist = 50)
       },
@@ -7680,6 +7805,41 @@ object SparkEntry {
       (s, d) => Similarity.kMeansParOversample(Tables.embeddings(s, d),
         rounds = 4, ell = 8),
       Some(kppOracle(4, 8))),
+
+    Q("sel_kmeanspar_reduce",
+      // the k-means|| algorithm's FINAL step (Bahmani 2012 §3.1,
+      // r14 VERDICT task 2): weighted k-means++ reduction of the
+      // oversampled candidate set down to k=8 centers — seed ∝ weight,
+      // then ∝ weight·mind (the family's cosine potential) — so the
+      // selection family ships its end product, not its intermediate.
+      // Deterministic + engine-portable: one scalar md5-uniform per
+      // round and FIXED-POINT potential quantization (floor(w·mind·1e6)
+      // as BIGINT) so the inverse-CDF cumulative sum is integer-exact
+      // on both engines, never an order-dependent double sum. Matches
+      // V2's k = min(10, n) clustering semantics at scale
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.kMeansParReduce(emb,
+          Similarity.kMeansParOversample(emb, rounds = 4, ell = 8), k = 8)
+      },
+      Some(kppReduceOracle(8, 4, 8))),
+
+    Q("sel_kmeanspar_audit",
+      // the coverage audit over the REDUCED centers — the number the
+      // k-means|| pipeline is actually judged by before training on the
+      // subset (covering radius / mean / p90 of every corpus point's
+      // distance to its nearest of the k final centers). Same map-only
+      // broadcast-array pass as sel_coverage_audit, over the end
+      // product instead of the k-center greedy
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.selectionCoverage(emb,
+          Similarity.kMeansParReduce(emb,
+            Similarity.kMeansParOversample(emb, rounds = 4, ell = 8), k = 8)
+            .select("vec_id"))
+          .localCheckpoint(eager = true)
+      },
+      Some(kppReduceCoverageOracle(8, 4, 8))),
 
     Q("sel_coverage_audit",
       // the selection family's EVAL half: the k-center pick replayed,

@@ -75,7 +75,12 @@ object Charts {
     /** Draw `s` with the bitmap font; `y` is the BASELINE (the glyph
       * box spans `[y - 7*scale, y - scale)`), matching the
       * `drawString` contract the chart layouts were designed against. */
-    def text(s: String, x: Int, y: Int, rgb: Int): Unit = {
+    def text(s: String, x: Int, y: Int, rgb: Int): Unit =
+      textScaled(s, x, y, TextScale, rgb)
+
+    /** [[text]] at an explicit glyph pixel scale — the word-frequency
+      * raster sizes words by count with this. */
+    def textScaled(s: String, x: Int, y: Int, scale: Int, rgb: Int): Unit = {
       var cx = x
       for (c <- s) {
         val rows = Glyphs.of(c)
@@ -84,13 +89,13 @@ object Charts {
           var col = 0
           while (col < 5) {
             if (((rows(r) >> (4 - col)) & 1) == 1)
-              fillRect(cx + col * TextScale, y - (7 - r) * TextScale,
-                TextScale, TextScale, rgb)
+              fillRect(cx + col * scale, y - (7 - r) * scale,
+                scale, scale, rgb)
             col += 1
           }
           r += 1
         }
-        cx += 6 * TextScale
+        cx += 6 * scale
       }
     }
   }
@@ -141,6 +146,121 @@ object Charts {
       ra.text(days.head._1, left, bottom + 16, Axis)
       val last = days.last._1
       ra.text(last, right - textWidth(last), bottom + 16, Axis)
+    }
+    ra.img
+  }
+
+  /** Per-class confidence histogram — the reference's "Confidence
+    * Distribution by Sentiment" overlaid hist (`vizualization.py:
+    * 287-297`, bins=20 per class), rendered as GROUPED bars (side-by-
+    * side per bin) because flat-color rasters have no alpha blending.
+    * `rows` is the `a7b_histogram_per_group` frame: (class, bin, cnt);
+    * bins are the per-class equi-width indices, classes are drawn in
+    * fixed POSITIVE/NEGATIVE/NEUTRAL legend order (extras appended
+    * sorted — deterministic for any input). */
+  def classHistogram(rows: Seq[(String, Long, Long)],
+                     w: Int = 480, h: Int = 280): BufferedImage = {
+    val ra = new Raster(w, h)
+    val classOrder = {
+      val fixed = Seq("POSITIVE", "NEGATIVE", "NEUTRAL")
+      val present = rows.map(_._1).distinct
+      fixed.filter(present.contains) ++ present.filterNot(fixed.contains).sorted
+    }
+    val left = 40; val right = w - 12; val top = 34; val bottom = h - 24
+    ra.fillRect(left, top, 1, bottom - top, Axis)
+    ra.fillRect(left, bottom, right - left, 1, Axis)
+    // legend: colored swatch + class name across the top
+    var lx = left
+    for (cls <- classOrder) {
+      ra.fillRect(lx, 8, 10, 10, ClassColors.getOrElse(cls, Trend))
+      ra.text(cls, lx + 14, 18, Axis)
+      lx += 14 + textWidth(cls) + 16
+    }
+    if (rows.nonEmpty) {
+      val nBins = (rows.map(_._2).max + 1).toInt
+      val maxCnt = math.max(1L, rows.map(_._3).max)
+      val slot = (right - left) / math.max(1, nBins)
+      val sub = math.max(1, (slot - 2) / math.max(1, classOrder.length))
+      val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+      for (b <- 0 until nBins; (cls, ci) <- classOrder.zipWithIndex) {
+        val cnt = byKey.getOrElse((cls, b.toLong), 0L)
+        if (cnt > 0) {
+          val barH = math.max(1L, cnt * (bottom - top) / maxCnt).toInt
+          ra.fillRect(left + 1 + b * slot + ci * sub, bottom - barH, sub, barH,
+            ClassColors.getOrElse(cls, Trend))
+        }
+      }
+      ra.text(maxCnt.toString, 4, top + 6, Axis)
+      ra.text("0", left, bottom + 16, Axis)
+      val lastLbl = (nBins - 1).toString
+      ra.text(lastLbl, left + (nBins - 1) * slot, bottom + 16, Axis)
+    }
+    ra.img
+  }
+
+  /** Top-words frequency chart — the reference's per-sentiment "Top
+    * Words" bars (`vizualization.py:263-286`, vertical bars with
+    * rotated tick labels and count labels). The bitmap font does not
+    * rotate, so the bars are HORIZONTAL: word label left, count label
+    * at the bar's end — same data, deterministic raster. Caller passes
+    * rows already ordered (cnt DESC, word) — the `a8_word_frequency` /
+    * `a9_top_words_per_lang` convention; the first `maxRows` render. */
+  def topWordsBar(words: Seq[(String, Long)], color: Int = Trend,
+                  maxRows: Int = 10, w: Int = 480, h: Int = 280): BufferedImage = {
+    val ra = new Raster(w, h)
+    val take = words.take(maxRows)
+    val labelW = 120; val top = 14; val bottom = h - 10
+    ra.fillRect(labelW, top, 1, bottom - top, Axis)
+    if (take.nonEmpty) {
+      val maxCnt = math.max(1L, take.map(_._2).max)
+      val rowH = (bottom - top) / take.length
+      val barMax = w - labelW - 60
+      for (((word, cnt), i) <- take.zipWithIndex) {
+        val y = top + i * rowH
+        val barW = math.max(1L, cnt * barMax / maxCnt).toInt
+        val label = if (word.length > 9) word.take(9) else word
+        ra.text(label, labelW - 6 - textWidth(label), y + rowH / 2 + 7, Axis)
+        ra.fillRect(labelW + 1, y + rowH / 5, barW, rowH * 3 / 5, color)
+        ra.text(cnt.toString, labelW + 1 + barW + 6, y + rowH / 2 + 7, Axis)
+      }
+    }
+    ra.img
+  }
+
+  /** Word-frequency raster standing in for the reference's wordcloud
+    * (`vizualization.py:226-245`, `WordCloud(max_words=100,
+    * random_state=42)`): same input (the `a8b_wordcloud_words`
+    * frequencies), same visual contract (bigger = more frequent), but
+    * DETERMINISTIC layout — greedy row packing in (cnt DESC, word)
+    * order with glyph scale 1 + ⌊3·cnt/max⌋, colors cycling a fixed
+    * 4-color palette by rank. A random-placement cloud can never be
+    * byte-pinned; this raster is, and carries the same information. */
+  def wordCloud(words: Seq[(String, Long)],
+                w: Int = 480, h: Int = 280): BufferedImage = {
+    val ra = new Raster(w, h)
+    val palette = Array(Trend, ClassColors("POSITIVE"),
+      ClassColors("NEGATIVE"), ClassColors("NEUTRAL"))
+    if (words.nonEmpty) {
+      val maxCnt = math.max(1L, words.map(_._2).max)
+      var x = 8; var y = 8; var rowMaxScale = 0
+      var i = 0
+      val it = words.iterator
+      var full = false
+      while (it.hasNext && !full) {
+        val (word, cnt) = it.next()
+        val scale = 1 + (3L * cnt / maxCnt).toInt
+        val width = if (word.isEmpty) 0 else word.length * 6 * scale - scale
+        if (x + width > w - 8 && x > 8) { // wrap
+          y += rowMaxScale * 8 + 4; x = 8; rowMaxScale = 0
+        }
+        if (y + scale * 8 > h - 4) full = true
+        else if (width > 0) {
+          ra.textScaled(word, x, y + scale * 7, scale, palette(i % palette.length))
+          x += width + 4 * scale
+          rowMaxScale = math.max(rowMaxScale, scale)
+          i += 1
+        }
+      }
     }
     ra.img
   }

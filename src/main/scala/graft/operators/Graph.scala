@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Session-conf storage knob for the iterative loops' checkpoint
-    * blocks (`spark.graft.graph.checkpointStorage`): `default` keeps
+    * blocks — generalized engine-wide in round 15 as
+    * `spark.graft.iter.checkpointStorage` ([[Iter.checkpoint]]), with
+    * `spark.graft.graph.checkpointStorage` kept as an alias (this knob
+    * shipped under the graph name first): `default` keeps
     * Spark's MEMORY_AND_DISK (deserialized rows — measured fastest
     * while the heap is roomy: 6.7 s vs 7.6 s for the other modes at
     * sf0.1@8g), `ser` pins MEMORY_AND_DISK_SER (serialized blocks —
@@ -30,20 +33,7 @@ object Graph {
     * evicting checkpoint blocks from the heap returns the whole budget
     * to execution. Memory-tight deployments should set `disk`. */
   private[graft] def iterCheckpoint(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.graph.checkpointStorage")
-      .getOrElse("default") match {
-      case "ser" => df.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      case "disk" => df.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      case "default" => df.localCheckpoint()
-      // a typo ("SER", "disk ") must not silently lose the memory-tight
-      // deployment's intended DISK_ONLY posture — the knob exists for
-      // exactly that deployment, so unknown values fail loudly
-      case other => throw new IllegalArgumentException(
-        s"spark.graft.graph.checkpointStorage=$other: " +
-          "expected one of default|ser|disk")
-    }
+    Iter.checkpoint(df) // shared engine-wide discipline; knob doc on [[Iter]]
 
   private implicit class IterCkpt(private val df: DataFrame) {
     def iterCkpt(): DataFrame = iterCheckpoint(df)

@@ -763,10 +763,10 @@ object MLEval {
     // round's denominator job re-runs the whole upstream reduction
     // (raw log -> duels -> matrix), turning a dimension-sized loop
     // into 15 full-corpus scans (measured 12 s -> 0.6 s at sf0.1)
-    val edges = e1.unionAll(e2).localCheckpoint(eager = true)
+    val edges = e1.unionAll(e2).transform(Iter.checkpoint)
     val wtot = edges.groupBy(col("i").as("item"))
       .agg(sum(col("w")).as("n_wins"), sum(col("n")).as("n_duels"))
-      .localCheckpoint(eager = true)
+      .transform(Iter.checkpoint)
     val k = wtot.select(count(lit(1)).as("__k"))
     var p = wtot.crossJoin(broadcast(k))
       .select(col("item"), (lit(1.0) / col("__k").cast("double")).as("p"))
@@ -789,7 +789,7 @@ object MLEval {
       // checkpoint is O(items) rows; 15 tiny jobs is the honest cost
       p = unnorm.crossJoin(broadcast(s))
         .select(col("item"), round(col("__q") / col("__s"), 12).as("p"))
-        .localCheckpoint(eager = true)
+        .transform(Iter.checkpoint)
       it += 1
     }
     wtot.join(broadcast(p), Seq("item"))

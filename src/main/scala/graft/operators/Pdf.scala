@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, Row}
   * pages, the 8%-of-page-height header stripe with the company name
   * (`pdf_header.draw_header_stripe`), flowed Helvetica text with
   * per-section headers and page breaks, page numbers, and the
-  * visualization section's bar/trend charts — rendered by [[Charts]]
+  * visualization section's five chart families (distribution bar,
+  * daily trend, per-class confidence histogram, top-words bars,
+  * word-frequency cloud stand-in) — rendered by [[Charts]]
   * and embedded below as indexed-palette RunLengthDecode image
   * XObjects (the matplotlib-PNG equivalent of `pdf_sections
   * .create_visualizations_section`; RLE is hand-rolled from the PDF
@@ -276,7 +278,10 @@ object Pdf {
     * `trendDays` (date, total) rows feed the visualization section's
     * line chart when supplied. */
   def reportSections(r: Row,
-                     trendDays: Seq[(String, Long)] = Nil): Seq[Section] = {
+                     trendDays: Seq[(String, Long)] = Nil,
+                     histRows: Seq[(String, Long, Long)] = Nil,
+                     topWords: Seq[(String, Long)] = Nil,
+                     cloudWords: Seq[(String, Long)] = Nil): Seq[Section] = {
     def s(c: String): String = Option(r.getAs[Any](c)).map(_.toString).getOrElse("n/a")
     def d(c: String): String =
       Option(r.getAs[Any](c)).map(v => fmt2(v.toString.toDouble)).getOrElse("n/a")
@@ -293,9 +298,16 @@ object Pdf {
       ("POSITIVE", cnt("positive_cnt"), s("positive_pct")),
       ("NEGATIVE", cnt("negative_cnt"), s("negative_pct")),
       ("NEUTRAL", cnt("neutral_cnt"), s("neutral_pct"))))
-    val vizImages =
-      if (trendDays.isEmpty) Seq(bar)
-      else Seq(bar, Charts.trendLine(trendDays))
+    // the reference's five PNG families (vizualization.py:60-300):
+    // distribution bar, daily trend, per-class confidence histogram,
+    // top-words bars, wordcloud — each rendered only when its
+    // already-reduced data frame was supplied
+    val vizImages = Seq(Some(bar),
+      if (trendDays.isEmpty) None else Some(Charts.trendLine(trendDays)),
+      if (histRows.isEmpty) None else Some(Charts.classHistogram(histRows)),
+      if (topWords.isEmpty) None else Some(Charts.topWordsBar(topWords)),
+      if (cloudWords.isEmpty) None else Some(Charts.wordCloud(cloudWords))
+    ).flatten
     Seq(
       Section("Table of Contents",
         toc.zipWithIndex.map { case (t, i) => s"${i + 1}. $t" }),
@@ -311,8 +323,9 @@ object Pdf {
           "highest-confidence exemplars, and the insurance risk formula " +
           "are computed from the scored table.")),
       Section("Visualizations", Seq(
-        "Sentiment distribution and daily event trend, rendered from " +
-          "the report aggregates:"),
+        "Sentiment distribution, daily event trend, per-class " +
+          "confidence histogram, top words and word frequencies, " +
+          "rendered from the report aggregates:"),
         vizImages),
       Section("Comment Analysis Methodology", Seq(
         "Representative comment per class = nearest to the class mean " +
@@ -349,15 +362,26 @@ object Pdf {
     * sink. The frame is one row by construction (assert, not assume). */
   def writeReportPdf(report: DataFrame, path: String,
                      company: String = "graft",
-                     trends: Option[DataFrame] = None): Array[Byte] = {
+                     trends: Option[DataFrame] = None,
+                     histogram: Option[DataFrame] = None,
+                     topWords: Option[DataFrame] = None,
+                     cloudWords: Option[DataFrame] = None): Array[Byte] = {
     val rows = report.collect()
     require(rows.length == 1, s"report frame must be one row, got ${rows.length}")
-    // trend chart input: (date, total) off the already-aggregated A4
-    // frame — O(days) rows, the same reduction the reference plots
+    // chart inputs are the ALREADY-AGGREGATED oracled frames — O(days)/
+    // O(bins)/O(top-k) rows, the same reductions the reference plots
+    // (a4 trends, a7b histogram, a8 top words, a8b wordcloud words):
+    // the driver-side collect here is report-sized, never corpus-sized
     val days = trends.toSeq.flatMap(_.select("date", "total").collect()
       .map(r => (r.getString(0), r.getLong(1))))
+    val hist = histogram.toSeq.flatMap(_.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    def wordRows(df: Option[DataFrame]): Seq[(String, Long)] =
+      df.toSeq.flatMap(_.select("word", "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1))))
     val bytes = renderSections(company, "Sentiment Analysis Report",
-      reportSections(rows(0), days))
+      reportSections(rows(0), days, hist, wordRows(topWords),
+        wordRows(cloudWords)))
     val f = new java.io.File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     val tmp = new java.io.File(path + ".tmp")

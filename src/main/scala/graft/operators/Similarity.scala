@@ -1952,6 +1952,38 @@ object Similarity {
         .withColumn("cell", col("cell").cast("long")))
   }
 
+  /** Open v=N with its accumulated UN-COMPACTED delta overlaid on the
+    * postings — the state a serving fleet is actually in between
+    * nightly compactions (ref: the job-artifact refresh loop
+    * `pipeline_helpers.py:63-77`): reads land on base ∪ delta with
+    * delta-wins-on-collision, the very upsert [[compactIvfPqIndex]]
+    * later applies, so compaction is TRANSPARENT to readers — the
+    * `sim_index_query_delta` entry hash-proves a query over this
+    * overlay equals the same query over the compacted v=N+1.
+    *
+    * Scale shape: the delta is one ingest window — batch-sized — so
+    * its vec_id set broadcasts into the base anti-join and its own
+    * scan is O(batch); the base postings scan stays the FIRST branch
+    * of the union, which is the branch DPP lineage tracking follows
+    * (Union exposes its first child's attributes), so the nprobe probe
+    * still partition-prunes the corpus-sized side (IndexCompactSpec
+    * pins the executed-plan evidence). No committed delta → the plain
+    * [[readIvfPqIndex]] result. */
+  def readIvfPqIndexWithDelta(spark: SparkSession, dir: String,
+                              version: Int): IvfPqIndex = {
+    val base = readIvfPqIndex(spark, dir, version)
+    val deltaDir = s"$dir/v=$version/delta"
+    if (!committedDirExists(spark, deltaDir)) base
+    else {
+      val delta = spark.read.parquet(deltaDir)
+        .withColumn("cell", col("cell").cast("long"))
+      val overlay = base.postings
+        .join(broadcast(delta.select("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(delta.select(base.postings.columns.map(col): _*))
+      base.copy(postings = overlay)
+    }
+  }
+
   /** IVF-PQ top-k replayed from an exported layout ALONE — the serving
     * read path: probe against the index centroids, ADC-rank the probed
     * cells' CODES (partition-pruned scan), exact-re-rank the shortlist
@@ -2062,7 +2094,7 @@ object Similarity {
       .withColumn("nrm", normFast(col("v")))
     val seed = en.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      .localCheckpoint()
+      .transform(Iter.checkpoint)
     var picks = seed.select(lit(1).as("sel_rank"), col("c_id").as("vec_id"),
       lit(null).cast("double").as("radius"))
     // mind = cosine distance to the nearest selected center so far; the
@@ -2073,12 +2105,12 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"),
         (lit(1.0) - dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
           .as("mind"))
-      .localCheckpoint()
+      .transform(Iter.checkpoint)
     for (r <- 2 to k) {
       val top = st.orderBy(col("mind").desc, col("vec_id")).limit(1)
         .select(col("vec_id").as("c_id"), col("v").as("cv"),
           col("nrm").as("cnrm"), col("mind").as("mrad"))
-        .localCheckpoint()
+        .transform(Iter.checkpoint)
       picks = picks.unionByName(top.select(lit(r).as("sel_rank"),
         col("c_id").as("vec_id"), round(col("mrad"), 6).as("radius")))
       if (r < k) st = st.crossJoin(broadcast(top.select("c_id", "cv", "cnrm")))
@@ -2086,7 +2118,7 @@ object Similarity {
           least(col("mind"),
             lit(1.0) - dotFast(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
             .as("mind"))
-        .localCheckpoint()
+        .transform(Iter.checkpoint)
     }
     picks.orderBy("sel_rank")
   }
@@ -2169,25 +2201,25 @@ object Similarity {
     val en = graft.Tables.scanFloor(emb)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", normFast(col("v")))
-      .localCheckpoint()
+      .transform(Iter.checkpoint)
     val seed = en.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-      .localCheckpoint()
+      .transform(Iter.checkpoint)
     var st = en.crossJoin(broadcast(seed))
       .select(col("vec_id"), col("v"), col("nrm"),
         (lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
           .as("mind"))
-      .localCheckpoint()
+      .transform(Iter.checkpoint)
     var cands = seed.select(lit(0).as("sel_round"), col("c_id").as("vec_id"),
       lit(null).cast("double").as("dist"))
     for (r <- 1 to rounds) {
       val u = (hash60(concat(lit(s"kpp$r:"), col("vec_id").cast("string")))
         .cast("double") + lit(0.5)) / lit(1152921504606846976.0) // 2^60
-      val phi = st.agg(round(sum(col("mind")), 6).as("phi")).localCheckpoint()
+      val phi = st.agg(round(sum(col("mind")), 6).as("phi")).transform(Iter.checkpoint)
       val pick = st.crossJoin(broadcast(phi))
         .filter(u < lit(ell.toDouble) * col("mind") / col("phi"))
         .select(col("vec_id"), col("v"), col("nrm"), col("mind"))
-        .localCheckpoint()
+        .transform(Iter.checkpoint)
       cands = cands.unionByName(pick.select(lit(r).as("sel_round"),
         col("vec_id"), round(col("mind"), 6).as("dist")))
       // an adversarial round can draw zero candidates (every u above its
@@ -2201,14 +2233,14 @@ object Similarity {
               lit(1.0) - dot(col("v"), c.getField("cv"))
                 / (col("nrm") * c.getField("cnrm")))),
             col("mind"))).as("mind"))
-        .localCheckpoint()
+        .transform(Iter.checkpoint)
     }
     // weighting: nearest candidate per point ((d, id) struct-min — ties
     // to the lower candidate id), then one count aggregation
     val cvecs = cands.select("vec_id").join(en, Seq("vec_id"))
       .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
         col("v").as("cv"), col("nrm").as("cnrm")))).as("cents"))
-      .localCheckpoint()
+      .transform(Iter.checkpoint)
     val weights = en.crossJoin(broadcast(cvecs))
       .select(array_min(transform(col("cents"), c => struct(
           (lit(1.0) - dot(col("v"), c.getField("cv"))
@@ -2219,6 +2251,99 @@ object Similarity {
       .select(col("sel_round"), cands("vec_id"), col("dist"),
         coalesce(col("weight"), lit(0L)).as("weight"))
       .orderBy("sel_round", "vec_id")
+  }
+
+  /** Weighted k-means++ reduction of a [[kMeansParOversample]] candidate
+    * set down to `k` centers — the algorithm's FINAL step (Bahmani 2012
+    * §3.1: "recluster the weighted points"), so the selection family's
+    * end product is k centers, not the oversampled intermediate.
+    * `cands` is any frame with `vec_id` + `weight` (the oversample's
+    * output shape); vectors come from `emb`.
+    *
+    * The draw: classic D-weighted k-means++ — round 1 samples a seed
+    * ∝ weight, each later round samples ∝ weight·mind (the family's
+    * cosine-distance potential, [[kMeansParOversample]]'s d-not-d²
+    * convention on the unit sphere) — made deterministic AND
+    * engine-portable by (a) one md5-uniform scalar per round
+    * (`u = (hash60("kpr<r>")+0.5)/2⁶⁰`, the dsirResample convention)
+    * and (b) FIXED-POINT POTENTIAL QUANTIZATION: each candidate's
+    * potential becomes the integer `floor(weight·mind·10⁶)` (floor is
+    * exact on identical doubles — no cross-engine rounding-mode edge),
+    * so the inverse-CDF cumulative sum is integer-exact and
+    * order-independent, never an order-dependent double sum. The pick
+    * is the first candidate (vec_id order) whose cumulative potential
+    * exceeds `u·total`. A picked center's own mind collapses to ~0, so
+    * its potential floors to 0 and it is never re-drawn — exclusion
+    * falls out of the arithmetic.
+    *
+    * Scale shape: the candidate set is O(rounds·ell) — broadcast-sized
+    * by construction — so every round is one bounded single-partition
+    * window (the adjudicated bounded-WindowExec pattern), a one-row
+    * pick, and a one-row broadcast fold; [[Iter.checkpoint]] per round
+    * keeps the lineage linear. Degenerate inputs (fewer distinct
+    * geometries than `k`: every potential 0) collapse the state through
+    * the one-row crossJoin and stop emitting rows — the DuckDB replay
+    * collapses identically (the [[graft.operators.Tokenizer.bpeTrain]]
+    * stance), so the hash gate holds even there.
+    *
+    * Returns `(sel_rank, vec_id, dist, weight)`: pick order, the chosen
+    * candidate, its distance-to-selected-set when drawn (NULL for the
+    * seed), and its input weight. */
+  def kMeansParReduce(emb: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "kMeansParReduce needs at least one center")
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.orderBy("vec_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val en = graft.Tables.scanFloor(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", normFast(col("v")))
+    // the candidate working set: vec_id, vector, weight — checkpointed
+    // ONCE so the k reduction rounds never re-execute the oversample plan
+    val kw = cands.select(col("vec_id"), col("weight").cast("long").as("w"))
+      .join(en, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("w"))
+    var st = Iter.checkpoint(kw)
+    def uRow(r: Int) = spark.range(1).select(
+      ((hash60(lit(s"kpr$r")).cast("double") + lit(0.5))
+        / lit(1152921504606846976.0)).as("u")) // 2^60
+    def drawOne(qframe: DataFrame): DataFrame = {
+      val tot = qframe.agg(sum(col("qi")).as("tot"))
+      qframe.withColumn("cum", sum(col("qi")).over(cum))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum").cast("double") > col("u") * col("tot").cast("double"))
+        .orderBy("vec_id").limit(1)
+    }
+    // round 1: seed ∝ weight (integer potentials already)
+    val seed = Iter.checkpoint(drawOne(
+      st.withColumn("qi", col("w")).crossJoin(broadcast(uRow(1))))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm")))
+    var picks = seed.select(lit(1).as("sel_rank"), col("c_id").as("vec_id"),
+      lit(null).cast("double").as("dist"))
+    st = Iter.checkpoint(st.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("v"), col("nrm"), col("w"),
+        (lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("mind")))
+    for (r <- 2 to k) {
+      // fixed-point quantized potential: floor(w·mind·1e6) as BIGINT
+      val q = st.withColumn("qi",
+        floor(col("w").cast("double") * col("mind") * lit(1000000.0)).cast("long"))
+        .crossJoin(broadcast(uRow(r)))
+      val pick = Iter.checkpoint(drawOne(q)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm"), col("mind").as("mrad")))
+      picks = picks.unionByName(pick.select(lit(r).as("sel_rank"),
+        col("c_id").as("vec_id"), round(col("mrad"), 6).as("dist")))
+      if (r < k) st = Iter.checkpoint(
+        st.crossJoin(broadcast(pick.select("cv", "cnrm")))
+          .select(col("vec_id"), col("v"), col("nrm"), col("w"),
+            least(col("mind"),
+              lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+              .as("mind")))
+    }
+    picks.join(kw.select(col("vec_id"), col("w").as("weight")), Seq("vec_id"))
+      .select(col("sel_rank"), col("vec_id"), col("dist"), col("weight"))
+      .orderBy("sel_rank")
   }
 
   /** Embedding-cosine near-duplicate pairs: exact all-pairs baseline —

@@ -152,7 +152,7 @@ object Tokenizer {
       .where(!col("word").contains(o) && !col("word").contains(c))
       .select(col("cnt"), bracketed.as("bw"))
       .repartition(statePartitions)
-      .localCheckpoint()
+      .transform(Iter.checkpoint)
     var merges: DataFrame = null
     for (r <- 1 to nMerges) {
       val ss = split(col("bw").substr(lit(2), length(col("bw")) - 2), c + o)
@@ -168,7 +168,7 @@ object Tokenizer {
         .orderBy(col("pc").desc, col("a"), col("b"))
         .limit(1)
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .transform(Iter.checkpoint)
       val mrow = top.select(lit(r).as("merge_rank"), col("a"), col("b"))
       merges = if (merges == null) mrow else merges.unionByName(mrow)
       // per-round state checkpoint, MEASURED: the lineage without it is
@@ -183,7 +183,7 @@ object Tokenizer {
           replace(col("bw"),
             concat(lit(o), col("a"), lit(c), lit(o), col("b"), lit(c)),
             concat(lit(o), col("a"), col("b"), lit(c))).as("bw"))
-        .localCheckpoint()
+        .transform(Iter.checkpoint)
     }
     merges.orderBy("merge_rank")
   }

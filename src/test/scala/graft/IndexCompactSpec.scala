@@ -143,6 +143,63 @@ class IndexCompactSpec extends SparkSpec {
     sources.Artifacts.deleteRecursively(new java.io.File(dir))
   }
 
+  test("base ∪ un-compacted delta overlay: postings and replay equal the compacted layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_ov").toString
+    val (cents, cb) = quantizers(emb)
+    Similarity.writeIvfPqIndex(emb, cents, cb, dir, version = 1)
+    // inserts (batchOf) AND an update (vec_id 33 re-ingested with 20's
+    // embedding) so the overlay's delta-wins-on-collision path is live
+    val v20 = emb.filter(col("vec_id") === 20).select(col("embedding")).collect()(0)
+      .getSeq[Float](0).toArray
+    val s = spark; import s.implicits._
+    Similarity.appendIvfPqDelta(batchOf(emb), dir, version = 1)
+    Similarity.appendIvfPqDelta(Seq((33L, v20)).toDF("vec_id", "embedding"),
+      dir, version = 1)
+
+    // the overlay read — BEFORE compaction exists
+    val overlay = Similarity.readIvfPqIndexWithDelta(spark, dir, version = 1)
+    val overlayReplay = Similarity.ivfPqTopKFromIndex(overlay,
+      queryId = 20, k = 10, nprobe = 4, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val overlayPosts = postingsSet(overlay.postings)
+
+    Similarity.compactIvfPqIndex(spark, dir, fromVersion = 1)
+    val compacted = Similarity.readIvfPqIndex(spark, dir, 2)
+    assert(overlayPosts == postingsSet(compacted.postings),
+      "base ∪ delta overlay must present exactly the compacted postings")
+    assert(overlayReplay == replayRows(dir, 2),
+      "a query over base ∪ delta must equal the same query over compacted v=2 — " +
+        "the invariant that makes compaction transparent to readers")
+    sources.Artifacts.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("overlay read without a committed delta is the plain versioned read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_ov_nd").toString
+    val (cents, cb) = quantizers(emb)
+    Similarity.writeIvfPqIndex(emb, cents, cb, dir, version = 1)
+    val plain = Similarity.readIvfPqIndex(spark, dir, 1)
+    val overlay = Similarity.readIvfPqIndexWithDelta(spark, dir, 1)
+    assert(postingsSet(overlay.postings) == postingsSet(plain.postings))
+    assert(overlay.nVectors == plain.nVectors && overlay.version == plain.version)
+    sources.Artifacts.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("DPP: the unioned base ∪ delta postings scan is partition-pruned by the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_ov_dpp").toString
+    val (cents, cb) = quantizers(emb)
+    Similarity.writeIvfPqIndex(emb, cents, cb, dir, version = 1)
+    Similarity.appendIvfPqDelta(batchOf(emb), dir, version = 1)
+    val q = Similarity.ivfPqTopKFromIndex(
+      Similarity.readIvfPqIndexWithDelta(spark, dir, 1),
+      queryId = 20, k = 10, nprobe = 4, shortlist = 50)
+    q.collect() // executed plan — DPP subqueries only show post-execution
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "the nprobe probe must dynamically prune the corpus-sized base branch " +
+        "of the unioned postings scan")
+    sources.Artifacts.deleteRecursively(new java.io.File(dir))
+  }
+
   test("DPP: the compacted postings scan is partition-pruned by the probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_dpp").toString
     val (cents, cb) = quantizers(emb)

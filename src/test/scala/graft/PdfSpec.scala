@@ -121,12 +121,24 @@ class PdfSpec extends SparkSpec {
     val line = Charts.trendLine(Seq(
       "2024-01-01" -> 5L, "2024-01-02" -> 9L, "2024-01-03" -> 2L,
       "2024-01-04" -> 7L, "2024-01-05" -> 11L))
+    val hist = Charts.classHistogram(Seq(
+      ("POSITIVE", 0L, 3L), ("POSITIVE", 1L, 9L), ("POSITIVE", 3L, 5L),
+      ("NEGATIVE", 0L, 7L), ("NEGATIVE", 2L, 4L),
+      ("NEUTRAL", 1L, 2L), ("NEUTRAL", 3L, 6L)))
+    val top = Charts.topWordsBar(Seq(
+      "service" -> 31L, "product" -> 24L, "quality" -> 17L,
+      "delivery" -> 11L, "support" -> 6L))
+    val cloud = Charts.wordCloud(Seq(
+      "service" -> 31L, "product" -> 24L, "quality" -> 17L,
+      "delivery" -> 11L, "support" -> 6L, "price" -> 5L, "team" -> 4L,
+      "order" -> 3L, "refund" -> 2L, "shipping" -> 1L))
     val pdf = Pdf.renderSections("graft", "Sentiment Analysis Report", Seq(
       Pdf.Section("Executive Summary", Seq(
         "Total comments analyzed: 100",
         "Positive: 42 (42.0%)", "Negative: 33 (33.0%)", "Neutral: 25 (25.0%)")),
       Pdf.Section("Visualizations", Seq(
-        "Sentiment distribution and daily event trend:"), Seq(bar, line)),
+        "Sentiment distribution and daily event trend:"),
+        Seq(bar, line, hist, top, cloud)),
       Pdf.Section("Technical Details", Seq(
         "Average confidence: 0.87", ("word " * 400).trim))))
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(pdf)
@@ -138,14 +150,22 @@ class PdfSpec extends SparkSpec {
     * deliberate renderer change (the assertion message prints the new
     * value). */
   private val GoldenReportSha256 =
-    "249e35d80f0f6e702f2682ffa2c5a70f41966bb84ca5b98c297a3d557c95b51e"
+    "b7324b78644c809c95a3968e0d94e9d95c110308864548591ba6a358f91ba4ce"
 
   test("end-to-end: the ep4 report frame renders to a valid, parseable report PDF with charts") {
     val docs = Tables.documents(spark, sf0001)
+    val scored = functions.Sentiment.score(docs)
     val trends = operators.Analytics.dailyTrends(Tables.events(spark, sf0001))
-    val report = Serving.reportDocument(functions.Sentiment.score(docs), trends)
+    val report = Serving.reportDocument(scored, trends)
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf").toString
-    val bytes = Pdf.writeReportPdf(report, s"$dir/report.pdf", trends = Some(trends))
+    // all five reference chart families (vizualization.py:60-300), each
+    // fed by its already-oracled aggregate frame
+    val bytes = Pdf.writeReportPdf(report, s"$dir/report.pdf",
+      trends = Some(trends),
+      histogram = Some(operators.Analytics.histogramPerGroup(
+        scored, "sentiment", "confidence", 20)),
+      topWords = Some(operators.Analytics.topWords(docs, "text", 15)),
+      cloudWords = Some(operators.Analytics.wordcloudWords(docs, "text", 100)))
     assert(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/report.pdf")).sameElements(bytes))
     assert(Pdf.xrefValid(bytes))
@@ -156,10 +176,23 @@ class PdfSpec extends SparkSpec {
       assert(lines.contains(t), s"missing section '$t'")
     val total = report.collect()(0).getAs[Long]("total_comments")
     assert(lines.contains(s"Total comments analyzed: $total"))
-    // both charts embedded: distribution bar + daily trend line
+    // all five chart families embedded: bar, trend, histogram,
+    // top-words, word frequencies
+    val txt = new String(bytes, "ISO-8859-1")
+    assert("/Subtype /Image".r.findAllIn(txt).length == 5)
+    for (i <- 1 to 5) assert(txt.contains(s"/Im$i Do"), s"missing /Im$i")
+    sources.Artifacts.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("report render without optional frames still embeds the two base charts") {
+    val docs = Tables.documents(spark, sf0001)
+    val trends = operators.Analytics.dailyTrends(Tables.events(spark, sf0001))
+    val report = Serving.reportDocument(functions.Sentiment.score(docs), trends)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf2").toString
+    val bytes = Pdf.writeReportPdf(report, s"$dir/report.pdf", trends = Some(trends))
+    assert(Pdf.xrefValid(bytes))
     val txt = new String(bytes, "ISO-8859-1")
     assert("/Subtype /Image".r.findAllIn(txt).length == 2)
-    assert(txt.contains("/Im1 Do") && txt.contains("/Im2 Do"))
     sources.Artifacts.deleteRecursively(new java.io.File(dir))
   }
 }

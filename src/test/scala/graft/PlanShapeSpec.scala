@@ -249,8 +249,11 @@ class PlanShapeSpec extends SparkSpec {
       "tok_bpe_train", // 16 deliberate one-row argmax broadcasts (each round's merge pair crossJoins the state rewrite)
       "sel_kcenter", // 8 deliberate one-row argmax broadcasts (each round's center crossJoins the mind fold)
       "sel_kmeanspar", // per-round single-row phi/center-array broadcasts + the weighting pass's candidate-array broadcast
+      "sel_kmeanspar_reduce", // per-round single-row u/tot/pick broadcasts over the bounded candidate set (weighted k-means++)
+      "sel_kmeanspar_audit", // the same reduction broadcasts + the coverage pass's single center-array broadcast
       "sim_index_export", // assignCells' single-row centroid-array broadcast + single-row query probe/re-rank
       "sim_index_compact", // same replay path over the compacted layout (v=2) — identical single-row broadcasts
+      "sim_index_query_delta", // same replay path over base ∪ un-compacted delta — identical single-row broadcasts
       "sim_index_export_res", // same single-row probe/re-rank broadcasts + the nprobe-row query-residual build (one row per probed cell)
       "sim_cell_occupancy") // assignCells' single-row centroid-array broadcast + ONE total-row broadcast
     // streaming fns execute on invocation; their stateful plans are

@@ -1006,6 +1006,75 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("dist_p90") - 0.234315) < 2e-6)
   }
 
+  test("kMeansParReduce matches a driver-side weighted k-means++ replay (seeded)") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 30).map(i =>
+      i.toLong -> Seq.fill(4)(rnd.nextDouble() * 2 - 1))
+    // hand-specified weighted candidate set (a subset of the corpus)
+    val cands = Seq(2L -> 7L, 5L -> 1L, 9L -> 12L, 14L -> 3L, 17L -> 0L,
+      21L -> 9L, 26L -> 5L)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def nrm(a: Seq[Double]) =
+      math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+    def d(a: Seq[Double], b: Seq[Double]) = 1.0 - dot(a, b) / (nrm(a) * nrm(b))
+    def u(r: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"kpr$r".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble + 0.5) /
+        1152921504606846976.0
+    }
+    val byId = vecs.toMap
+    val k = 4
+    // driver replay: round 1 ∝ weight, rounds 2..k ∝ floor(w·mind·1e6)
+    var expect = Seq.empty[(Int, Long, Double)]
+    val seedId = {
+      val tot = cands.map(_._2).sum
+      val cums = cands.sortBy(_._1).scanLeft((0L, 0L)) {
+        case ((_, c), (id, w)) => (id, c + w) }.drop(1)
+      cums.find { case (_, c) => c.toDouble > u(1) * tot.toDouble }.get._1
+    }
+    expect :+= ((1, seedId, Double.NaN))
+    var mind = cands.map { case (id, _) => id -> d(byId(id), byId(seedId)) }.toMap
+    for (r <- 2 to k) {
+      val q = cands.map { case (id, w) =>
+        id -> math.floor((w.toDouble * mind(id)) * 1e6).toLong }
+      val tot = q.map(_._2).sum
+      val cums = q.sortBy(_._1).scanLeft((0L, 0L)) {
+        case ((_, c), (id, qi)) => (id, c + qi) }.drop(1)
+      val pick = cums.find { case (_, c) => c.toDouble > u(r) * tot.toDouble }.get._1
+      expect :+= ((r, pick, mind(pick)))
+      mind = mind.map { case (id, m) =>
+        id -> math.min(m, d(byId(id), byId(pick))) }
+    }
+    val s = spark; import s.implicits._
+    val out = Similarity.kMeansParReduce(vecsDf(vecs),
+      cands.toDF("vec_id", "weight"), k = k).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      expect.map(t => (t._1, t._2)))
+    // dist: NULL seed, ROUND(6) of mind-at-pick for the rest
+    assert(out.head.isNullAt(2))
+    out.drop(1).zip(expect.drop(1)).foreach { case (got, exp) =>
+      assert(math.abs(got.getDouble(2) - exp._3) < 5e-7) }
+    // weights are the input weights, joined back
+    val wById = cands.toMap
+    assert(out.forall(r => r.getLong(3) == wById(r.getLong(1))))
+    // exclusion falls out of the arithmetic: no candidate picked twice
+    assert(out.map(_.getLong(1)).distinct.length == out.length)
+  }
+
+  test("kMeansParReduce: degenerate input collapses instead of repeating picks") {
+    val s = spark; import s.implicits._
+    // one distinct geometry: after the seed every potential floors to 0,
+    // the draw finds nothing and the state collapses through the one-row
+    // crossJoin — the bpeTrain stance, mirrored by the oracle
+    val vecs = Seq(3L -> Seq(1.0, 2.0, 3.0))
+    val out = Similarity.kMeansParReduce(vecsDf(vecs),
+      Seq(3L -> 5L).toDF("vec_id", "weight"), k = 3).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 3L)))
+  }
+
   test("kMeansParOversample: a saturating ell drafts the whole corpus in round 1") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 12).map(i =>
