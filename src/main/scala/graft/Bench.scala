@@ -188,14 +188,18 @@ object Bench {
     // only) so it survives the tail buffer; BENCH_DETAIL.json has it all.
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // Solo/probe runs (any SPARK_GRAFT_ONLY pin = a non-full catalog)
-    // write their detail to the UNCOMMITTED BENCH_SOLO.json — never the
-    // committed min-protocol reference. The round-14 slip (an sf3 solo
-    // detail rode into a commit via `git add -A` and masqueraded as the
-    // sf0.1 reference) is thereby impossible by construction: the only
-    // path into BENCH_DETAIL.json for partial data is tools/merge_bench.py,
-    // which refuses mixed scale factors and dirty calibration windows.
-    val detailPath = if (only.isDefined) "BENCH_SOLO.json" else "BENCH_DETAIL.json"
+    // Only a FULL catalog at the reference scale factor may write the
+    // committed min-protocol BENCH_DETAIL.json. Solo/probe runs (any
+    // SPARK_GRAFT_ONLY pin) AND full runs at other scale factors
+    // (sf1/sf3 audits) write the UNCOMMITTED BENCH_SOLO.json. The
+    // round-14 slip (an sf3 detail rode into a commit via `git add -A`
+    // and masqueraded as the sf0.1 reference) is thereby impossible by
+    // construction: the only other path into BENCH_DETAIL.json is
+    // tools/merge_bench.py, which refuses mixed scale factors and
+    // dirty calibration windows.
+    val detailPath =
+      if (only.isEmpty && sfDir == "/root/testdata/sf0.1") "BENCH_DETAIL.json"
+      else "BENCH_SOLO.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib":$calibJson,"queries":$detail,"sf":"$sfDir"}""")
     val headline = Seq(

@@ -2307,13 +2307,17 @@ object Similarity {
     def uRow(r: Int) = spark.range(1).select(
       ((hash60(lit(s"kpr$r")).cast("double") + lit(0.5))
         / lit(1152921504606846976.0)).as("u")) // 2^60
-    def drawOne(qframe: DataFrame): DataFrame = {
-      val tot = qframe.agg(sum(col("qi")).as("tot"))
+    // cum and tot come out of ONE WindowExec over the bounded candidate
+    // frame (same ordering, two frames — running and unbounded): no
+    // separate aggregate job / broadcast per round, which matters when
+    // the loop's cost is k rounds of fixed scheduling overhead, not data
+    val full = Window.orderBy("vec_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def drawOne(qframe: DataFrame): DataFrame =
       qframe.withColumn("cum", sum(col("qi")).over(cum))
-        .crossJoin(broadcast(tot))
+        .withColumn("tot", sum(col("qi")).over(full))
         .filter(col("cum").cast("double") > col("u") * col("tot").cast("double"))
         .orderBy("vec_id").limit(1)
-    }
     // round 1: seed ∝ weight (integer potentials already)
     val seed = Iter.checkpoint(drawOne(
       st.withColumn("qi", col("w")).crossJoin(broadcast(uRow(1))))
