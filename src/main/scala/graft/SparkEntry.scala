@@ -7456,9 +7456,16 @@ object SparkEntry {
       // mass as a broadcast one-row aggregate, localCheckpoint lineage
       // truncation per round (the canonicalComponents discipline). The
       // oracle unrolls the identical 8 iterations as chained CTEs.
+      // Round 15: the loop runs on tradeEdgesLong's 8-byte node ids
+      // (guide §2.3 — every per-round exchange shuffles longs, not
+      // strings), decoded to the public c…/s… form only at the output;
+      // edgesDistinct+symmetrized skip the defensive re-distinct, the
+      // dst-union node derivation and the dangling probe, all no-ops on
+      // this graph by construction
       (s, d) => operators.Graph.pageRank(
-        operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
-        iterations = 8, damping = 0.85),
+        operators.Graph.tradeEdgesLong(Tables.orders(s, d), Tables.lineitem(s, d)),
+        iterations = 8, damping = 0.85, edgesDistinct = true, symmetrized = true)
+        .select(operators.Graph.tradeIdString(col("id")).as("id"), col("rank")),
       Some(pageRankOracle(8, 0.85))),
 
     Q("gr_hops",
@@ -7467,9 +7474,15 @@ object SparkEntry {
       // + a min aggregation, checkpointed (distance table referenced
       // twice per round); the oracle is a recursive CTE with UNION
       // dedup so accumulated rows stay bounded by nodes × hops
+      // Round 15: long node ids through the BFS loop (decoded at the
+      // output); the seed tie-break orders by the DECODED string so the
+      // top-degree cut is unchanged, and edgesDistinct skips the
+      // defensive re-distinct of the already-distinct edge list
       (s, d) => operators.Graph.hopDistancesFromTopDegree(
-        operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
-        seedCount = 3, maxHops = 4),
+        operators.Graph.tradeEdgesLong(Tables.orders(s, d), Tables.lineitem(s, d)),
+        seedCount = 3, maxHops = 4, edgesDistinct = true,
+        seedTie = operators.Graph.tradeIdString)
+        .select(operators.Graph.tradeIdString(col("id")).as("id"), col("dist")),
       Some("""WITH RECURSIVE eraw AS MATERIALIZED (
              |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
              |    's' || CAST(l.l_suppkey AS VARCHAR) AS b
@@ -7504,8 +7517,13 @@ object SparkEntry {
       // integer power sums in DECIMAL(38,0) so both engines agree
       // bit-for-bit through the one final double expression — strongly
       // negative = hubs fan to the periphery, the hot-key early warning
+      // Round 15: long node ids (no ids in the output at all — the
+      // correlation is assembled from exact integer power sums, so the
+      // string decode is dropped outright) and edgesDistinct (the edge
+      // list is distinct by construction)
       (s, d) => operators.Graph.degreeAssortativity(
-        operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d))),
+        operators.Graph.tradeEdgesLong(Tables.orders(s, d), Tables.lineitem(s, d)),
+        edgesDistinct = true),
       Some("""WITH eraw AS MATERIALIZED (
              |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
              |    's' || CAST(l.l_suppkey AS VARCHAR) AS b
@@ -7776,9 +7794,15 @@ object SparkEntry {
       // tie-break) — the labeling PRODUCER whose output gr_modularity's
       // operator scores; integer vote counts end-to-end, so the
       // unrolled-CTE oracle replays every round exactly
+      // Round 15: the edge⋈label join and vote aggregation key on long
+      // node ids; the LABEL VALUES stay the public strings (labelInit =
+      // decode) so the lexicographic-min tie-break — the declared
+      // semantics the oracle replays — is untouched
       (s, d) => operators.Graph.labelPropagation(
-        operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
-        rounds = 4),
+        operators.Graph.tradeEdgesLong(Tables.orders(s, d), Tables.lineitem(s, d)),
+        rounds = 4, labelInit = operators.Graph.tradeIdString)
+        .select(operators.Graph.tradeIdString(col("id")).as("id"),
+          col("community")),
       Some(lpaOracle(4))),
 
     Q("sel_kcenter",
@@ -7865,11 +7889,21 @@ object SparkEntry {
       // is checkpointed ONCE — through the graph family's storage knob,
       // so checkpointStorage=disk governs the composition's big block
       // too — and shared by both halves
+      // Round 15: the shared edge block, the LPA join keys and the
+      // modularity node-key joins all ride tradeEdgesLong's 8-byte ids;
+      // labels stay the public strings (labelInit = decode — the
+      // lexicographic tie-break is semantics) and the output carries no
+      // node ids, so no decode is needed at the boundary. The src<dst
+      // one-direction filter picks a DIFFERENT representative direction
+      // under numeric order, but modularity re-canonicalizes every pair
+      // through least/greatest, so the (u,v) set — and every count
+      // downstream — is unchanged.
       (s, d) => {
-        val e = operators.Graph.iterCheckpoint(operators.Graph.tradeEdges(
+        val e = operators.Graph.iterCheckpoint(operators.Graph.tradeEdgesLong(
           Tables.orders(s, d), Tables.lineitem(s, d)))
         val lab = operators.Graph.labelPropagation(e, rounds = 4,
-            assumeMaterialized = true)
+            assumeMaterialized = true,
+            labelInit = operators.Graph.tradeIdString)
           .select(col("id"), col("community").as("canonical"))
         operators.Graph.modularity(
           e.filter(col("src") < col("dst"))

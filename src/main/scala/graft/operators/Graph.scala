@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge lists the engine already produces — the trade
@@ -76,24 +76,49 @@ object Graph {
     }
   }
 
-  /** Symmetrized customer↔supplier trade edge list: one directed edge each
-    * way per distinct (customer, supplier) pair that traded (orders ⋈
-    * lineitem). Keys are prefixed (`c…`/`s…`) because TPC-H custkey and
-    * suppkey ranges overlap. The orderkey equi-join shuffles once; the
-    * distinct collapses the ~4 lineitems per order before symmetrization
-    * doubles rows. */
-  def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  /** Symmetrized customer↔supplier trade edge list with LONG node ids —
+    * the shuffle-narrow representation every iterative trade-graph
+    * operator runs on since round 15 (guide §2.3 "narrower types": the
+    * per-round joins, aggregations and checkpoints move 8-byte longs
+    * instead of 2–8-char strings, and hash/sort on long keys instead of
+    * UTF8 comparisons). Encoding: customer k ↦ 2k, supplier k ↦ 2k+1 —
+    * bijective with the public `c<k>`/`s<k>` naming, decoded only at the
+    * output boundary by [[tradeIdString]]. One directed edge each way
+    * per distinct (customer, supplier) pair that traded (orders ⋈
+    * lineitem); the distinct collapses the ~4 lineitems per order on
+    * the NUMERIC pair before symmetrization doubles rows, so the dedup
+    * exchange carries 16 bytes/row instead of two strings. Output is
+    * distinct by construction (symmetric copies of distinct pairs never
+    * collide: src parity differs). */
+  def tradeEdgesLong(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .select((col("o_custkey").cast("long") * 2L).as("a"),
+        (col("l_suppkey").cast("long") * 2L + 1L).as("b"))
       .distinct()
     pairs.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
+
+  /** Decodes a [[tradeEdgesLong]] node id back to the public string form
+    * (`c<custkey>` / `s<suppkey>`) — applied once at each query's output
+    * boundary, never inside a loop. */
+  def tradeIdString(id: Column): Column =
+    concat(when(pmod(id, lit(2L)) === 0L, lit("c")).otherwise(lit("s")),
+      shiftright(id, 1).cast("string"))
+
+  /** Symmetrized customer↔supplier trade edge list in the public string
+    * form (`c…`/`s…` — prefixed because TPC-H custkey and suppkey ranges
+    * overlap): [[tradeEdgesLong]] decoded through [[tradeIdString]].
+    * Kept for spec-level consumers; the catalog entries run the long
+    * form end to end and decode only their output ids. */
+  def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    tradeEdgesLong(orders, lineitem)
+      .select(tradeIdString(col("src")).as("src"),
+        tradeIdString(col("dst")).as("dst"))
 
   /** Power-iteration PageRank over a directed edge list `(src, dst)`, the
     * fixed-iteration form (deterministic, oracle-replayable — convergence
@@ -118,7 +143,9 @@ object Graph {
     * the repo-wide convention for order-dependent double aggregates),
     * ordered rank-descending then id. */
   def pageRank(edges0: DataFrame, iterations: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               edgesDistinct: Boolean = false,
+               symmetrized: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     val oneMinusD = 1.0 - damping
     // ONE pass over the (possibly expensive) upstream edge derivation,
@@ -126,7 +153,13 @@ object Graph {
     // first cut of this operator derived out-degrees from the raw edge
     // plan inside the loop's dangling probe, re-running the upstream join
     // every iteration — 18.4 s at sf0.1 vs ~4 s with the plan below.
-    val edges = edges0.select(col("src"), col("dst")).distinct().iterCkpt()
+    // `edgesDistinct`: a caller whose edge list is distinct by
+    // construction ([[tradeEdgesLong]]) skips the defensive dedup — one
+    // full exchange + hash-aggregate over the edge list (guide §2.4:
+    // a `distinct` on data that is already unique is an accidental
+    // shuffle).
+    val edges = (if (edgesDistinct) edges0.select(col("src"), col("dst"))
+      else edges0.select(col("src"), col("dst")).distinct()).iterCkpt()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     // arcs pre-partitioned on src, rank tables on id: checkpoint preserves
     // the hash partitioning, so the loop's arc⋈rank join and the
@@ -135,17 +168,25 @@ object Graph {
     // bucketing)
     val arcs = edges.repartition(col("src")).join(outdeg, "src")
       .select(col("src"), col("dst"), col("deg")).iterCkpt()
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+    // `symmetrized`: every edge rides both directions (the tradeEdges
+    // contract), so src alone already names every node — the dst-union
+    // doubling of the node-dedup input is skipped — and NO node can be
+    // dangling (every dst is some edge's src), so the dangling set, its
+    // anti-join and the per-round mass aggregation are elided outright.
+    val nodes = (if (symmetrized) edges.select(col("src").as("id")).distinct()
+      else edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct())
       .repartition(col("id")).iterCkpt()
     // dangling node SET is loop-invariant (membership, not mass):
     // materialized once; when it is empty (any symmetrized graph) the
     // per-round dangling aggregation is elided outright — the mass is
     // exactly 0.0, not a job
-    val danglingNodes = nodes
-      .join(arcs.select(col("src").as("id")), Seq("id"), "left_anti")
-      .iterCkpt()
-    val hasDangling = danglingNodes.limit(1).count() > 0
+    val danglingNodes =
+      if (symmetrized) null
+      else nodes
+        .join(arcs.select(col("src").as("id")), Seq("id"), "left_anti")
+        .iterCkpt()
+    val hasDangling = !symmetrized && danglingNodes.limit(1).count() > 0
     // the node count is a loop-invariant scalar: one count action here
     // (the canonicalComponents labelSum-probe precedent) instead of a
     // re-broadcast one-row aggregate inside every iteration's plan
@@ -269,12 +310,22 @@ object Graph {
     * the hubs", the reachability audit of a trade or dependency graph.
     * The edge list is materialized once and shared by the seed ranking
     * and the BFS loop. */
+  /** `edgesDistinct` skips the defensive edge dedup for callers whose
+    * list is distinct by construction ([[tradeEdgesLong]]); `seedTie`
+    * transforms the id for the seed ORDERING ONLY — a long-keyed trade
+    * graph passes [[tradeIdString]] so the top-degree tie-break stays
+    * the public string order the oracle replays (degrees equal at the
+    * cut would otherwise pick different seeds under numeric order). */
   def hopDistancesFromTopDegree(edges0: DataFrame, seedCount: Int,
-                                maxHops: Int): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).distinct().iterCkpt()
+                                maxHops: Int,
+                                edgesDistinct: Boolean = false,
+                                seedTie: Column => Column = identity)
+      : DataFrame = {
+    val edges = (if (edgesDistinct) edges0.select(col("src"), col("dst"))
+      else edges0.select(col("src"), col("dst")).distinct()).iterCkpt()
     val seeds = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
-      .orderBy(col("deg").desc, col("id")).limit(seedCount)
+      .orderBy(col("deg").desc, seedTie(col("id"))).limit(seedCount)
       .select(col("id"))
     hopDistances(edges, seeds, maxHops, edgesPrepared = true)
   }
@@ -404,13 +455,21 @@ object Graph {
       .select(least(col(idA), col(idB)).as("u"), greatest(col(idA), col(idB)).as("v"))
       .where(col("u") =!= col("v")).distinct()
     val lab = labels.select(col("id"), col(labelCol).as("c"))
+    // the label table is O(nodes) and usually arrives checkpointed (no
+    // stats), so the planner would sort-merge all three node-key joins —
+    // shuffling the edge list twice. Same broadcast decision as the
+    // iterative loops, against the session's own threshold; too-big
+    // graphs keep the sort-merge shape.
+    val bcastLab =
+      shouldBroadcastRanks(pairs.sparkSession, lab.count().toDouble)
+    def labSide(df: DataFrame) = if (bcastLab) broadcast(df) else df
     val mm = e.agg(count(lit(1)).as("m"))
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val dc = deg.join(lab, "id").groupBy("c").agg(sum(col("deg")).as("d_c"))
+    val dc = deg.join(labSide(lab), "id").groupBy("c").agg(sum(col("deg")).as("d_c"))
     val mc = e
-      .join(lab.select(col("id").as("u"), col("c").as("cu")), "u")
-      .join(lab.select(col("id").as("v"), col("c").as("cv")), "v")
+      .join(labSide(lab.select(col("id").as("u"), col("c").as("cu"))), "u")
+      .join(labSide(lab.select(col("id").as("v"), col("c").as("cv"))), "v")
       .where(col("cu") === col("cv"))
       .groupBy(col("cu").as("c")).agg(count(lit(1)).as("m_c"))
     dc.join(mc, Seq("c"), "left")
@@ -451,8 +510,15 @@ object Graph {
     * `spark.graft.graph.checkpointStorage` knob. Expects a distinct
     * symmetrized edge list (the [[tradeEdges]] contract). Returns
     * `(id, community)` ordered by id. */
+  /** `labelInit` maps a node id to its STARTING label (default: the id
+    * itself). A long-keyed trade graph passes [[tradeIdString]] so the
+    * LABEL VALUES — whose lexicographic-min tie-break is the declared
+    * semantics — stay the public strings the oracle replays, while the
+    * per-round edge⋈label join and the vote aggregation key on 8-byte
+    * longs instead of strings (guide §2.3). */
   def labelPropagation(edges0: DataFrame, rounds: Int = 4,
-                       assumeMaterialized: Boolean = false): DataFrame = {
+                       assumeMaterialized: Boolean = false,
+                       labelInit: Column => Column = identity): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
     // `assumeMaterialized`: a caller composing this with other consumers
     // of the SAME edge list (gr_lpa_modularity) checkpoints it once
@@ -462,11 +528,21 @@ object Graph {
       if (assumeMaterialized) edges0.select(col("src"), col("dst"))
       else edges0.select(col("src"), col("dst")).iterCkpt()
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+      .select(col("id"), labelInit(col("id")).as("lbl"))
       .iterCkpt()
+    // a checkpointed label table carries no size stats, so the planner
+    // sort-merges the per-round edge⋈label join — re-shuffling and
+    // re-sorting the WHOLE edge list every round. Make the broadcast
+    // call the planner would make with stats (the [[pageRank]]
+    // shouldBroadcastRanks discipline, against the session's own
+    // threshold): one loop-invariant node count, then each round ships
+    // O(nodes) labels and never moves the edges (guide §3.1).
+    val bcastLabels =
+      shouldBroadcastRanks(edges0.sparkSession, labels.count().toDouble)
     for (_ <- 1 to rounds) {
+      val labelSide = labels.select(col("id").as("dst_id"), col("lbl"))
       val votes = edges
-        .join(labels.select(col("id").as("dst_id"), col("lbl")),
+        .join(if (bcastLabels) broadcast(labelSide) else labelSide,
           col("dst") === col("dst_id"))
         .select(col("src").as("id"), col("lbl"))
         .unionByName(labels)
@@ -499,13 +575,31 @@ object Graph {
     * integer power sums in DECIMAL(38,0) (degrees are integers; Σxy over
     * 10¹² arcs of 10⁶-degree hubs still fits), so engine and oracle agree
     * bit-for-bit through the single final double expression. */
-  def degreeAssortativity(edges0: DataFrame): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).distinct()
+  def degreeAssortativity(edges0: DataFrame,
+                          edgesDistinct: Boolean = false): DataFrame = {
+    // materialize the edge list ONCE: it is read three times below (the
+    // arc list plus both endpoint-degree joins), and the lazy form
+    // re-executed the whole upstream derivation per read — the round-15
+    // before-plan showed the orders⋈lineitem subtree THREE times (28
+    // Exchanges); with the checkpoint + the broadcast decision below the
+    // after-plan carries the derivation once (guide §2.4)
+    val edges = (if (edgesDistinct) edges0.select(col("src"), col("dst"))
+      else edges0.select(col("src"), col("dst")).distinct()).iterCkpt()
     val deg = edges.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("deg")).iterCkpt()
+    // the degree table is O(nodes) and checkpointed (no stats), so make
+    // the planner's broadcast call from the operator's own knowledge —
+    // the [[shouldBroadcastRanks]] discipline against the session's own
+    // autoBroadcastJoinThreshold; a graph too big to broadcast keeps the
+    // sort-merge joins (both keyed on the node id)
+    val bcast = shouldBroadcastRanks(edges0.sparkSession, deg.count().toDouble)
+    def side(k: String, out: String) = {
+      val t = deg.select(col("id").as(k), col("deg").as(out))
+      if (bcast) broadcast(t) else t
+    }
     val withDeg = edges
-      .join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
-      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), "dst")
+      .join(side("src", "dx"), "src")
+      .join(side("dst", "dy"), "dst")
     val dec = "decimal(38,0)"
     withDeg.agg(
         count(lit(1)).as("m"),
