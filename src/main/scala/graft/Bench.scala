@@ -82,6 +82,14 @@ object Bench {
     * the minimum across round-14 bench runs on this host class. */
   private val CalibRef = Map("cpu" -> 0.715, "scan" -> 0.240, "shuffle" -> 0.355)
 
+  /** Core count of the committed min-protocol reference
+    * (BENCH_DETAIL.json): the host's full 32 cores. Runs at any other
+    * `$SPARK_GRAFT_CPUS` (e.g. the driver's low-core scaling pass) are
+    * real measurements but belong in BENCH_SOLO.json — at sf0.1 many
+    * entries are FASTER on fewer cores (scheduling-overhead-bound), so
+    * letting them into the min reference would poison it. */
+  private val ReferenceCpus = "32"
+
   /** min-of-2 per probe (same stall shielding as the catalog queries). */
   private def calibPanel(spark: SparkSession): Map[String, Double] = {
     def minOf2(f: () => Double): Double = math.min(f(), f())
@@ -188,20 +196,23 @@ object Bench {
     // only) so it survives the tail buffer; BENCH_DETAIL.json has it all.
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // Only a FULL catalog at the reference scale factor may write the
-    // committed min-protocol BENCH_DETAIL.json. Solo/probe runs (any
-    // SPARK_GRAFT_ONLY pin) AND full runs at other scale factors
-    // (sf1/sf3 audits) write the UNCOMMITTED BENCH_SOLO.json. The
-    // round-14 slip (an sf3 detail rode into a commit via `git add -A`
-    // and masqueraded as the sf0.1 reference) is thereby impossible by
-    // construction: the only other path into BENCH_DETAIL.json is
-    // tools/merge_bench.py, which refuses mixed scale factors and
-    // dirty calibration windows.
+    // Only a FULL catalog at the reference scale factor AND the reference
+    // core count may write the committed min-protocol BENCH_DETAIL.json.
+    // Solo/probe runs (any SPARK_GRAFT_ONLY pin), full runs at other
+    // scale factors (sf1/sf3 audits), AND full runs at other core counts
+    // (the driver's own low-core scaling pass — round 15's 8-core run
+    // overwrote the 32-core reference, and many sf0.1 entries are FASTER
+    // at 8 cores, so a `git add -A` would poison the min protocol) write
+    // the UNCOMMITTED BENCH_SOLO.json. The only other path into
+    // BENCH_DETAIL.json is tools/merge_bench.py, which refuses mixed
+    // scale factors, mismatched core counts (via the `cpus` field below)
+    // and dirty calibration windows.
     val detailPath =
-      if (only.isEmpty && sfDir == "/root/testdata/sf0.1") "BENCH_DETAIL.json"
+      if (only.isEmpty && sfDir == "/root/testdata/sf0.1" && cpus == ReferenceCpus)
+        "BENCH_DETAIL.json"
       else "BENCH_SOLO.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib":$calibJson,"queries":$detail,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"cpus":"$cpus","calib":$calibJson,"queries":$detail,"sf":"$sfDir"}""")
     val headline = Seq(
       "h1_pricing_summary", "h3_top_customers_by_revenue", "h5_regional_revenue",
       "p1_quality_filter", "a4_daily_trends", "j1_containment_dedup",

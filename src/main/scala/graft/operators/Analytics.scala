@@ -691,12 +691,20 @@ object Analytics {
       val probs = (1 until parts).map(_.toDouble / parts).toArray
       val allCuts = rfm.stat.approxQuantile(
         Array("recency_days", "frequency", "monetary"), probs, 0.001)
+      // checkpoint between the three chained rank stages (round 16): each
+      // stage's offset table is a broadcast whose build side re-executed
+      // every PRECEDING stage's window + join (JobProbe showed the three
+      // broadcast-build jobs growing 0.6 → 0.9 → 1.6 s — the quadratic
+      // prefix-re-execution signature); a per-stage materialization keeps
+      // each stage's work paid exactly once. O(customers) rows, the same
+      // bound as the persisted metric frame.
       val ranked = Seq(
         ("recency_days", "__rk_r"), ("frequency", "__rk_f"), ("monetary", "__rk_m"))
         .zip(allCuts).foldLeft(rfm) { case (df, ((metric, rk), cuts)) =>
-          withGlobalRankCuts(df, metric, cuts.distinct.sorted,
-            Seq(col(metric), col(custCol)), rk)
-            .withColumnRenamed("__n", s"__n$rk")
+          Iter.checkpoint(
+            withGlobalRankCuts(df, metric, cuts.distinct.sorted,
+              Seq(col(metric), col(custCol)), rk)
+              .withColumnRenamed("__n", s"__n$rk"))
         }
       ranked
         .withColumn("r_score", lit(6) - ntileFromRank("__rk_r", "__n__rk_r", 5))
@@ -1087,9 +1095,17 @@ object Analytics {
     val arrays = arraysUncached
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // nFrame and isup are consumed by several broadcast builds below
+      // (the support prune + both confidence joins + the final support
+      // ratio); each consumer re-ran the count/explode+groupBy over the
+      // persisted basket arrays. Both are dimension-sized (1 row /
+      // O(items) rows) — checkpoint once, every broadcast reads blocks
+      // (round 16, guide §2.4).
       val nFrame = arrays.agg(count(lit(1)).as("__n"))
+        .localCheckpoint(true)
       val isup = arrays.select(explode(col("__items")).as("__it"))
         .groupBy(col("__it")).agg(count(lit(1)).as("__cnt"))
+        .localCheckpoint(true)
       val freqArr = isup.crossJoin(broadcast(nFrame))
         .where(col("__cnt").cast("double") / col("__n") >= minSupport)
         .agg(sort_array(collect_list(col("__it"))).as("__fl"))

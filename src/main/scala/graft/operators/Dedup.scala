@@ -94,29 +94,38 @@ object Dedup {
     // note below): a library operator must not leak executor memory.
     val sh = shUncached.persist()
     try {
-      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-      val a = sh.select(col(idCol).as("id_a"), col("sh"))
-      val b = sh.select(col(idCol).as("id_b"), col("sh"))
-      val inter = a.join(b, Seq("sh"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      val result = inter
-        .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-        .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-        .withColumn("jaccard",
-          col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-        .filter(col("jaccard") > minJaccard)
-        .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
-          col("jaccard"))
-        .orderBy("id_a", "id_b")
       // materialize the (small) verified-pairs result while the shingle
       // cache is live, then release the cache in the finally: a lazily
       // returned frame would either leak the cache forever or, uncached,
       // re-shingle the corpus once per consumer branch. localCheckpoint
       // blocks are reclaimed by the ContextCleaner once the frame is GC'd.
-      result.localCheckpoint(eager = true)
+      exactPairsFromShingles(sh, idCol, minJaccard).localCheckpoint(eager = true)
     } finally sh.unpersist()
+  }
+
+  /** Exact-Jaccard pair pipeline over an already-persisted shingle
+    * stream `(idCol, sh)` — the body of [[ngramJaccardPairs]], split out
+    * so [[minhashPrCurve]] can run the exact and banded arms over ONE
+    * shared shingle pass (round 16, guide §2.4: the two arms each
+    * re-tokenized and re-shingled the corpus). Caller owns the persist. */
+  private def exactPairsFromShingles(sh: DataFrame, idCol: String,
+                                     minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") > minJaccard)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        col("jaccard"))
+      .orderBy("id_a", "id_b")
   }
 
   /** J1 containment anti-join (ref `extract_text_fun.py:57-85`, shingle
@@ -246,63 +255,80 @@ object Dedup {
     // released in the finally, same discipline as [[ngramJaccardPairs]]
     val sh = shingleStream(df, textCol, idCol, n).persist()
     try {
-      // signature and set size in the same hash aggregation: one shuffle.
-      // Portable path: the md5 digest is computed ONCE per (id, shingle)
-      // row behind a projection boundary; the k permutations are integer
-      // arithmetic over its two halves.
-      val hashed = family match {
-        case NativeFamily => sh
-        case PortableFamily =>
-          val (h1, h2) = portableBaseHashes(col("sh"))
-          sh.select(col(idCol), col("sh"), h1.as("mh1"), h2.as("mh2"))
-      }
-      val sigAggs = (0 until k).map { i =>
-        val h = family match {
-          case NativeFamily   => xxhash64(lit(i), col("sh"))
-          case PortableFamily => (col("mh1") + lit(i.toLong) * col("mh2")) % lit(PortableMod)
-        }
-        min(h).as(s"h$i")
-      }
-      val sigs = hashed.groupBy(col(idCol).as("id"))
-        .agg(count(lit(1)).as("sz"), sigAggs: _*)
-      val bandCols = (0 until bands).map { b =>
-        val hs = (b * r until (b + 1) * r).map(i => col(s"h$i"))
-        // array() below needs one element type, but the family is constant
-        // per call, so each call site stays homogeneous (int vs string)
-        family match {
-          case NativeFamily   => hash(hs: _*)
-          case PortableFamily => concat_ws(",", hs: _*)
-        }
-      }
-      val banded = sigs.select(col("id"),
-        posexplode(array(bandCols: _*)))
-        .select(col("id"), col("pos").as("band"), col("col").as("bandhash"))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.bandhash") === col("y.bandhash") &&
-            col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        .distinct()
-      // exact-Jaccard verification on candidates only; the second join keys
-      // on (id, shingle) so only true intersections materialize — keying on
-      // id alone would build a |sh(a)| x |sh(b)| cartesian per pair.
-      val sizes = sigs.select(col("id").as(idCol), col("sz"))
-      val inter = cand
-        .join(sh.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
-        .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      val result = inter
-        .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-        .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-        .withColumn("jaccard",
-          col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-        .filter(col("jaccard") > minJaccard)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
-      result.localCheckpoint(eager = true)
+      bandedPairsFromShingles(sh, idCol, k, bands, minJaccard, family)
+        .localCheckpoint(eager = true)
     } finally sh.unpersist()
   }
+
+  /** Banded MinHash pair pipeline over an already-persisted shingle
+    * stream `(idCol, sh)` — the body of [[minhashNearDupPairs]], split
+    * out so [[minhashPrCurve]] can run the exact and banded arms over
+    * ONE shared shingle pass (round 16, guide §2.4). Caller owns the
+    * persist. */
+  private def bandedPairsFromShingles(sh: DataFrame, idCol: String,
+                                      k: Int, bands: Int, minJaccard: Double,
+                                      family: MinhashFamily): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    // signature and set size in the same hash aggregation: one shuffle.
+    // Portable path: the md5 digest is computed ONCE per (id, shingle)
+    // row behind a projection boundary; the k permutations are integer
+    // arithmetic over its two halves.
+    val hashed = family match {
+      case NativeFamily => sh
+      case PortableFamily =>
+        val (h1, h2) = portableBaseHashes(col("sh"))
+        sh.select(col(idCol), col("sh"), h1.as("mh1"), h2.as("mh2"))
+    }
+    val sigAggs = (0 until k).map { i =>
+      val h = family match {
+        case NativeFamily   => xxhash64(lit(i), col("sh"))
+        case PortableFamily => (col("mh1") + lit(i.toLong) * col("mh2")) % lit(PortableMod)
+      }
+      min(h).as(s"h$i")
+    }
+    val sigs = hashed.groupBy(col(idCol).as("id"))
+      .agg(count(lit(1)).as("sz"), sigAggs: _*)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+      // array() below needs one element type, but the family is constant
+      // per call, so each call site stays homogeneous (int vs string)
+      family match {
+        case NativeFamily   => hash(hs: _*)
+        case PortableFamily => concat_ws(",", hs: _*)
+      }
+    }
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandCols: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bandhash"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandhash") === col("y.bandhash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // exact-Jaccard verification on candidates only; the second join keys
+    // on (id, shingle) so only true intersections materialize — keying on
+    // id alone would build a |sh(a)| x |sh(b)| cartesian per pair.
+    val sizes = sigs.select(col("id").as(idCol), col("sz"))
+    inter(cand, sh, idCol)
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") > minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Candidate-pair shingle-intersection counts (the exact verify's first
+    * half), shared by [[bandedPairsFromShingles]]. */
+  private def inter(cand: DataFrame, sh: DataFrame, idCol: String): DataFrame =
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
 
   /** MinHash banding precision/recall curve — the EVAL harness that picks
     * (k, bands) before a production dedup run (the ANN-recall discipline,
@@ -326,11 +352,23 @@ object Dedup {
                      n: Int = 4, k: Int = 32, bands: Int = 8,
                      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7),
                      family: MinhashFamily = NativeFamily): DataFrame = {
-    val exact = ngramJaccardPairs(df, textCol, idCol, n, minJaccard = 0.0)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    val cand = minhashNearDupPairs(df, textCol, idCol, n, k, bands,
-        minJaccard = 0.0, family)
-      .select(col("id_a"), col("id_b"), lit(true).as("is_cand"))
+    // Round 16 (guide §2.4): ONE persisted shingle pass feeds BOTH arms —
+    // standalone ngramJaccardPairs + minhashNearDupPairs each tokenized,
+    // shingled and persisted the corpus independently (two full text
+    // scans, two cache populations). Arm pipelines are byte-identical to
+    // the standalone operators (shared private bodies), so the published
+    // curve is unchanged — only the duplicated upstream pass is gone.
+    val sh = shingleStream(df, textCol, idCol, n).persist()
+    val (exact, cand) = try {
+      val e = exactPairsFromShingles(sh, idCol, minJaccard = 0.0)
+        .localCheckpoint(eager = true)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val c = bandedPairsFromShingles(sh, idCol, k, bands,
+          minJaccard = 0.0, family)
+        .localCheckpoint(eager = true)
+        .select(col("id_a"), col("id_b"), lit(true).as("is_cand"))
+      (e, c)
+    } finally sh.unpersist()
     val candTotal = cand.agg(count(lit(1)).as("n_cand"))
     exact.join(cand, Seq("id_a", "id_b"), "left")
       .select(col("jaccard"),

@@ -43,18 +43,28 @@ object Graph {
     * 8 B id + 8 B rank + UnsafeRow/broadcast-map overhead. */
   private[graft] val RankRowBytes = 32.0
 
+  /** Estimated bytes per row for STRING-labeled node tables (LPA labels,
+    * modularity community labels): 8 B id + a label whose UTF8 payload
+    * plus UnsafeRow offset/size word the flat 32 B constant undercounted
+    * (round-15 ADVICE) — 64 B covers labels to ~30 chars, and the trade
+    * graph's `c…`/`s…` labels stay under 10. A pathological producer with
+    * longer labels errs toward NOT broadcasting, the safe side. */
+  private[graft] val LabelRowBytes = 64.0
+
   /** Broadcast-vs-copartition decision for the per-iteration arc⋈rank
     * join: a checkpointed rank table carries no size stats, so the
     * planner can't make this call — make it the way the planner would,
     * from the OPERATOR'S OWN config: broadcast while `nNodes ×
-    * [[RankRowBytes]]` stays under `spark.sql.autoBroadcastJoinThreshold`
+    * `rowBytes`` stays under `spark.sql.autoBroadcastJoinThreshold`
     * (a cluster operator tuning that knob for their executor memory gets
     * the same behavior from this operator as from every planner-chosen
     * join); `-1`/`0` disables broadcasting here exactly as it does in the
     * planner. Strict `<` at the boundary — the threshold is a cap, not a
-    * target. */
+    * target. `rowBytes` defaults to the (id, double) shape
+    * ([[RankRowBytes]]); string-labeled tables pass [[LabelRowBytes]]. */
   private[graft] def shouldBroadcastRanks(
-      spark: org.apache.spark.sql.SparkSession, nNodes: Double): Boolean = {
+      spark: org.apache.spark.sql.SparkSession, nNodes: Double,
+      rowBytes: Double = RankRowBytes): Boolean = {
     val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
     if (raw.startsWith("-")) false // planner convention: negative disables
     else {
@@ -72,7 +82,7 @@ object Graph {
                 "broadcast decision")
             10L * 1024 * 1024
         }
-      bytes > 0 && nNodes * RankRowBytes < bytes.toDouble
+      bytes > 0 && nNodes * rowBytes < bytes.toDouble
     }
   }
 
@@ -141,7 +151,15 @@ object Graph {
     * `(id, rank)` with rank ROUND(6)ed (the sum over incoming
     * contributions is order-dependent in the last float bits; rounding is
     * the repo-wide convention for order-dependent double aggregates),
-    * ordered rank-descending then id. */
+    * ordered rank-descending then id.
+    *
+    * CALLER CONTRACTS (unchecked — violating either silently produces
+    * wrong ranks): `edgesDistinct = true` asserts the edge list carries
+    * no duplicate (src, dst) rows; `symmetrized = true` asserts every
+    * edge rides in both directions (then no node is dangling and src
+    * alone names every node). Both hold for [[tradeEdgesLong]] by
+    * construction; any other producer must either prove them or leave
+    * the flags false and pay the defensive dedup/dangling passes. */
   def pageRank(edges0: DataFrame, iterations: Int = 10,
                damping: Double = 0.85,
                edgesDistinct: Boolean = false,
@@ -181,12 +199,12 @@ object Graph {
     // materialized once; when it is empty (any symmetrized graph) the
     // per-round dangling aggregation is elided outright — the mass is
     // exactly 0.0, not a job
-    val danglingNodes =
-      if (symmetrized) null
-      else nodes
+    val danglingNodes: Option[DataFrame] =
+      if (symmetrized) None
+      else Some(nodes
         .join(arcs.select(col("src").as("id")), Seq("id"), "left_anti")
-        .iterCkpt()
-    val hasDangling = !symmetrized && danglingNodes.limit(1).count() > 0
+        .iterCkpt())
+    val hasDangling = danglingNodes.exists(_.limit(1).count() > 0)
     // the node count is a loop-invariant scalar: one count action here
     // (the canonicalComponents labelSum-probe precedent) instead of a
     // re-broadcast one-row aggregate inside every iteration's plan
@@ -210,11 +228,12 @@ object Graph {
       val base = nodes.join(contrib, Seq("id"), "left")
       // dangling mass = rank sitting on out-edge-less nodes this round;
       // one row out — broadcast back into the plan, never collected
-      val withDang =
-        if (!hasDangling) base.withColumn("dang", lit(0.0))
-        else base.crossJoin(broadcast(rs
-          .join(danglingNodes, Seq("id"), "left_semi")
+      val withDang = danglingNodes match {
+        case Some(dn) if hasDangling => base.crossJoin(broadcast(rs
+          .join(dn, Seq("id"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))))
+        case _ => base.withColumn("dang", lit(0.0))
+      }
       withDang.select(col("id"),
         (lit(oneMinusD) / lit(nNodes) + lit(damping) *
           (coalesce(col("contrib"), lit(0.0)) + col("dang") / lit(nNodes))).as("rank"))
@@ -448,9 +467,18 @@ object Graph {
     * edge list (node-key equi-joins), both Σ terms from per-community
     * aggregates; `m` is ONE broadcast row. All counts are exact integers;
     * the per-community double terms sum order-dependently → ROUND(6). */
+  /** `labelsMaterialized`: the broadcast decision needs a label-table
+    * row count, and `lab.count()` EXECUTES the label plan — cheap only
+    * when `labels` is checkpointed or derived from checkpointed frames
+    * (both catalog callers). A caller handing a lazy, expensive label
+    * derivation should pass `labelsMaterialized = false`: the count is
+    * skipped and the joins keep the sort-merge shape instead of running
+    * the derivation once for the count and again per join (round-15
+    * ADVICE). */
   def modularity(pairs: DataFrame, labels: DataFrame,
                  idA: String = "id_a", idB: String = "id_b",
-                 labelCol: String = "canonical"): DataFrame = {
+                 labelCol: String = "canonical",
+                 labelsMaterialized: Boolean = true): DataFrame = {
     val e = pairs
       .select(least(col(idA), col(idB)).as("u"), greatest(col(idA), col(idB)).as("v"))
       .where(col("u") =!= col("v")).distinct()
@@ -458,10 +486,11 @@ object Graph {
     // the label table is O(nodes) and usually arrives checkpointed (no
     // stats), so the planner would sort-merge all three node-key joins —
     // shuffling the edge list twice. Same broadcast decision as the
-    // iterative loops, against the session's own threshold; too-big
-    // graphs keep the sort-merge shape.
-    val bcastLab =
-      shouldBroadcastRanks(pairs.sparkSession, lab.count().toDouble)
+    // iterative loops, against the session's own threshold (priced at
+    // the string-label row width); too-big graphs keep the sort-merge
+    // shape.
+    val bcastLab = labelsMaterialized && shouldBroadcastRanks(
+      pairs.sparkSession, lab.count().toDouble, rowBytes = LabelRowBytes)
     def labSide(df: DataFrame) = if (bcastLab) broadcast(df) else df
     val mm = e.agg(count(lit(1)).as("m"))
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
@@ -537,8 +566,8 @@ object Graph {
     // shouldBroadcastRanks discipline, against the session's own
     // threshold): one loop-invariant node count, then each round ships
     // O(nodes) labels and never moves the edges (guide §3.1).
-    val bcastLabels =
-      shouldBroadcastRanks(edges0.sparkSession, labels.count().toDouble)
+    val bcastLabels = shouldBroadcastRanks(edges0.sparkSession,
+      labels.count().toDouble, rowBytes = LabelRowBytes)
     for (_ <- 1 to rounds) {
       val labelSide = labels.select(col("id").as("dst_id"), col("lbl"))
       val votes = edges

@@ -29,6 +29,30 @@ import org.apache.spark.storage.StorageLevel
   * are set). Unknown values throw — a typo must not silently lose the
   * memory-tight deployment's intended posture. */
 object Iter {
+  /** Runs `body` (the construction+execution of a DIMENSION-sized
+    * iterative loop — state O(items)/O(vocab), never O(corpus)) with AQE
+    * off and `partitions` shuffle partitions, restoring both confs after.
+    * Measured on ml_bt_strength (round 16, JobProbe): AQE re-plans every
+    * exchange of every round's tiny checkpoint as its own scheduled job
+    * (~5 driver round-trips per round instead of 1-2) and the session's
+    * 32 shuffle partitions schedule 32 near-empty reduce tasks per
+    * exchange — 6.2 s → 3.5 s from pinning both. Only loops whose state
+    * is dimension-sized BY CONTRACT may use this; corpus-sized loops
+    * (pagerank, oversample, components) keep the session posture. */
+  private[graft] def withTinyLoopConf[T](
+      spark: org.apache.spark.sql.SparkSession, partitions: Int = 1)(
+      body: => T): T = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try body
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   private[graft] def storageConf(df: DataFrame): String =
     df.sparkSession.conf.getOption("spark.graft.iter.checkpointStorage")
       .orElse(df.sparkSession.conf

@@ -261,6 +261,10 @@ object MLEval {
           (col("__lp") + col("__offp")).cast("double") / col("n_pos").cast("double")
             - (col("__ln") + col("__offn")).cast("double") / col("n_neg").cast("double"))))
         .select(col("s"), col("__diff"))
+        // consumed twice (the max probe's broadcast + the argmin filter);
+        // without the materialization both executions re-ran the bucketed
+        // prefix-sum windows (round 16, guide §2.4). O(distinct scores).
+        .transform(Iter.checkpoint)
       val mx = diffs.agg(max(col("__diff")).as("__ks"))
       diffs.crossJoin(broadcast(mx))
         .filter(col("__diff") === col("__ks"))
@@ -768,31 +772,64 @@ object MLEval {
       .agg(sum(col("w")).as("n_wins"), sum(col("n")).as("n_duels"))
       .transform(Iter.checkpoint)
     val k = wtot.select(count(lit(1)).as("__k"))
+    // Round 16 (guide §2.4 / §1.2 "the distributed algorithm"): the MM
+    // round used to run FOUR broadcast exchanges (two projections of p
+    // onto the edge list, the denominator table, the normalizer row) and
+    // re-executed the unnorm subplan inside the normalizer's broadcast —
+    // ~6 scheduled jobs per round on a DIMENSION-sized state, so 15
+    // rounds were pure driver/scheduler overhead (probe: 105 jobs, 2.5 s
+    // of task time under a 6.2 s wall). Now the state rides ONE broadcast
+    // map per round — (item → (wins, p)), O(items) by construction — the
+    // denominator comes off the edge scan with both endpoint lookups
+    // against that map, and the normalizer is a bounded single-partition
+    // window over O(items) rows (the kMeansParReduce two-frame pattern)
+    // instead of a separate aggregate + crossJoin broadcast. Two jobs per
+    // round (map broadcast + state checkpoint); every ROUND(12) boundary
+    // is unchanged, so engine and oracle still agree bit-for-bit.
+    // The state carries n_wins alongside p so the per-round plan never
+    // re-joins wtot.
     var p = wtot.crossJoin(broadcast(k))
-      .select(col("item"), (lit(1.0) / col("__k").cast("double")).as("p"))
+      .select(col("item"), col("n_wins").as("__w"),
+        (lit(1.0) / col("__k").cast("double")).as("p"))
+    val fullW = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // AQE off for the loop body only (restored in the finally): each
+    // round's state is O(items) — dimension-sized by contract — and AQE
+    // re-plans every exchange as its own scheduled job, turning the
+    // 2-exchange round into ~5 driver round-trips; with a static plan the
+    // round is one job. AQE has nothing to adapt here (no skew, no
+    // partition coalescing worth having on dozens of rows).
+    // ... and the loop's two exchanges (groupBy item, normalizer window)
+    // carry O(items) rows — one reduce task is the honest shape for a
+    // dimension-sized state (32 near-empty tasks per round was pure
+    // scheduling tax). [[Iter.withTinyLoopConf]] pins and restores both.
+    Iter.withTinyLoopConf(matrix.sparkSession) {
     var it = 0
     while (it < iters) {
-      val denom = edges
-        .join(broadcast(p.select(col("item").as("i"), col("p").as("__pi"))), Seq("i"))
-        .join(broadcast(p.select(col("item").as("j"), col("p").as("__pj"))), Seq("j"))
-        .groupBy(col("i").as("item"))
-        .agg(round(sum(col("n").cast("double") / (col("__pi") + col("__pj"))), 12)
-          .as("__d"))
-      val unnorm = wtot.join(broadcast(denom), Seq("item"))
-        .select(col("item"),
-          (col("n_wins").cast("double") / col("__d")).as("__q"))
-      val s = unnorm.agg(round(sum(col("__q")), 12).as("__s"))
+      val pmap = p.agg(map_from_entries(collect_list(
+        struct(col("item"), struct(col("__w").as("w"), col("p").as("p"))))).as("m"))
       // per-round localCheckpoint (the gr_pagerank lineage discipline):
-      // each round references the previous round's frame TWICE (pa/pb),
-      // so an unbroken lineage is a tree growing ~4x per round — 15
-      // rounds of that OOMs the ANALYZER before a single row moves. The
-      // checkpoint is O(items) rows; 15 tiny jobs is the honest cost
-      p = unnorm.crossJoin(broadcast(s))
-        .select(col("item"), round(col("__q") / col("__s"), 12).as("p"))
+      // the checkpoint is O(items) rows; 15 tiny jobs is the honest cost
+      p = edges.crossJoin(broadcast(pmap))
+        .select(col("i"),
+          (col("n").cast("double") /
+            (col("m")(col("i")).getField("p") + col("m")(col("j")).getField("p")))
+            .as("__t"),
+          col("m")(col("i")).getField("w").as("__w"))
+        .groupBy(col("i").as("item"))
+        // __w is constant per group (the item's win count); max() carries
+        // it through the aggregate without a second join
+        .agg(round(sum(col("__t")), 12).as("__d"), max(col("__w")).as("__w"))
+        .select(col("item"), col("__w"),
+          (col("__w").cast("double") / col("__d")).as("__q"))
+        .withColumn("__s", round(sum(col("__q")).over(fullW), 12))
+        .select(col("item"), col("__w"), round(col("__q") / col("__s"), 12).as("p"))
         .transform(Iter.checkpoint)
       it += 1
     }
-    wtot.join(broadcast(p), Seq("item"))
+    }
+    wtot.join(broadcast(p.select(col("item"), col("p"))), Seq("item"))
       .select(col("item"), col("n_wins"), col("n_duels"),
         round(col("p"), 6).as("strength"))
       .orderBy("item")

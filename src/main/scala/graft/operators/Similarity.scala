@@ -2215,7 +2215,12 @@ object Similarity {
     for (r <- 1 to rounds) {
       val u = (hash60(concat(lit(s"kpp$r:"), col("vec_id").cast("string")))
         .cast("double") + lit(0.5)) / lit(1152921504606846976.0) // 2^60
-      val phi = st.agg(round(sum(col("mind")), 6).as("phi")).transform(Iter.checkpoint)
+      // Round 16: φ rides as a broadcast SUBPLAN of the pick job instead
+      // of its own per-round checkpoint — one fewer scheduled job per
+      // round on a loop whose cost is fixed overhead, same value (the
+      // ROUND(6) boundary is in the aggregate itself), and lineage stays
+      // bounded because φ reads the checkpointed state directly
+      val phi = st.agg(round(sum(col("mind")), 6).as("phi"))
       val pick = st.crossJoin(broadcast(phi))
         .filter(u < lit(ell.toDouble) * col("mind") / col("phi"))
         .select(col("vec_id"), col("v"), col("nrm"), col("mind"))
@@ -2291,7 +2296,6 @@ object Similarity {
     * seed), and its input weight. */
   def kMeansParReduce(emb: DataFrame, cands: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "kMeansParReduce needs at least one center")
-    val spark = emb.sparkSession
     import org.apache.spark.sql.expressions.Window
     val cum = Window.orderBy("vec_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2299,14 +2303,33 @@ object Similarity {
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", normFast(col("v")))
     // the candidate working set: vec_id, vector, weight — checkpointed
-    // ONCE so the k reduction rounds never re-execute the oversample plan
+    // ONCE so the k reduction rounds never re-execute the oversample
+    // plan. Round 16: coalesced to ONE partition first — the set is
+    // O(rounds·ell) by contract (broadcast-sized), but it inherited the
+    // corpus join's 32-way partitioning, so every one of the ~2k rounds'
+    // jobs scheduled 32 near-empty tasks and the single-partition window
+    // paid a 32→1 exchange; now each round's job is one task and the
+    // window reads its input partition as-is
     val kw = cands.select(col("vec_id"), col("weight").cast("long").as("w"))
       .join(en, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("w"))
-    var st = Iter.checkpoint(kw)
-    def uRow(r: Int) = spark.range(1).select(
-      ((hash60(lit(s"kpr$r")).cast("double") + lit(0.5))
-        / lit(1152921504606846976.0)).as("u")) // 2^60
+    var st = Iter.checkpoint(kw.coalesce(1))
+    // the checkpointed candidate state doubles as the weight lookup for
+    // the final join (kw itself is lazy — re-reading it would re-run the
+    // candidate⋈corpus join after the rounds)
+    val kwMat = st
+    // per-round inverse-CDF draw scalar — a CONSTANT (md5 of a literal,
+    // the dsirResample convention), computed driver-side instead of a
+    // spark.range(1) + broadcast crossJoin per round: config-like
+    // arithmetic, not data collection, and one fewer job per round.
+    // java.security MD5 over UTF-8 == Spark's md5() == DuckDB's md5().
+    def uVal(r: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kpr$r".getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble + 0.5) /
+        1152921504606846976.0 // 2^60
+    }
     // cum and tot come out of ONE WindowExec over the bounded candidate
     // frame (same ordering, two frames — running and unbounded): no
     // separate aggregate job / broadcast per round, which matters when
@@ -2318,34 +2341,41 @@ object Similarity {
         .withColumn("tot", sum(col("qi")).over(full))
         .filter(col("cum").cast("double") > col("u") * col("tot").cast("double"))
         .orderBy("vec_id").limit(1)
-    // round 1: seed ∝ weight (integer potentials already)
-    val seed = Iter.checkpoint(drawOne(
-      st.withColumn("qi", col("w")).crossJoin(broadcast(uRow(1))))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm")))
-    var picks = seed.select(lit(1).as("sel_rank"), col("c_id").as("vec_id"),
-      lit(null).cast("double").as("dist"))
-    st = Iter.checkpoint(st.crossJoin(broadcast(seed))
-      .select(col("vec_id"), col("v"), col("nrm"), col("w"),
-        (lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-          .as("mind")))
-    for (r <- 2 to k) {
-      // fixed-point quantized potential: floor(w·mind·1e6) as BIGINT
-      val q = st.withColumn("qi",
-        floor(col("w").cast("double") * col("mind") * lit(1000000.0)).cast("long"))
-        .crossJoin(broadcast(uRow(r)))
-      val pick = Iter.checkpoint(drawOne(q)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"),
-          col("nrm").as("cnrm"), col("mind").as("mrad")))
-      picks = picks.unionByName(pick.select(lit(r).as("sel_rank"),
-        col("c_id").as("vec_id"), round(col("mrad"), 6).as("dist")))
-      if (r < k) st = Iter.checkpoint(
-        st.crossJoin(broadcast(pick.select("cv", "cnrm")))
-          .select(col("vec_id"), col("v"), col("nrm"), col("w"),
-            least(col("mind"),
-              lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-              .as("mind")))
+    // the k draw rounds run under the tiny-loop posture (AQE off, one
+    // shuffle partition — [[Iter.withTinyLoopConf]]): the state is
+    // O(rounds·ell) by contract, and AQE's per-exchange re-planning was
+    // pure driver overhead on it
+    val picks = Iter.withTinyLoopConf(emb.sparkSession) {
+      // round 1: seed ∝ weight (integer potentials already)
+      val seed = Iter.checkpoint(drawOne(
+        st.withColumn("qi", col("w")).withColumn("u", lit(uVal(1))))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm")))
+      var acc = seed.select(lit(1).as("sel_rank"), col("c_id").as("vec_id"),
+        lit(null).cast("double").as("dist"))
+      st = Iter.checkpoint(st.crossJoin(broadcast(seed))
+        .select(col("vec_id"), col("v"), col("nrm"), col("w"),
+          (lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+            .as("mind")))
+      for (r <- 2 to k) {
+        // fixed-point quantized potential: floor(w·mind·1e6) as BIGINT
+        val q = st.withColumn("qi",
+          floor(col("w").cast("double") * col("mind") * lit(1000000.0)).cast("long"))
+          .withColumn("u", lit(uVal(r)))
+        val pick = Iter.checkpoint(drawOne(q)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cnrm"), col("mind").as("mrad")))
+        acc = acc.unionByName(pick.select(lit(r).as("sel_rank"),
+          col("c_id").as("vec_id"), round(col("mrad"), 6).as("dist")))
+        if (r < k) st = Iter.checkpoint(
+          st.crossJoin(broadcast(pick.select("cv", "cnrm")))
+            .select(col("vec_id"), col("v"), col("nrm"), col("w"),
+              least(col("mind"),
+                lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+                .as("mind")))
+      }
+      acc
     }
-    picks.join(kw.select(col("vec_id"), col("w").as("weight")), Seq("vec_id"))
+    picks.join(kwMat.select(col("vec_id"), col("w").as("weight")), Seq("vec_id"))
       .select(col("sel_rank"), col("vec_id"), col("dist"), col("weight"))
       .orderBy("sel_rank")
   }

@@ -154,6 +154,13 @@ object Tokenizer {
       .repartition(statePartitions)
       .transform(Iter.checkpoint)
     var merges: DataFrame = null
+    // merge rounds under the tiny-loop posture ([[Iter.withTinyLoopConf]]
+    // at `statePartitions`): the per-round argmax and rewrite exchanges
+    // carry O(vocab-pair) rows, and AQE's per-exchange re-planning was
+    // pure driver overhead on them. The corpus-sized wordCounts
+    // derivation above materialized under the SESSION posture already
+    // (the first checkpoint), so only dimension-sized work runs here.
+    Iter.withTinyLoopConf(wordCounts.sparkSession, statePartitions) {
     for (r <- 1 to nMerges) {
       val ss = split(col("bw").substr(lit(2), length(col("bw")) - 2), c + o)
       val n = size(ss)
@@ -184,6 +191,7 @@ object Tokenizer {
             concat(lit(o), col("a"), lit(c), lit(o), col("b"), lit(c)),
             concat(lit(o), col("a"), col("b"), lit(c))).as("bw"))
         .transform(Iter.checkpoint)
+    }
     }
     merges.orderBy("merge_rank")
   }

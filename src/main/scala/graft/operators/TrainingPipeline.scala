@@ -109,7 +109,15 @@ object TrainingPipeline {
     * composition is still one operator call producing one report. */
   def finewebFunnel(docs: DataFrame): DataFrame = {
     val ntok = size(TextFns.tokens(col("text"))).cast("long")
-    val c1 = docs.filter(col("doc_id") % 17 =!= 0)
+    // Round 16 (guide §2.4 duplicated subtrees): tokenize each document
+    // ONCE and carry the token count through the funnel as a column. The
+    // round-15 before-plan showed the tokens() subtree re-evaluated in
+    // EVERY stage's aggregate (7 re-tokenizations of text that later
+    // stages had already materialized); the checkpointed stage frames now
+    // carry `__ntok`, so each survivor report sums an 8-byte long.
+    val base = docs.select(col("doc_id"), col("text"), ntok.as("__ntok"))
+    val holdoutCond = col("doc_id") % 17 =!= 0
+    val c1 = base.filter(holdoutCond)
     val c2 = c1.filter(TextAnalysis.languageId(col("text")) =!= "und")
       .localCheckpoint(eager = true)
     val gateKeep = TextAnalysis.gopherGate(c2, "text", "doc_id")
@@ -129,16 +137,29 @@ object TrainingPipeline {
         "text", "doc_id", n = 4)
       .filter(!col("contaminated")).select("doc_id")
     val c6 = c5.join(clean, Seq("doc_id"), "left_semi")
+    // stages 0 and 1 read the same raw scan — ONE conditional aggregate
+    // pass serves both reports instead of two full tokenize-and-scan jobs
+    val s01 = base.agg(
+        count(lit(1)).as("n0"),
+        coalesce(sum(col("__ntok")), lit(0L)).as("t0"),
+        count(when(holdoutCond, 1)).as("n1"),
+        coalesce(sum(when(holdoutCond, col("__ntok"))), lit(0L)).as("t1"))
+      .select(explode(array(
+        struct(lit(0).as("stage_idx"), lit("0_raw").as("stage"),
+          col("n0").as("n_docs"), col("t0").as("total_tokens")),
+        struct(lit(1).as("stage_idx"), lit("1_eval_holdout").as("stage"),
+          col("n1").as("n_docs"), col("t1").as("total_tokens")))).as("r"))
+      .select("r.*")
     val stages = Seq(
-      (0, "0_raw", docs), (1, "1_eval_holdout", c1), (2, "2_lang_id", c2),
-      (3, "3_gopher_gate", c3), (4, "4_exact_dedup", c4),
-      (5, "5_near_dup", c5), (6, "6_decontaminated", c6))
-    stages.map { case (i, nm, df) =>
+      (2, "2_lang_id", c2), (3, "3_gopher_gate", c3),
+      (4, "4_exact_dedup", c4), (5, "5_near_dup", c5),
+      (6, "6_decontaminated", c6))
+    (s01 +: stages.map { case (i, nm, df) =>
       df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(ntok), lit(0L)).as("total_tokens"))
+          coalesce(sum(col("__ntok")), lit(0L)).as("total_tokens"))
         .select(lit(i).as("stage_idx"), lit(nm).as("stage"),
           col("n_docs"), col("total_tokens"))
-    }.reduce(_ unionAll _).orderBy("stage_idx")
+    }).reduce(_ unionAll _).orderBy("stage_idx")
   }
 
   /** CCNet-style language/perplexity bucket filter composed end to end

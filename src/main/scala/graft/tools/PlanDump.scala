@@ -33,6 +33,11 @@ object PlanDump {
       java.nio.file.Files.writeString(outDir.resolve(s"${n}_$tag.txt"), plan)
       println(s"[plandump] $n -> ${outDir.resolve(s"${n}_$tag.txt")}")
       spark.catalog.clearCache()
+      // iterative operators eagerly localCheckpoint during CONSTRUCTION;
+      // those blocks are RDD-level and survive clearCache — release them
+      // so dumping many iterative queries in one session doesn't
+      // accumulate checkpoint blocks (round-15 ADVICE)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }

@@ -55,6 +55,20 @@ def main() -> None:
     if src["sf"] != dst["sf"]:
         die(f"mixed scale factors: source sf={src['sf']!r} vs "
             f"target sf={dst['sf']!r}")
+    # core-count guard (round-15 hole: the driver's 8-core full run
+    # overwrote the 32-core reference; at sf0.1 many entries are FASTER
+    # on fewer cores, so an 8-core min would be a poisoned reference).
+    # A missing "cpus" field (pre-round-16 artifact) is treated as
+    # unknown and refused on the SOURCE side — re-run the probe; the
+    # target may be grandfathered only if the source declares 32.
+    src_cpus = src.get("cpus")
+    dst_cpus = dst.get("cpus", "32")  # committed reference predates the field
+    if src_cpus is None:
+        die("source has no 'cpus' field — re-run the probe with a "
+            "round-16+ Bench build")
+    if src_cpus != dst_cpus:
+        die(f"core-count mismatch: source cpus={src_cpus!r} vs "
+            f"target cpus={dst_cpus!r}")
     for w in ("factor_pre", "factor_post"):
         f = factor(src, w)
         if f > 1.1:
