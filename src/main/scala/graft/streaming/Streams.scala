@@ -445,9 +445,15 @@ object Streams {
     // NOTE: unlike the fixed-plan harnesses (whose state partitioning is
     // pinned at query START), foreachBatch builds fresh batch plans at
     // EXECUTION time against the live session conf — the pin must cover
-    // processAllAvailable, not just start()
+    // processAllAvailable, not just start(). The batch partition count is
+    // a conf knob (`spark.graft.stream.batchShufflePartitions`): size it
+    // to the MICRO-BATCH, not the cluster — the default 8 fits the
+    // harness's file-sized batches; a production deployment sizes it to
+    // its trigger volume.
+    val batchParts = spark.conf
+      .getOption("spark.graft.stream.batchShufflePartitions").getOrElse("8")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", batchParts)
     try {
       val q = spark.readStream.schema(docsSchema)
         .option("maxFilesPerTrigger", 1)
